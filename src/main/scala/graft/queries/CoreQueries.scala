@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dialect.SnowflakeDialect
+import graft.sources.Tables
+import Q._
+
+/** Core relational operator suite — reference parity (SURVEY §2.1–2.8).
+  *
+  * Each entry mirrors a concrete operator of the reference:
+  *   - q01: scan→filter→agg→sort slice (the flagship; data_transfer.py
+  *     projection/filter + validator.py aggregate shapes in one plan)
+  *   - q02: per-date-partition counts (validator.py:217-277, layer 2)
+  *   - q03: single-pass multi-column NULL counts (validator.py:633-673,
+  *     layer 3 — no 50-col chunking needed in Spark, SURVEY §4)
+  *   - q04: multi-column MIN/MAX (validator.py:675-718)
+  *   - q05: per-partition SUM fingerprint (validator.py:326-405, layer 4)
+  *   - q06/q07: catalog-style equi joins scaled to data (discovery.py S7/J1)
+  *   - q08: anti-join semantics of mismatch detection (validator.py J3)
+  *   - q09: full-outer partition reconciliation (validator.py:255-263, J2)
+  *   - q10: ORDER BY + LIMIT top-k (O3)
+  *   - q11/q12: distinct + set ops (§2.7)
+  *   - q13: SPLIT_TO_TABLE → explode (view_procedure_translator.py:282-295)
+  *   - q14: dialect-translated Snowflake SQL executed by Spark (§2.8b)
+  *   - q15: cast-to-string projection (data_transfer.py:122-137, S1/P2)
+  *   - q16: PK sample lookup join (validator.py:407-470, layer 5)
+  */
+object CoreQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1998-09-03")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q02_partition_counts" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("d"))
+    },
+
+    "q03_null_counts" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      l.select(l.columns.toSeq.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")): _*)
+    },
+
+    "q04_min_max" -> { (s, dir) =>
+      t(s, dir, "orders").agg(
+        min(col("o_orderkey")).as("min_o_orderkey"),
+        max(col("o_orderkey")).as("max_o_orderkey"),
+        min(col("o_totalprice")).as("min_o_totalprice"),
+        max(col("o_totalprice")).as("max_o_totalprice"),
+        min(to_date(col("o_orderdate"))).as("min_o_orderdate"),
+        max(to_date(col("o_orderdate"))).as("max_o_orderdate"))
+    },
+
+    "q05_agg_fingerprint" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("d"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_quantity"),
+          dsum(col("l_extendedprice")).as("sum_extendedprice"),
+          dsum(col("l_discount")).as("sum_discount"),
+          dsum(col("l_tax")).as("sum_tax"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("d"))
+    },
+
+    "q06_join_segment_revenue" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("segment"))
+    },
+
+    "q07_join_nation_revenue" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      rev.groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    "q08_anti_join_customers" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q09_full_outer_recon" -> { (s, dir) =>
+      val lm = t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("d"))
+        .agg(count(lit(1)).as("l_cnt"))
+      val om = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+        .agg(count(lit(1)).as("o_cnt"))
+      lm.join(om, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("l_cnt"), lit(0L)).as("l_cnt"),
+          coalesce(col("o_cnt"), lit(0L)).as("o_cnt"),
+          (coalesce(col("l_cnt"), lit(0L)) - coalesce(col("o_cnt"), lit(0L))).as("diff"))
+        .orderBy(col("d"))
+    },
+
+    "q10_topk_customers" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    "q11_distinct_flags" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q12_set_intersect" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    },
+
+    "q13_explode_words" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(explode(split(col("p_type"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word"))
+    },
+
+    "q14_dialect_iff" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderstatus AS status,
+          |       IFF(o_totalprice > 150000, 'big', NVL(NULL, 'small')) AS bucket,
+          |       COUNT(*) AS cnt
+          |FROM TPCH.PUBLIC.ORDERS
+          |GROUP BY o_orderstatus, IFF(o_totalprice > 150000, 'big', NVL(NULL, 'small'))
+          |ORDER BY status, bucket""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
+    "q15_cast_projection" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .select(
+          col("n_nationkey").cast("string").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("string").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    "q16_pk_sample_check" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val sample = o.orderBy(col("o_orderkey")).limit(100)
+        .select(col("o_orderkey").as("pk"), col("o_totalprice").as("src_price"))
+      val target = o.select(col("o_orderkey").as("pk"), col("o_totalprice").as("tgt_price"))
+      sample.join(target, Seq("pk"), "left_outer")
+        .select(col("pk"), col("src_price"), col("tgt_price"),
+          (col("src_price") === col("tgt_price")).as("is_match"))
+        .orderBy(col("pk"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '1998-09-03'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_partition_counts" ->
+      """SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "q03_null_counts" ->
+      """SELECT
+        |  COUNT(*) - COUNT(l_orderkey) AS n_l_orderkey,
+        |  COUNT(*) - COUNT(l_partkey) AS n_l_partkey,
+        |  COUNT(*) - COUNT(l_suppkey) AS n_l_suppkey,
+        |  COUNT(*) - COUNT(l_linenumber) AS n_l_linenumber,
+        |  COUNT(*) - COUNT(l_quantity) AS n_l_quantity,
+        |  COUNT(*) - COUNT(l_extendedprice) AS n_l_extendedprice,
+        |  COUNT(*) - COUNT(l_discount) AS n_l_discount,
+        |  COUNT(*) - COUNT(l_tax) AS n_l_tax,
+        |  COUNT(*) - COUNT(l_returnflag) AS n_l_returnflag,
+        |  COUNT(*) - COUNT(l_linestatus) AS n_l_linestatus,
+        |  COUNT(*) - COUNT(l_shipdate) AS n_l_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q04_min_max" ->
+      """SELECT
+        |  MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey,
+        |  MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice,
+        |  MIN(CAST(o_orderdate AS DATE)) AS min_o_orderdate,
+        |  MAX(CAST(o_orderdate AS DATE)) AS max_o_orderdate
+        |FROM orders""".stripMargin,
+
+    "q05_agg_fingerprint" ->
+      s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS d,
+         |  ${dsumSql("l_quantity")} AS sum_quantity,
+         |  ${dsumSql("l_extendedprice")} AS sum_extendedprice,
+         |  ${dsumSql("l_discount")} AS sum_discount,
+         |  ${dsumSql("l_tax")} AS sum_tax,
+         |  COUNT(*) AS cnt
+         |FROM lineitem GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "q06_join_segment_revenue" ->
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS cnt,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q07_join_nation_revenue" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  COUNT(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY region, nation""".stripMargin,
+
+    "q08_anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_full_outer_recon" ->
+      """WITH lm AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS d, COUNT(*) AS l_cnt
+        |  FROM lineitem GROUP BY 1),
+        |om AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS d, COUNT(*) AS o_cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(lm.d, om.d) AS d,
+        |  COALESCE(l_cnt, 0) AS l_cnt, COALESCE(o_cnt, 0) AS o_cnt,
+        |  COALESCE(l_cnt, 0) - COALESCE(o_cnt, 0) AS diff
+        |FROM lm FULL OUTER JOIN om ON lm.d = om.d
+        |ORDER BY d""".stripMargin,
+
+    "q10_topk_customers" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${dsumSql("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q11_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q13_explode_words" ->
+      """SELECT u.word AS word, COUNT(*) AS cnt
+        |FROM part, UNNEST(string_split(p_type, ' ')) AS u(word)
+        |GROUP BY 1 ORDER BY word""".stripMargin,
+
+    "q14_dialect_iff" ->
+      """SELECT o_orderstatus AS status,
+        |  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE COALESCE(NULL, 'small') END AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY status, bucket""".stripMargin,
+
+    "q15_cast_projection" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q16_pk_sample_check" ->
+      """WITH sample AS (
+        |  SELECT o_orderkey AS pk, o_totalprice AS src_price
+        |  FROM orders ORDER BY o_orderkey LIMIT 100)
+        |SELECT pk, src_price, t.o_totalprice AS tgt_price,
+        |  src_price = t.o_totalprice AS is_match
+        |FROM sample LEFT JOIN orders t ON pk = t.o_orderkey
+        |ORDER BY pk""".stripMargin)
+}

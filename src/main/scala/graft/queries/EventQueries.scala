@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Event/time-series suite over the `events` fixture — window functions,
+  * sessionization, tumbling-window rollups, and semi-structured (JSON)
+  * extraction. The reference has no window/streaming operators (SURVEY
+  * §2.5/§2.10) — these are the extension surface for event analytics, built
+  * batch-first so the DuckDB oracle can check them; the streaming variants
+  * live in [[graft.streaming]].
+  *
+  * Timestamp discipline: `ts` arrives as parquet TIMESTAMP(NANOS); both
+  * engines are compared at millisecond precision via `unix_millis`-style
+  * arithmetic to dodge ns-vs-µs truncation skew.
+  */
+object EventQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "q17_window_first_order" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("first_date"))
+        .orderBy(col("o_custkey"))
+    },
+
+    "q18_window_lag_delta" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("prev_value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(dsum(col("value") - col("prev_value")).as("sum_delta"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
+    "q19_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    "q20_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("h"), col("event_type"))
+    },
+
+    "q21_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q17_window_first_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q18_window_lag_delta" ->
+      s"""SELECT user_id,
+         |  ${dsumSql("value - prev_value")} AS sum_delta, COUNT(*) AS n
+         |FROM (
+         |  SELECT user_id, value,
+         |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+         |  FROM events)
+         |WHERE prev_value IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q19_sessionize" ->
+      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        |      LAG(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q20_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+         |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q21_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+}

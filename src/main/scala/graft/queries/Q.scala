@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Shared helpers for the oracle-checked query suite.
+  *
+  * Cross-engine hash-match discipline (driver compares Spark vs DuckDB on
+  * identical parquet): floating-point SUMs are order-dependent, so every
+  * summed double is first cast to an exact `DecimalType` (deterministic
+  * round-to-nearest of the underlying double in both engines), summed
+  * exactly, then cast back to double — bit-identical results regardless of
+  * partitioning/accumulation order (SURVEY §7 "hard parts" #1).
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
+
+  /** Order-independent exact sum of a double column, returned as double. */
+  def dsum(c: Column, p: Int = 30, s: Int = 6): Column =
+    sum(c.cast(DecimalType(p, s))).cast("double")
+
+  /** Matching DuckDB SQL fragment for [[dsum]]. */
+  def dsumSql(expr: String, p: Int = 30, s: Int = 6): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL($p,$s))) AS DOUBLE)"
+
+  /** Exact average: exact decimal sum cast to double, divided by count —
+    * one double division, same op in both engines. */
+  def davg(c: Column, p: Int = 30, s: Int = 6): Column =
+    sum(c.cast(DecimalType(p, s))).cast("double") / count(c)
+
+  def davgSql(expr: String, p: Int = 30, s: Int = 6): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL($p,$s))) AS DOUBLE) / COUNT($expr)"
+}

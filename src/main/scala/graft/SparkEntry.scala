@@ -18,7 +18,9 @@ object SparkEntry {
 
   private val suites: Seq[(Map[String, Q.QueryFn], Map[String, String])] = Seq(
     (CoreQueries.defs, CoreQueries.oracles),
-    (EventQueries.defs, EventQueries.oracles))
+    (EventQueries.defs, EventQueries.oracles),
+    (DedupQueries.defs, DedupQueries.oracles),
+    (TextQueries.defs, TextQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large corpora (extension surface, SURVEY §7
+  * step 8): exact (hash-groupBy), MinHash+LSH banding, and 64-bit SimHash
+  * with pigeonhole bucketing.
+  *
+  * Scale design: every stage is a hash-partitioned groupBy/self-equi-join on
+  * a bucket key — no driver-side collection, no cross join. At 100 TB the
+  * candidate generation is the band/chunk bucket join (shuffle on bucket id,
+  * skew-tolerant under AQE), and verification only touches candidate pairs.
+  */
+object Dedup {
+
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Word k-shingles of a space-separated text column, deduplicated.
+    * `greatest(..., 0)` guards texts shorter than k tokens (Spark `sequence`
+    * would otherwise count *down* and explode). */
+  def shingles(textCol: String, k: Int = 3): Column =
+    array_distinct(expr(
+      s"transform(sequence(0, greatest(size(split($textCol, ' ')) - $k, 0)), " +
+        s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $k)))"))
+
+  /** doc_id → MinHash signature (`sig` = array of [[NumHashes]] longs).
+    * One explode + single-pass aggregate of N min(xxhash64(seed, shingle))
+    * expressions — map-side partial min keeps the shuffle tiny. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(shingles(textCol, k)).as("shingle"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (id, sig) → candidate pairs (a_id < b_id) sharing ≥1 band. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      col("sig"),
+      posexplode(array((0 until Bands).map { b =>
+        val slice = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+        xxhash64(slice: _*)
+      }: _*)).as(Seq("band", "bandhash")))
+    val left = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
+      col("band"), col("bandhash"))
+    val right = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
+      col("band"), col("bandhash"))
+    left.join(right, Seq("band", "bandhash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: docs → pairs with est. similarity
+    * ≥ `threshold`. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    val pairs = lshCandidatePairs(minhashSignatures(docs, idCol, textCol, k), idCol)
+    pairs
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))")
+          .cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash of a space-tokenized text column, via per-bit votes over
+    * xxhash64(token). Single explode + 64-expression aggregate. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val fp = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash pairs within `maxHamming` (≤3 with 4 chunks by pigeonhole):
+    * bucket on 16-bit fingerprint chunks, verify with bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map { i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col(idCol).as("a_id"), col("simhash").as("a_fp"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col(idCol).as("b_id"), col("simhash").as("b_fp"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

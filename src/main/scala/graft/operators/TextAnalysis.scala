@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: approximate
+  * token counting, marker-based language ID, quality features, and content
+  * fingerprinting (extension surface beyond reference parity — SURVEY §7
+  * step 8).
+  *
+  * Cross-engine determinism rule: everything is built from `length` /
+  * `replace`-style string arithmetic and single floating-point divisions,
+  * never regex classes or locale-sensitive ops, so the DuckDB oracle can
+  * reproduce results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Number of non-overlapping occurrences of literal `marker` in `c`. */
+  def occurrences(c: Column, marker: String): Column = {
+    val esc = java.util.regex.Pattern.quote(marker)
+    ((length(c) - length(regexp_replace(c, esc, ""))) / marker.length).cast("long")
+  }
+
+  /** Matching DuckDB SQL for [[occurrences]] (plain `replace`). */
+  def occurrencesSql(expr: String, marker: String): String = {
+    val lit = marker.replace("'", "''")
+    s"CAST((length($expr) - length(replace($expr, '$lit', ''))) / ${marker.length} AS BIGINT)"
+  }
+
+  /** Approximate whitespace token count (space-separated corpora). */
+  def tokenCount(c: Column): Column = occurrences(c, " ") + lit(1L)
+
+  def tokenCountSql(expr: String): String = s"(${occurrencesSql(expr, " ")} + 1)"
+
+  /** Language markers: (lang, space-padded marker word). Scored against a
+    * space-padded copy of the text; argmax with fixed precedence order. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "fr" -> " le ", "de" -> " der ", "es" -> " el ", "zh" -> " zh ")
+
+  /** n-gram-heuristic language ID over a space-padded text column. */
+  def langId(padded: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> occurrences(padded, m) }
+    // argmax with ties resolved by marker precedence order
+    scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) elseCol
+        else when(laterScores.map(score >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+
+  def langIdSql(paddedExpr: String): String = {
+    val sc = langMarkers.map { case (l, m) => l -> occurrencesSql(paddedExpr, m) }
+    val cases = sc.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      val conds = sc.drop(i + 1).map { case (_, s2) => s"$s >= $s2" }.mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${sc.last._1}' END"
+  }
+
+  /** 16-hex-char content fingerprint over normalized text (rolling-hash
+    * analogue built on md5 so both engines agree). */
+  def fingerprint(c: Column): Column = substring(md5(c.cast("binary")), 1, 16)
+
+  def fingerprintSql(expr: String): String = s"substr(md5($expr), 1, 16)"
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import Q._
+
+/** Deduplication + similarity-search suite over the `documents` and
+  * `embeddings` fixtures (training-data-pipeline extension surface).
+  *
+  * Oracle notes: q22/q25/q26/q27 have full DuckDB oracles. q23/q24/q28
+  * depend on xxhash64-derived hashing with no DuckDB equivalent — they are
+  * deterministic (no RNG) but verified rows-only by the driver; their
+  * pipelines are additionally spec-tested in ScalaTest.
+  */
+object DedupQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // Exact dedup via content-hash groupBy: per-lang doc/unique/dup-group
+    // counts, both full-text and 50-char-prefix normalized.
+    "q22_dedup_exact" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val prefixDups = d
+        .groupBy(col("lang"), md5(substring(col("text"), 1, 50).cast("binary")).as("pfx"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_prefix_dup_groups"),
+          sum(col("c")).as("n_prefix_dup_docs"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .join(prefixDups, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_docs"), col("n_unique"),
+          coalesce(col("n_prefix_dup_groups"), lit(0L)).as("n_prefix_dup_groups"),
+          coalesce(col("n_prefix_dup_docs"), lit(0L)).as("n_prefix_dup_docs"))
+        .orderBy(col("lang"))
+    },
+
+    // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
+    "q23_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SimHash near-dup pairs (64-bit, hamming ≤ 3, pigeonhole bucketing).
+    "q24_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Token-set Jaccard between consecutive doc ids — the SQL-expressible
+    // slice of n-gram similarity, fully oracle-checked.
+    "q25_ngram_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toks.as("ta")
+        .join(toks.as("tb"),
+          col("tb.doc_id") === col("ta.doc_id") + 1 && col("tb.tok") === col("ta.tok"))
+        .groupBy(col("ta.doc_id").as("a_id"))
+        .agg(count(lit(1)).as("i"))
+      val pairs = d.select(col("doc_id").as("a_id"))
+        .join(d.select((col("doc_id") - 1).as("a_id")), Seq("a_id"))
+      pairs
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+        .join(sizes.select((col("doc_id") - 1).as("a_id"), col("n").as("b_n")), Seq("a_id"))
+        .join(inter, Seq("a_id"), "left_outer")
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          coalesce(col("i"), lit(0L)).as("inter_cnt"), col("a_n"), col("b_n"),
+          (coalesce(col("i"), lit(0L)).cast("double") /
+            (col("a_n") + col("b_n") - coalesce(col("i"), lit(0L)))).as("jaccard"))
+        .orderBy(col("a_id"))
+    },
+
+    // Exact cosine over consecutive embedding pairs (vector ops slice).
+    "q26_embed_pairs_sim" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("label").as("a_label"))
+      val b = e.select((col("vec_id") - 1).as("a_id"), col("embedding").as("b_vec"),
+        col("label").as("b_label"))
+      a.join(b, Seq("a_id"))
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          (Similarity.dotExact("a_vec", "b_vec") /
+            (Similarity.normExact("a_vec") * Similarity.normExact("b_vec"))).as("cosine"),
+          (col("a_label") === col("b_label")).as("same_label"))
+        .orderBy(col("a_id"))
+    },
+
+    // Brute-force cosine top-5 for queries vec_id < 10 (ANN baseline).
+    "q27_ann_brute_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // LSH-bucketed near-neighbor pairs (the scale path; deterministic
+    // hyperplanes; rows-only check — xxhash64 has no DuckDB equivalent).
+    "q28_ann_lsh" -> { (s, dir) =>
+      Similarity.lshNearNeighbors(t(s, dir, "embeddings"), threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
+  private val dot = Similarity.dotExactSql _
+  private def nrm(a: String) = Similarity.normExactSql(a)
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """WITH pfx AS (
+        |  SELECT lang, COUNT(*) AS c
+        |  FROM documents GROUP BY lang, md5(substr(text, 1, 50)) HAVING COUNT(*) > 1),
+        |pd AS (
+        |  SELECT lang, COUNT(*) AS n_prefix_dup_groups, SUM(c) AS n_prefix_dup_docs
+        |  FROM pfx GROUP BY lang)
+        |SELECT d.lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+        |  COALESCE(ANY_VALUE(pd.n_prefix_dup_groups), 0) AS n_prefix_dup_groups,
+        |  COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS n_prefix_dup_docs
+        |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, u.tok
+        |  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(tok)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT ta.doc_id AS a_id, COUNT(*) AS i
+        |  FROM toks ta JOIN toks tb ON tb.doc_id = ta.doc_id + 1 AND tb.tok = ta.tok
+        |  GROUP BY 1)
+        |SELECT a.doc_id AS a_id, a.doc_id + 1 AS b_id,
+        |  COALESCE(i, 0) AS inter_cnt, sa.n AS a_n, sb.n AS b_n,
+        |  CAST(COALESCE(i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i, 0)) AS jaccard
+        |FROM documents a
+        |JOIN documents b ON b.doc_id = a.doc_id + 1
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |LEFT JOIN inter ON inter.a_id = a.doc_id
+        |ORDER BY a_id""".stripMargin,
+
+    "q26_embed_pairs_sim" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dot("a.embedding", "b.embedding")} /
+         |    (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cosine,
+         |  a.label = b.label AS same_label
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |ORDER BY a_id""".stripMargin,
+
+    "q27_ann_brute_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin)
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis._
+import Q._
+
+/** Text-analysis suite over the `documents` fixture: language ID, quality
+  * scoring, token counting, fingerprinting (training-data-pipeline
+  * extension surface). All four fully oracle-checked — the operators are
+  * deliberately built from cross-engine-deterministic string arithmetic
+  * ([[graft.operators.TextAnalysis]]).
+  */
+object TextQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // Marker-based language ID vs the labeled lang column: confusion counts.
+    "q29_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(col("lang"), langId(col("padded")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // Per-document quality features: tokens, avg token length, stopword
+    // ratio — single-pass, no shuffle beyond the final sort.
+    "q30_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .withColumn("stop_hits",
+          occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
+        .select(col("doc_id"), col("n_tokens"),
+          (length(col("text")).cast("double") / col("n_tokens")).as("avg_token_len"),
+          (col("stop_hits").cast("double") / col("n_tokens")).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus token accounting per lang (the budget query of a data pipe).
+    "q31_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    // Content fingerprints (md5-based rolling-hash analogue): collision
+    // census per source.
+    "q32_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), fingerprint(trim(col("text"))).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique_fp"))
+        .orderBy(col("source"))
+    })
+
+  private val padded = "(' ' || text || ' ')"
+
+  val oracles: Map[String, String] = Map(
+    "q29_lang_id" ->
+      s"""SELECT lang, ${langIdSql(padded)} AS predicted, COUNT(*) AS cnt
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "q30_quality_score" ->
+      s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) / ${tokenCountSql("text")} AS avg_token_len,
+         |  CAST(${occurrencesSql(padded, " the ")} + ${occurrencesSql(padded, " a ")} AS DOUBLE)
+         |    / ${tokenCountSql("text")} AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_token_count" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(${tokenCountSql("text")}) AS total_tokens,
+         |  MIN(${tokenCountSql("text")}) AS min_tokens,
+         |  MAX(${tokenCountSql("text")}) AS max_tokens
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q32_fingerprint" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT ${fingerprintSql("trim(text)")}) AS n_unique_fp
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
+}

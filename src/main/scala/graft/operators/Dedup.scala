@@ -100,7 +100,7 @@ object Dedup {
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
-      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }

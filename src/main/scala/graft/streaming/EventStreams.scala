@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape (extension — the
+  * reference has no streaming, SURVEY §2.10; its incremental
+  * checkpoint+resume collapses into Spark's checkpointLocation +
+  * Trigger.AvailableNow).
+  *
+  * Both operators mirror their batch counterparts in
+  * [[graft.queries.EventQueries]] (q19/q20) so batch and streaming answers
+  * can be cross-checked on the same fixture.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(sessionCount: Long, lastMs: Long, eventCount: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling-window counts with watermarking — late data beyond the
+    * watermark is dropped, windows finalize incrementally. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("h"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Stateful sessionization via mapGroupsWithState: counts gap>30min
+    * sessions per user. State is one (count, lastTs) pair per user —
+    * constant-size, watermark-evictable. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          val prior = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = sorted.foldLeft(prior) { (st, e) =>
+            val ms = e.ts.getTime
+            val isNew = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+            SessionState(st.sessionCount + (if (isNew) 1 else 0), ms, st.eventCount + 1)
+          }
+          state.update(next)
+          UserSessions(userId, next.sessionCount, next.eventCount)
+      }
+  }
+
+  /** Batch-read the events fixture as a typed Dataset for sessionize. */
+  def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+
+  test("minhash signatures are deterministic and full-width") {
+    val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val sig2 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(sig1.map(_.getSeq[Long](1)).toSeq === sig2.map(_.getSeq[Long](1)).toSeq)
+    assert(sig1.head.getSeq[Long](1).length === Dedup.NumHashes)
+  }
+
+  test("identical texts always collide in minhash LSH") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst tungsten codegen")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("minhash est similarity correlates with real near-dups in fixture") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() > 0) // fixture has planted near-dups
+  }
+
+  test("simhash: identical docs get hamming 0, near-dups small hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota") // 1 token changed
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs.get((1L, 3L)).forall(_ > 0L))
+  }
+
+  test("shingle guard: texts shorter than k don't explode") {
+    import spark.implicits._
+    val df = Seq((1L, "one"), (2L, "two words")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+    assert(sigs.count() === 2)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+
+  test("cosine of a vector with itself is 1.0 (exact)") {
+    val self = emb.limit(5)
+      .select((Similarity.dotExact("embedding", "embedding") /
+        (Similarity.normExact("embedding") * Similarity.normExact("embedding"))).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val r = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 4)
+      .collect()
+    assert(r.length === 12)
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }) // descending
+    }
+  }
+
+  test("exact dot product is partitioning-independent") {
+    val one = emb.coalesce(1)
+    val many = emb.repartition(7)
+    def dots(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("vec_id") < 20)
+        .select(col("vec_id"), Similarity.dotExact("embedding", "embedding").as("d"))
+        .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    assert(dots(one) === dots(many))
+  }
+
+  test("LSH bucket join never emits a pair not sharing a bucket") {
+    val sig = emb.select(col("vec_id"),
+      Similarity.lshSignature("embedding").as("bucket"))
+    val buckets = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Similarity.lshNearNeighbors(emb, threshold = -1.0).collect()
+    pairs.foreach { r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(1)))
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import TextAnalysis._
+
+  test("occurrences counts literal markers") {
+    import spark.implicits._
+    val df = Seq(" the cat the dog the ").toDF("s")
+    val n = df.select(occurrences(col("s"), " the ").as("n")).collect()(0).getLong(0)
+    // non-overlapping: " the cat the dog the " → matches at 0 and 8 (shared spaces)
+    assert(n >= 2)
+  }
+
+  test("token count matches split size on single-spaced text") {
+    import spark.implicits._
+    val df = Seq("a b c d", "single", "x y").toDF("s")
+    val got = df.select(tokenCount(col("s")).as("n")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 1L, 2L))
+  }
+
+  test("langId picks the dominant marker with fixed tie precedence") {
+    import spark.implicits._
+    val df = Seq(
+      " the cat the dog ",  // en
+      " le chat le chien le ", // fr
+      " nothing matching here ").toDF("padded")
+    val got = df.select(langId(col("padded")).as("l")).collect().map(_.getString(0)).toSeq
+    assert(got.take(2) === Seq("en", "fr"))
+    assert(got(2) === "en") // all-zero tie → first in precedence
+  }
+
+  test("fingerprint is stable and 16 hex chars") {
+    import spark.implicits._
+    val df = Seq("some document text").toDF("s")
+    val fp = df.select(fingerprint(col("s")).as("f")).collect()(0).getString(0)
+    assert(fp.length === 16)
+    assert(fp.matches("[0-9a-f]{16}"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.transfer
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class CheckpointSpec extends AnyFunSuite {
+
+  test("checkpoint round-trip: completed + in-progress survive reload") {
+    val dir = Files.createTempDirectory("ckpt").toString
+    val path = s"$dir/checkpoint.json"
+    val cp = new CheckpointManager(path, "src_schema", "dst_schema")
+    cp.markCompleted("region")
+    cp.updateProgress("orders", 12345L)
+    cp.markCompleted("nation")
+
+    val reloaded = new CheckpointManager(path, "src_schema", "dst_schema")
+    assert(reloaded.isCompleted("region"))
+    assert(reloaded.isCompleted("nation"))
+    assert(!reloaded.isCompleted("orders"))
+    assert(reloaded.resumeOffset("orders") === 12345L)
+    assert(reloaded.resumeOffset("region") === 0L) // completed → no offset
+  }
+
+  test("markCompleted clears in-progress offset") {
+    val dir = Files.createTempDirectory("ckpt2").toString
+    val cp = new CheckpointManager(s"$dir/c.json", "s", "t")
+    cp.updateProgress("t1", 999L)
+    cp.markCompleted("t1")
+    val re = new CheckpointManager(s"$dir/c.json", "s", "t")
+    assert(re.resumeOffset("t1") === 0L)
+    assert(re.isCompleted("t1"))
+  }
+
+  test("special characters in table names survive JSON round-trip") {
+    val dir = Files.createTempDirectory("ckpt3").toString
+    val cp = new CheckpointManager(s"$dir/c.json", "s", "t")
+    cp.markCompleted("weird \"table\"\nname")
+    val re = new CheckpointManager(s"$dir/c.json", "s", "t")
+    assert(re.isCompleted("weird \"table\"\nname"))
+  }
+}
+
+class TransferSpec extends SparkSpec {
+
+  test("parquet → parquet transfer preserves rows; checkpoint skips done tables") {
+    val out = Files.createTempDirectory("xfer").toString
+    val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    val engine = new TransferEngine(new ParquetSource(sfDir), new ParquetSink(out), Some(cp))
+
+    val stats = engine.transferSchema(spark, Seq("region", "nation"), workers = 2)
+    assert(stats.forall(_.success))
+    assert(stats.map(_.tableName) === Seq("region", "nation"))
+    val back = spark.read.parquet(s"$out/region.parquet")
+    assert(back.count() === spark.read.parquet(s"$sfDir/region.parquet").count())
+
+    // second run: both skipped via checkpoint
+    val again = engine.transferSchema(spark, Seq("region", "nation"), workers = 2)
+    assert(again.forall(_.errorMessage.contains("skipped (checkpoint)")))
+  }
+
+  test("where/limit are applied on the way through") {
+    val out = Files.createTempDirectory("xfer2").toString
+    val engine = new TransferEngine(
+      new ParquetSource(sfDir), new ParquetSink(out),
+      where = Some("n_regionkey = 0"), limit = Some(3))
+    val stats = engine.transferTable(spark, "nation")
+    assert(stats.success)
+    assert(stats.rowsTransferred <= 3)
+    val back = spark.read.parquet(s"$out/nation.parquet")
+    assert(back.filter("n_regionkey <> 0").count() === 0)
+  }
+
+  test("failure surfaces as stats, not exception (continue-on-error)") {
+    val out = Files.createTempDirectory("xfer3").toString
+    val engine = new TransferEngine(new ParquetSource("/nonexistent"), new ParquetSink(out))
+    val stats = engine.transferTable(spark, "region")
+    assert(!stats.success)
+    assert(stats.errorMessage.nonEmpty)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.validate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The validation layers are the reference's spec (SURVEY §5): each layer
+  * must be a fixpoint on an exact copy and detect the fault classes from the
+  * reference README (dropped rows, nulled cells, scaled values, partition
+  * shifts). */
+class ValidatorSpec extends SparkSpec {
+
+  private lazy val orders: DataFrame = Tables.load(spark, sfDir, "orders").cache()
+
+  test("all layers pass on an exact copy") {
+    val r = new Validator(orders, orders).validateTable("orders", pkCols = Seq("o_orderkey"),
+      rowSample = true)
+    assert(r.passed, r.checks.filterNot(_.passed.getOrElse(true)).map(_.message))
+    assert(r.checks.map(_.name).toSet ===
+      Set("row_count", "partition_counts", "column_stats", "aggregate_fingerprint", "row_sample"))
+  }
+
+  test("layer 1 catches dropped rows") {
+    val corrupted = orders.filter(col("o_orderkey") % 100 =!= 0)
+    val r = new Validator(orders, corrupted).checkRowCount()
+    assert(r.passed === Some(false))
+  }
+
+  test("layer 2 catches partition-local row drops") {
+    val firstDate = orders.agg(min(to_date(col("o_orderdate")))).collect()(0).getDate(0)
+    val corrupted = orders.filter(to_date(col("o_orderdate")) =!= lit(firstDate))
+    val r = new Validator(orders, corrupted).checkPartitionCounts("o_orderdate")
+    assert(r.passed === Some(false))
+    assert(r.details.nonEmpty)
+  }
+
+  test("layer 3 catches nulled cells and shifted extremes") {
+    val nulled = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 50 === 0, lit(null)).otherwise(col("o_totalprice")))
+    val r = new Validator(orders, nulled).checkColumnStats()
+    assert(r.head.passed === Some(false))
+    assert(r.head.details.exists(_.startsWith("null_o_totalprice")))
+  }
+
+  test("layer 4 catches scaled values that row counts miss") {
+    val scaled = orders.withColumn("o_totalprice", col("o_totalprice") * 1.0001)
+    val r = new Validator(orders, scaled).checkAggregateFingerprint("o_orderdate")
+    assert(r.passed === Some(false))
+    // same row count, so layer 1 passes — the fingerprint is what catches it
+    assert(new Validator(orders, scaled).checkRowCount().passed === Some(true))
+  }
+
+  test("layer 5 catches missing rows and field mismatches via PK lookup") {
+    val missing = orders.filter(col("o_orderkey") =!= 1L)
+    val r1 = new Validator(orders, missing).checkRowSample(Seq("o_orderkey"), 10)
+    assert(r1.passed === Some(false))
+
+    val mangled = orders.withColumn("o_orderstatus",
+      when(col("o_orderkey") <= 5, lit("Z")).otherwise(col("o_orderstatus")))
+    val r2 = new Validator(orders, mangled).checkRowSample(Seq("o_orderkey"), 10)
+    assert(r2.passed === Some(false))
+  }
+
+  test("date column heuristic: name hints beat position") {
+    val df = spark.range(1).select(
+      current_timestamp().as("created_ts"),
+      current_timestamp().as("order_date"))
+    assert(Validator.detectDateColumn(df) === Some("order_date"))
+    val df2 = spark.range(1).select(current_timestamp().as("a"), current_timestamp().as("b"))
+    assert(Validator.detectDateColumn(df2) === Some("a"))
+    assert(Validator.detectDateColumn(spark.range(1).toDF()) === None)
+  }
+}

@@ -36,31 +36,33 @@ object Dedup {
       .select(col(idCol), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH banding: (id, sig) → candidate pairs (a_id < b_id) sharing ≥1 band. */
+  /** LSH banding: (id, sig) → distinct candidate id pairs (a_id < b_id)
+    * sharing ≥1 band. The distinct runs on narrow (a_id, b_id) rows *before*
+    * signatures are re-attached — the bucket join's fanout never shuffles
+    * signature arrays. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
     val banded = sigs.select(
       col(idCol),
-      col("sig"),
       posexplode(array((0 until Bands).map { b =>
         val slice = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
         xxhash64(slice: _*)
       }: _*)).as(Seq("band", "bandhash")))
-    val left = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
-      col("band"), col("bandhash"))
-    val right = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
-      col("band"), col("bandhash"))
-    left.join(right, Seq("band", "bandhash"))
+    banded.select(col(idCol).as("a_id"), col("band"), col("bandhash"))
+      .join(banded.select(col(idCol).as("b_id"), col("band"), col("bandhash")),
+        Seq("band", "bandhash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: docs → pairs with est. similarity
-    * ≥ `threshold`. */
+    * ≥ `threshold`. Signatures join back onto the (small) candidate set. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, k: Int = 3): DataFrame = {
-    val pairs = lshCandidatePairs(minhashSignatures(docs, idCol, textCol, k), idCol)
-    pairs
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    lshCandidatePairs(sigs, idCol)
+      .join(sigs.select(col(idCol).as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))")
           .cast("double") / NumHashes)
@@ -85,23 +87,35 @@ object Dedup {
   }
 
   /** SimHash pairs within `maxHamming` (≤3 with 4 chunks by pigeonhole):
-    * bucket on 16-bit fingerprint chunks, verify with bit_count(xor). */
+    * bucket on 16-bit fingerprint chunks, verify with bit_count(xor).
+    *
+    * Skew control for 100 TB corpora: buckets larger than `maxBucketSize`
+    * are dropped before the self-join (the standard frequent-bucket LSH
+    * mitigation — a hot bucket is quadratic fanout; e.g. the sf0.1 fixture
+    * has one 830-doc bucket = 344k pairs from a single key). The hamming
+    * filter runs *before* the distinct so the dedup shuffle only carries
+    * surviving pairs. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map { i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col(idCol).as("a_id"), col("simhash").as("a_fp"),
+    val bucketSizes = chunked.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select(col("chunk_idx"), col("chunk"))
+    val bounded = chunked.join(bucketSizes, Seq("chunk_idx", "chunk"))
+    val a = bounded.select(col(idCol).as("a_id"), col("simhash").as("a_fp"),
       col("chunk_idx"), col("chunk"))
-    val b = chunked.select(col(idCol).as("b_id"), col("simhash").as("b_fp"),
+    val b = bounded.select(col(idCol).as("b_id"), col("simhash").as("b_fp"),
       col("chunk_idx"), col("chunk"))
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
   }
 }

@@ -101,6 +101,40 @@ object DedupQueries {
     "q28_ann_lsh" -> { (s, dir) =>
       Similarity.lshNearNeighbors(t(s, dir, "embeddings"), threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Throughput ANN via the native codegen'd fvec_dot expression — ranks
+    // only in the output (double-fold cosine isn't bit-comparable to the
+    // oracle's exact-decimal path, but the induced ranking is).
+    "q33_ann_fast_topk" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .withColumn("cnorm", sqrt(expr("fvec_dot(cvec, cvec)")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("qnorm", sqrt(expr("fvec_dot(qvec, qvec)")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy((expr("fvec_dot(qvec, cvec)") / (col("qnorm") * col("cnorm"))).desc, col("cid"))
+      c.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("cid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Multimodal: opaque binary payloads + typed metadata, per media type.
+    "q34_multimodal_meta" -> { (s, dir) =>
+      val a = graft.operators.Multimodal.assets(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      a.groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("meta.n_bytes")).as("total_bytes"),
+          countDistinct(col("meta.fingerprint")).as("n_unique_fp"),
+          sum(ceil(col("meta.n_bytes").cast("double") / graft.operators.Multimodal.FrameBytes)
+            .cast("long")).as("total_frames"))
+        .orderBy(col("media_type"))
     })
 
   private val dot = Similarity.dotExactSql _
@@ -146,6 +180,27 @@ object DedupQueries {
          |  a.label = b.label AS same_label
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
          |ORDER BY a_id""".stripMargin,
+
+    "q33_ann_fast_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q34_multimodal_meta" ->
+      """SELECT 'media/' || source AS media_type, COUNT(*) AS n_assets,
+        |  SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+        |  COUNT(DISTINCT substr(md5(text), 1, 16)) AS n_unique_fp,
+        |  SUM(CAST(CEIL(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)) AS total_frames
+        |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
 
     "q27_ann_brute_topk" ->
       s"""WITH v AS (

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the "would this survive a 100× scale-up"
+  * checks: filters must reach the parquet scan, column pruning must shrink
+  * ReadSchema, small dims must broadcast, and the hot path must stay inside
+  * whole-stage codegen.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: shipdate filter pushed to parquet scan; scan is codegen'd") {
+    val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.matches("(?s).*PushedFilters: \\[.*l_shipdate.*\\].*"),
+      "shipdate predicate did not reach the scan")
+    // whole-stage codegen stages appear as "*(n)" markers in the executed plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "no WholeStageCodegen stage in the hot path")
+  }
+
+  test("q01: column pruning — scan reads only the 7 needed lineitem columns") {
+    val plan = planOf("q01_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey"), s"unpruned column in: $readSchema")
+    assert(!readSchema.contains("l_partkey"), s"unpruned column in: $readSchema")
+  }
+
+  test("q07: nation/region joins are broadcast, not shuffled") {
+    val plan = planOf("q07_join_nation_revenue")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q02: aggregation is partial+final (map-side combine before shuffle)") {
+    val plan = planOf("q02_partition_counts")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.matches("(?s).*partial_count.*"), "no partial aggregation before exchange")
+  }
+
+  test("q08: anti join stays a join, not a subquery re-scan") {
+    val plan = planOf("q08_anti_join_customers")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
     (CoreQueries.defs, CoreQueries.oracles),
     (EventQueries.defs, EventQueries.oracles),
     (DedupQueries.defs, DedupQueries.oracles),
-    (TextQueries.defs, TextQueries.oracles))
+    (TextQueries.defs, TextQueries.oracles),
+    (ParityQueries.defs, ParityQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

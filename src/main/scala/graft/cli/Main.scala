@@ -1,0 +1,191 @@
+package graft.cli
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ddl.DdlGenerator
+import graft.dialect.SnowflakeDialect
+import graft.meta.TableMeta
+import graft.sources.Tables
+import graft.transfer._
+import graft.validate.Validator
+
+/** CLI orchestration — the reference's seven `sf_migrate` actions
+  * (`management/commands/sf_migrate.py:70-312`) over the Spark engine. A
+  * "schema" here is a directory of parquet tables (the fixture layout); the
+  * same verbs drive JDBC endpoints by swapping the source/sink.
+  *
+  * discover | build | build-views | destroy | migrate | transfer | validate
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args, newSession()))
+
+  def newSession(): SparkSession = SparkSession.builder()
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Parse `--key value` pairs (bare `--flag` becomes "true"). */
+  private[cli] def parseOpts(rest: Seq[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < rest.length) {
+      val a = rest(i)
+      if (a.startsWith("--")) {
+        val key = a.drop(2)
+        if (i + 1 < rest.length && !rest(i + 1).startsWith("--")) {
+          out += key -> rest(i + 1); i += 2
+        } else { out += key -> "true"; i += 1 }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  def run(args: Array[String], spark: SparkSession, out: String => Unit = println): Int = {
+    if (args.isEmpty) { out(usage); return 2 }
+    val action = args.head
+    val opts = parseOpts(args.tail.toSeq)
+    def req(k: String): String =
+      opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k"))
+    Try {
+      action match {
+        case "discover" =>
+          val dir = req("source")
+          val tables = discoverTables(spark, dir)
+          if (opts.get("format").contains("json")) {
+            val js = tables.map(t =>
+              s"""{"table": "${t.name}", "rows": ${t.rowCount.getOrElse(-1L)}, "columns": [""" +
+                t.columns.map(c => s""""${c.name} ${c.dataType.simpleString}"""").mkString(", ") + "]}")
+              .mkString("[", ",\n ", "]")
+            out(js)
+          } else tables.foreach { t =>
+            out(s"${t.name} (${t.rowCount.getOrElse(-1L)} rows)")
+            t.columns.foreach(c => out(s"  ${c.name}: ${c.dataType.simpleString}"))
+          }
+          0
+        case "build" =>
+          val dir = req("source")
+          val schema = opts.getOrElse("schema", "public")
+          val ddl = DdlGenerator.generateSchemaDdl(schema, discoverTables(spark, dir, schema))
+          opts.get("output") match {
+            case Some(f) =>
+              Files.write(Paths.get(f), ddl.mkString(";\n\n").getBytes(StandardCharsets.UTF_8))
+              out(s"wrote ${ddl.length} statements to $f")
+            case None => ddl.foreach(s => out(s + ";"))
+          }
+          0
+        case "build-views" =>
+          val dir = req("source")
+          val viewsFile = req("views")
+          Tables.registerAll(spark, dir)
+          val raw = new String(Files.readAllBytes(Paths.get(viewsFile)), StandardCharsets.UTF_8)
+          // one CREATE VIEW per `-- view: <name>` section
+          val sections = raw.split("(?m)^-- view: ").filter(_.trim.nonEmpty)
+          var failures = 0
+          sections.foreach { sec =>
+            val name = sec.linesIterator.next().trim
+            val sql = sec.linesIterator.drop(1).mkString("\n")
+            val translated = SnowflakeDialect.translate(sql)
+            Try(spark.sql(translated).createOrReplaceTempView(name)) match {
+              case Success(_) => out(s"view $name: OK")
+              case Failure(e) => out(s"view $name: FAILED ${e.getMessage.linesIterator.next()}"); failures += 1
+            }
+          }
+          if (failures == 0) 0 else 1
+        case "destroy" =>
+          val dir = req("target")
+          val confirm = req("confirm")
+          val name = Paths.get(dir).getFileName.toString
+          if (confirm != name) {
+            out(s"confirmation '$confirm' does not match target schema '$name' — aborting")
+            1
+          } else {
+            deleteRecursive(Paths.get(dir)); out(s"destroyed $dir"); 0
+          }
+        case "transfer" | "migrate" =>
+          val src = req("source")
+          val dst = req("target")
+          val tables = opts.get("table").map(Seq(_)).getOrElse(listTables(src))
+          if (action == "migrate") {
+            val schema = opts.getOrElse("schema", "public")
+            val ddl = DdlGenerator.generateSchemaDdl(
+              schema, discoverTables(spark, src, schema))
+            Files.createDirectories(Paths.get(dst))
+            Files.write(Paths.get(dst, "_schema.sql"),
+              ddl.mkString(";\n\n").getBytes(StandardCharsets.UTF_8))
+          }
+          val cp = opts.get("checkpoint").map(f => new CheckpointManager(f, src, dst))
+          val engine = new TransferEngine(
+            new ParquetSource(src), new ParquetSink(dst), cp,
+            where = opts.get("where"), limit = opts.get("limit").map(_.toInt))
+          val stats = engine.transferSchema(spark, tables,
+            workers = opts.getOrElse("workers", "1").toInt)
+          stats.foreach(s => out(
+            f"${s.tableName}%-12s ${if (s.success) "OK" else "FAIL"}%-4s " +
+              f"${s.rowsTransferred}%9d rows ${s.transferTimeSec}%6.2fs " +
+              f"${s.rowsPerSecond}%10.0f rows/s${s.errorMessage.map(" " + _).getOrElse("")}"))
+          if (stats.forall(_.success)) 0 else 1
+        case "validate" =>
+          val src = req("source")
+          val dst = req("target")
+          val tables = opts.get("table").map(Seq(_)).getOrElse(listTables(src))
+          var failures = 0
+          tables.foreach { t =>
+            val result = new Validator(
+              spark.read.parquet(s"$src/$t.parquet"),
+              spark.read.parquet(s"$dst/$t.parquet"))
+              .validateTable(t, rowSample = opts.contains("row-sample"))
+            val mark = if (result.passed) "PASS" else "FAIL"
+            out(s"$t: $mark")
+            result.checks.foreach(c =>
+              out(s"  ${c.name}: ${c.passed.map(p => if (p) "ok" else "MISMATCH").getOrElse("skipped")} ${c.message}"))
+            if (!result.passed) failures += 1
+          }
+          if (failures == 0) 0 else 1
+        case other =>
+          out(s"unknown action: $other"); out(usage); 2
+      }
+    } match {
+      case Success(code) => code
+      case Failure(e) => out(s"error: ${e.getMessage}"); 1
+    }
+  }
+
+  private def listTables(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(p => Paths.get(p).getFileName.toString.stripSuffix(".parquet"))
+      .sorted.toSeq
+
+  private def discoverTables(spark: SparkSession, dir: String,
+                             schema: String = "public"): Seq[TableMeta] =
+    listTables(dir).map { t =>
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      TableMeta.fromDataFrame(t, schema, df).copy(rowCount = Some(df.count()))
+    }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  private val usage: String =
+    """usage: graft.cli.Main <action> [--opt value ...]
+      |  discover    --source DIR [--format json]
+      |  build       --source DIR [--schema NAME] [--output FILE]
+      |  build-views --source DIR --views FILE
+      |  destroy     --target DIR --confirm SCHEMA_NAME
+      |  transfer    --source DIR --target DIR [--table T] [--where W] [--limit N]
+      |              [--workers K] [--checkpoint FILE]
+      |  migrate     (build + transfer) same options
+      |  validate    --source DIR --target DIR [--table T] [--row-sample true]""".stripMargin
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Remaining reference-parity rows of SURVEY §2 plus grouping analytics:
+  *   - q35: LIMIT/OFFSET resume pagination (O4, data_transfer.py:29-57) —
+  *     deterministic because it sorts on the PK first, which is exactly the
+  *     fix for the order-instability the reference concedes.
+  *   - q36: the scalar-function surface the dialect must evaluate (§2.8:
+  *     date_trunc, concat_ws, upper, lpad/rpad, coalesce, datediff, casts).
+  *   - q37: ROLLUP — beyond the reference (Catalyst built-in; SURVEY §2.4
+  *     notes cube/rollup as free once exposed).
+  *   - q38: UNION + EXCEPT set algebra (§2.7 — the reference does these in
+  *     Python sets; here they're distributed operators).
+  */
+object ParityQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "q35_offset_resume" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_orderkey"))
+        .offset(1000)
+        .limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    "q36_scalar_funcs" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          lpad(col("o_orderstatus"), 3, "x").as("status_lpad"),
+          rpad(col("o_orderstatus"), 3, "y").as("status_rpad"),
+          coalesce(lit(null).cast("string"), col("o_orderstatus")).as("status_nvl"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_orderkey").cast("string").as("key_str"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q37_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          col("o_orderstatus"), col("o_orderpriority"), col("cnt"), col("sum_price"),
+          (when(col("o_orderstatus").isNull, 2).otherwise(0) +
+            when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    "q38_union_except" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+      val region0 = t(s, dir, "nation")
+        .filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").cast("int").as("nk"))
+      c.union(sup).distinct().except(region0).orderBy(col("nk"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q35_offset_resume" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 1000""".stripMargin,
+
+    "q36_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  lpad(o_orderstatus, 3, 'x') AS status_lpad,
+        |  rpad(o_orderstatus, 3, 'y') AS status_rpad,
+        |  COALESCE(NULL, o_orderstatus) AS status_nvl,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+
+    "q37_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  (CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END +
+         |   CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q38_union_except" ->
+      """SELECT nk FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |  UNION
+        |  SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
+        |EXCEPT
+        |SELECT CAST(n_nationkey AS INT) AS nk FROM nation WHERE n_regionkey = 0
+        |ORDER BY nk""".stripMargin)
+}

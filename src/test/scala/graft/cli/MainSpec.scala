@@ -1,0 +1,82 @@
+package graft.cli
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class MainSpec extends SparkSpec {
+
+  private def runCli(args: String*): (Int, Seq[String]) = {
+    val buf = Seq.newBuilder[String]
+    val code = Main.run(args.toArray, spark, s => buf += s)
+    (code, buf.result())
+  }
+
+  test("discover lists tables with schemas and row counts") {
+    val (code, out) = runCli("discover", "--source", sfDir)
+    assert(code === 0)
+    assert(out.exists(_.startsWith("lineitem")))
+    assert(out.exists(_.contains("l_shipdate")))
+  }
+
+  test("build writes topo-ordered DDL to a file") {
+    val f = Files.createTempDirectory("ddl").resolve("schema.sql").toString
+    val (code, _) = runCli("build", "--source", sfDir, "--schema", "tpch", "--output", f)
+    assert(code === 0)
+    val ddl = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+    assert(ddl.contains("CREATE SCHEMA IF NOT EXISTS \"tpch\""))
+    assert(ddl.contains("CREATE TABLE \"tpch\".\"lineitem\""))
+    assert(ddl.contains("\"l_quantity\" DOUBLE PRECISION"))
+  }
+
+  test("build-views translates Snowflake SQL and registers temp views") {
+    val f = Files.createTempDirectory("views").resolve("views.sql")
+    Files.write(f,
+      """-- view: big_orders
+        |SELECT o_orderkey, IFF(o_totalprice > 150000, 'big', 'small') AS bucket
+        |FROM TPCH.PUBLIC.ORDERS
+        |-- view: bad_view
+        |SELECT nonexistent_col FROM orders
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val (code, out) = runCli("build-views", "--source", sfDir, "--views", f.toString)
+    assert(code === 1) // one failure
+    assert(out.exists(_.startsWith("view big_orders: OK")))
+    assert(out.exists(_.startsWith("view bad_view: FAILED")))
+    assert(spark.sql("SELECT bucket FROM big_orders").count() > 0)
+  }
+
+  test("transfer + validate round-trip, then destroy with confirmation") {
+    val dst = Files.createTempDirectory("clidst").resolve("myschema").toString
+    val (tcode, tout) = runCli("transfer", "--source", sfDir, "--target", dst,
+      "--table", "nation", "--workers", "2")
+    assert(tcode === 0, tout)
+    val (vcode, vout) = runCli("validate", "--source", sfDir, "--target", dst,
+      "--table", "nation")
+    assert(vcode === 0, vout)
+    assert(vout.exists(_.startsWith("nation: PASS")))
+
+    // destroy refuses a wrong confirmation, accepts the right one
+    val (bad, badOut) = runCli("destroy", "--target", dst, "--confirm", "wrong")
+    assert(bad === 1 && badOut.exists(_.contains("aborting")))
+    val (ok, _) = runCli("destroy", "--target", dst, "--confirm", "myschema")
+    assert(ok === 0)
+    assert(!Files.exists(Paths.get(dst)))
+  }
+
+  test("validate catches a corrupted copy") {
+    val dst = Files.createTempDirectory("clibad").toString
+    runCli("transfer", "--source", sfDir, "--target", dst,
+      "--table", "orders", "--where", "o_orderkey % 100 != 0")
+    val (code, out) = runCli("validate", "--source", sfDir, "--target", dst,
+      "--table", "orders")
+    assert(code === 1)
+    assert(out.exists(_.startsWith("orders: FAIL")))
+  }
+
+  test("unknown action and missing options fail cleanly") {
+    assert(runCli("frobnicate")._1 === 2)
+    val (code, out) = runCli("transfer", "--source", sfDir)
+    assert(code === 1 && out.exists(_.contains("missing --target")))
+  }
+}

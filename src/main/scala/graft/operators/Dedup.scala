@@ -27,11 +27,17 @@ object Dedup {
         s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $k)))"))
 
   /** doc_id → MinHash signature (`sig` = array of [[NumHashes]] longs).
-    * One explode + single-pass aggregate of N min(xxhash64(seed, shingle))
-    * expressions — map-side partial min keeps the shuffle tiny. */
+    * One explode, ONE string hash per shingle, then [[NumHashes]]
+    * fixed-width rehashes of that 8-byte value — the per-permutation work
+    * no longer touches the (arbitrarily long) shingle text. (A wrapping
+    * affine family a_i*h+b_i would be cheaper still, but Spark 4's ANSI
+    * mode turns long overflow into an error.) Map-side partial min keeps
+    * the shuffle tiny. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(shingles(textCol, k)).as("shingle"))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val exploded = docs
+      .select(col(idCol), explode(shingles(textCol, k)).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }

@@ -67,6 +67,22 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // As-of join (composed union+window operator — graft.operators.AsOf):
+    // each click gets the latest preceding purchase value per user.
+    // Millisecond granularity on both engines dodges ns-vs-µs skew.
+    "q39_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("user_id") < 5)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .agg(max(col("value")).as("p_value"))
+      graft.operators.AsOf.asofJoin(clicks, purchases, "user_id", "ms", Seq("p_value"))
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +125,17 @@ object EventQueries {
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q39_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE event_type = 'click' AND user_id < 5),
+        |purchases AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, MAX(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ms, p.p_value AS asof_p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ms >= p.ms
+        |ORDER BY c.user_id, c.ms, c.event_id""".stripMargin)
 }

@@ -76,22 +76,47 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * or on a live session with [[GraftFunctions.register]] (idempotent). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.fvecDotDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
 
-  private[functions] val fvecDotDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("fvec_dot"),
-    new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
-    (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.expr
+  import org.apache.spark.sql.catalyst.expressions.Literal
 
-  /** Register `fvec_dot` on an existing session (safe to call repeatedly). */
+  private[functions] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => children match {
+        case Seq(tokens) => MinHashSignature(tokens)
+        case Seq(tokens, Literal(n: Int, _)) => MinHashSignature(tokens, n)
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(tokens[, numHashes]) — got ${other.length} args")
+      }))
+
+  /** Register graft functions on a live session (safe to call repeatedly). */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = fvecDotDescriptor
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
+    descriptors.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+
+  /** Column builders (register on the column's session before collecting;
+    * the SQL-string form keeps us on the public Column API). */
+  def simhash64(spark: SparkSession, tokensSql: String): Column = {
+    register(spark); expr(s"simhash64($tokensSql)")
+  }
+  def minhashSignature(spark: SparkSession, tokensSql: String, numHashes: Int = 32): Column = {
+    register(spark); expr(s"minhash_signature($tokensSql, $numHashes)")
   }
 }

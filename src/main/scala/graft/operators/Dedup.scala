@@ -18,28 +18,36 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Word k-shingles of a space-separated text column, deduplicated.
-    * `greatest(..., 0)` guards texts shorter than k tokens (Spark `sequence`
-    * would otherwise count *down* and explode). */
-  def shingles(textCol: String, k: Int = 3): Column =
-    array_distinct(expr(
-      s"transform(sequence(0, greatest(size(split($textCol, ' ')) - $k, 0)), " +
-        s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $k)))"))
+  /** Word k-shingles over an already-tokenized array column, deduplicated.
+    * Takes the token *array* (not raw text) so `split` runs once per row —
+    * referencing `split(text)` inside the lambda would re-tokenize the
+    * whole document for every shingle index (O(T²)). `greatest(..., 0)`
+    * guards texts shorter than k tokens (Spark `sequence` would otherwise
+    * count *down* and explode). */
+  def shinglesSql(toksCol: String, k: Int = 3): String =
+    s"array_distinct(transform(sequence(0, greatest(size($toksCol) - $k, 0)), " +
+      s"i -> concat_ws(' ', slice($toksCol, i + 1, $k))))"
 
-  /** doc_id → MinHash signature (`sig` = array of [[NumHashes]] longs).
-    * One explode, ONE string hash per shingle, then [[NumHashes]]
-    * fixed-width rehashes of that 8-byte value — the per-permutation work
-    * no longer touches the (arbitrarily long) shingle text. (A wrapping
-    * affine family a_i*h+b_i would be cheaper still, but Spark 4's ANSI
-    * mode turns long overflow into an error.) Map-side partial min keeps
-    * the shuffle tiny. */
+  def shingles(textCol: String, k: Int = 3): Column = {
+    val toks = s"split($textCol, ' ')"
+    expr(s"array_distinct(transform(sequence(0, greatest(size($toks) - $k, 0)), " +
+      s"i -> concat_ws(' ', slice($toks, i + 1, $k))))")
+  }
+
+  /** doc_id → MinHash signature (`sig` = array of [[NumHashes]] longs),
+    * computed per-row by the native [[graft.functions.MinHashSignature]]
+    * expression — no explode, no shuffle: the composed alternative
+    * (explode → 32 min-aggregates → groupBy) shuffles one row per shingle,
+    * which at corpus scale is the dominant cost of the whole pipeline. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(shingles(textCol, k)).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val spark = docs.sparkSession
+    // repartition: per-row signature work is CPU-heavy and the source is
+    // often a handful of file splits — spread it across the cluster first
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol),
+        graft.functions.GraftFunctions
+          .minhashSignature(spark, shinglesSql("_toks", k), NumHashes).as("sig"))
   }
 
   /** LSH banding: (id, sig) → distinct candidate id pairs (a_id < b_id)
@@ -76,20 +84,16 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash of a space-tokenized text column, via per-bit votes over
-    * xxhash64(token). Single explode + 64-expression aggregate. */
+  /** 64-bit SimHash of a space-tokenized text column, computed per-row by
+    * the native [[graft.functions.SimHash64]] expression (codegen'd vote
+    * loop) — replaces an explode + 64-vote-aggregate shuffle of one row per
+    * token. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val fp = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fp.as("simhash"))
+    val spark = docs.sparkSession
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        graft.functions.GraftFunctions
+          .simhash64(spark, s"array_distinct(split($textCol, ' '))").as("simhash"))
   }
 
   /** SimHash pairs within `maxHamming` (≤3 with 4 chunks by pigeonhole):

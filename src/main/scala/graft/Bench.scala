@@ -33,7 +33,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Transfer throughput (rows/s) on the largest table — the comparable to
+    // BASELINE.md's 50k-200k rows/s single-process transfer numbers.
+    val transferRps = try {
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_xfer").toString
+      val engine = new graft.transfer.TransferEngine(
+        new graft.transfer.ParquetSource(sfDir), new graft.transfer.ParquetSink(out))
+      val stats = engine.transferTable(spark, "lineitem")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      if (stats.success) stats.rowsPerSecond else -1.0
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""transfer_rows_per_sec":${transferRps.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

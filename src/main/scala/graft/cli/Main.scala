@@ -94,6 +94,10 @@ object Main {
             val name = sec.linesIterator.next().trim
             val sql = sec.linesIterator.drop(1).mkString("\n")
             val translated = SnowflakeDialect.translate(sql)
+            val deps = Try(SnowflakeDialect.crossSchemaRefs(
+              spark, translated, opts.getOrElse("schema", "public"))).getOrElse(Nil)
+            if (deps.nonEmpty)
+              out(s"view $name: WARNING cross-schema refs: ${deps.mkString(", ")}")
             Try(spark.sql(translated).createOrReplaceTempView(name)) match {
               case Success(_) => out(s"view $name: OK")
               case Failure(e) => out(s"view $name: FAILED ${e.getMessage.linesIterator.next()}"); failures += 1

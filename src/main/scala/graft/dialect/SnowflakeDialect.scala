@@ -33,6 +33,50 @@ object SnowflakeDialect {
     s
   }
 
+  /** Table references of a translated statement, via Catalyst's parser
+    * (parse → walk `UnresolvedRelation`s) — robust against strings/comments
+    * where regex scanning isn't. Descends into CTE definitions and subquery
+    * expressions; CTE names themselves are excluded from the result. */
+  def referencedTables(spark: org.apache.spark.sql.SparkSession, sql: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+
+    val refs = scala.collection.mutable.LinkedHashSet[String]()
+    val cteNames = scala.collection.mutable.Set[String]()
+
+    def walk(plan: LogicalPlan): Unit =
+      plan.foreach { node =>
+        node match {
+          case w: UnresolvedWith =>
+            w.cteRelations.foreach { case (name, sub, _) =>
+              cteNames += name.toLowerCase
+              walk(sub)
+            }
+          case r: UnresolvedRelation =>
+            refs += r.multipartIdentifier.mkString(".")
+          case _ => ()
+        }
+        node.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression => walk(sq.plan)
+          case _ => ()
+        })
+      }
+
+    walk(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sql))
+    refs.toSeq.filterNot(r => !r.contains('.') && cteNames.contains(r.toLowerCase))
+  }
+
+  /** Cross-schema dependency detection (view_procedure_translator.py:122-144):
+    * references that carry a qualifier other than `targetSchema`. */
+  def crossSchemaRefs(spark: org.apache.spark.sql.SparkSession, sql: String,
+                      targetSchema: String): Seq[String] =
+    referencedTables(spark, sql).filter { ref =>
+      val parts = ref.split('.')
+      parts.length > 1 && !parts.dropRight(1).last.equalsIgnoreCase(targetSchema)
+    }
+
   /** `FROM "DB"."SCHEMA"."TBL"` / `JOIN DB.SCH.TBL` → lowercase bare `tbl`.
     * Scoped to FROM/JOIN clauses, as the reference scopes its db-prefix
     * strip to table references (view_procedure_translator.py:82-120). */

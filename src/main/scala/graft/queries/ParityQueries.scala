@@ -62,6 +62,16 @@ object ParityQueries {
         .filter(col("n_regionkey") === 0)
         .select(col("n_nationkey").cast("int").as("nk"))
       c.union(sup).distinct().except(region0).orderBy(col("nk"))
+    },
+
+    "q40_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"), col("sum_qty"),
+          (when(col("l_returnflag").isNull, 2).otherwise(0) +
+            when(col("l_linestatus").isNull, 1).otherwise(0)).cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +100,15 @@ object ParityQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q40_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END +
+         |   CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q38_union_except" ->
       """SELECT nk FROM (

@@ -124,6 +124,16 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF ANN: deterministic hash-sampled centroids → inverted lists →
+    // probe nProbe lists per query (rows-only: centroid assignment has no
+    // DuckDB equivalent; determinism + recall pinned in IvfSpec).
+    "q41_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Ivf.topK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("cid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Multimodal: opaque binary payloads + typed metadata, per media type.
     "q34_multimodal_meta" -> { (s, dir) =>
       val a = graft.operators.Multimodal.assets(

@@ -29,7 +29,9 @@ object Tables {
     scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     val df = spark.read.parquet(path(dir, name))
     df.schema.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
-      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's exact
+      // range, so float division would drift some timestamps by ±1µs
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => df
     }
   }

@@ -53,16 +53,24 @@ object Dedup {
   /** LSH banding: (id, sig) → distinct candidate id pairs (a_id < b_id)
     * sharing ≥1 band. The distinct runs on narrow (a_id, b_id) rows *before*
     * signatures are re-attached — the bucket join's fanout never shuffles
-    * signature arrays. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    * signature arrays. Buckets over `maxBucketSize` are dropped first
+    * (frequent-bucket mitigation: a mega-bucket of near-identical docs is
+    * quadratic fanout; at corpus scale exact-dup them first, then LSH). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until Bands).map { b =>
         val slice = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
         xxhash64(slice: _*)
       }: _*)).as(Seq("band", "bandhash")))
-    banded.select(col(idCol).as("a_id"), col("band"), col("bandhash"))
-      .join(banded.select(col(idCol).as("b_id"), col("band"), col("bandhash")),
+    val bounded = banded.join(
+      banded.groupBy(col("band"), col("bandhash"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
+        .select(col("band"), col("bandhash")),
+      Seq("band", "bandhash"))
+    bounded.select(col(idCol).as("a_id"), col("band"), col("bandhash"))
+      .join(bounded.select(col(idCol).as("b_id"), col("band"), col("bandhash")),
         Seq("band", "bandhash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))

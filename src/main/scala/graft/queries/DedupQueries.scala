@@ -49,6 +49,18 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // SPLIT_TO_TABLE through the full dialect path: Snowflake SQL →
+    // translate → spark.sql (the generator/table-function rewrite,
+    // view_procedure_translator.py:282-295).
+    "q42_dialect_split" -> { (s, dir) =>
+      graft.sources.Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT word, COUNT(*) AS cnt FROM (
+          |  SELECT SPLIT_TO_TABLE(p_type, ' ') AS word FROM TPCH.PUBLIC.PART
+          |) GROUP BY word ORDER BY word""".stripMargin
+      s.sql(graft.dialect.SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // Token-set Jaccard between consecutive doc ids — the SQL-expressible
     // slice of n-gram similarity, fully oracle-checked.
     "q25_ngram_jaccard" -> { (s, dir) =>
@@ -163,6 +175,11 @@ object DedupQueries {
         |  COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS n_prefix_dup_docs
         |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q42_dialect_split" ->
+      """SELECT u.word AS word, COUNT(*) AS cnt
+        |FROM part, UNNEST(string_split(p_type, ' ')) AS u(word)
+        |GROUP BY 1 ORDER BY word""".stripMargin,
 
     "q25_ngram_jaccard" ->
       """WITH toks AS (

@@ -143,10 +143,14 @@ object Main {
           val tables = opts.get("table").map(Seq(_)).getOrElse(listTables(src))
           var failures = 0
           tables.foreach { t =>
+            // PK: --pk a,b beats the naming convention (<prefix>_<t>key)
+            val source = spark.read.parquet(s"$src/$t.parquet")
+            val pkCols = opts.get("pk").map(_.split(',').toSeq).getOrElse(
+              source.columns.filter(_.endsWith("key")).take(1).toSeq)
             val result = new Validator(
-              spark.read.parquet(s"$src/$t.parquet"),
+              source,
               spark.read.parquet(s"$dst/$t.parquet"))
-              .validateTable(t, rowSample = opts.contains("row-sample"))
+              .validateTable(t, pkCols = pkCols, rowSample = opts.contains("row-sample"))
             val mark = if (result.passed) "PASS" else "FAIL"
             out(s"$t: $mark")
             result.checks.foreach(c =>
@@ -191,5 +195,5 @@ object Main {
       |  transfer    --source DIR --target DIR [--table T] [--where W] [--limit N]
       |              [--workers K] [--checkpoint FILE]
       |  migrate     (build + transfer) same options
-      |  validate    --source DIR --target DIR [--table T] [--row-sample true]""".stripMargin
+      |  validate    --source DIR --target DIR [--table T] [--pk a,b] [--row-sample true]""".stripMargin
 }

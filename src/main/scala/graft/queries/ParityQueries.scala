@@ -64,6 +64,19 @@ object ParityQueries {
       c.union(sup).distinct().except(region0).orderBy(col("nk"))
     },
 
+    // Exact percentiles (sort-based; Spark `percentile` and DuckDB
+    // `quantile_cont` share linear interpolation — bit-identical results).
+    "q43_percentiles" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"),
+          expr("percentile(o_totalprice, 0.99)").as("p99"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q40_cube" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -100,6 +113,14 @@ object ParityQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  quantile_cont(o_totalprice, 0.99) AS p99,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q40_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

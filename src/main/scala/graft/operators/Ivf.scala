@@ -61,6 +61,7 @@ object Ivf {
     val centroids = pickCentroids(corpus, "vec_id", "embedding", nCentroids)
     val assigned = assign(corpus, "vec_id", "embedding", centroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cluster"))
+      .withColumn("cnorm", sqrt(expr("fvec_dot(cvec, cvec)")))
 
     val dots = centroids.map { case (_, c) =>
       val litArr = s"array(${c.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
@@ -79,7 +80,7 @@ object Ivf {
     val scored = assigned.join(broadcast(q), Seq("cluster"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine",
-        expr("fvec_dot(qvec, cvec)") / (col("qnorm") * sqrt(expr("fvec_dot(cvec, cvec)"))))
+        expr("fvec_dot(qvec, cvec)") / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

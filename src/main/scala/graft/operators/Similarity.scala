@@ -70,14 +70,17 @@ object Similarity {
     * the candidate join shuffles on the 16-bit bucket, never cross-joining
     * the corpus. Returns candidate pairs with exact cosine ≥ `threshold`. */
   def lshNearNeighbors(corpus: DataFrame, threshold: Double, bits: Int = 16): DataFrame = {
+    // norms computed once per vector, not once per candidate pair
     val sig = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshSignature("embedding", bits))
-    val a = sig.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("bucket"))
-    val b = sig.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("bucket"))
+      .withColumn("nrm", normExact("embedding"))
+    val a = sig.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+      col("nrm").as("a_nrm"), col("bucket"))
+    val b = sig.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
+      col("nrm").as("b_nrm"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine",
-        dotExact("a_vec", "b_vec") / (normExact("a_vec") * normExact("b_vec")))
+      .withColumn("cosine", dotExact("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .distinct()

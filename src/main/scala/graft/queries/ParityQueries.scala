@@ -64,6 +64,21 @@ object ParityQueries {
       c.union(sup).distinct().except(region0).orderBy(col("nk"))
     },
 
+    // A7 table sampling, deterministically: "random" = smallest md5 of the
+    // PK — a stable uniform sample identical in both engines (TABLESAMPLE
+    // itself is nondeterministic, which the reference works around with a
+    // LIMIT fallback; this is the principled version).
+    "q44_deterministic_sample" -> { (s, dir) =>
+      val sample = t(s, dir, "orders")
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        .limit(500)
+      sample.agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    },
+
     // Exact percentiles (sort-based; Spark `percentile` and DuckDB
     // `quantile_cont` share linear interpolation — bit-identical results).
     "q43_percentiles" -> { (s, dir) =>
@@ -113,6 +128,13 @@ object ParityQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q44_deterministic_sample" ->
+      s"""SELECT COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM (
+         |  SELECT * FROM orders
+         |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 500)""".stripMargin,
 
     "q43_percentiles" ->
       """SELECT o_orderstatus,

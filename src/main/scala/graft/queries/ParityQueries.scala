@@ -17,7 +17,7 @@ import Q._
   */
 object ParityQueries {
 
-  val defs: Map[String, QueryFn] = Map(
+  lazy val defs: Map[String, QueryFn] = Map[String, QueryFn](
     "q35_offset_resume" -> { (s, dir) =>
       t(s, dir, "orders")
         .orderBy(col("o_orderkey"))
@@ -100,9 +100,83 @@ object ParityQueries {
           (when(col("l_returnflag").isNull, 2).otherwise(0) +
             when(col("l_linestatus").isNull, 1).otherwise(0)).cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }) ++ sqlDefs
+
+  private def registered(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.sources.Tables.registerAll(s, dir)
+
+  val sqlDefs: Map[String, QueryFn] = Map(
+    // Moving window frames: 7-row moving sum/avg of daily order totals.
+    "q45_moving_window" -> { (s, dir) =>
+      registered(s, dir)
+      s.sql(
+        s"""SELECT d,
+           |  CAST(SUM(day_total_dec) OVER w AS DOUBLE) AS moving_sum,
+           |  CAST(SUM(day_total_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg,
+           |  ROW_NUMBER() OVER (ORDER BY d) AS rn
+           |FROM (
+           |  SELECT CAST(o_orderdate AS DATE) AS d,
+           |    SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS day_total_dec
+           |  FROM orders GROUP BY 1)
+           |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY d""".stripMargin)
+    },
+
+    // Correlated scalar subquery (Catalyst decorrelates into a join):
+    // orders beating their customer's average.
+    "q46_correlated_subquery" -> { (s, dir) =>
+      registered(s, dir)
+      s.sql(
+        """SELECT o_custkey, COUNT(*) AS n_above
+          |FROM orders o
+          |WHERE o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+          |         / COUNT(*)
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    },
+
+    // EXISTS → left-semi join.
+    "q47_exists_semijoin" -> { (s, dir) =>
+      registered(s, dir)
+      s.sql(
+        """SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          |FROM supplier s
+          |WHERE EXISTS (
+          |  SELECT 1 FROM customer c
+          |  WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+          |GROUP BY s_nationkey ORDER BY nk""".stripMargin)
     })
 
   val oracles: Map[String, String] = Map(
+    "q45_moving_window" ->
+      """SELECT d,
+        |  CAST(SUM(day_total_dec) OVER w AS DOUBLE) AS moving_sum,
+        |  CAST(SUM(day_total_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg,
+        |  ROW_NUMBER() OVER (ORDER BY d) AS rn
+        |FROM (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS day_total_dec
+        |  FROM orders GROUP BY 1)
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
+
+    "q46_correlated_subquery" ->
+      """SELECT o_custkey, COUNT(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |         / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q47_exists_semijoin" ->
+      """SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+        |FROM supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+        |GROUP BY s_nationkey ORDER BY nk""".stripMargin,
     "q35_offset_resume" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 1000""".stripMargin,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines. All
+  * "randomness" is content-hash order (md5), so samples are reproducible
+  * across runs, partitionings, and engines — `rand()`-based sampling can't
+  * be validated cross-engine and isn't retry-stable at scale.
+  */
+object Sampling {
+
+  /** Per-stratum top-n by hash order: a balanced sample with exactly
+    * min(n, |stratum|) rows per key. One window shuffle on the stratum key. */
+  def stratified(df: DataFrame, stratumCol: String, hashCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(hashCol).cast("binary")), col(hashCol))
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= n)
+      .drop("_rank")
+  }
+
+  /** Weighted mixture sampling: keep a row iff the first 4 hex chars of its
+    * content hash fall under the stratum's weight threshold — an
+    * embarrassingly-parallel Bernoulli sample with deterministic membership
+    * (expected rate = weight, exact across engines since it's a plain string
+    * comparison). Rows whose stratum has no weight are dropped. */
+  def mixture(df: DataFrame, stratumCol: String, hashCol: String,
+              weights: Map[String, Double]): DataFrame = {
+    val thresholds = weights.map { case (k, w) =>
+      k -> hexThreshold(w)
+    }
+    val thresholdCol = thresholds.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, thr)) => when(col(stratumCol) === k, lit(thr)).otherwise(acc)
+    }
+    df.withColumn("_thr", thresholdCol)
+      .filter(col("_thr").isNotNull &&
+        substring(md5(col(hashCol).cast("binary")), 1, 4) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** 4-hex-digit threshold for a weight in [0,1]: floor(w * 16^4) as hex. */
+  def hexThreshold(w: Double): String =
+    f"${math.min(math.max((w * 65536).toInt, 0), 65535)}%04x"
+}

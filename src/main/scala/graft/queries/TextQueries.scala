@@ -50,6 +50,26 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Stratified sample: exactly 30 docs per lang by content-hash order —
+    // balanced training-set construction, reproducible on any cluster.
+    "q48_stratified_sample" -> { (s, dir) =>
+      graft.operators.Sampling.stratified(t(s, dir, "documents"), "lang", "text", 30)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Weighted mixture sample: per-source keep-rates via hash thresholds
+    // (deterministic Bernoulli; expected rate = weight).
+    "q49_mixture_sample" -> { (s, dir) =>
+      val weights = Map("en" -> 0.8, "fr" -> 0.5, "de" -> 0.25, "es" -> 0.25)
+      graft.operators.Sampling.mixture(t(s, dir, "documents"), "lang", "text", weights)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
     // Content fingerprints (md5-based rolling-hash analogue): collision
     // census per source.
     "q32_fingerprint" -> { (s, dir) =>
@@ -81,6 +101,27 @@ object TextQueries {
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q48_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS sum_chars
+        |FROM (
+        |  SELECT lang, text,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), text) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 30
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q49_mixture_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_kept
+         |FROM documents
+         |WHERE substr(md5(text), 1, 4) <
+         |  CASE lang
+         |    WHEN 'en' THEN '${graft.operators.Sampling.hexThreshold(0.8)}'
+         |    WHEN 'fr' THEN '${graft.operators.Sampling.hexThreshold(0.5)}'
+         |    WHEN 'de' THEN '${graft.operators.Sampling.hexThreshold(0.25)}'
+         |    WHEN 'es' THEN '${graft.operators.Sampling.hexThreshold(0.25)}'
+         |    ELSE NULL END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q32_fingerprint" ->
       s"""SELECT source, COUNT(*) AS n_docs,

@@ -70,6 +70,20 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Top-k per group (vocabulary heavy-hitters per lang): groupBy counts +
+    // ranked window — the standard two-shuffle top-k-per-key plan.
+    "q50_top_words_per_lang" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("lang"), col("rnk"))
+    },
+
     // Content fingerprints (md5-based rolling-hash analogue): collision
     // census per source.
     "q32_fingerprint" -> { (s, dir) =>
@@ -122,6 +136,17 @@ object TextQueries {
          |    WHEN 'es' THEN '${graft.operators.Sampling.hexThreshold(0.25)}'
          |    ELSE NULL END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q50_top_words_per_lang" ->
+      """SELECT lang, word, cnt, rnk FROM (
+        |  SELECT lang, word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+        |  FROM (
+        |    SELECT lang, u.word AS word, COUNT(*) AS cnt
+        |    FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+        |    GROUP BY 1, 2))
+        |WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
 
     "q32_fingerprint" ->
       s"""SELECT source, COUNT(*) AS n_docs,

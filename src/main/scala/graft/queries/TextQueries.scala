@@ -84,6 +84,23 @@ object TextQueries {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // Same heavy-hitters result as q50, but via the typed TopKAggregator —
+    // bounded partial buffers with map-side combine instead of a full
+    // partition sort (the plan that survives a 1000-way hot group).
+    "q51_topk_aggregate" -> { (s, dir) =>
+      val topk = graft.functions.TopKAggregator.topK(5)
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("lang"))
+        .agg(topk(col("word"), col("cnt")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "w")))
+        .select(col("lang"), col("w.item").as("word"), col("w.weight").as("cnt"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+
     // Content fingerprints (md5-based rolling-hash analogue): collision
     // census per source.
     "q32_fingerprint" -> { (s, dir) =>
@@ -136,6 +153,17 @@ object TextQueries {
          |    WHEN 'es' THEN '${graft.operators.Sampling.hexThreshold(0.25)}'
          |    ELSE NULL END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q51_topk_aggregate" ->
+      """SELECT lang, word, cnt, rnk FROM (
+        |  SELECT lang, word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+        |  FROM (
+        |    SELECT lang, u.word AS word, COUNT(*) AS cnt
+        |    FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+        |    GROUP BY 1, 2))
+        |WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
 
     "q50_top_words_per_lang" ->
       """SELECT lang, word, cnt, rnk FROM (

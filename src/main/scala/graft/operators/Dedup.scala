@@ -58,12 +58,14 @@ object Dedup {
     * quadratic fanout; at corpus scale exact-dup them first, then LSH). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
+    // cached: consumed by the bucket-size filter AND both join sides —
+    // without it Spark recomputes the signature lineage per consumer
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until Bands).map { b =>
         val slice = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
         xxhash64(slice: _*)
-      }: _*)).as(Seq("band", "bandhash")))
+      }: _*)).as(Seq("band", "bandhash"))).cache()
     val bounded = banded.join(
       banded.groupBy(col("band"), col("bandhash"))
         .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
@@ -81,7 +83,8 @@ object Dedup {
     * ≥ `threshold`. Signatures join back onto the (small) candidate set. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, k: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    // cached: re-read by banding and by both signature re-attach joins
+    val sigs = minhashSignatures(docs, idCol, textCol, k).cache()
     lshCandidatePairs(sigs, idCol)
       .join(sigs.select(col(idCol).as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
@@ -116,10 +119,11 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)
+    // cached: consumed by the bucket-size filter and both join sides
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map { i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("chunk_idx", "chunk")))
+      }: _*)).as(Seq("chunk_idx", "chunk"))).cache()
     val bucketSizes = chunked.groupBy(col("chunk_idx"), col("chunk"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)

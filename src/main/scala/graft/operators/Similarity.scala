@@ -70,10 +70,12 @@ object Similarity {
     * the candidate join shuffles on the 16-bit bucket, never cross-joining
     * the corpus. Returns candidate pairs with exact cosine ≥ `threshold`. */
   def lshNearNeighbors(corpus: DataFrame, threshold: Double, bits: Int = 16): DataFrame = {
-    // norms computed once per vector, not once per candidate pair
+    // norms computed once per vector, not once per candidate pair; cached
+    // because both join sides consume it (16 hyperplane dots per row)
     val sig = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshSignature("embedding", bits))
       .withColumn("nrm", normExact("embedding"))
+      .cache()
     val a = sig.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
       col("nrm").as("a_nrm"), col("bucket"))
     val b = sig.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),

@@ -58,6 +58,18 @@ object TextAnalysis {
     s"CASE ${cases.mkString(" ")} ELSE '${sc.last._1}' END"
   }
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * individual punctuation — the pre-tokenization split BPE vocabularies
+    * assume. Simple character-class alternation so Java regex (Spark) and
+    * RE2 (DuckDB) agree. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(c: Column): Column =
+    size(expr(s"regexp_extract_all(${c.toString}, '$bpePattern', 0)")).cast("long")
+
+  def bpeTokenCountSql(expr: String): String =
+    s"CAST(len(regexp_extract_all($expr, '$bpePattern')) AS BIGINT)"
+
   /** 16-hex-char content fingerprint over normalized text (rolling-hash
     * analogue built on md5 so both engines agree). */
   def fingerprint(c: Column): Column = substring(md5(c.cast("binary")), 1, 16)

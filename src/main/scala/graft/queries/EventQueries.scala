@@ -69,6 +69,20 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // Schema-based semi-structured parsing: from_json into a typed struct
+    // (vs q21's path extraction) — the VARIANT-handling surface (§1.2).
+    "q53_json_schema_parse" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("parsed",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_type"), col("parsed.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+
     // As-of join (composed union+window operator — graft.operators.AsOf):
     // each click gets the latest preceding purchase value per user.
     // Millisecond granularity on both engines dodges ns-vs-µs skew.
@@ -125,6 +139,12 @@ object EventQueries {
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q53_json_schema_parse" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q39_asof_join" ->

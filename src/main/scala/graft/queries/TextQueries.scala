@@ -101,6 +101,18 @@ object TextQueries {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // BPE-ish subword accounting (letters/digits/punct pre-tokenization).
+    "q52_bpe_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_bpe", bpeTokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe"),
+          min(col("n_bpe")).as("min_bpe"),
+          max(col("n_bpe")).as("max_bpe"))
+        .orderBy(col("lang"))
+    },
+
     // Content fingerprints (md5-based rolling-hash analogue): collision
     // census per source.
     "q32_fingerprint" -> { (s, dir) =>
@@ -175,6 +187,13 @@ object TextQueries {
         |    GROUP BY 1, 2))
         |WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    "q52_bpe_tokens" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(${bpeTokenCountSql("text")}) AS total_bpe,
+         |  MIN(${bpeTokenCountSql("text")}) AS min_bpe,
+         |  MAX(${bpeTokenCountSql("text")}) AS max_bpe
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q32_fingerprint" ->
       s"""SELECT source, COUNT(*) AS n_docs,

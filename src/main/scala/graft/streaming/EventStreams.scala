@@ -52,6 +52,14 @@ object EventStreams {
       }
   }
 
+  /** Ingest-time exact dedup: drops re-deliveries of the same `event_id`
+    * arriving within the watermark window — bounded state (one key per id
+    * inside the watermark), the streaming face of exact dedup. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch-read the events fixture as a typed Dataset for sessionize. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

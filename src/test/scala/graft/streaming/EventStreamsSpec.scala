@@ -35,6 +35,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = EventStreams.eventsDataset(spark, sfDir).collect().toSeq.take(200)
+    val stream = MemoryStream[EventStreams.Event]
+    stream.addData(events)
+    stream.addData(events.take(50)) // re-delivery of the first 50
+    val q = EventStreams.dedupStream(stream.toDF(), watermark = "365 days")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === events.map(_.event_id).sorted.toSeq) // exactly once each
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionize query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

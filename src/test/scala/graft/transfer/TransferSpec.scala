@@ -73,6 +73,17 @@ class TransferSpec extends SparkSpec {
     assert(back.filter("n_regionkey <> 0").count() === 0)
   }
 
+  test("parallel transfer isolates one failing table from the rest") {
+    val out = Files.createTempDirectory("xfer4").toString
+    val engine = new TransferEngine(new ParquetSource(sfDir), new ParquetSink(out))
+    // "ghost" doesn't exist; region/nation do
+    val stats = engine.transferSchema(spark, Seq("region", "ghost", "nation"), workers = 3)
+    assert(stats.map(_.tableName) === Seq("region", "ghost", "nation")) // input order kept
+    assert(stats.count(_.success) === 2)
+    val failed = stats.find(!_.success).get
+    assert(failed.tableName === "ghost" && failed.errorMessage.nonEmpty)
+  }
+
   test("failure surfaces as stats, not exception (continue-on-error)") {
     val out = Files.createTempDirectory("xfer3").toString
     val engine = new TransferEngine(new ParquetSource("/nonexistent"), new ParquetSink(out))

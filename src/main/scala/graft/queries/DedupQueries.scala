@@ -65,8 +65,10 @@ object DedupQueries {
     // slice of n-gram similarity, fully oracle-checked.
     "q25_ngram_jaccard" -> { (s, dir) =>
       val d = t(s, dir, "documents")
+      // cached: consumed by the sizes aggregate and both sides of the
+      // intersection self-join
       val toks = d.select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok")).cache()
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = toks.as("ta")
         .join(toks.as("tb"),

@@ -136,6 +136,52 @@ object ParityQueries {
           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     },
 
+    // Conditional aggregation (FILTER clause).
+    "q54_filtered_aggs" -> { (s, dir) =>
+      registered(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus,
+           |  COUNT(*) AS n,
+           |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+           |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+           |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Ordered string aggregation (listagg/string_agg equivalent).
+    "q55_string_agg" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey").as("rk"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("rk"))
+    },
+
+    // Pivot: status × priority counts as columns.
+    "q56_pivot" -> { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +: prios.map(p =>
+          coalesce(col(s"`$p`"), lit(0L)).as("p" + p.charAt(0))): _*)
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Unpivot (melt): wide per-status metrics back to long form.
+    "q57_unpivot" -> { (s, dir) =>
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("cnt"))
+      wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("sum_price"), col("cnt")),
+        "metric", "value")
+        .orderBy(col("o_orderstatus"), col("metric"))
+    },
+
     // EXISTS → left-semi join.
     "q47_exists_semijoin" -> { (s, dir) =>
       registered(s, dir)
@@ -169,6 +215,40 @@ object ParityQueries {
         |         / COUNT(*)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q54_filtered_aggs" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q55_string_agg" ->
+      """SELECT n_regionkey AS rk,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY 1 ORDER BY rk""".stripMargin,
+
+    "q56_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q57_unpivot" ->
+      """SELECT o_orderstatus, m.metric, m.value
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM orders GROUP BY 1),
+        |  UNNEST([struct_pack(metric := 'sum_price', value := sum_price),
+        |          struct_pack(metric := 'cnt', value := cnt)]) AS u(m)
+        |ORDER BY o_orderstatus, m.metric""".stripMargin,
 
     "q47_exists_semijoin" ->
       """SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers

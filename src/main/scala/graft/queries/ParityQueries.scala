@@ -182,6 +182,20 @@ object ParityQueries {
         .orderBy(col("o_orderstatus"), col("metric"))
     },
 
+    // Bucketized range join: orders matched into OVERLAPPING price bands
+    // (a point can hit two bands — not expressible as equality bucketing).
+    "q58_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = (0 until 12).map(i =>
+        (i.toLong, i * 40000.0, i * 40000.0 + 80000.0))
+        .toDF("band_id", "lo", "hi")
+      graft.operators.RangeJoin.pointInInterval(
+        t(s, dir, "orders"), "o_totalprice", bands, "lo", "hi", bucketWidth = 40000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("band_id"))
+    },
+
     // EXISTS → left-semi join.
     "q47_exists_semijoin" -> { (s, dir) =>
       registered(s, dir)
@@ -249,6 +263,15 @@ object ParityQueries {
         |  UNNEST([struct_pack(metric := 'sum_price', value := sum_price),
         |          struct_pack(metric := 'cnt', value := cnt)]) AS u(m)
         |ORDER BY o_orderstatus, m.metric""".stripMargin,
+
+    "q58_range_join" ->
+      s"""WITH bands AS (
+         |  SELECT i AS band_id, i * 40000.0 AS lo, i * 40000.0 + 80000.0 AS hi
+         |  FROM range(0, 12) t(i))
+         |SELECT band_id, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY 1 ORDER BY band_id""".stripMargin,
 
     "q47_exists_semijoin" ->
       """SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers

@@ -196,6 +196,32 @@ object ParityQueries {
         .orderBy(col("band_id"))
     },
 
+    // Calendar-spine gap detection: generate the full date range (no driver
+    // collect — sequence() off the min/max aggregate row) and anti-join the
+    // observed partition dates. Missing-partition data quality, extending
+    // validation layer 2.
+    "q59_date_gaps" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val spine = o
+        .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val actual = o.select(to_date(col("o_orderdate")).as("d")).distinct()
+      spine.join(actual, Seq("d"), "left_anti").orderBy(col("d"))
+    },
+
+    // Explicit GROUPING SETS (the general form behind rollup/cube).
+    "q60_grouping_sets" -> { (s, dir) =>
+      registered(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           |  ${Q.dsumSql("o_totalprice")} AS sum_price,
+           |  (CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END +
+           |   CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
     // EXISTS → left-semi join.
     "q47_exists_semijoin" -> { (s, dir) =>
       registered(s, dir)
@@ -263,6 +289,27 @@ object ParityQueries {
         |  UNNEST([struct_pack(metric := 'sum_price', value := sum_price),
         |          struct_pack(metric := 'cnt', value := cnt)]) AS u(m)
         |ORDER BY o_orderstatus, m.metric""".stripMargin,
+
+    "q59_date_gaps" ->
+      """WITH mm AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM mm),
+        |actual AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT d FROM spine
+        |WHERE d NOT IN (SELECT d FROM actual)
+        |ORDER BY d""".stripMargin,
+
+    "q60_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  (CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END +
+         |   CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q58_range_join" ->
       s"""WITH bands AS (

@@ -170,11 +170,11 @@ object DedupQueries {
         |  SELECT lang, COUNT(*) AS c
         |  FROM documents GROUP BY lang, md5(substr(text, 1, 50)) HAVING COUNT(*) > 1),
         |pd AS (
-        |  SELECT lang, COUNT(*) AS n_prefix_dup_groups, SUM(c) AS n_prefix_dup_docs
+        |  SELECT lang, COUNT(*) AS n_prefix_dup_groups, CAST(SUM(c) AS BIGINT) AS n_prefix_dup_docs
         |  FROM pfx GROUP BY lang)
         |SELECT d.lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
-        |  COALESCE(ANY_VALUE(pd.n_prefix_dup_groups), 0) AS n_prefix_dup_groups,
-        |  COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS n_prefix_dup_docs
+        |  CAST(COALESCE(ANY_VALUE(pd.n_prefix_dup_groups), 0) AS BIGINT) AS n_prefix_dup_groups,
+        |  CAST(COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS BIGINT) AS n_prefix_dup_docs
         |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
@@ -226,9 +226,9 @@ object DedupQueries {
 
     "q34_multimodal_meta" ->
       """SELECT 'media/' || source AS media_type, COUNT(*) AS n_assets,
-        |  SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT substr(md5(text), 1, 16)) AS n_unique_fp,
-        |  SUM(CAST(CEIL(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)) AS total_frames
+        |  CAST(SUM(CAST(CEIL(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)) AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
 
     "q27_ann_brute_topk" ->

@@ -119,7 +119,7 @@ object EventQueries {
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q19_sessionize" ->
-      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
@@ -136,15 +136,15 @@ object EventQueries {
 
     "q21_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q53_json_schema_parse" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        |  SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q39_asof_join" ->

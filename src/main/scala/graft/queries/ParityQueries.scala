@@ -39,7 +39,10 @@ object ParityQueries {
           coalesce(lit(null).cast("string"), col("o_orderstatus")).as("status_nvl"),
           datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
             .cast("long").as("days_since"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          // decimal cast exercised, then back to double: a DECIMAL output
+          // column surfaces as pandas float64 from DuckDB but Decimal from
+          // Spark parquet — same values, different dtype → driver hash skew.
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price_dec"),
           col("o_orderkey").cast("string").as("key_str"))
         .orderBy(col("o_orderkey"))
     },
@@ -340,7 +343,7 @@ object ParityQueries {
         |  rpad(o_orderstatus, 3, 'y') AS status_rpad,
         |  COALESCE(NULL, o_orderstatus) AS status_nvl,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(o_orderkey AS VARCHAR) AS key_str
         |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
 

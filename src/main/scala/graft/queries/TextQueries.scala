@@ -140,13 +140,13 @@ object TextQueries {
 
     "q31_token_count" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(${tokenCountSql("text")}) AS total_tokens,
+         |  CAST(SUM(${tokenCountSql("text")}) AS BIGINT) AS total_tokens,
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q48_stratified_sample" ->
-      """SELECT lang, COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS sum_chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
         |FROM (
         |  SELECT lang, text,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), text) AS rnk
@@ -190,7 +190,7 @@ object TextQueries {
 
     "q52_bpe_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(${bpeTokenCountSql("text")}) AS total_bpe,
+         |  CAST(SUM(${bpeTokenCountSql("text")}) AS BIGINT) AS total_bpe,
          |  MIN(${bpeTokenCountSql("text")}) AS min_bpe,
          |  MAX(${bpeTokenCountSql("text")}) AS max_bpe
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,

@@ -1,11 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-row signature expressions for dedup pipelines.
   *
@@ -16,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated loop — which is the textbook case for a native Expression with
   * `doGenCode` over built-in composition.
   *
-  * Hashing matches Spark's `xxhash64` family (XXH64, seed 42).
+  * Hash family: MD5 prefixes + LCG mixing mod 2^31-1 ([[HashUtils]]) — both
+  * chosen to be exactly replayable in the DuckDB differential oracle
+  * (`('0x'||substr(md5(s),1,8))::BIGINT` etc.), so MinHash/SimHash outputs
+  * are fully hash-checked rather than rows-only.
   */
 trait TokenArrayExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -26,8 +28,8 @@ trait TokenArrayExpression extends UnaryExpression {
   }
 }
 
-/** 64-bit SimHash of a token array: per-token XXH64, per-bit ±1 votes,
-  * bit j of the result set iff vote_j > 0. */
+/** 64-bit SimHash of a token array: per-token 64-bit MD5 prefix, per-bit ±1
+  * votes, bit j of the result set iff vote_j > 0. */
 case class SimHash64(child: Expression) extends TokenArrayExpression {
 
   override def dataType: DataType = LongType
@@ -40,8 +42,7 @@ case class SimHash64(child: Expression) extends TokenArrayExpression {
     val n = arr.numElements()
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val s = arr.getUTF8String(t)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = HashUtils.md5Prefix64(arr.getUTF8String(t))
         var j = 0
         while (j < 64) {
           votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -65,15 +66,14 @@ case class SimHash64(child: Expression) extends TokenArrayExpression {
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
-      val s = ctx.freshName("s")
       val fp = ctx.freshName("fp")
-      val xxh = classOf[XXH64].getName
+      // the Scala object's static forwarder class — Janino can't see MODULE$
+      val hu = "graft.functions.HashUtils"
       s"""
          |int[] $votes = new int[64];
          |for (int $t = 0; $t < $arr.numElements(); $t++) {
          |  if (!$arr.isNullAt($t)) {
-         |    UTF8String $s = $arr.getUTF8String($t);
-         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    long $h = $hu.md5Prefix64($arr.getUTF8String($t));
          |    for (int $j = 0; $j < 64; $j++) {
          |      $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
          |    }
@@ -92,13 +92,18 @@ case class SimHash64(child: Expression) extends TokenArrayExpression {
 }
 
 /** MinHash signature of a token/shingle array: `numHashes` slots, slot i =
-  * min over tokens of XXH64(i, XXH64(token)) — the token is hashed once,
-  * permutation hashes rehash the fixed-width value. Returns array<long>. */
+  * min over tokens of ((md5_32(token) % P) * A_i + B_i) % P — the token is
+  * hashed once, permutations are affine maps over the fixed-width value
+  * (P = 2^31-1, [[HashUtils.minhashA]]/[[HashUtils.minhashB]]). Returns
+  * array<long> with values in [0, P). */
 case class MinHashSignature(child: Expression, numHashes: Int = 32)
   extends TokenArrayExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(HashUtils.minhashA)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(HashUtils.minhashB)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -107,11 +112,10 @@ case class MinHashSignature(child: Expression, numHashes: Int = 32)
     val n = arr.numElements()
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val s = arr.getUTF8String(t)
-        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val base = HashUtils.md5Prefix32(arr.getUTF8String(t)) % HashUtils.P
         var i = 0
         while (i < numHashes) {
-          val h = XXH64.hashLong(base, i.toLong)
+          val h = (base * as(i) + bs(i)) % HashUtils.P
           if (h < mins(i)) mins(i) = h
           i += 1
         }
@@ -126,20 +130,20 @@ case class MinHashSignature(child: Expression, numHashes: Int = 32)
       val mins = ctx.freshName("mins")
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
       val base = ctx.freshName("base")
       val h = ctx.freshName("h")
-      val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
+      val hu = "graft.functions.HashUtils"
+      val p = HashUtils.P
       s"""
          |long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $t = 0; $t < $arr.numElements(); $t++) {
          |  if (!$arr.isNullAt($t)) {
-         |    UTF8String $s = $arr.getUTF8String($t);
-         |    long $base = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    long $base = $hu.md5Prefix32($arr.getUTF8String($t)) % ${p}L;
          |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      long $h = $xxh.hashLong($base, (long) $i);
+         |      long $h = ($base * ((2654435761L * ($i + 1)) % ${p}L)
+         |        + (40503L * ($i + 1) + 1) % ${p}L) % ${p}L;
          |      if ($h < $mins[$i]) $mins[$i] = $h;
          |    }
          |  }

@@ -60,11 +60,14 @@ object Dedup {
                         maxBucketSize: Int = 1000): DataFrame = {
     // cached: consumed by the bucket-size filter AND both join sides —
     // without it Spark recomputes the signature lineage per consumer
+    // band key = '/'-joined slot values (not a rehash): exactly replayable
+    // in the DuckDB oracle, and the join key stays narrow (≤ 4×10+3 chars)
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until Bands).map { b =>
-        val slice = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-        xxhash64(slice: _*)
+        val slice = (0 until RowsPerBand)
+          .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
+        concat_ws("/", slice: _*)
       }: _*)).as(Seq("band", "bandhash"))).cache()
     val bounded = banded.join(
       banded.groupBy(col("band"), col("bandhash"))

@@ -8,10 +8,11 @@ import Q._
 /** Deduplication + similarity-search suite over the `documents` and
   * `embeddings` fixtures (training-data-pipeline extension surface).
   *
-  * Oracle notes: q22/q25/q26/q27 have full DuckDB oracles. q23/q24/q28
-  * depend on xxhash64-derived hashing with no DuckDB equivalent — they are
-  * deterministic (no RNG) but verified rows-only by the driver; their
-  * pipelines are additionally spec-tested in ScalaTest.
+  * Oracle notes: every query here is fully DuckDB-oracle-checked. The
+  * signature pipelines (q23 MinHash, q24 SimHash) use the md5-prefix hash
+  * family ([[graft.functions.HashUtils]]) precisely so the oracle can
+  * replay signatures bit-for-bit — `md5()` is the one hash both engines
+  * share; their pipelines are additionally spec-tested in ScalaTest.
   */
 object DedupQueries {
 
@@ -177,6 +178,74 @@ object DedupQueries {
         |  CAST(COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS BIGINT) AS n_prefix_dup_docs
         |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Full MinHash-LSH replay: shingles → md5-prefix base → 32 affine
+    // permutations mod 2^31-1 → 8 four-slot bands → bucket join → signature
+    // agreement ≥ threshold. Same constants as graft.operators.Dedup.
+    "q23_dedup_minhash_lsh" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS base FROM sh),
+        |slots AS (
+        |  SELECT doc_id, i.i AS i,
+        |    MIN((base * ((2654435761 * (i.i + 1)) % 2147483647)
+        |         + (40503 * (i.i + 1) + 1) % 2147483647) % 2147483647) AS m
+        |  FROM h, UNNEST(range(0, 32)) AS i(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band,
+        |    sig[b.b*4 + 1]::VARCHAR || '/' || sig[b.b*4 + 2]::VARCHAR || '/' ||
+        |    sig[b.b*4 + 3]::VARCHAR || '/' || sig[b.b*4 + 4]::VARCHAR AS key
+        |  FROM sig, UNNEST(range(0, 8)) AS b(b)),
+        |ok AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN ok USING (band, key) JOIN bands b USING (band, key)
+        |  WHERE a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.a_id, c.b_id,
+        |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 32
+        |      AS est_jaccard
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Full SimHash replay: md5-prefix 64-bit token hashes → per-bit votes →
+    // fingerprint (HUGEINT two-halves reconstruction — DuckDB's BIGINT <<
+    // overflows at bit 63) → 16-bit pigeonhole chunks → bucket join →
+    // hamming ≤ 3. Same constants as graft.operators.Dedup.
+    "q24_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, u.s AS s
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(s)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h64 FROM tok),
+        |v AS (
+        |  SELECT doc_id, j.j AS j,
+        |    SUM(CASE WHEN ((h64 >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, UNNEST(range(0, 64)) AS j(j) GROUP BY 1, 2),
+        |parts AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN vote > 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN vote > 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS hi
+        |  FROM v GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN hi >= 2147483648 THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
+        |          ELSE hi::HUGEINT * 4294967296 + lo END)::BIGINT AS simhash
+        |  FROM parts),
+        |ch AS (
+        |  SELECT doc_id, simhash, i.i AS chunk_idx, (simhash >> (i.i * 16)) & 65535 AS chunk
+        |  FROM fp, UNNEST(range(0, 4)) AS i(i)),
+        |ok AS (SELECT chunk_idx, chunk FROM ch GROUP BY chunk_idx, chunk HAVING COUNT(*) <= 1000),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |  FROM ch a JOIN ok USING (chunk_idx, chunk) JOIN ch b USING (chunk_idx, chunk)
+        |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id""".stripMargin,
 
     "q42_dialect_split" ->
       """SELECT u.word AS word, COUNT(*) AS cnt

@@ -52,19 +52,35 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign-bits of dot products with
-    * deterministic pseudo-random hyperplanes derived from xxhash64 — no RNG
-    * state, reproducible across runs and cluster sizes. Hyperplane j's i-th
-    * component is in [-0.5, 0.5): (xxhash64(j, i) mod 1000)/1000 - 0.5. */
+    * deterministic pseudo-random hyperplanes — no RNG state, reproducible
+    * across runs, cluster sizes, AND engines: hyperplane j's i-th component
+    * is the integer md5-prefix hash of "j_i" mod 1000, centered to
+    * [-500, 500) (scaling by 1/1000 can't change the sign, so integer
+    * components are used directly; DuckDB replays them via
+    * `('0x'||substr(md5(j||'_'||i),1,8))::BIGINT`). The sign test runs on
+    * the exact-decimal dot so bucket assignment is bit-identical in the
+    * differential oracle. */
   def lshSignature(vecCol: String, bits: Int = 16): Column = {
     val bitCols = (0 until bits).map { j =>
+      val hyper = s"transform(sequence(0, size($vecCol) - 1), " +
+        s"i -> CAST(conv(substr(md5(concat('${j}_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 - 500)"
       val dot = expr(
-        s"aggregate(zip_with($vecCol, transform(sequence(0, size($vecCol) - 1), " +
-          s"i -> (CAST(pmod(xxhash64($j, i), 1000) AS DOUBLE) / 1000.0) - 0.5), " +
-          "(x, p) -> CAST(x AS DOUBLE) * p), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        s"aggregate(zip_with($vecCol, $hyper, " +
+          "(x, p) -> CAST(CAST(x AS DOUBLE) * p AS DECIMAL(38,18))), " +
+          "CAST(0 AS DECIMAL(38,18)), (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))")
       when(dot > 0, lit(1L << j)).otherwise(0L)
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Matching DuckDB fragment for [[lshSignature]] — bucket id of `vecCol`
+    * given a lateral-unnested bit index column `j` (0-based). */
+  def lshBucketSql(vecCol: String, bits: Int = 16): String =
+    s"""CAST(SUM(CASE WHEN list_sum(list_transform(list_zip($vecCol,
+       |  list_transform(range(0, len($vecCol)),
+       |    i -> ('0x' || substr(md5(j.j || '_' || i), 1, 8))::BIGINT % 1000 - 500)),
+       |  p -> CAST(CAST(p[1] AS DOUBLE) * p[2] AS DECIMAL(38,18)))) > 0
+       |  THEN (1::BIGINT << j.j) ELSE 0 END) AS BIGINT)""".stripMargin
 
   /** LSH-bucketed ANN: only pairs sharing a signature bucket are scored —
     * the candidate join shuffles on the 16-bit bucket, never cross-joining

@@ -111,8 +111,8 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // LSH-bucketed near-neighbor pairs (the scale path; deterministic
-    // hyperplanes; rows-only check — xxhash64 has no DuckDB equivalent).
+    // LSH-bucketed near-neighbor pairs (the scale path): md5-derived
+    // deterministic hyperplanes, fully oracle-replayable.
     "q28_ann_lsh" -> { (s, dir) =>
       Similarity.lshNearNeighbors(t(s, dir, "embeddings"), threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))
@@ -139,9 +139,9 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // IVF ANN: deterministic hash-sampled centroids → inverted lists →
-    // probe nProbe lists per query (rows-only: centroid assignment has no
-    // DuckDB equivalent; determinism + recall pinned in IvfSpec).
+    // IVF ANN: deterministic md5-sampled centroids → inverted lists →
+    // probe nProbe lists per query; exact-decimal dots make assignment and
+    // ranking bit-replayable by the DuckDB oracle (recall pinned in IvfSpec).
     "q41_ann_ivf" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       graft.operators.Ivf.topK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -299,6 +299,56 @@ object DedupQueries {
         |  COUNT(DISTINCT substr(md5(text), 1, 16)) AS n_unique_fp,
         |  CAST(SUM(CAST(CEIL(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)) AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
+
+    // Hyperplane-LSH replay: md5-derived integer hyperplanes, exact-decimal
+    // sign test per bit, bucket equi-join, exact cosine ≥ threshold. Same
+    // constants as Similarity.lshNearNeighbors (bits=16, threshold=0.2).
+    "q28_ann_lsh" ->
+      s"""WITH bk AS (
+         |  SELECT e.vec_id, ${Similarity.lshBucketSql("e.embedding")} AS bucket
+         |  FROM embeddings e, UNNEST(range(0, 16)) AS j(j)
+         |  GROUP BY e.vec_id),
+         |v AS (
+         |  SELECT e.vec_id, e.embedding, bk.bucket, ${nrm("e.embedding")} AS nrm
+         |  FROM embeddings e JOIN bk USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT DISTINCT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // IVF replay: md5-ordered centroid sample, exact-decimal assignment
+    // (ties → lowest centroid index), nProbe=4 probe lists, exact cosine
+    // top-5. Same constants as graft.operators.Ivf.topK.
+    "q41_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id AS cvid, embedding AS cvec,
+         |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+         |    FROM embeddings) WHERE cidx < 16),
+         |asg AS (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, e.embedding, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dot("e.embedding", "c.cvec")} DESC, c.cidx) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dot("q.embedding", "c.cvec")} DESC, c.cidx) AS pr
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE pr <= 4),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    ${dot("p.qvec", "a.embedding")} / (${nrm("p.qvec")} * ${nrm("a.embedding")}) AS cosine
+         |  FROM probe p JOIN asg a ON a.cidx = p.cidx AND a.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
 
     "q27_ann_brute_topk" ->
       s"""WITH v AS (

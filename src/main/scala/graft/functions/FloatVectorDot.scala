@@ -71,6 +71,74 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: ORDER-INDEPENDENT exact dot product of two
+  * `array<float>` columns as a scaled long — slot i contributes
+  * `floor(x_i * y_i * 2^shift)`. Each float product is exact in double
+  * (24+24-bit mantissas), the power-of-two scale only shifts the exponent,
+  * and `floor` is engine-agnostic (unlike round-half, whose tie direction
+  * differs between Java and DuckDB), so the result is bit-identical under
+  * any partitioning AND in the DuckDB oracle
+  * (`FLOOR(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*2^shift)::BIGINT` summed).
+  * Replaces the DECIMAL(38,18)-fold [[graft.operators.Similarity.dotExact]]
+  * on hot paths: pure long arithmetic in a codegen'd loop versus an
+  * interpreted lambda allocating a BigDecimal per element (~100× faster at
+  * equal determinism; precision 2^-shift per element is far below any
+  * ranking gap in real embeddings).
+  */
+case class FloatVectorScaledDot(left: Expression, right: Expression, shift: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok && shift > 0 && shift < 63) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments and 0<shift<63, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}, $shift)")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "fvec_scaled_dot"
+
+  private lazy val scale: Double = java.lang.Math.scalb(1.0, shift)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor(
+         |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * ${scale}D);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorScaledDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-extension + runtime registration for graft's native functions.
   * Install at build time via `spark.sql.extensions=graft.functions.GraftExtensions`
   * or on a live session with [[GraftFunctions.register]] (idempotent). */
@@ -90,6 +158,14 @@ object GraftFunctions {
     (FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
       (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))),
+    (FunctionIdentifier("fvec_scaled_dot"),
+      new ExpressionInfo(classOf[FloatVectorScaledDot].getName, "fvec_scaled_dot"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => FloatVectorScaledDot(a, b, 36)
+        case Seq(a, b, Literal(s: Int, _)) => FloatVectorScaledDot(a, b, s)
+        case other => throw new IllegalArgumentException(
+          s"fvec_scaled_dot(a, b[, shift]) — got ${other.length} args")
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)),

@@ -16,11 +16,9 @@ import org.apache.spark.sql.functions._
   *     candidate scan shrinks by ~nCentroids/nProbe versus brute force.
   *
   * Determinism: centroid order (md5 of the id), assignment and ranking
-  * (exact-decimal dots, [[Similarity.dotExact]]) are all bit-replayable by
-  * the DuckDB oracle. The small centroid set rides as a broadcast literal
-  * array. For a pure-throughput variant swap the exact dots for the
-  * codegen'd `fvec_dot` (see q33) — assignment then loses cross-engine
-  * comparability but keeps the same plan shape.
+  * (scaled-exact dots, [[Similarity.scaledDot]] — codegen'd long loops,
+  * order-independent) are all bit-replayable by the DuckDB oracle. The
+  * small centroid set rides as a broadcast literal array.
   */
 object Ivf {
 
@@ -37,11 +35,10 @@ object Ivf {
   private def litArr(c: Seq[Float]): String =
     s"array(${c.map(v => s"CAST('$v' AS FLOAT)").mkString(",")})"
 
-  /** Exact-decimal dot of a vector column against a centroid literal. */
+  /** Scaled-exact dot of a vector column against a centroid literal (long,
+    * order-independent — see [[Similarity.scaledDot]]). */
   private def centDot(vecCol: String, c: Seq[Float]): String =
-    s"CAST(aggregate(zip_with($vecCol, ${litArr(c)}, (x, y) -> " +
-      "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))), " +
-      "CAST(0 AS DECIMAL(38,18)), (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)"
+    s"fvec_scaled_dot($vecCol, ${litArr(c)}, ${Similarity.ScaledShift})"
 
   /** Column: index (0-based) of the centroid with max dot (ties → first
     * index), matching `ROW_NUMBER() OVER (ORDER BY dot DESC, idx)` = 1. */
@@ -55,6 +52,7 @@ object Ivf {
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: Array[(Long, Seq[Float])]): DataFrame = {
     val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     corpus.repartition(spark.sparkContext.defaultParallelism)
       .withColumn("cluster", nearestCentroid(vecCol, centroids).cast("int"))
   }
@@ -64,10 +62,11 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroids = pickCentroids(corpus, "vec_id", "embedding", nCentroids)
     val assigned = assign(corpus, "vec_id", "embedding", centroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cluster"))
-      .withColumn("cnorm", Similarity.normExact("cvec"))
+      .withColumn("cnorm", Similarity.scaledNorm("cvec"))
 
     // probe set: indices of the nProbe largest centroid dots
     val dots = centroids.map { case (_, c) => centDot("qvec", c) }
@@ -76,13 +75,13 @@ object Ivf {
         s"sequence(0, ${centroids.length - 1}), (d, i) -> struct(-d AS nd, i AS i))), 1, $nProbe).i")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .withColumn("probe_clusters", probes)
-      .withColumn("qnorm", Similarity.normExact("qvec"))
+      .withColumn("qnorm", Similarity.scaledNorm("qvec"))
       .withColumn("cluster", explode(col("probe_clusters")))
 
     val scored = assigned.join(broadcast(q), Seq("cluster"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine",
-        Similarity.dotExact("qvec", "cvec") / (col("qnorm") * col("cnorm")))
+        Similarity.scaledDot("qvec", "cvec").cast("double") / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -3,16 +3,49 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Vector-similarity search over an embedding column (`array<float>`):
-  * exact cosine (decimal-accumulated so results are bit-identical across
-  * engines and partitionings), brute-force top-k as the correctness
+  * exact cosine (scaled-long accumulated so results are bit-identical
+  * across engines and partitionings), brute-force top-k as the correctness
   * baseline, and random-hyperplane LSH bucketing as the 100 TB scale path.
-  */
+  *
+  * Arithmetic discipline: all dots go through the native codegen'd
+  * [[graft.functions.FloatVectorScaledDot]] — `Σ floor(x·y·2^36)` as a
+  * long. Exact float products, a power-of-two scale, and floor make the
+  * sum order-independent AND replayable in DuckDB SQL, at primitive-loop
+  * speed (the earlier DECIMAL(38,18) lambda fold had the same determinism
+  * but allocated a BigDecimal per element in an interpreted lambda — it
+  * cost seconds per 2000-row stage). */
 object Similarity {
 
-  /** Exact dot product: per-element double products (exact for float32
-    * inputs) accumulated in DECIMAL(38,18) — order-independent, so the
-    * result is identical under any partitioning and in the DuckDB oracle. */
+  /** 2^36: element products are exact doubles; scaling shifts the exponent
+    * only; 64-dim sums stay far under 2^63. */
+  val ScaledShift = 36
+  private val ScaleLit = "68719476736.0" // 2^36 as a double literal
+
+  /** Exact order-independent scaled dot (long). Registers the native
+    * function lazily via the query that uses it — callers must have run
+    * [[GraftFunctions.register]] on the session (all operators here do). */
+  def scaledDot(a: String, b: String): Column =
+    expr(s"fvec_scaled_dot($a, $b, $ScaledShift)")
+
+  /** Matching DuckDB fragment for [[scaledDot]]. */
+  def scaledDotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> " +
+      s"CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * $ScaleLit) AS BIGINT))) AS BIGINT)"
+
+  /** Norm in the scaled domain: sqrt of the scaled self-dot (double). The
+    * 2^36 scale cancels in cosine = scaledDot / (scaledNorm_a * scaledNorm_b). */
+  def scaledNorm(a: String): Column =
+    sqrt(expr(s"CAST(fvec_scaled_dot($a, $a, $ScaledShift) AS DOUBLE)"))
+
+  def scaledNormSql(a: String): String =
+    s"sqrt(CAST(${scaledDotSql(a, a)} AS DOUBLE))"
+
+  /** Exact dot product via DECIMAL(38,18) accumulation — the reference
+    * formulation kept for cross-checks (ScalaTest pins it against the
+    * scaled path); prefer [[scaledDot]] in query plans. */
   def dotExact(a: String, b: String): Column =
     expr(s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
       "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))), " +
@@ -29,68 +62,88 @@ object Similarity {
 
   def normExactSql(a: String): String = s"sqrt(${dotExactSql(a, a)})"
 
-  /** Fast double-precision dot product for throughput paths (bench/LSH);
-    * order-dependent, so not oracle-comparable. */
+  /** Fast double-precision dot product for throughput paths; accumulation
+    * order-dependent, so not oracle-comparable (see `fvec_dot` for the
+    * codegen'd variant). */
   def dotFast(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
-    * corpus, rank per query. Exact-decimal cosine for oracle comparability. */
+    * corpus, rank per query. Scaled-exact cosine for oracle comparability. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      .withColumn("cnorm", normExact("cvec"))
+      .withColumn("cnorm", scaledNorm("cvec"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .withColumn("qnorm", normExact("qvec"))
+      .withColumn("qnorm", scaledNorm("qvec"))
     val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("cosine", dotExact("qvec", "cvec") / (col("qnorm") * col("cnorm")))
+      .withColumn("cosine",
+        scaledDot("qvec", "cvec").cast("double") / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign-bits of dot products with
-    * deterministic pseudo-random hyperplanes — no RNG state, reproducible
-    * across runs, cluster sizes, AND engines: hyperplane j's i-th component
-    * is the integer md5-prefix hash of "j_i" mod 1000, centered to
-    * [-500, 500) (scaling by 1/1000 can't change the sign, so integer
-    * components are used directly; DuckDB replays them via
-    * `('0x'||substr(md5(j||'_'||i),1,8))::BIGINT`). The sign test runs on
-    * the exact-decimal dot so bucket assignment is bit-identical in the
-    * differential oracle. */
+  /** Default embedding dimensionality of the fixtures; hyperplanes are
+    * materialized at this width (extra dims would need a wider table). */
+  val LshDims = 64
+
+  /** Hyperplane j, component i — the integer md5-prefix hash of "j_i" mod
+    * 1000, centered to [-500, 500): no RNG state, reproducible across runs,
+    * cluster sizes, AND engines (DuckDB: `('0x'||substr(md5(j||'_'||i),1,8))
+    * ::BIGINT % 1000 - 500`). Scaling by 1/1000 can't change a dot-product
+    * sign, so the integer components are used directly (exactly
+    * representable as floats). */
+  def hyperplane(j: Int, dims: Int = LshDims): IndexedSeq[Long] =
+    (0 until dims).map { i =>
+      graft.functions.HashUtils.md5Prefix32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${j}_$i")) % 1000 - 500
+    }
+
+  /** Random-hyperplane LSH signature: `bits` sign-bits of scaled-exact dot
+    * products with [[hyperplane]] vectors. The hyperplanes depend only on
+    * (plane, dim), so they are computed ONCE here and embedded as literal
+    * float arrays — recomputing md5 per row costs bits×dims digests/row.
+    * The sign test runs on the scaled-long dot so bucket assignment is
+    * bit-identical in the differential oracle. */
   def lshSignature(vecCol: String, bits: Int = 16): Column = {
     val bitCols = (0 until bits).map { j =>
-      val hyper = s"transform(sequence(0, size($vecCol) - 1), " +
-        s"i -> CAST(conv(substr(md5(concat('${j}_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 - 500)"
-      val dot = expr(
-        s"aggregate(zip_with($vecCol, $hyper, " +
-          "(x, p) -> CAST(CAST(x AS DOUBLE) * p AS DECIMAL(38,18))), " +
-          "CAST(0 AS DECIMAL(38,18)), (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))")
+      val hyper = s"array(${hyperplane(j).map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+      val dot = expr(s"fvec_scaled_dot($vecCol, $hyper, $ScaledShift)")
       when(dot > 0, lit(1L << j)).otherwise(0L)
     }
     bitCols.reduce(_ + _)
   }
 
   /** Matching DuckDB fragment for [[lshSignature]] — bucket id of `vecCol`
-    * given a lateral-unnested bit index column `j` (0-based). */
+    * as an unrolled sum of sign-bit terms over the same literal
+    * hyperplanes (scalar expression, no lateral unnest needed). */
   def lshBucketSql(vecCol: String, bits: Int = 16): String =
-    s"""CAST(SUM(CASE WHEN list_sum(list_transform(list_zip($vecCol,
-       |  list_transform(range(0, len($vecCol)),
-       |    i -> ('0x' || substr(md5(j.j || '_' || i), 1, 8))::BIGINT % 1000 - 500)),
-       |  p -> CAST(CAST(p[1] AS DOUBLE) * p[2] AS DECIMAL(38,18)))) > 0
-       |  THEN (1::BIGINT << j.j) ELSE 0 END) AS BIGINT)""".stripMargin
+    (0 until bits).map { j =>
+      // integer components ride as BIGINTs; scaledDotSql casts each side
+      // to DOUBLE, which is exact for ints < 2^53 and for floats alike
+      val hyper = s"[${hyperplane(j).mkString(",")}]"
+      s"""(CASE WHEN ${scaledDotSql(vecCol, hyper)} > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
 
   /** LSH-bucketed ANN: only pairs sharing a signature bucket are scored —
     * the candidate join shuffles on the 16-bit bucket, never cross-joining
     * the corpus. Returns candidate pairs with exact cosine ≥ `threshold`. */
   def lshNearNeighbors(corpus: DataFrame, threshold: Double, bits: Int = 16): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     // norms computed once per vector, not once per candidate pair; cached
-    // because both join sides consume it (16 hyperplane dots per row)
-    val sig = corpus.select(col("vec_id"), col("embedding"))
+    // because both join sides consume it (16 hyperplane dots per row).
+    // repartition first: the signature pass is CPU-bound per row and a
+    // small parquet source arrives as 1-2 splits
+    val sig = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshSignature("embedding", bits))
-      .withColumn("nrm", normExact("embedding"))
+      .withColumn("nrm", scaledNorm("embedding"))
       .cache()
     val a = sig.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
       col("nrm").as("a_nrm"), col("bucket"))
@@ -98,7 +151,8 @@ object Similarity {
       col("nrm").as("b_nrm"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", dotExact("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")))
+      .withColumn("cosine",
+        scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .distinct()

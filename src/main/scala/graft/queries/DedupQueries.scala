@@ -91,6 +91,7 @@ object DedupQueries {
 
     // Exact cosine over consecutive embedding pairs (vector ops slice).
     "q26_embed_pairs_sim" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
         col("label").as("a_label"))
@@ -98,8 +99,8 @@ object DedupQueries {
         col("label").as("b_label"))
       a.join(b, Seq("a_id"))
         .select(col("a_id"), (col("a_id") + 1).as("b_id"),
-          (Similarity.dotExact("a_vec", "b_vec") /
-            (Similarity.normExact("a_vec") * Similarity.normExact("b_vec"))).as("cosine"),
+          (Similarity.scaledDot("a_vec", "b_vec").cast("double") /
+            (Similarity.scaledNorm("a_vec") * Similarity.scaledNorm("b_vec"))).as("cosine"),
           (col("a_label") === col("b_label")).as("same_label"))
         .orderBy(col("a_id"))
     },
@@ -162,8 +163,8 @@ object DedupQueries {
         .orderBy(col("media_type"))
     })
 
-  private val dot = Similarity.dotExactSql _
-  private def nrm(a: String) = Similarity.normExactSql(a)
+  private val dot = Similarity.scaledDotSql _
+  private def nrm(a: String) = Similarity.scaledNormSql(a)
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -305,9 +306,8 @@ object DedupQueries {
     // constants as Similarity.lshNearNeighbors (bits=16, threshold=0.2).
     "q28_ann_lsh" ->
       s"""WITH bk AS (
-         |  SELECT e.vec_id, ${Similarity.lshBucketSql("e.embedding")} AS bucket
-         |  FROM embeddings e, UNNEST(range(0, 16)) AS j(j)
-         |  GROUP BY e.vec_id),
+         |  SELECT e.vec_id, CAST(${Similarity.lshBucketSql("e.embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings e),
          |v AS (
          |  SELECT e.vec_id, e.embedding, bk.bucket, ${nrm("e.embedding")} AS nrm
          |  FROM embeddings e JOIN bk USING (vec_id)),

@@ -166,6 +166,13 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"fvec_scaled_dot(a, b[, shift]) — got ${other.length} args")
       }),
+    (FunctionIdentifier("fvec_lsh_bucket"),
+      new ExpressionInfo(classOf[FvecLshBucket].getName, "fvec_lsh_bucket"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(b: Int, _), Literal(s: Int, _)) => FvecLshBucket(v, b, s)
+        case other => throw new IllegalArgumentException(
+          s"fvec_lsh_bucket(vec, bits, shift) — got ${other.length} args")
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)),
@@ -185,6 +192,25 @@ object GraftFunctions {
     descriptors.foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
+  }
+
+  /** Register the IVF centroid expressions, which close over a runtime
+    * centroid set (collected from data — not expressible as SQL literals
+    * without bloating the plan). Re-registering overwrites the previous
+    * builders; plans already analyzed keep the centroids they resolved
+    * with, so sequential queries with different centroid sets are safe. */
+  def registerIvf(spark: SparkSession, centroids: Array[Array[Float]],
+                  nProbe: Int, shift: Int): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("ivf_nearest"),
+      new ExpressionInfo(classOf[FvecNearestIndex].getName, "ivf_nearest"),
+      (children: Seq[Expression]) => FvecNearestIndex(children.head, centroids, shift))
+    registry.registerFunction(
+      FunctionIdentifier("ivf_probes"),
+      new ExpressionInfo(classOf[FvecTopProbes].getName, "ivf_probes"),
+      (children: Seq[Expression]) => FvecTopProbes(children.head, centroids, nProbe, shift))
   }
 
   /** Column builders (register on the column's session before collecting;

@@ -32,29 +32,21 @@ object Ivf {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
 
-  private def litArr(c: Seq[Float]): String =
-    s"array(${c.map(v => s"CAST('$v' AS FLOAT)").mkString(",")})"
+  private def centArrays(centroids: Array[(Long, Seq[Float])]): Array[Array[Float]] =
+    centroids.map(_._2.toArray)
 
-  /** Scaled-exact dot of a vector column against a centroid literal (long,
-    * order-independent — see [[Similarity.scaledDot]]). */
-  private def centDot(vecCol: String, c: Seq[Float]): String =
-    s"fvec_scaled_dot($vecCol, ${litArr(c)}, ${Similarity.ScaledShift})"
-
-  /** Column: index (0-based) of the centroid with max dot (ties → first
-    * index), matching `ROW_NUMBER() OVER (ORDER BY dot DESC, idx)` = 1. */
-  private def nearestCentroid(vecCol: String, centroids: Array[(Long, Seq[Float])]): Column = {
-    val dots = centroids.map { case (_, c) => centDot(vecCol, c) }
-    expr(s"array_position(array(${dots.mkString(",")}), " +
-      s"array_max(array(${dots.mkString(",")}))) - 1")
-  }
-
-  /** Assign every corpus vector to its inverted list. */
+  /** Assign every corpus vector to its inverted list via the native
+    * [[graft.functions.FvecNearestIndex]] expression (centroids ride as a
+    * codegen reference object — ties resolve to the first index, matching
+    * `ROW_NUMBER() OVER (ORDER BY dot DESC, idx)` = 1 in the oracle). */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
-             centroids: Array[(Long, Seq[Float])]): DataFrame = {
+             centroids: Array[(Long, Seq[Float])],
+             nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.registerIvf(
+      spark, centArrays(centroids), nProbe, Similarity.ScaledShift)
     corpus.repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("cluster", nearestCentroid(vecCol, centroids).cast("int"))
+      .withColumn("cluster", expr(s"ivf_nearest($vecCol)"))
   }
 
   /** IVF top-k: probe the `nProbe` nearest lists per query, exact cosine
@@ -64,17 +56,13 @@ object Ivf {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroids = pickCentroids(corpus, "vec_id", "embedding", nCentroids)
-    val assigned = assign(corpus, "vec_id", "embedding", centroids)
+    val assigned = assign(corpus, "vec_id", "embedding", centroids, nProbe)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cluster"))
       .withColumn("cnorm", Similarity.scaledNorm("cvec"))
 
     // probe set: indices of the nProbe largest centroid dots
-    val dots = centroids.map { case (_, c) => centDot("qvec", c) }
-    val probes = expr(
-      s"slice(array_sort(zip_with(array(${dots.mkString(",")}), " +
-        s"sequence(0, ${centroids.length - 1}), (d, i) -> struct(-d AS nd, i AS i))), 1, $nProbe).i")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .withColumn("probe_clusters", probes)
+      .withColumn("probe_clusters", expr("ivf_probes(qvec)"))
       .withColumn("qnorm", Similarity.scaledNorm("qvec"))
       .withColumn("cluster", explode(col("probe_clusters")))
 

@@ -104,19 +104,14 @@ object Similarity {
     }
 
   /** Random-hyperplane LSH signature: `bits` sign-bits of scaled-exact dot
-    * products with [[hyperplane]] vectors. The hyperplanes depend only on
-    * (plane, dim), so they are computed ONCE here and embedded as literal
-    * float arrays — recomputing md5 per row costs bits×dims digests/row.
-    * The sign test runs on the scaled-long dot so bucket assignment is
-    * bit-identical in the differential oracle. */
-  def lshSignature(vecCol: String, bits: Int = 16): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val hyper = s"array(${hyperplane(j).map(v => s"CAST($v AS FLOAT)").mkString(",")})"
-      val dot = expr(s"fvec_scaled_dot($vecCol, $hyper, $ScaledShift)")
-      when(dot > 0, lit(1L << j)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
+    * products with [[hyperplane]] vectors, computed by the native
+    * [[graft.functions.FvecLshBucket]] expression — the planes ride as a
+    * codegen reference object, not bits×dims plan literals (literal-array
+    * composition cost seconds of Janino compile per query and would ship
+    * the constants to every task in the serialized plan). Bucket
+    * assignment is bit-identical in the differential oracle. */
+  def lshSignature(vecCol: String, bits: Int = 16): Column =
+    expr(s"fvec_lsh_bucket($vecCol, $bits, $ScaledShift)")
 
   /** Matching DuckDB fragment for [[lshSignature]] — bucket id of `vecCol`
     * as an unrolled sum of sign-bit terms over the same literal

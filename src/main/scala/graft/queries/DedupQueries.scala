@@ -150,6 +150,33 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Multimodal frame sampling: binary payload → 256-byte frames → keep
+    // every 4th (the video-pipeline explode fanout), census per media type.
+    "q61_frame_sample" -> { (s, dir) =>
+      val a = graft.operators.Multimodal.assets(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      graft.operators.Multimodal.sampleFrames(a, everyN = 4)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_frames_kept"),
+          sum(length(col("frame_payload")).cast("long")).as("kept_bytes"),
+          countDistinct(col("asset_id")).as("n_assets"))
+        .orderBy(col("media_type"))
+    },
+
+    // Multimodal decode stage (mapPartitions batch, stubbed codec — the
+    // "brightness" is a deterministic byte-mean, so the full decode
+    // pipeline is oracle-checkable end-to-end on ASCII fixtures).
+    "q62_multimodal_features" -> { (s, dir) =>
+      val a = graft.operators.Multimodal.assets(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      graft.operators.Multimodal.decodeFeatures(a).toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_assets"),
+          dsum(col("brightness")).as("sum_brightness"),
+          sum(col("n_frames")).as("total_frames"))
+        .orderBy(col("media_type"))
+    },
+
     // Multimodal: opaque binary payloads + typed metadata, per media type.
     "q34_multimodal_meta" -> { (s, dir) =>
       val a = graft.operators.Multimodal.assets(
@@ -293,6 +320,36 @@ object DedupQueries {
          |  FROM scored)
          |SELECT qid, cid, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q61_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, 'media/' || source AS media_type,
+        |         octet_length(CAST(text AS BLOB)) AS L
+        |  FROM documents),
+        |fr AS (
+        |  SELECT asset_id, media_type, i.i AS frame_idx,
+        |    least(256, L - i.i * 256) AS fbytes
+        |  FROM a, UNNEST(range(0, greatest(CAST(ceil(L / 256.0) AS BIGINT), 1))) AS i(i)
+        |  WHERE i.i % 4 = 0)
+        |SELECT media_type, COUNT(*) AS n_frames_kept,
+        |  CAST(SUM(fbytes) AS BIGINT) AS kept_bytes,
+        |  COUNT(DISTINCT asset_id) AS n_assets
+        |FROM fr GROUP BY 1 ORDER BY media_type""".stripMargin,
+
+    "q62_multimodal_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, 'media/' || source AS media_type,
+         |    octet_length(CAST(text AS BLOB)) AS L,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+         |                i -> ord(substr(text, i, 1)))) AS DOUBLE)
+         |              / (least(length(text), 64) * 256.0)
+         |    END AS brightness
+         |  FROM documents)
+         |SELECT media_type, COUNT(*) AS n_assets,
+         |  ${dsumSql("brightness")} AS sum_brightness,
+         |  CAST(SUM(CAST(ceil(L / 256.0) AS BIGINT)) AS BIGINT) AS total_frames
+         |FROM b GROUP BY 1 ORDER BY media_type""".stripMargin,
 
     "q34_multimodal_meta" ->
       """SELECT 'media/' || source AS media_type, COUNT(*) AS n_assets,

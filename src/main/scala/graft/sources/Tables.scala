@@ -36,8 +36,15 @@ object Tables {
     }
   }
 
-  /** Register every fixture table as a temp view (idempotent) so that
-    * dialect-translated SQL can resolve bare table names. */
+  // last directory registered per session — registering re-reads all ten
+  // parquet footers, which costs ~1s per dialect query when repeated
+  private val registered = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every fixture table as a temp view (idempotent, cached per
+    * session+dir) so dialect-translated SQL can resolve bare table names. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
 }

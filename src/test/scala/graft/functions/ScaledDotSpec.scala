@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** Properties of the scaled-long vector arithmetic (fvec_scaled_dot,
+  * fvec_lsh_bucket, ivf_nearest/ivf_probes): determinism under
+  * repartitioning, agreement with the decimal reference fold, and md5
+  * parity between HashUtils and Spark's own md5 function (the contract the
+  * DuckDB oracle relies on). */
+class ScaledDotSpec extends SparkSpec {
+
+  private def emb = {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.load(spark, sfDir, "embeddings")
+  }
+
+  test("scaled dot is order-independent: same result under any partitioning") {
+    val base = emb.select(col("vec_id"),
+      Similarity.scaledDot("embedding", "embedding").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reparted = emb.repartition(7).select(col("vec_id"),
+      Similarity.scaledDot("embedding", "embedding").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == reparted)
+  }
+
+  test("scaled cosine agrees with the decimal-exact reference within 1e-9") {
+    val rows = emb.limit(50).select(
+      (Similarity.scaledDot("embedding", "embedding").cast("double") /
+        (Similarity.scaledNorm("embedding") * Similarity.scaledNorm("embedding"))).as("s"),
+      (Similarity.dotExact("embedding", "embedding") /
+        (Similarity.normExact("embedding") * Similarity.normExact("embedding"))).as("e"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"scaled=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    }
+  }
+
+  test("HashUtils md5 prefixes equal Spark's md5 hex prefixes") {
+    // the oracle replays signatures via ('0x'||substr(md5(s),1,8|16)) casts;
+    // HashUtils must produce the identical value from the digest bytes
+    val df = graft.sources.Tables.load(spark, sfDir, "documents").limit(100)
+      .select(col("text"),
+        expr("CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("h32"),
+        expr("conv(substr(md5(CAST(text AS BINARY)), 1, 16), 16, 10)").as("h64u"))
+    df.collect().foreach { r =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+      assert(HashUtils.md5Prefix32(s) == r.getLong(1))
+      // unsigned decimal string of the first 64 bits == unsigned view of prefix64
+      assert(java.lang.Long.toUnsignedString(HashUtils.md5Prefix64(s)) == r.getString(2))
+    }
+  }
+
+  test("lsh bucket expression matches the composed per-plane sign test") {
+    val withBucket = emb.limit(100)
+      .select(col("vec_id"), Similarity.lshSignature("embedding").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute from first principles with the public hyperplane generator
+    val planes = (0 until 16).map(j => Similarity.hyperplane(j).map(_.toDouble).toArray)
+    val scale = math.pow(2, Similarity.ScaledShift)
+    val manual = emb.limit(100).select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val bucket = planes.zipWithIndex.map { case (p, j) =>
+        val dot = v.indices.map(i => math.floor(v(i).toDouble * p(i) * scale).toLong).sum
+        if (dot > 0) 1L << j else 0L
+      }.sum
+      r.getLong(0) -> bucket
+    }.toMap
+    assert(withBucket == manual)
+  }
+
+  test("ivf probes return nProbe distinct clusters led by the assignment") {
+    val e = emb
+    val centroids = graft.operators.Ivf.pickCentroids(e, "vec_id", "embedding", 8)
+    GraftFunctions.registerIvf(spark, centroids.map(_._2.toArray), 3, Similarity.ScaledShift)
+    val rows = e.limit(20)
+      .select(col("vec_id"), expr("ivf_nearest(embedding)").as("near"),
+        expr("ivf_probes(embedding)").as("probes"))
+      .collect()
+    rows.foreach { r =>
+      val probes = r.getSeq[Int](2)
+      assert(probes.length == 3 && probes.distinct.length == 3)
+      // the nearest cluster must be the first probe
+      assert(probes.head == r.getInt(1))
+    }
+  }
+}

@@ -52,6 +52,42 @@ object EventStreams {
       }
   }
 
+  final case class SessionRecord(user_id: Long, session_idx: Long,
+                                 start_ms: Long, end_ms: Long, n_events: Long)
+  final case class OpenSessions(emitted: Long, open: Option[SessionRecord])
+
+  /** Per-session records via flatMapGroupsWithState: unlike [[sessionize]]
+    * (one rolling aggregate row per user), this EMITS each closed session
+    * as its own record — zero or many outputs per group invocation, the
+    * shape mapGroupsWithState can't express. State is the single open
+    * session per user; closed sessions leave state immediately. */
+  def sessionRecords(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionRecord] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSessions, SessionRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[OpenSessions]) =>
+          val prior = state.getOption.getOrElse(OpenSessions(0L, None))
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[SessionRecord]
+          var emitted = prior.emitted
+          var open = prior.open
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            open match {
+              case Some(s) if ms - s.end_ms <= gapMs =>
+                open = Some(s.copy(end_ms = ms, n_events = s.n_events + 1))
+              case cur =>
+                cur.foreach { s => closed += s; emitted += 1 }
+                open = Some(SessionRecord(userId, emitted + 1, ms, ms, 1L))
+            }
+          }
+          state.update(OpenSessions(emitted, open))
+          closed.result().iterator
+      }
+  }
+
   /** Ingest-time exact dedup: drops re-deliveries of the same `event_id`
     * arriving within the watermark window — bounded state (one key per id
     * inside the watermark), the streaming face of exact dedup. */

@@ -39,20 +39,23 @@ final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extend
 /** JDBC endpoints — the production path. Partitioned reads give the
   * intra-table parallelism the reference lacks (SURVEY §4); `batchsize` is
   * the analogue of `--batch-size` and `fetchsize` of the fetchmany loop
-  * (data_transfer.py:294-301). Untestable in this offline environment, but
-  * the options surface is the full story. */
+  * (data_transfer.py:294-301). Round-tripped against embedded Derby in
+  * JdbcTransferSpec (the only JDBC engine in this offline image). */
 final class JdbcSource(
     url: String,
     options: Map[String, String] = Map.empty,
     partitionColumn: Option[String] = None,
+    bounds: Option[(Long, Long)] = None,
     numPartitions: Int = 32) extends TableSource {
   def read(spark: SparkSession, table: String): DataFrame = {
     var r = spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("fetchsize", "10000")
       .options(options)
-    partitionColumn.foreach { pc =>
-      r = r.option("partitionColumn", pc).option("numPartitions", numPartitions.toString)
+    for (pc <- partitionColumn; (lo, hi) <- bounds) {
+      r = r.option("partitionColumn", pc)
+        .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+        .option("numPartitions", numPartitions.toString)
     }
     r.load()
   }

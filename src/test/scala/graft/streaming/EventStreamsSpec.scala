@@ -54,6 +54,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits per-session records consistent with batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch q19: (user_id, n_sessions, n_events)
+    val batch = EventQueries.defs("q19_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = EventStreams.eventsDataset(spark, sfDir).collect().toSeq
+    val stream = MemoryStream[EventStreams.Event]
+    stream.addData(events)
+    val q = EventStreams.sessionRecords(stream.toDS())
+      .writeStream.format("memory").queryName("session_records_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("session_records_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // closed sessions only — the last (open) session per user is withheld,
+      // so per user: closed = n_sessions - 1; closed events = n_events - open.n_events.
+      val byUser = rows.groupBy(_._1)
+      byUser.foreach { case (uid, recs) =>
+        val (nSessions, _) = batch(uid)
+        assert(recs.length == nSessions - 1,
+          s"user $uid: ${recs.length} closed vs ${nSessions - 1} expected")
+        // session indices are 1..n-1 with start <= end
+        assert(recs.map(_._2).sorted.toSeq == (1L until nSessions).toSeq)
+        recs.foreach(r => assert(r._3 <= r._4))
+      }
+      // users with a single session emit nothing — they must still be in batch
+      assert(byUser.keySet.subsetOf(batch.keySet))
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionize query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

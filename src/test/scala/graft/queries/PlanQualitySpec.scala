@@ -52,4 +52,16 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf("q08_anti_join_customers")
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
+
+  test("no query in the suite plans a CartesianProduct") {
+    // an unkeyed join anywhere would be quadratic at corpus scale; the only
+    // legitimate non-equi joins are broadcast nested loops against tiny
+    // broadcast sides (ANN query sets, IVF probes)
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans in: $offenders")
+  }
 }

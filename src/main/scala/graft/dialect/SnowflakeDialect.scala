@@ -132,6 +132,18 @@ object SnowflakeDialect {
           val t = args.map(a => rewriteFunctionCalls(a.trim))
           out.append(s"CASE WHEN ${t(0)} THEN ${t(1)} ELSE ${t(2)} END")
           i = close + 1
+        } else if (hasParen && upper == "DATEDIFF") {
+          // Snowflake 3-arg DATEDIFF('day', a, b) → Spark TIMESTAMPDIFF(DAY, a, b)
+          // (the reference flags its PG DATE_PART rewrite "may need manual
+          // adjustment", view_procedure_translator.py:304 — Spark's
+          // timestampdiff expresses it exactly); 2-arg passes through.
+          val (args, close) = parseArgs(sql, k)
+          if (args.length == 3) {
+            val unit = args.head.trim.stripPrefix("'").stripSuffix("'").toUpperCase
+            val t = args.tail.map(a => rewriteFunctionCalls(a.trim))
+            out.append(s"TIMESTAMPDIFF($unit, ${t(0)}, ${t(1)})")
+            i = close + 1
+          } else { out.append(word); i = j }
         } else if (hasParen && upper == "SPLIT_TO_TABLE") {
           val (args, close) = parseArgs(sql, k)
           val t = args.map(a => rewriteFunctionCalls(a.trim))

@@ -167,6 +167,23 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // The wider scalar-function rewrite surface through the dialect path:
+    // LPAD, DATE_TRUNC, TO_DATE, 3-arg DATEDIFF (→ TIMESTAMPDIFF), NVL,
+    // ::STRING, 3-part names — one translated statement end-to-end.
+    "q63_dialect_scalars" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT LPAD(o_orderstatus, 3, 'x') AS st,
+          |       DATE_TRUNC('month', TO_DATE(o_orderdate))::DATE AS mth,
+          |       DATEDIFF('day', TO_DATE('1995-01-01'), TO_DATE(o_orderdate)) AS days_since,
+          |       NVL(NULL, o_orderpriority)::STRING AS prio,
+          |       COUNT(*) AS cnt
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 1000
+          |GROUP BY 1, 2, 3, 4 ORDER BY st, mth, days_since, prio""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     "q15_cast_projection" -> { (s, dir) =>
       t(s, dir, "nation")
         .select(
@@ -296,6 +313,15 @@ object CoreQueries {
       """SELECT u.word AS word, COUNT(*) AS cnt
         |FROM part, UNNEST(string_split(p_type, ' ')) AS u(word)
         |GROUP BY 1 ORDER BY word""".stripMargin,
+
+    "q63_dialect_scalars" ->
+      """SELECT lpad(o_orderstatus, 3, 'x') AS st,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mth,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  COALESCE(NULL, o_orderpriority) AS prio,
+        |  COUNT(*) AS cnt
+        |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY 1, 2, 3, 4 ORDER BY st, mth, days_since, prio""".stripMargin,
 
     "q14_dialect_iff" ->
       """SELECT o_orderstatus AS status,

@@ -24,7 +24,14 @@ final case class TransferStats(
   * executors move the data and the driver only plans.
   */
 trait TableSource { def read(spark: SparkSession, table: String): DataFrame }
-trait TableSink { def write(df: DataFrame, table: String): Unit }
+trait TableSink {
+  def write(df: DataFrame, table: String): Unit
+
+  /** Count the rows just written, if the sink can do so cheaply — lets the
+    * transfer stats avoid a second full source scan (a parquet count is
+    * footer metadata; a JDBC count is one aggregate query). */
+  def countRows(spark: SparkSession, table: String): Option[Long] = None
+}
 
 final class ParquetSource(dir: String) extends TableSource {
   def read(spark: SparkSession, table: String): DataFrame =
@@ -34,6 +41,9 @@ final class ParquetSource(dir: String) extends TableSource {
 final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extends TableSink {
   def write(df: DataFrame, table: String): Unit =
     df.write.mode(mode).parquet(s"$dir/$table.parquet")
+
+  override def countRows(spark: SparkSession, table: String): Option[Long] =
+    Some(spark.read.parquet(s"$dir/$table.parquet").count())
 }
 
 /** JDBC endpoints — the production path. Partitioned reads give the
@@ -61,6 +71,8 @@ final class JdbcSource(
   }
 }
 
+// countRows stays None here: the sink appends, so a post-write table count
+// would include pre-existing rows — stats fall back to counting the source.
 final class JdbcSink(
     url: String,
     options: Map[String, String] = Map.empty,
@@ -97,9 +109,10 @@ final class TransferEngine(
       var df = source.read(spark, table)
       where.foreach(w => df = df.filter(expr(w)))
       limit.foreach(n => df = df.limit(n))
-      val rows = df.count()
+      // write first, then count the SINK (parquet footers / one JDBC agg):
+      // a pre-count would scan the whole source twice per table
       sink.write(df, table)
-      rows
+      sink.countRows(spark, table).getOrElse(df.count())
     } match {
       case Success(rows) =>
         val secs = (System.nanoTime() - t0) / 1e9

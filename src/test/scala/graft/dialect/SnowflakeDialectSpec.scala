@@ -50,6 +50,16 @@ class SnowflakeDialectSpec extends AnyFunSuite {
       "SELECT EXPLODE(SPLIT(tags, ','))")
   }
 
+  test("3-arg DATEDIFF becomes TIMESTAMPDIFF; 2-arg passes through") {
+    assert(tr("SELECT DATEDIFF('day', a, b)") === "SELECT TIMESTAMPDIFF(DAY, a, b)")
+    assert(tr("SELECT datediff(month, x, y)") === "SELECT TIMESTAMPDIFF(MONTH, x, y)")
+    // nested translated args
+    assert(tr("SELECT DATEDIFF('day', TO_DATE('2020-01-01'), NVL(d, e))") ===
+      "SELECT TIMESTAMPDIFF(DAY, TO_DATE('2020-01-01'), COALESCE(d, e))")
+    // Spark's own 2-arg datediff is left untouched
+    assert(tr("SELECT DATEDIFF(a, b)") === "SELECT DATEDIFF(a, b)")
+  }
+
   test("cast suffix rewrites") {
     assert(tr("SELECT a::NUMBER, b::VARCHAR, c::STRING") ===
       "SELECT a::DECIMAL(38,18), b::STRING, c::STRING")

@@ -176,6 +176,17 @@ object GraftFunctions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("minhash_text_signature"),
+      new ExpressionInfo(classOf[MinHashTextSignature].getName, "minhash_text_signature"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => MinHashTextSignature(text)
+        case Seq(text, Literal(k: Int, _), Literal(n: Int, _)) => MinHashTextSignature(text, k, n)
+        case other => throw new IllegalArgumentException(
+          s"minhash_text_signature(text[, k, numHashes]) — got ${other.length} args")
+      }),
+    (FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (children: Seq[Expression]) => SimHashText(children.head)),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => children match {

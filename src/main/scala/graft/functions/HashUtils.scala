@@ -44,4 +44,105 @@ object HashUtils {
 
   def minhashA(i: Int): Long = (2654435761L * (i + 1)) % P
   def minhashB(i: Int): Long = (40503L * (i + 1) + 1) % P
+
+  // ---- whole-document signature loops (called from codegen'd expressions) --
+  //
+  // Tokenization happens at the byte level on the single-space separator
+  // (0x20 never occurs inside a UTF-8 multibyte sequence), which reproduces
+  // Spark's split(text, ' ') exactly, including empty tokens from repeated
+  // separators. A k-shingle's concat_ws(' ') of consecutive tokens equals
+  // the original substring between the first token's start and the last
+  // token's end — so shingles are hashed as byte RANGES of the document,
+  // with zero string/array allocation. Shingle dedup is skipped on the
+  // MinHash path on purpose: duplicates cannot change a minimum, so the
+  // DuckDB oracle's DISTINCT yields the identical signature.
+
+  /** Byte offsets of token boundaries: returns starts/ends (end exclusive)
+    * of the space-separated tokens of `b`. */
+  private def tokenBounds(b: Array[Byte]): (Array[Int], Array[Int]) = {
+    var nTok = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' '.toByte) nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' '.toByte) { starts(t) = start; ends(t) = i; t += 1; start = i + 1 }
+      i += 1
+    }
+    starts(t) = start; ends(t) = b.length
+    (starts, ends)
+  }
+
+  /** MinHash signature over the k-shingles of `s` — equal to running
+    * [[MinHashSignature]] on `array_distinct(shingles(split(s, ' '), k))`
+    * but in one allocation-free pass over the document bytes. */
+  def minhashTextSignature(s: UTF8String, k: Int, numHashes: Int): Array[Long] = {
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val nTok = starts.length
+    val d = md.get()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { as(i) = minhashA(i); bs(i) = minhashB(i); i += 1 }
+    val nShingles = math.max(nTok - k, 0) + 1
+    var sh = 0
+    while (sh < nShingles) {
+      val from = starts(sh)
+      val to = ends(math.min(sh + k - 1, nTok - 1))
+      d.reset()
+      d.update(b, from, to - from)
+      val dig = d.digest()
+      val base = (((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+        ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)) % P
+      i = 0
+      while (i < numHashes) {
+        val h = (base * as(i) + bs(i)) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      sh += 1
+    }
+    mins
+  }
+
+  /** SimHash64 over the DISTINCT tokens of `s` — equal to [[SimHash64]] on
+    * `array_distinct(split(s, ' '))`, one pass, dedup by 64-bit digest
+    * prefix (a collision would need 2^-64; the oracle dedups by token). */
+  def simhashText(s: UTF8String): Long = {
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val d = md.get()
+    val seen = new java.util.HashSet[Long]()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < starts.length) {
+      d.reset()
+      d.update(b, starts(t), ends(t) - starts(t))
+      val dig = d.digest()
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+      if (seen.add(h)) {
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
 }

@@ -28,6 +28,58 @@ trait TokenArrayExpression extends UnaryExpression {
   }
 }
 
+trait TextExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+}
+
+/** MinHash signature straight from the document text — one allocation-free
+  * pass ([[HashUtils.minhashTextSignature]]): byte-level tokenization +
+  * shingles as byte ranges. Semantically identical to [[MinHashSignature]]
+  * over `array_distinct(shingles(split(text,' ')))`, but skips the
+  * interpreted HOF chain (sequence→transform→slice→concat_ws→
+  * array_distinct) that dominated signature build time (~400µs/row). */
+case class MinHashTextSignature(child: Expression, k: Int = 3, numHashes: Int = 32)
+  extends TextExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashUtils.minhashTextSignature(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad(graft.functions.HashUtils.minhashTextSignature($s, $k, $numHashes));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashTextSignature =
+    copy(child = newChild)
+}
+
+/** SimHash64 straight from the document text ([[HashUtils.simhashText]]) —
+  * distinct-token votes without materializing the token array. */
+case class SimHashText(child: Expression) extends TextExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.simhashText(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashUtils.simhashText($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array: per-token 64-bit MD5 prefix, per-bit ±1
   * votes, bit j of the result set iff vote_j > 0. */
 case class SimHash64(child: Expression) extends TokenArrayExpression {

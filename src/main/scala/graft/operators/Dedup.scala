@@ -41,13 +41,15 @@ object Dedup {
     * which at corpus scale is the dominant cost of the whole pipeline. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     // repartition: per-row signature work is CPU-heavy and the source is
-    // often a handful of file splits — spread it across the cluster first
+    // often a handful of file splits — spread it across the cluster first.
+    // minhash_text_signature shingles at the byte level inside the
+    // expression — the composed HOF chain (split→sequence→slice→concat_ws→
+    // array_distinct) allocated its way to ~400µs/row
     docs.repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .select(col(idCol),
-        graft.functions.GraftFunctions
-          .minhashSignature(spark, shinglesSql("_toks", k), NumHashes).as("sig"))
+        expr(s"minhash_text_signature($textCol, $k, $NumHashes)").as("sig"))
   }
 
   /** LSH banding: (id, sig) → distinct candidate id pairs (a_id < b_id)
@@ -58,22 +60,25 @@ object Dedup {
     * quadratic fanout; at corpus scale exact-dup them first, then LSH). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
-    // cached: consumed by the bucket-size filter AND both join sides —
-    // without it Spark recomputes the signature lineage per consumer
+    import org.apache.spark.sql.expressions.Window
     // band key = '/'-joined slot values (not a rehash): exactly replayable
-    // in the DuckDB oracle, and the join key stays narrow (≤ 4×10+3 chars)
-    val banded = sigs.select(
+    // in the DuckDB oracle, and the join key stays narrow (≤ 4×10+3 chars).
+    // The bucket-size cap is a count-window over the band key — ONE shuffle
+    // that also pre-partitions both sides of the self-join (vs the
+    // aggregate+join formulation: two extra stages and a recompute per
+    // join side). `bounded` is cached because the self-join reads it twice.
+    val w = Window.partitionBy(col("band"), col("bandhash"))
+    val bounded = sigs.select(
       col(idCol),
       posexplode(array((0 until Bands).map { b =>
         val slice = (0 until RowsPerBand)
           .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
         concat_ws("/", slice: _*)
-      }: _*)).as(Seq("band", "bandhash"))).cache()
-    val bounded = banded.join(
-      banded.groupBy(col("band"), col("bandhash"))
-        .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
-        .select(col("band"), col("bandhash")),
-      Seq("band", "bandhash"))
+      }: _*)).as(Seq("band", "bandhash")))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") <= maxBucketSize)
+      .drop("n")
+      .cache()
     bounded.select(col(idCol).as("a_id"), col("band"), col("bandhash"))
       .join(bounded.select(col(idCol).as("b_id"), col("band"), col("bandhash")),
         Seq("band", "bandhash"))
@@ -104,10 +109,9 @@ object Dedup {
     * token. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     docs.repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol),
-        graft.functions.GraftFunctions
-          .simhash64(spark, s"array_distinct(split($textCol, ' '))").as("simhash"))
+      .select(col(idCol), expr(s"simhash_text($textCol)").as("simhash"))
   }
 
   /** SimHash pairs within `maxHamming` (≤3 with 4 chunks by pigeonhole):
@@ -121,17 +125,19 @@ object Dedup {
     * surviving pairs. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = simhashes(docs, idCol, textCol)
-    // cached: consumed by the bucket-size filter and both join sides
-    val chunked = sh.select(col(idCol), col("simhash"),
+    // bucket-size cap as a count-window over the chunk key (one shuffle,
+    // pre-partitions the self-join); cached for the two join sides
+    val w = Window.partitionBy(col("chunk_idx"), col("chunk"))
+    val bounded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map { i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("chunk_idx", "chunk"))).cache()
-    val bucketSizes = chunked.groupBy(col("chunk_idx"), col("chunk"))
-      .agg(count(lit(1)).as("bucket_n"))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= maxBucketSize)
-      .select(col("chunk_idx"), col("chunk"))
-    val bounded = chunked.join(bucketSizes, Seq("chunk_idx", "chunk"))
+      .drop("bucket_n")
+      .cache()
     val a = bounded.select(col(idCol).as("a_id"), col("simhash").as("a_fp"),
       col("chunk_idx"), col("chunk"))
     val b = bounded.select(col(idCol).as("b_id"), col("simhash").as("b_fp"),

@@ -63,29 +63,22 @@ object DedupQueries {
     },
 
     // Token-set Jaccard between consecutive doc ids — the SQL-expressible
-    // slice of n-gram similarity, fully oracle-checked.
+    // slice of n-gram similarity, fully oracle-checked. Token sets stay
+    // arrays and intersect per pair (array_intersect) — ONE join, no
+    // explode: the exploded token self-join formulation shuffled one row
+    // per token across five joins for the same numbers.
     "q25_ngram_jaccard" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      // cached: consumed by the sizes aggregate and both sides of the
-      // intersection self-join
-      val toks = d.select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("tok")).cache()
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = toks.as("ta")
-        .join(toks.as("tb"),
-          col("tb.doc_id") === col("ta.doc_id") + 1 && col("tb.tok") === col("ta.tok"))
-        .groupBy(col("ta.doc_id").as("a_id"))
-        .agg(count(lit(1)).as("i"))
-      val pairs = d.select(col("doc_id").as("a_id"))
-        .join(d.select((col("doc_id") - 1).as("a_id")), Seq("a_id"))
-      pairs
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
-        .join(sizes.select((col("doc_id") - 1).as("a_id"), col("n").as("b_n")), Seq("a_id"))
-        .join(inter, Seq("a_id"), "left_outer")
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val a = toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val b = toks.select((col("doc_id") - 1).as("a_id"), col("toks").as("b_toks"))
+      a.join(b, Seq("a_id"))
         .select(col("a_id"), (col("a_id") + 1).as("b_id"),
-          coalesce(col("i"), lit(0L)).as("inter_cnt"), col("a_n"), col("b_n"),
-          (coalesce(col("i"), lit(0L)).cast("double") /
-            (col("a_n") + col("b_n") - coalesce(col("i"), lit(0L)))).as("jaccard"))
+          size(array_intersect(col("a_toks"), col("b_toks"))).cast("long").as("inter_cnt"),
+          size(col("a_toks")).cast("long").as("a_n"),
+          size(col("b_toks")).cast("long").as("b_n"))
+        .withColumn("jaccard", col("inter_cnt").cast("double") /
+          (col("a_n") + col("b_n") - col("inter_cnt")))
         .orderBy(col("a_id"))
     },
 

@@ -67,6 +67,19 @@ object ParityQueries {
       c.union(sup).distinct().except(region0).orderBy(col("nk"))
     },
 
+    // Multiset set-ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+    // counts (q38 covers the DISTINCT variants).
+    "q64_set_ops_all" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+      val inter = c.intersectAll(sup).groupBy(col("nk")).agg(count(lit(1)).as("cnt_inter"))
+      val exc = c.exceptAll(sup).groupBy(col("nk")).agg(count(lit(1)).as("cnt_except"))
+      inter.join(exc, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("cnt_inter"), lit(0L)).as("cnt_inter"),
+          coalesce(col("cnt_except"), lit(0L)).as("cnt_except"))
+        .orderBy(col("nk"))
+    },
+
     // A7 table sampling, deterministically: "random" = smallest md5 of the
     // PK — a stable uniform sample identical in both engines (TABLESAMPLE
     // itself is nondeterministic, which the reference works around with a
@@ -387,5 +400,22 @@ object ParityQueries {
         |  SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
         |EXCEPT
         |SELECT CAST(n_nationkey AS INT) AS nk FROM nation WHERE n_regionkey = 0
+        |ORDER BY nk""".stripMargin,
+
+    "q64_set_ops_all" ->
+      """WITH i AS (
+        |  SELECT nk, COUNT(*) AS cnt_inter FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    INTERSECT ALL
+        |    SELECT s_nationkey AS nk FROM supplier) GROUP BY 1),
+        |e AS (
+        |  SELECT nk, COUNT(*) AS cnt_except FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    EXCEPT ALL
+        |    SELECT s_nationkey AS nk FROM supplier) GROUP BY 1)
+        |SELECT COALESCE(i.nk, e.nk) AS nk,
+        |  CAST(COALESCE(cnt_inter, 0) AS BIGINT) AS cnt_inter,
+        |  CAST(COALESCE(cnt_except, 0) AS BIGINT) AS cnt_except
+        |FROM i FULL OUTER JOIN e ON i.nk = e.nk
         |ORDER BY nk""".stripMargin)
 }

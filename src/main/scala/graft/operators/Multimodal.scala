@@ -70,6 +70,35 @@ object Multimodal {
       }
   }
 
+  /** Batch-shaped "resize" via `mapPartitions` — the downscale stage of an
+    * image/video pipeline, executor-local over binary payloads.
+    *
+    * STUB: a real implementation would decode, scale (e.g. bilinear to
+    * target dims), and re-encode; absent codecs, the "resized" payload
+    * keeps every `factor`-th byte — deterministic, length ceil(L/factor),
+    * so the plumbing (binary in/out schema, batching, census arithmetic)
+    * is oracle-checkable end-to-end. */
+  def resize(assetsDf: DataFrame, factor: Int = 2): DataFrame = {
+    val spark = assetsDf.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("media_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("resized", org.apache.spark.sql.types.BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assetsDf.select(col("asset_id"), col("media_type"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          // ---- STUB resize begins (would be: codec.rescale(payload)) ----
+          val out = new Array[Byte]((payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+          // ---- STUB resize ends ----
+          org.apache.spark.sql.Row(r.getLong(0), r.getString(1), out)
+        }
+      }(enc)
+  }
+
   /** Frame sampling: segment the payload into [[FrameBytes]] "frames" and
     * keep every `everyN`-th — the explode-style fanout a video pipeline
     * needs, with the frame payload as a binary slice. */

@@ -170,6 +170,20 @@ object DedupQueries {
         .orderBy(col("media_type"))
     },
 
+    // Multimodal resize stage (mapPartitions, stubbed codec): census of
+    // resized payload sizes per media type.
+    "q65_multimodal_resize" -> { (s, dir) =>
+      val a = graft.operators.Multimodal.assets(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      graft.operators.Multimodal.resize(a, factor = 2)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(length(col("resized")).cast("long")).as("resized_bytes"),
+          min(length(col("resized")).cast("long")).as("min_bytes"),
+          max(length(col("resized")).cast("long")).as("max_bytes"))
+        .orderBy(col("media_type"))
+    },
+
     // Multimodal: opaque binary payloads + typed metadata, per media type.
     "q34_multimodal_meta" -> { (s, dir) =>
       val a = graft.operators.Multimodal.assets(
@@ -343,6 +357,16 @@ object DedupQueries {
          |  ${dsumSql("brightness")} AS sum_brightness,
          |  CAST(SUM(CAST(ceil(L / 256.0) AS BIGINT)) AS BIGINT) AS total_frames
          |FROM b GROUP BY 1 ORDER BY media_type""".stripMargin,
+
+    "q65_multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT 'media/' || source AS media_type,
+        |    CAST((octet_length(CAST(text AS BLOB)) + 1) // 2 AS BIGINT) AS rb
+        |  FROM documents)
+        |SELECT media_type, COUNT(*) AS n_assets,
+        |  CAST(SUM(rb) AS BIGINT) AS resized_bytes,
+        |  MIN(rb) AS min_bytes, MAX(rb) AS max_bytes
+        |FROM r GROUP BY 1 ORDER BY media_type""".stripMargin,
 
     "q34_multimodal_meta" ->
       """SELECT 'media/' || source AS media_type, COUNT(*) AS n_assets,

@@ -82,6 +82,23 @@ object DedupQueries {
         .orderBy(col("a_id"))
     },
 
+    // Exact 3-gram (shingle-set) Jaccard between consecutive docs — the
+    // ground truth that q23's MinHash signature agreement estimates.
+    "q66_trigram_jaccard" -> { (s, dir) =>
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        Dedup.shingles("text", 3).as("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = sh.select((col("doc_id") - 1).as("a_id"), col("sh").as("b_sh"))
+      a.join(b, Seq("a_id"))
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter_cnt"),
+          size(col("a_sh")).cast("long").as("a_n"),
+          size(col("b_sh")).cast("long").as("b_n"))
+        .withColumn("jaccard", col("inter_cnt").cast("double") /
+          (col("a_n") + col("b_n") - col("inter_cnt")))
+        .orderBy(col("a_id"))
+    },
+
     // Exact cosine over consecutive embedding pairs (vector ops slice).
     "q26_embed_pairs_sim" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
@@ -303,6 +320,29 @@ object DedupQueries {
         |JOIN documents b ON b.doc_id = a.doc_id + 1
         |JOIN sizes sa ON sa.doc_id = a.doc_id
         |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |LEFT JOIN inter ON inter.a_id = a.doc_id
+        |ORDER BY a_id""".stripMargin,
+
+    "q66_trigram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, COUNT(*) AS cnt
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+        |  GROUP BY 1)
+        |SELECT a.doc_id AS a_id, a.doc_id + 1 AS b_id,
+        |  CAST(COALESCE(inter.cnt, 0) AS BIGINT) AS inter_cnt,
+        |  sa.n AS a_n, sb.n AS b_n,
+        |  CAST(COALESCE(inter.cnt, 0) AS DOUBLE) /
+        |    (sa.n + sb.n - COALESCE(inter.cnt, 0)) AS jaccard
+        |FROM documents a
+        |JOIN documents b ON b.doc_id = a.doc_id + 1
+        |JOIN sz sa ON sa.doc_id = a.doc_id
+        |JOIN sz sb ON sb.doc_id = b.doc_id
         |LEFT JOIN inter ON inter.a_id = a.doc_id
         |ORDER BY a_id""".stripMargin,
 

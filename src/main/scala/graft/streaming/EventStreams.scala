@@ -88,6 +88,48 @@ object EventStreams {
       }
   }
 
+  /** Watermark-driven sessionization: like [[sessionRecords]], but the open
+    * session CLOSES when event time passes `lastEvent + gap` — an
+    * EventTimeTimeout fires once the watermark crosses the session's
+    * expiry, emitting the final session without waiting for the user's
+    * next event (the production shape: bounded state, late-data-aware). */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMs: Long = 1800000L,
+                            watermark: String = "10 minutes"): Dataset[SessionRecord] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSessions, SessionRecord](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, batch, state: GroupState[OpenSessions]) =>
+          val prior = state.getOption.getOrElse(OpenSessions(0L, None))
+          if (state.hasTimedOut) {
+            // watermark passed the open session's expiry: emit and clear
+            val out = prior.open.toSeq
+            state.update(OpenSessions(prior.emitted + out.length, None))
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionRecord]
+            var emitted = prior.emitted
+            var open = prior.open
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              open match {
+                case Some(s) if ms - s.end_ms <= gapMs =>
+                  open = Some(s.copy(end_ms = ms, n_events = s.n_events + 1))
+                case cur =>
+                  cur.foreach { s => closed += s; emitted += 1 }
+                  open = Some(SessionRecord(userId, emitted + 1, ms, ms, 1L))
+              }
+            }
+            state.update(OpenSessions(emitted, open))
+            open.foreach(s => state.setTimeoutTimestamp(s.end_ms + gapMs))
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Ingest-time exact dedup: drops re-deliveries of the same `event_id`
     * arriving within the watermark window — bounded state (one key per id
     * inside the watermark), the streaming face of exact dedup. */

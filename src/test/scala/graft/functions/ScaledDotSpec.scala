@@ -73,6 +73,26 @@ class ScaledDotSpec extends SparkSpec {
     assert(withBucket == manual)
   }
 
+  test("property: fvec_scaled_dot equals the floor-formula for random vectors") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-5.0f, 5.0f))
+    val scale = java.lang.Math.scalb(1.0, graft.operators.Similarity.ScaledShift)
+    val prop = Prop.forAll(vecGen, vecGen) { (a, b) =>
+      import spark.implicits._
+      val expected = a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * scale).toLong
+      }.sum
+      val got = Seq((a, b)).toDF("a", "b")
+        .selectExpr(s"fvec_scaled_dot(a, b, ${graft.operators.Similarity.ScaledShift})")
+        .head().getLong(0)
+      got == expected
+    }
+    // few cases: each runs a Spark job; the formula is the contract
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ivf probes return nProbe distinct clusters led by the assignment") {
     val e = emb
     val centroids = graft.operators.Ivf.pickCentroids(e, "vec_id", "embedding", 8)

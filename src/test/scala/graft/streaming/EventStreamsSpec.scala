@@ -87,6 +87,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout closes and emits an idle session via the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ev(id: Long, uid: Long, ms: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(ms), uid, "click", 1.0)
+
+    val h = 3600L * 1000
+    val stream = MemoryStream[EventStreams.Event]
+    // user 1: two events 5 min apart at hour 1 — one open session (ts=0
+    // would be dropped: the initial watermark is 0 and late filtering is
+    // ts <= watermark)
+    stream.addData(Seq(ev(1, 1, h), ev(2, 1, h + 5 * 60 * 1000)))
+    val q = EventStreams.sessionizeWithTimeout(stream.toDS())
+      .writeStream.format("memory").queryName("timeout_sessions_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions_test").count() == 0) // still open
+      // user 2 at hour 5 pushes the watermark past user 1's expiry
+      stream.addData(Seq(ev(3, 2, 5 * h)))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the advanced
+      // watermark) fires
+      stream.addData(Seq(ev(4, 2, 5 * h + 1000)))
+      q.processAllAvailable()
+      val rows = spark.table("timeout_sessions_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.exists(r => r._1 == 1 && r._3 == h && r._4 == h + 5 * 60 * 1000 && r._5 == 2),
+        s"user 1's idle session was not emitted: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionize query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

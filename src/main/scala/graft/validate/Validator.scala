@@ -196,6 +196,8 @@ object Validator {
     case (null, null) => true
     case (null, _) | (_, null) => false
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) == 0
+    // the reference compares strings stripped (validator.py:894-896)
+    case (x: String, y: String) => x.trim == y.trim
     case (x, y) => x == y
   }
 }

@@ -53,6 +53,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("ANN queries broadcast the query set — the corpus is never shuffled to it") {
+    for (name <- Seq("q27_ann_brute_topk", "q33_ann_fast_topk", "q41_ann_ivf")) {
+      val plan = planOf(name)
+      assert(plan.contains("Broadcast"), s"$name: no broadcast in plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian plan")
+    }
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

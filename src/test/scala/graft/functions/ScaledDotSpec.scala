@@ -17,6 +17,24 @@ class ScaledDotSpec extends SparkSpec {
     graft.sources.Tables.load(spark, sfDir, "embeddings")
   }
 
+  test("the full native-function surface resolves in SQL on a fresh session") {
+    // a new child session starts with a clean function registry; register()
+    // installs the same descriptor list GraftExtensions injects at build
+    // time (spark.sql.extensions=graft.functions.GraftExtensions)
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val r = s2.sql(
+      "SELECT fvec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d, " +
+        "fvec_scaled_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 8) AS sd, " +
+        "fvec_lsh_bucket(array(CAST(1.0 AS FLOAT)), 4, 8) AS b, " +
+        "simhash_text('a b') AS sh, " +
+        "minhash_text_signature('a b c d', 3, 4) AS mh, " +
+        "simhash64(array('a')) AS s64, " +
+        "minhash_signature(array('a'), 4) AS ms").head()
+    assert(r.getDouble(0) == 2.0 && r.getLong(1) == 256L)
+    assert(r.getSeq[Long](4).length == 4)
+  }
+
   test("scaled dot is order-independent: same result under any partitioning") {
     val base = emb.select(col("vec_id"),
       Similarity.scaledDot("embedding", "embedding").as("d"))

@@ -217,7 +217,18 @@ object GraftFunctions {
     registry.registerFunction(
       FunctionIdentifier("ivf_nearest"),
       new ExpressionInfo(classOf[FvecNearestIndex].getName, "ivf_nearest"),
-      (children: Seq[Expression]) => FvecNearestIndex(children.head, centroids, shift))
+      (children: Seq[Expression]) => FvecNearestIndex(children.head, centroids, shift,
+        new Array[Long](centroids.length)))
+    // Euclidean assignment for Lloyd refinement: argmin ||v-c||^2 via the
+    // half-self-dot bias (v.v is constant per row and drops out)
+    val scale = java.lang.Math.scalb(1.0, shift)
+    val bias = centroids.map { c =>
+      c.map(x => math.floor(x.toDouble * x.toDouble * scale).toLong).sum / 2
+    }
+    registry.registerFunction(
+      FunctionIdentifier("ivf_nearest_euclid"),
+      new ExpressionInfo(classOf[FvecNearestIndex].getName, "ivf_nearest_euclid"),
+      (children: Seq[Expression]) => FvecNearestIndex(children.head, centroids, shift, bias))
     registry.registerFunction(
       FunctionIdentifier("ivf_probes"),
       new ExpressionInfo(classOf[FvecTopProbes].getName, "ivf_probes"),

@@ -91,11 +91,15 @@ case class FvecLshBucket(child: Expression, bits: Int, shift: Int)
     copy(child = newChild)
 }
 
-/** Index (0-based) of the centroid with the largest scaled-long dot against
-  * the input vector; ties resolve to the first index — matching
-  * `ROW_NUMBER() OVER (ORDER BY dot DESC, idx)` = 1 in the oracle. */
-case class FvecNearestIndex(child: Expression, centroids: Array[Array[Float]], shift: Int)
-  extends FloatArrayExpression {
+/** Index (0-based) of the centroid maximizing `scaledDot(v, c) - bias_c`;
+  * ties resolve to the first index — matching
+  * `ROW_NUMBER() OVER (ORDER BY dot DESC, idx)` = 1 in the oracle.
+  *
+  * With `bias = 0` (IVF assignment/probing) this is max-dot. With
+  * `bias_c = scaledDot(c, c) / 2` it is Euclidean argmin (argmin ‖v-c‖² =
+  * argmax (v·c - ‖c‖²/2)) — the Lloyd-iteration assignment. */
+case class FvecNearestIndex(child: Expression, centroids: Array[Array[Float]], shift: Int,
+                            bias: Array[Long]) extends FloatArrayExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "fvec_nearest_index"
@@ -110,7 +114,7 @@ case class FvecNearestIndex(child: Expression, centroids: Array[Array[Float]], s
     while (c < centroids.length) {
       val cen = centroids(c)
       val n = math.min(v.numElements(), cen.length)
-      var acc = 0L
+      var acc = -bias(c)
       var i = 0
       while (i < n) {
         acc += math.floor(v.getFloat(i).toDouble * cen(i).toDouble * scale).toLong
@@ -124,6 +128,7 @@ case class FvecNearestIndex(child: Expression, centroids: Array[Array[Float]], s
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val biasRef = ctx.addReferenceObj("bias", bias, "long[]")
     nullSafeCodeGen(ctx, ev, v => {
       val best = ctx.freshName("best")
       val bestIdx = ctx.freshName("bestIdx")
@@ -138,7 +143,7 @@ case class FvecNearestIndex(child: Expression, centroids: Array[Array[Float]], s
          |for (int $c = 0; $c < $centRef.length; $c++) {
          |  float[] $cen = $centRef[$c];
          |  int $n = java.lang.Math.min($v.numElements(), $cen.length);
-         |  long $acc = 0L;
+         |  long $acc = -$biasRef[$c];
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += (long) java.lang.Math.floor(
          |      (double) $v.getFloat($i) * (double) $cen[$i] * ${scale}D);

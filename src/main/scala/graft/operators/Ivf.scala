@@ -49,6 +49,40 @@ object Ivf {
       .withColumn("cluster", expr(s"ivf_nearest($vecCol)"))
   }
 
+  /** Lloyd refinement of the hash-sampled centroids — the "few k-means
+    * iterations" the 100 TB path would run on the same plumbing: one
+    * distributed Euclidean-assignment pass (`ivf_nearest_euclid`: argmin
+    * ‖v-c‖² as a biased max-dot, constants as reference objects), then a
+    * per-(cluster, dim) mean via posexplode + groupBy — shuffle size
+    * #clusters × dims rows, independent of corpus size. Empty clusters
+    * keep their previous centroid. */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[(Long, Seq[Float])],
+                      iters: Int = 2): Array[(Long, Seq[Float])] = {
+    val spark = corpus.sparkSession
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      graft.functions.GraftFunctions.registerIvf(
+        spark, centArrays(cents), 4, Similarity.ScaledShift)
+      val means = corpus
+        .withColumn("cluster", expr(s"ivf_nearest_euclid($vecCol)"))
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case ((id, old), cIdx) =>
+        byCluster.get(cIdx) match {
+          case Some(rows) =>
+            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+            (id, old.indices.map(d => dims.getOrElse(d, old(d).toDouble).toFloat))
+          case None => (id, old)
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF top-k: probe the `nProbe` nearest lists per query, exact cosine
     * within candidates. Queries are broadcast with their probe sets. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -16,6 +16,31 @@ class IvfSpec extends SparkSpec {
     assert(a.distinct.length === 8)
   }
 
+  test("Lloyd refinement is monotone: WCSS never increases over iterations") {
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def wcss(cents: Array[(Long, Seq[Float])]): Double = {
+      val cs = cents.map(_._2.map(_.toDouble).toArray)
+      vecs.map { v =>
+        cs.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+          d
+        }.min
+      }.sum
+    }
+    val initial = Ivf.pickCentroids(emb, "vec_id", "embedding", 8)
+    val once = Ivf.refineCentroids(emb, "vec_id", "embedding", initial, iters = 1)
+    val twice = Ivf.refineCentroids(emb, "vec_id", "embedding", initial, iters = 2)
+    val (w0, w1, w2) = (wcss(initial), wcss(once), wcss(twice))
+    info(f"WCSS: initial $w0%.1f -> 1 iter $w1%.1f -> 2 iters $w2%.1f")
+    assert(w1 <= w0 * (1 + 1e-9), s"first iteration increased WCSS: $w0 -> $w1")
+    assert(w2 <= w1 * (1 + 1e-9), s"second iteration increased WCSS: $w1 -> $w2")
+    // refinement must actually move the centroids on this corpus
+    assert(w1 < w0)
+  }
+
   test("assignment covers every vector with a valid cluster id") {
     val centroids = Ivf.pickCentroids(emb, "vec_id", "embedding", 8)
     val assigned = Ivf.assign(emb, "vec_id", "embedding", centroids)

@@ -102,6 +102,26 @@ object CoreQueries {
         .orderBy(col("region"), col("nation"))
     },
 
+    // Market-share composite: 4-way join → per-(year, nation) exact
+    // revenue → window share-of-year — the TPC-H Q8 shape (joins + date
+    // extraction + two aggregation levels in one plan).
+    "q67_market_share" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"), col("n_name").as("nation"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      // year total via exact decimal window sum: a double window total would
+      // accumulate in partition-layout order and drift a ulp vs the oracle
+      rev.withColumn("share",
+          col("revenue") /
+            sum(col("revenue").cast("decimal(30,6)"))
+              .over(Window.partitionBy(col("yr"))).cast("double"))
+        .orderBy(col("yr"), col("nation"))
+    },
+
     "q08_anti_join_customers" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
@@ -313,6 +333,20 @@ object CoreQueries {
       """SELECT u.word AS word, COUNT(*) AS cnt
         |FROM part, UNNEST(string_split(p_type, ' ')) AS u(word)
         |GROUP BY 1 ORDER BY word""".stripMargin,
+
+    "q67_market_share" ->
+      s"""WITH rev AS (
+         |  SELECT EXTRACT(year FROM o_orderdate) AS yr, n_name AS nation,
+         |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT yr, nation, revenue,
+         |  revenue / CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+         |    OVER (PARTITION BY yr) AS DOUBLE) AS share
+         |FROM rev ORDER BY yr, nation""".stripMargin,
 
     "q63_dialect_scalars" ->
       """SELECT lpad(o_orderstatus, 3, 'x') AS st,

@@ -45,8 +45,24 @@ object Bench {
       if (stats.success) stats.rowsPerSecond else -1.0
     } catch { case _: Throwable => -1.0 }
 
+    // Whole-schema transfer with 4 parallel table workers — the reference's
+    // benchmark configuration (README.md:384-385: --workers 4 → 50k-200k
+    // rows/s); aggregate rows over wall-clock.
+    val schemaRps = try {
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_schema").toString
+      val engine = new graft.transfer.TransferEngine(
+        new graft.transfer.ParquetSource(sfDir), new graft.transfer.ParquetSink(out))
+      val t0 = System.nanoTime()
+      val stats = engine.transferSchema(spark, graft.sources.Tables.all, workers = 4)
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      if (stats.forall(_.success) && secs > 0) stats.map(_.rowsTransferred).sum / secs
+      else -1.0
+    } catch { case _: Throwable => -1.0 }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""transfer_rows_per_sec":${transferRps.round},"sf":"$sfDir"}""")
+      s""""transfer_rows_per_sec":${transferRps.round},""" +
+      s""""schema_transfer_rows_per_sec":${schemaRps.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

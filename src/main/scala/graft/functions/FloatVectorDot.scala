@@ -184,6 +184,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"minhash_text_signature(text[, k, numHashes]) — got ${other.length} args")
       }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => WinnowFingerprints(text)
+        case Seq(text, Literal(k: Int, _), Literal(w: Int, _)) => WinnowFingerprints(text, k, w)
+        case other => throw new IllegalArgumentException(
+          s"winnow_fingerprints(text[, k, w]) — got ${other.length} args")
+      }),
     (FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (children: Seq[Expression]) => SimHashText(children.head)),

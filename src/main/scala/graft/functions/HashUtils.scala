@@ -111,6 +111,45 @@ object HashUtils {
     mins
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * character k-gram (md5 32-bit prefix — the cross-engine family), slide
+    * a w-window over the hash sequence, keep each window's MINIMUM, return
+    * the document's distinct kept values sorted. For texts shorter than k
+    * the whole text is one gram; for fewer than w grams the single window
+    * is the full sequence. Replayable in SQL as a ROWS-frame window MIN
+    * over positional k-gram hashes. */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val b = s.getBytes
+    val d = md.get()
+    val nGrams = math.max(b.length - k + 1, 1)
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      d.reset()
+      d.update(b, i, math.min(k, b.length - i))
+      val dig = d.digest()
+      h(i) = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+        ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+      i += 1
+    }
+    val kept = new java.util.TreeSet[java.lang.Long]()
+    val lastStart = math.max(nGrams - w, 0)
+    var p = 0
+    while (p <= lastStart) {
+      var m = Long.MaxValue
+      var j = p
+      val end = math.min(p + w, nGrams)
+      while (j < end) { if (h(j) < m) m = h(j); j += 1 }
+      kept.add(m)
+      p += 1
+    }
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   /** SimHash64 over the DISTINCT tokens of `s` — equal to [[SimHash64]] on
     * `array_distinct(split(s, ' '))`, one pass, dedup by 64-bit digest
     * prefix (a collision would need 2^-64; the oracle dedups by token). */

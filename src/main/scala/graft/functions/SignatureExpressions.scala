@@ -62,6 +62,30 @@ case class MinHashTextSignature(child: Expression, k: Int = 3, numHashes: Int = 
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint set of a text column ([[HashUtils
+  * .winnowFingerprints]]): ascending array of the document's kept k-gram
+  * hash minima — the rolling-hash document fingerprint used for
+  * plagiarism-style overlap detection. */
+case class WinnowFingerprints(child: Expression, k: Int = 8, w: Int = 4)
+  extends TextExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashUtils.winnowFingerprints(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad(graft.functions.HashUtils.winnowFingerprints($s, $k, $w));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** SimHash64 straight from the document text ([[HashUtils.simhashText]]) —
   * distinct-token votes without materializing the token array. */
 case class SimHashText(child: Expression) extends TextExpression {

@@ -113,6 +113,28 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Winnowing fingerprints (12-gram hashes → min-per-8-window): docs
+    // sharing ≥8 kept fingerprints — the rolling-hash overlap detector.
+    // Ubiquitous fingerprints (doc-frequency > 50) are dropped before the
+    // self-join, the same frequent-key mitigation as the LSH bucket caps.
+    "q68_winnow_pairs" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val fps = t(s, dir, "documents").select(col("doc_id"),
+        explode(expr("winnow_fingerprints(text, 12, 8)")).as("fp"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 50)
+        .drop("df")
+        .cache()
+      fps.select(col("doc_id").as("a_id"), col("fp"))
+        .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Content fingerprints (md5-based rolling-hash analogue): collision
     // census per source.
     "q32_fingerprint" -> { (s, dir) =>
@@ -194,6 +216,30 @@ object TextQueries {
          |  MIN(${bpeTokenCountSql("text")}) AS min_bpe,
          |  MAX(${bpeTokenCountSql("text")}) AS max_bpe
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q68_winnow_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, i.i AS pos,
+        |    ('0x' || substr(md5(substr(text, i.i + 1, 12)), 1, 8))::BIGINT AS h
+        |  FROM documents, UNNEST(range(0, greatest(length(text) - 11, 1))) AS i(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1),
+        |wmin AS (
+        |  SELECT g.doc_id, g.pos,
+        |    MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT w.doc_id, w.fp
+        |  FROM wmin w JOIN n ON n.doc_id = w.doc_id
+        |  WHERE w.pos <= greatest(n.ng - 8, 0)),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        |  FROM fps a JOIN ok USING (fp) JOIN fps b USING (fp)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= 8
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q32_fingerprint" ->
       s"""SELECT source, COUNT(*) AS n_docs,

@@ -18,16 +18,11 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Word k-shingles over an already-tokenized array column, deduplicated.
-    * Takes the token *array* (not raw text) so `split` runs once per row —
-    * referencing `split(text)` inside the lambda would re-tokenize the
-    * whole document for every shingle index (O(T²)). `greatest(..., 0)`
+  /** Word k-shingles of a text column, deduplicated. `greatest(..., 0)`
     * guards texts shorter than k tokens (Spark `sequence` would otherwise
-    * count *down* and explode). */
-  def shinglesSql(toksCol: String, k: Int = 3): String =
-    s"array_distinct(transform(sequence(0, greatest(size($toksCol) - $k, 0)), " +
-      s"i -> concat_ws(' ', slice($toksCol, i + 1, $k))))"
-
+    * count *down* and explode). The MinHash pipeline itself skips this
+    * materialization entirely (minhash_text_signature hashes shingles as
+    * byte ranges); this stays for exact shingle-set operators (q66). */
   def shingles(textCol: String, k: Int = 3): Column = {
     val toks = s"split($textCol, ' ')"
     expr(s"array_distinct(transform(sequence(0, greatest(size($toks) - $k, 0)), " +

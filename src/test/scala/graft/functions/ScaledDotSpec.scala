@@ -58,6 +58,24 @@ class ScaledDotSpec extends SparkSpec {
     }
   }
 
+  test("byte-level text signatures equal the composed array-based expressions") {
+    // minhash_text_signature / simhash_text hash shingles/tokens as byte
+    // ranges; the array-based originals materialize them as strings —
+    // results must be identical on real documents
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents").limit(200)
+    val both = docs.selectExpr(
+      "minhash_text_signature(text, 3, 32) AS fast",
+      "minhash_signature(array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))), 32) AS composed",
+      "simhash_text(text) AS sh_fast",
+      "simhash64(array_distinct(split(text, ' '))) AS sh_composed")
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash mismatch")
+      assert(r.getLong(2) == r.getLong(3), "simhash mismatch")
+    }
+  }
+
   test("HashUtils md5 prefixes equal Spark's md5 hex prefixes") {
     // the oracle replays signatures via ('0x'||substr(md5(s),1,8|16)) casts;
     // HashUtils must produce the identical value from the digest bytes

@@ -24,8 +24,8 @@ final case class TableValidationResult(
   * re-expressed as distributed DataFrame computation. Where the reference
   * issues paired SQL to two remote engines and diffs dicts in Python, here
   * both sides are DataFrames in one session, so every comparison is a join:
-  * partition diffs become full-outer joins, row-sample lookups become
-  * broadcast left joins (SURVEY §2.3 J2/J3).
+  * partition diffs become full-outer joins, row-sample lookups become a
+  * target scan joined against the broadcast sample (SURVEY §2.3 J2/J3).
   *
   * Scale notes: no monthly chunking (validator.py:515-570) — a single
   * distributed groupBy replaces 1,200 chunked round-trips; no 50-column
@@ -122,28 +122,50 @@ class Validator(
       details = mismatches.take(mismatchCap).map(_.toString).toSeq)
   }
 
-  /** Layer 5: row sampling via broadcast left join on the PK — missing rows
-    * are null-right rows (anti-join semantics), field mismatches are
-    * column-wise comparisons (validator.py:407-470, 786-802). */
+  /** Layer 5: row sampling via PK lookup (validator.py:407-470, 786-802).
+    *
+    * The ≤`sampleSize`-row sample is the broadcast build side; the full
+    * target is only ever scanned — `target ⋈ broadcast(sample)` — so the
+    * check stays O(|target| scan + |sample|) at any target size. (The
+    * reference pulls each sampled row with a point SELECT; an earlier
+    * version here broadcast the whole target, which OOMs the driver at
+    * scale.) Missing rows are derived by subtraction from one combined
+    * present/mismatch aggregate — a single pass over the join.
+    */
   def checkRowSample(pkCols: Seq[String], sampleSize: Int = 100): CheckResult = {
     if (pkCols.isEmpty)
       return CheckResult("row_sample", None, message = "no primary key; skipped")
     val dataCols = source.columns.filterNot(pkCols.contains).toSeq
-    val sample = source.orderBy(pkCols.map(col).toSeq: _*).limit(sampleSize)
-    val renamedTarget = dataCols.foldLeft(target)((df, c) => df.withColumnRenamed(c, s"t_$c"))
-      .withColumn("t_row_present", lit(1))
-    val joined = sample.join(broadcast(renamedTarget), pkCols, "left_outer")
-    val missing = joined.filter(col("t_row_present").isNull).count()
-    val fieldNeq: Option[Column] = dataCols
-      .map(c => !(col(c) <=> col(s"t_$c")))
-      .reduceOption(_ || _)
-    val mismatched = fieldNeq.map(p => joined.filter(col("t_row_present").isNotNull)
-      .filter(p).count()).getOrElse(0L)
+    val joined = rowSampleJoin(pkCols, sampleSize)
+    // TakeOrderedAndProject on the PK: cheap, and deterministic like the
+    // reference's ORDER BY pk LIMIT n sample (validator.py:419-424)
+    val sampleCount = source.orderBy(pkCols.map(col).toSeq: _*).limit(sampleSize).count()
+    val fieldNeq: Column = dataCols
+      .map(c => !(col(c) <=> col(s"s_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val row = joined.agg(
+      count(lit(1)).as("present"),
+      sum(when(fieldNeq, 1L).otherwise(0L)).as("mismatched")).collect()(0)
+    val present = row.getLong(0)
+    val mismatched = if (row.isNullAt(1)) 0L else row.getLong(1)
+    // a duplicate-PK target inflates `present`; clamp so that pathology
+    // reads as 0 missing + its field mismatches, not a negative count
+    val missing = math.max(0L, sampleCount - present)
     val passed = missing == 0 && mismatched == 0
     CheckResult("row_sample", Some(passed),
       message =
         if (passed) s"all sampled rows present and equal"
         else s"$missing missing rows, $mismatched rows with field mismatches")
+  }
+
+  /** The layer-5 join, exposed so specs can pin its executed shape:
+    * full target (probe) inner-joined against the broadcast sample (build),
+    * sample data columns renamed `s_*`. */
+  private[validate] def rowSampleJoin(pkCols: Seq[String], sampleSize: Int): DataFrame = {
+    val dataCols = source.columns.filterNot(pkCols.contains).toSeq
+    val sample = source.orderBy(pkCols.map(col).toSeq: _*).limit(sampleSize)
+    val renamedSample = dataCols.foldLeft(sample)((df, c) => df.withColumnRenamed(c, s"s_$c"))
+    target.join(broadcast(renamedSample), pkCols, "inner")
   }
 
   /** All layers with auto-detection (validator.py:83-187 orchestration). */

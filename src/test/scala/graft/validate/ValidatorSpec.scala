@@ -61,6 +61,32 @@ class ValidatorSpec extends SparkSpec {
       when(col("o_orderkey") <= 5, lit("Z")).otherwise(col("o_orderstatus")))
     val r2 = new Validator(orders, mangled).checkRowSample(Seq("o_orderkey"), 10)
     assert(r2.passed === Some(false))
+    assert(r2.message.contains("6 rows with field mismatches"), r2.message) // keys 0..5
+
+    // drop exactly 2 of the 10 sampled keys → missing-by-subtraction must say 2
+    val sampledKeys = orders.orderBy("o_orderkey").limit(10)
+      .select("o_orderkey").collect().map(_.getAs[Number](0).longValue())
+    val dropped = orders.filter(!col("o_orderkey").isin(sampledKeys.take(2): _*))
+    val r3 = new Validator(orders, dropped).checkRowSample(Seq("o_orderkey"), 10)
+    assert(r3.passed === Some(false))
+    assert(r3.message.startsWith("2 missing rows"), r3.message)
+  }
+
+  test("layer 5 broadcasts the SAMPLE, never the target") {
+    // the scale contract: target is the probe side (scanned in place), the
+    // ≤n-row sample is the broadcast build side — a reversed join would ship
+    // the full target to the driver and OOM at production row counts
+    val v = new Validator(orders, orders)
+    val joined = v.rowSampleJoin(Seq("o_orderkey"), 10)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the broadcast exchange must sit on the sample branch — recognizable by
+    // its TakeOrderedAndProject (ORDER BY pk LIMIT n); the target branch has none
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    assert(bcastIdx >= 0, plan.take(2000))
+    assert(plan.indexOf("TakeOrderedAndProject", bcastIdx) >= 0,
+      s"broadcast side is not the limited sample:\n${plan.take(3000)}")
   }
 
   test("date column heuristic: name hints beat position") {

@@ -213,35 +213,32 @@ object GraftFunctions {
     }
   }
 
-  /** Register the IVF centroid expressions, which close over a runtime
-    * centroid set (collected from data — not expressible as SQL literals
-    * without bloating the plan). Re-registering overwrites the previous
-    * builders; plans already analyzed keep the centroids they resolved
-    * with, so sequential queries with different centroid sets are safe. */
-  def registerIvf(spark: SparkSession, centroids: Array[Array[Float]],
-                  nProbe: Int, shift: Int): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("ivf_nearest"),
-      new ExpressionInfo(classOf[FvecNearestIndex].getName, "ivf_nearest"),
-      (children: Seq[Expression]) => FvecNearestIndex(children.head, centroids, shift,
-        new Array[Long](centroids.length)))
-    // Euclidean assignment for Lloyd refinement: argmin ||v-c||^2 via the
-    // half-self-dot bias (v.v is constant per row and drops out)
+  /** IVF expressions close over a runtime centroid set (collected from
+    * data — not expressible as SQL literals without bloating the plan), so
+    * they are built straight into `Column`s via
+    * [[org.apache.spark.sql.graft.ColumnBridge]] rather than registered on
+    * the session-global function registry: two IVF queries with different
+    * centroid sets compose in one session with no shared mutable state. */
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Index of the max-dot centroid — the IVF inverted-list assignment. */
+  def ivfNearest(vec: Column, centroids: Array[Array[Float]], shift: Int): Column =
+    ColumnBridge.column(FvecNearestIndex(ColumnBridge.expression(vec), centroids, shift,
+      new Array[Long](centroids.length)))
+
+  /** Euclidean-assignment variant for Lloyd refinement: argmin ‖v−c‖² via
+    * the half-self-dot bias (v·v is constant per row and drops out). */
+  def ivfNearestEuclid(vec: Column, centroids: Array[Array[Float]], shift: Int): Column = {
     val scale = java.lang.Math.scalb(1.0, shift)
     val bias = centroids.map { c =>
       c.map(x => math.floor(x.toDouble * x.toDouble * scale).toLong).sum / 2
     }
-    registry.registerFunction(
-      FunctionIdentifier("ivf_nearest_euclid"),
-      new ExpressionInfo(classOf[FvecNearestIndex].getName, "ivf_nearest_euclid"),
-      (children: Seq[Expression]) => FvecNearestIndex(children.head, centroids, shift, bias))
-    registry.registerFunction(
-      FunctionIdentifier("ivf_probes"),
-      new ExpressionInfo(classOf[FvecTopProbes].getName, "ivf_probes"),
-      (children: Seq[Expression]) => FvecTopProbes(children.head, centroids, nProbe, shift))
+    ColumnBridge.column(FvecNearestIndex(ColumnBridge.expression(vec), centroids, shift, bias))
   }
+
+  /** The `nProbe` nearest centroid indices — the IVF probe set. */
+  def ivfProbes(vec: Column, centroids: Array[Array[Float]], nProbe: Int, shift: Int): Column =
+    ColumnBridge.column(FvecTopProbes(ColumnBridge.expression(vec), centroids, nProbe, shift))
 
   /** Column builders (register on the column's session before collecting;
     * the SQL-string form keeps us on the public Column API). */

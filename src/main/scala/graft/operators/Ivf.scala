@@ -43,10 +43,9 @@ object Ivf {
              centroids: Array[(Long, Seq[Float])],
              nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    graft.functions.GraftFunctions.registerIvf(
-      spark, centArrays(centroids), nProbe, Similarity.ScaledShift)
     corpus.repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("cluster", expr(s"ivf_nearest($vecCol)"))
+      .withColumn("cluster", graft.functions.GraftFunctions.ivfNearest(
+        col(vecCol), centArrays(centroids), Similarity.ScaledShift))
   }
 
   /** Lloyd refinement of the hash-sampled centroids — the "few k-means
@@ -59,13 +58,11 @@ object Ivf {
   def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: Array[(Long, Seq[Float])],
                       iters: Int = 2): Array[(Long, Seq[Float])] = {
-    val spark = corpus.sparkSession
     var cents = centroids
     for (_ <- 0 until iters) {
-      graft.functions.GraftFunctions.registerIvf(
-        spark, centArrays(cents), 4, Similarity.ScaledShift)
       val means = corpus
-        .withColumn("cluster", expr(s"ivf_nearest_euclid($vecCol)"))
+        .withColumn("cluster", graft.functions.GraftFunctions.ivfNearestEuclid(
+          col(vecCol), centArrays(cents), Similarity.ScaledShift))
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"))
@@ -88,7 +85,6 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroids = pickCentroids(corpus, "vec_id", "embedding", nCentroids)
     val assigned = assign(corpus, "vec_id", "embedding", centroids, nProbe)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cluster"))
@@ -96,7 +92,8 @@ object Ivf {
 
     // probe set: indices of the nProbe largest centroid dots
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .withColumn("probe_clusters", expr("ivf_probes(qvec)"))
+      .withColumn("probe_clusters", graft.functions.GraftFunctions.ivfProbes(
+        col("qvec"), centArrays(centroids), nProbe, Similarity.ScaledShift))
       .withColumn("qnorm", Similarity.scaledNorm("qvec"))
       .withColumn("cluster", explode(col("probe_clusters")))
 

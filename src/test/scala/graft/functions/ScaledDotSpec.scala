@@ -132,10 +132,11 @@ class ScaledDotSpec extends SparkSpec {
   test("ivf probes return nProbe distinct clusters led by the assignment") {
     val e = emb
     val centroids = graft.operators.Ivf.pickCentroids(e, "vec_id", "embedding", 8)
-    GraftFunctions.registerIvf(spark, centroids.map(_._2.toArray), 3, Similarity.ScaledShift)
+      .map(_._2.toArray)
     val rows = e.limit(20)
-      .select(col("vec_id"), expr("ivf_nearest(embedding)").as("near"),
-        expr("ivf_probes(embedding)").as("probes"))
+      .select(col("vec_id"),
+        GraftFunctions.ivfNearest(col("embedding"), centroids, Similarity.ScaledShift).as("near"),
+        GraftFunctions.ivfProbes(col("embedding"), centroids, 3, Similarity.ScaledShift).as("probes"))
       .collect()
     rows.foreach { r =>
       val probes = r.getSeq[Int](2)
@@ -143,5 +144,21 @@ class ScaledDotSpec extends SparkSpec {
       // the nearest cluster must be the first probe
       assert(probes.head == r.getInt(1))
     }
+  }
+
+  test("two IVF centroid sets compose in one query — no session-global state") {
+    // column-built expressions carry their own centroids: the same select
+    // can assign against two different sets without any registry overwrite
+    val centsA = graft.operators.Ivf.pickCentroids(emb, "vec_id", "embedding", 8).map(_._2.toArray)
+    val centsB = centsA.take(2) // a deliberately different (coarser) set
+    val rows = emb.limit(50)
+      .select(col("vec_id"),
+        GraftFunctions.ivfNearest(col("embedding"), centsA, Similarity.ScaledShift).as("a"),
+        GraftFunctions.ivfNearest(col("embedding"), centsB, Similarity.ScaledShift).as("b"))
+      .collect()
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 2))
+    // sets genuinely differ: some vector must land in a cluster ≥ 2 under A
+    assert(rows.exists(_.getInt(1) >= 2))
   }
 }

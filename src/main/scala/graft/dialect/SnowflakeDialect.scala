@@ -18,6 +18,12 @@ import scala.annotation.tailrec
   *   - `x::NUMBER` / `::STRING` / `::VARCHAR` → Spark cast types
   *   - 3-part `"DB"."SCH"."TBL"` references → bare lowercase table names
   *     (cf. view_procedure_translator.py:82-91)
+  *   - `QUALIFY <pred>` → windowed-column subquery + outer filter (Spark
+  *     has no QUALIFY clause)
+  *   - `TO_TIMESTAMP/TO_DATE(x, '<snowflake format>')` → Java pattern
+  *     (`DD/MM/YYYY HH24:MI` → `dd/MM/yyyy HH:mm`); `TO_CHAR(ts, fmt)` →
+  *     `DATE_FORMAT` (cf. view_procedure_translator.py:318-327)
+  *   - `ILIKE` needs no rewrite — native in Spark ≥3.3 (pinned by spec)
   *
   * The translation is string-level (like the reference) but implemented with
   * a character scanner that respects single-quoted literals (with `''`
@@ -28,6 +34,7 @@ object SnowflakeDialect {
   def translate(sql: String): String = {
     var s = sql
     s = stripThreePartNames(s)
+    s = rewriteQualify(s)
     s = rewriteFunctionCalls(s)
     s = rewriteCasts(s)
     s
@@ -101,6 +108,136 @@ object SnowflakeDialect {
     })
   }
 
+  /** `QUALIFY <pred>` → post-window filter (Spark has no QUALIFY clause;
+    * `ILIKE`, by contrast, is native Spark and passes through untouched).
+    * The standard expansion: the predicate becomes a boolean select-list
+    * column evaluated with the window functions, then an outer
+    * `SELECT * EXCEPT(__qualify) ... WHERE __qualify` filters on it —
+    * semantically QUALIFY's evaluation order (after window, before
+    * ORDER BY/LIMIT). Applied recursively inside parenthesized subqueries;
+    * the trailing top-level ORDER BY/LIMIT stays on the outer query. */
+  private def rewriteQualify(sql: String): String = {
+    // recurse into parenthesized blocks first (subqueries, CTE bodies)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => val j = skipString(sql, i); out.append(sql.substring(i, j)); i = j
+        case '"'  => val j = skipQuotedIdent(sql, i); out.append(sql.substring(i, j)); i = j
+        case '(' =>
+          val close = matchParen(sql, i)
+          out.append('(').append(rewriteQualify(sql.substring(i + 1, close))).append(')')
+          i = close + 1
+        case c => out.append(c); i += 1
+      }
+    }
+    rewriteTopLevelQualify(out.toString)
+  }
+
+  /** Positions of depth-0 keywords outside quotes, in order. */
+  private def topLevelKeywords(sql: String): Seq[(String, Int)] = {
+    val hits = Seq.newBuilder[(String, Int)]
+    var i = 0
+    var depth = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') i = skipString(sql, i)
+      else if (c == '"') i = skipQuotedIdent(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        if (depth == 0) hits += sql.substring(i, j).toUpperCase -> i
+        i = j
+      } else i += 1
+    }
+    hits.result()
+  }
+
+  private def rewriteTopLevelQualify(sql: String): String = {
+    val kws = topLevelKeywords(sql)
+    val qualify = kws.find(_._1 == "QUALIFY").map(_._2).getOrElse(return sql)
+    val select = kws.find(_._1 == "SELECT").map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"QUALIFY without SELECT in: $sql"))
+    val from = kws.find { case (w, p) => w == "FROM" && p > select }.map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"QUALIFY without FROM in: $sql"))
+    val tail = kws.collectFirst {
+      case (w, p) if (w == "ORDER" || w == "LIMIT") && p > qualify => p
+    }.getOrElse(sql.length)
+    val prefix = sql.substring(0, select) // e.g. a WITH clause
+    val selList = sql.substring(select + "SELECT".length, from).trim
+    val body = sql.substring(from, qualify).trim
+    val pred = sql.substring(qualify + "QUALIFY".length, tail).trim
+    val tailSql = sql.substring(tail)
+    val tailSep = if (tailSql.isEmpty) "" else " "
+    s"${prefix}SELECT * EXCEPT(__qualify) FROM (SELECT $selList, ($pred) AS __qualify " +
+      s"$body) WHERE __qualify$tailSep$tailSql"
+  }
+
+  /** Index of the ')' matching the '(' at `open`, respecting quotes. */
+  private def matchParen(sql: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => i = skipString(sql, i)
+        case '"'  => i = skipQuotedIdent(sql, i)
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+          i += 1
+        case _ => i += 1
+      }
+    }
+    throw new IllegalArgumentException(s"unbalanced parens at $open")
+  }
+
+  /** Snowflake datetime format → Java/Spark pattern
+    * (view_procedure_translator.py:318-327 rewrites the same element table
+    * for PostgreSQL). Only applied to all-uppercase formats — the Snowflake
+    * convention — so an already-Java pattern (`dd/MM/yyyy HH:mm`) is never
+    * double-translated (`MI`/`mm` are case-ambiguous otherwise). Unknown
+    * letter runs are emitted single-quoted (pattern-literal text). */
+  private[dialect] def translateDateFormat(fmt: String): String = {
+    if (fmt.exists(_.isLower)) return fmt // already a Java pattern
+    val out = new StringBuilder
+    var i = 0
+    val n = fmt.length
+    val tokens: Seq[(String, String)] = Seq(
+      "YYYY" -> "yyyy", "YY" -> "yy",
+      "MMMM" -> "MMMM", "MON" -> "MMM", "MM" -> "MM",
+      "DD" -> "dd",
+      "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH",
+      "MI" -> "mm", "SS" -> "ss",
+      "AM" -> "a", "PM" -> "a",
+      "TZH" -> "x", "FF" -> "")
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c.isLetter) {
+        tokens.find { case (tok, _) => fmt.regionMatches(i, tok, 0, tok.length) } match {
+          case Some(("FF", _)) =>
+            i += 2
+            // FF<n> → n fraction digits; bare FF → 6 (Snowflake default FF9
+            // is nanoseconds, beyond timestamp precision here)
+            val digits = if (i < n && fmt.charAt(i).isDigit) { val d = fmt.charAt(i) - '0'; i += 1; d }
+              else 6
+            out.append("S" * digits)
+          case Some((tok, rep)) => out.append(rep); i += tok.length
+          case None =>
+            var j = i
+            while (j < n && fmt.charAt(j).isLetter &&
+              !tokens.exists { case (tok, _) => fmt.regionMatches(j, tok, 0, tok.length) }) j += 1
+            out.append('\'').append(fmt.substring(i, j)).append('\'')
+            i = j
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** One pass over the SQL rewriting known function calls; recurses into
     * arguments so nested `IFF` translate fully. */
   private def rewriteFunctionCalls(sql: String): String = {
@@ -109,6 +246,9 @@ object SnowflakeDialect {
       "SYSDATE"           -> "CURRENT_TIMESTAMP",
       "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
     val renamed = Map("NVL" -> "COALESCE", "IFNULL" -> "COALESCE")
+    val datetimeFns = Set("TO_TIMESTAMP", "TO_TIMESTAMP_NTZ", "TO_DATE", "TO_CHAR", "TO_VARCHAR")
+    def isStringLiteral(s: String): Boolean =
+      s.length >= 2 && s.head == '\'' && s.last == '\''
 
     val out = new StringBuilder
     var i = 0
@@ -144,6 +284,25 @@ object SnowflakeDialect {
             out.append(s"TIMESTAMPDIFF($unit, ${t(0)}, ${t(1)})")
             i = close + 1
           } else { out.append(word); i = j }
+        } else if (hasParen && datetimeFns.contains(upper)) {
+          // TO_TIMESTAMP/TO_DATE(expr, 'DD/MM/YYYY…') carry a Snowflake
+          // format element string → Java pattern; TO_CHAR(ts, fmt) becomes
+          // DATE_FORMAT, 1-arg TO_CHAR a plain string cast
+          // (view_procedure_translator.py:318-327).
+          val (args, close) = parseArgs(sql, k)
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val translated = if (t.length == 2 && isStringLiteral(t(1)))
+            Seq(t(0), "'" + translateDateFormat(t(1).substring(1, t(1).length - 1)) + "'")
+          else t
+          val call = upper match {
+            case "TO_CHAR" | "TO_VARCHAR" =>
+              if (translated.length == 2) s"DATE_FORMAT(${translated.mkString(", ")})"
+              else s"CAST(${translated.head} AS STRING)"
+            case "TO_TIMESTAMP_NTZ" => s"TO_TIMESTAMP(${translated.mkString(", ")})"
+            case fn => s"$fn(${translated.mkString(", ")})"
+          }
+          out.append(call)
+          i = close + 1
         } else if (hasParen && upper == "SPLIT_TO_TABLE") {
           val (args, close) = parseArgs(sql, k)
           val t = args.map(a => rewriteFunctionCalls(a.trim))

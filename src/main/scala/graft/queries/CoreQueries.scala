@@ -204,6 +204,23 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // QUALIFY + ILIKE + non-ISO TO_TIMESTAMP format + TO_CHAR — the
+    // Snowflake-isms one view away in any real migration, end-to-end
+    // through the translate path.
+    "q69_dialect_qualify" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |       TO_CHAR(TO_TIMESTAMP('15/06/2024 08:30', 'DD/MM/YYYY HH24:MI'),
+          |               'YYYY-MM-DD HH24:MI:SS') AS batch_ts
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderpriority ILIKE '%urgent%'
+          |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+          |                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+          |ORDER BY o_custkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     "q15_cast_projection" -> { (s, dir) =>
       t(s, dir, "nation")
         .select(
@@ -363,6 +380,17 @@ object CoreQueries {
         |  COUNT(*) AS cnt
         |FROM orders
         |GROUP BY 1, 2 ORDER BY status, bucket""".stripMargin,
+
+    "q69_dialect_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  strftime(strptime('15/06/2024 08:30', '%d/%m/%Y %H:%M'),
+        |           '%Y-%m-%d %H:%M:%S') AS batch_ts
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_orderpriority ILIKE '%urgent%')
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "q15_cast_projection" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,

@@ -81,4 +81,59 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("iff(a, 1, 2)") === "CASE WHEN a THEN 1 ELSE 2 END")
     assert(tr("nvl(a, b)") === "COALESCE(a, b)")
   }
+
+  test("QUALIFY becomes a windowed subquery filter, tail ORDER BY stays outer") {
+    assert(tr("SELECT a, b FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a") ===
+      "SELECT * EXCEPT(__qualify) FROM (SELECT a, b, " +
+        "(ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1) AS __qualify " +
+        "FROM t) WHERE __qualify ORDER BY a")
+  }
+
+  test("QUALIFY with no trailing clause, with GROUP BY body, after a WITH prefix") {
+    assert(tr("SELECT a FROM t QUALIFY rk = 1") ===
+      "SELECT * EXCEPT(__qualify) FROM (SELECT a, (rk = 1) AS __qualify FROM t) WHERE __qualify")
+    // GROUP BY stays inside the derived table with the window evaluation
+    assert(tr("SELECT a, COUNT(*) c FROM t GROUP BY a QUALIFY RANK() OVER (ORDER BY COUNT(*)) <= 2") ===
+      "SELECT * EXCEPT(__qualify) FROM (SELECT a, COUNT(*) c, " +
+        "(RANK() OVER (ORDER BY COUNT(*)) <= 2) AS __qualify FROM t GROUP BY a) WHERE __qualify")
+    val cte = tr("WITH c AS (SELECT a, b FROM t) SELECT a, b FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 1")
+    assert(cte.startsWith("WITH c AS (SELECT a, b FROM t) SELECT * EXCEPT(__qualify)"), cte)
+  }
+
+  test("QUALIFY inside a subquery rewrites independently of the outer query") {
+    val in = "SELECT x FROM (SELECT a AS x FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) <= 3) ORDER BY x"
+    assert(tr(in) ===
+      "SELECT x FROM (SELECT * EXCEPT(__qualify) FROM (SELECT a AS x, " +
+        "(ROW_NUMBER() OVER (ORDER BY a) <= 3) AS __qualify FROM t) WHERE __qualify) ORDER BY x")
+  }
+
+  test("QUALIFY keyword inside a string literal is untouched") {
+    assert(tr("SELECT 'QUALIFY x' AS s FROM t") === "SELECT 'QUALIFY x' AS s FROM t")
+  }
+
+  test("Snowflake datetime formats translate to Java patterns") {
+    assert(tr("SELECT TO_TIMESTAMP(s, 'DD/MM/YYYY HH24:MI:SS')") ===
+      "SELECT TO_TIMESTAMP(s, 'dd/MM/yyyy HH:mm:ss')")
+    assert(tr("SELECT TO_DATE(s, 'MON DD, YYYY')") === "SELECT TO_DATE(s, 'MMM dd, yyyy')")
+    assert(tr("SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD HH12:MI AM')") ===
+      "SELECT TO_TIMESTAMP(s, 'yyyy-MM-dd hh:mm a')")
+    // fractional seconds: FF<n> → n fraction digits
+    assert(tr("SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD HH24:MI:SS.FF3')") ===
+      "SELECT TO_TIMESTAMP(s, 'yyyy-MM-dd HH:mm:ss.SSS')")
+    // an already-Java pattern (has lowercase) is never double-translated:
+    // MI/mm are case-ambiguous, so lowercase means hands off
+    assert(tr("SELECT TO_TIMESTAMP(s, 'dd/MM/yyyy HH:mm')") ===
+      "SELECT TO_TIMESTAMP(s, 'dd/MM/yyyy HH:mm')")
+  }
+
+  test("TO_CHAR: 2-arg becomes DATE_FORMAT with translated pattern, 1-arg a cast") {
+    assert(tr("SELECT TO_CHAR(ts, 'YYYY-MM-DD')") === "SELECT DATE_FORMAT(ts, 'yyyy-MM-dd')")
+    assert(tr("SELECT TO_CHAR(n)") === "SELECT CAST(n AS STRING)")
+    assert(tr("SELECT TO_VARCHAR(ts, 'HH24:MI')") === "SELECT DATE_FORMAT(ts, 'HH:mm')")
+  }
+
+  test("ILIKE is native Spark SQL and passes through untouched") {
+    assert(tr("SELECT a FROM t WHERE name ILIKE '%urgent%'") ===
+      "SELECT a FROM t WHERE name ILIKE '%urgent%'")
+  }
 }

@@ -1,0 +1,76 @@
+package graft.transfer
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** COPY-compatible CSV bulk sink — the testable core of the reference's
+  * highest-throughput path (`data_transfer.py:210-382`: CSV buffer +
+  * `COPY … FROM STDIN WITH CSV NULL '\N'`), re-expressed as a distributed
+  * write: every executor formats its partition with codegen'd string
+  * expressions and writes a COPY-ready shard, instead of one driver
+  * process funneling every row through an in-memory `csv.writer`.
+  *
+  * Field discipline (data_transfer.py:272-358):
+  *  - SQL NULL        → unquoted `\N`      (COPY `NULL '\N'` → DB NULL)
+  *  - empty string    → unquoted empty     (stays `''`, NOT NULL)
+  *  - `\x00` bytes    → stripped           (invalid in PG text; segfaults
+  *                                          psycopg2's COPY at the C level)
+  *  - quoting minimal → only fields containing comma/quote/CR/LF are
+  *    quoted, with `""` doubling (RFC 4180, what COPY CSV parses)
+  *  - a *literal* string `\N` → quoted `"\N"` — COPY's NULL marker matches
+  *    only the unquoted form, so the value survives. (The reference's
+  *    QUOTE_MINIMAL writer leaves it unquoted and silently collapses it to
+  *    NULL — a bug this formatter fixes.)
+  *
+  * PostgreSQL hookup (not built here — no PG in this image): stream each
+  * shard through pgjdbc's CopyManager, one line of glue per partition:
+  * {{{
+  * new CopyManager(conn.unwrap(classOf[BaseConnection]))
+  *   .copyIn(s"""COPY "$table" FROM STDIN WITH CSV NULL '\\N'""", reader)
+  * }}}
+  * run inside `df.foreachPartition` for executor-parallel COPY streams.
+  */
+object CsvBulk {
+
+  private val NullMarker = "\\N"
+
+  /** One COPY-ready CSV field: scrub, then null-mark, then minimally quote.
+    * Pure `functions._` composition — stays inside whole-stage codegen. */
+  def csvField(c: Column): Column = {
+    // \x00 scrub first (translate deletes unmapped chars), then quote test
+    val s = translate(c.cast("string"), "\u0000", "")
+    val needsQuote =
+      contains(s, lit(",")) || contains(s, lit("\"")) ||
+        contains(s, lit("\n")) || contains(s, lit("\r")) ||
+        (s === lit(NullMarker))
+    when(c.isNull, lit(NullMarker))
+      .otherwise(when(needsQuote,
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s))
+  }
+
+  /** A whole row as one COPY CSV line. `concat` (not `concat_ws`) so a
+    * NULL field can never collapse the line — every field is already
+    * non-null after [[csvField]]. */
+  def csvLine(df: DataFrame): Column = {
+    val fields = df.columns.map(c => csvField(col(c)))
+    val withCommas = fields.zipWithIndex.flatMap { case (f, i) =>
+      if (i == 0) Seq(f) else Seq(lit(","), f)
+    }
+    concat(withCommas.toSeq: _*).as("line")
+  }
+}
+
+/** [[TableSink]] writing COPY-compatible CSV shards to `dir/<table>.csv/`.
+  * Pairs with [[JdbcSource]]/[[ParquetSource]] under [[TransferEngine]];
+  * the S3 COPY-sink row of SURVEY §2.1. */
+final class CsvBulkSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extends TableSink {
+
+  def path(table: String): String = s"$dir/$table.csv"
+
+  def write(df: DataFrame, table: String): Unit =
+    df.select(CsvBulk.csvLine(df)).write.mode(mode).text(path(table))
+
+  override def countRows(spark: SparkSession, table: String): Option[Long] =
+    Some(spark.read.text(path(table)).count())
+}

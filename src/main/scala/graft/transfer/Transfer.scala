@@ -27,6 +27,13 @@ trait TableSource { def read(spark: SparkSession, table: String): DataFrame }
 trait TableSink {
   def write(df: DataFrame, table: String): Unit
 
+  /** Append one committed chunk of a chunked transfer (`firstChunk` marks a
+    * fresh start — overwrite-capable sinks clear leftovers from a dead
+    * uncheckpointed run there). Default: plain write (append-mode sinks
+    * like JDBC need no distinction). */
+  def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
+    write(df, table)
+
   /** Count the rows just written, if the sink can do so cheaply — lets the
     * transfer stats avoid a second full source scan (a parquet count is
     * footer metadata; a JDBC count is one aggregate query). */
@@ -41,6 +48,10 @@ final class ParquetSource(dir: String) extends TableSource {
 final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extends TableSink {
   def write(df: DataFrame, table: String): Unit =
     df.write.mode(mode).parquet(s"$dir/$table.parquet")
+
+  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
+    df.write.mode(if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(s"$dir/$table.parquet")
 
   override def countRows(spark: SparkSession, table: String): Option[Long] =
     Some(spark.read.parquet(s"$dir/$table.parquet").count())
@@ -95,13 +106,28 @@ final class JdbcSink(
   * failed table is retried whole (idempotent overwrite) rather than resumed
   * at a row offset: offset-resume is order-unstable, which the reference
   * itself concedes (data_transfer.py:33-36).
+  *
+  * Exception: tables registered in `chunkColumns` transfer in `chunkCount`
+  * key-range chunks with per-chunk checkpoint commits — the distributed
+  * re-expression of the reference's mid-table resume
+  * (checkpoint.py:60-74 + data_transfer.py:300-323). Where the reference
+  * checkpoints a *row offset* into an unordered result set (and concedes
+  * the instability), the chunk key ranges are value-stable: the checkpoint
+  * stores the next chunk's lower bound, so a rerun after a mid-table crash
+  * re-reads only the un-committed key range. The chunk column must be
+  * non-null numeric (a PK/partition key, same contract as the JDBC
+  * partitionColumn). A crash between a chunk's commit and its checkpoint
+  * write re-appends that one chunk (at-least-once, same window as the
+  * reference's commit-then-callback ordering).
   */
 final class TransferEngine(
     source: TableSource,
     sink: TableSink,
     checkpoint: Option[CheckpointManager] = None,
     where: Option[String] = None,
-    limit: Option[Int] = None) {
+    limit: Option[Int] = None,
+    chunkColumns: Map[String, String] = Map.empty,
+    chunkCount: Int = 8) {
 
   def transferTable(spark: SparkSession, table: String): TransferStats = {
     val t0 = System.nanoTime()
@@ -109,10 +135,15 @@ final class TransferEngine(
       var df = source.read(spark, table)
       where.foreach(w => df = df.filter(expr(w)))
       limit.foreach(n => df = df.limit(n))
-      // write first, then count the SINK (parquet footers / one JDBC agg):
-      // a pre-count would scan the whole source twice per table
-      sink.write(df, table)
-      sink.countRows(spark, table).getOrElse(df.count())
+      chunkColumns.get(table) match {
+        case Some(keyCol) if checkpoint.nonEmpty && limit.isEmpty =>
+          transferChunked(spark, df, table, keyCol)
+        case _ =>
+          // write first, then count the SINK (parquet footers / one JDBC
+          // agg): a pre-count would scan the whole source twice per table
+          sink.write(df, table)
+          sink.countRows(spark, table).getOrElse(df.count())
+      }
     } match {
       case Success(rows) =>
         val secs = (System.nanoTime() - t0) / 1e9
@@ -122,6 +153,34 @@ final class TransferEngine(
         val secs = (System.nanoTime() - t0) / 1e9
         TransferStats(table, 0, secs, 0, success = false, Some(e.getMessage))
     }
+  }
+
+  /** Key-range-chunked transfer with per-chunk checkpoint commits; returns
+    * rows written. Chunk boundaries derive from the table's full [min,max]
+    * key span so they are identical across runs; resume starts at the
+    * checkpointed watermark (the next chunk's lower bound). */
+  private def transferChunked(spark: SparkSession, df: DataFrame,
+                              table: String, keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cp = checkpoint.get
+    val bounds = df.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
+    if (bounds.isNullAt(0)) { // empty table: one empty write, no chunks
+      sink.write(df, table)
+      return 0L
+    }
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, math.ceil((hi - lo + 1).toDouble / chunkCount).toLong)
+    val resumeFrom = cp.resumeOffset(table)
+    var cur = if (resumeFrom > 0) resumeFrom else lo
+    var firstChunk = resumeFrom == 0
+    while (cur <= hi) {
+      val next = cur + width
+      sink.writeChunk(df.filter(col(keyCol) >= cur && col(keyCol) < next), table, firstChunk)
+      cp.updateProgress(table, next) // commit the watermark AFTER the chunk lands
+      firstChunk = false
+      cur = next
+    }
+    sink.countRows(spark, table).getOrElse(df.count())
   }
 
   /** Transfer all tables, skipping checkpointed-complete ones; `workers`

@@ -1,0 +1,86 @@
+package graft.transfer
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkSpec
+
+/** Mid-table resume (checkpoint.py:60-74 + data_transfer.py:300-323): a
+  * transfer killed mid-table must restart from its last committed chunk,
+  * not from zero — exercising the `in_progress` half of the checkpoint
+  * format that plain whole-table retry never touches. */
+class ChunkedResumeSpec extends SparkSpec {
+
+  /** Wraps a sink, crashing on the Nth chunk write and recording the
+    * chunk-level call pattern. */
+  private class FlakySink(inner: TableSink, failOnChunk: Int = Int.MaxValue) extends TableSink {
+    var chunkWrites = 0
+    var firstFlags: List[Boolean] = Nil
+    def write(df: DataFrame, table: String): Unit = inner.write(df, table)
+    override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit = {
+      if (chunkWrites == failOnChunk) throw new RuntimeException("simulated mid-table crash")
+      chunkWrites += 1
+      firstFlags :+= firstChunk
+      inner.writeChunk(df, table, firstChunk)
+    }
+    override def countRows(spark: SparkSession, table: String): Option[Long] =
+      inner.countRows(spark, table)
+  }
+
+  test("crash mid-table, rerun transfers only the remaining chunks") {
+    val out = Files.createTempDirectory("chunked").toString
+    val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    val parquet = new ParquetSink(out)
+    val chunking = Map("orders" -> "o_orderkey")
+
+    // run 1: dies after committing 2 of 5 chunks
+    val flaky = new FlakySink(parquet, failOnChunk = 2)
+    val engine1 = new TransferEngine(new ParquetSource(sfDir), flaky, Some(cp),
+      chunkColumns = chunking, chunkCount = 5)
+    val s1 = engine1.transferTable(spark, "orders")
+    assert(!s1.success && s1.errorMessage.exists(_.contains("simulated")))
+    assert(flaky.chunkWrites == 2)
+    assert(flaky.firstFlags.head && !flaky.firstFlags(1)) // overwrite, then append
+
+    // the checkpoint recorded the watermark: not completed, offset > 0
+    assert(!cp.isCompleted("orders"))
+    val watermark = cp.resumeOffset("orders")
+    assert(watermark > 0)
+    val committed = spark.read.parquet(s"$out/orders.parquet").count()
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(committed > 0 && committed < total, s"committed=$committed total=$total")
+
+    // run 2 (fresh engine, reloaded checkpoint — a new process): finishes
+    val cp2 = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    assert(cp2.resumeOffset("orders") == watermark) // watermark survived the crash
+    val healthy = new FlakySink(parquet)
+    val engine2 = new TransferEngine(new ParquetSource(sfDir), healthy, Some(cp2),
+      chunkColumns = chunking, chunkCount = 5)
+    val s2 = engine2.transferTable(spark, "orders")
+    assert(s2.success, s2.errorMessage)
+    assert(s2.rowsTransferred == total)
+    assert(spark.read.parquet(s"$out/orders.parquet").count() == total)
+    // only the REMAINING 3 chunks ran, every one as an append (no restart)
+    assert(healthy.chunkWrites == 3, s"reran ${healthy.chunkWrites} chunks")
+    assert(healthy.firstFlags.forall(_ == false))
+    // resumed rows are disjoint from committed ones: no duplicates at all
+    val dupes = spark.read.parquet(s"$out/orders.parquet")
+      .groupBy("o_orderkey").count().filter("count > 1").count()
+    assert(dupes == 0)
+    assert(cp2.isCompleted("orders"))
+  }
+
+  test("unchunked tables keep whole-table semantics; chunked success completes checkpoint") {
+    val out = Files.createTempDirectory("chunked2").toString
+    val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    val sink = new FlakySink(new ParquetSink(out))
+    val engine = new TransferEngine(new ParquetSource(sfDir), sink, Some(cp),
+      chunkColumns = Map("orders" -> "o_orderkey"), chunkCount = 4)
+    val stats = engine.transferSchema(spark, Seq("nation", "orders"))
+    assert(stats.forall(_.success))
+    assert(sink.chunkWrites == 4) // nation went through write(), orders in 4 chunks
+    assert(cp.isCompleted("nation") && cp.isCompleted("orders"))
+    assert(cp.resumeOffset("orders") == 0) // completion cleared the watermark
+  }
+}

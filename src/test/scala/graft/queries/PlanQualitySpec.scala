@@ -16,6 +16,18 @@ class PlanQualitySpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** Count distinct `Operator (id)` nodes in the FINAL adaptive plan — AQE
+    * formatted output repeats nodes across detail sections and renumbers
+    * them in the Initial Plan, so count ids inside the final tree only. */
+  private def distinctNodes(plan: String, op: String): Int = {
+    val finalSection = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(0, i)
+    }
+    ("""\Q""" + op + """\E\s*\((\d+)\)""").r
+      .findAllMatchIn(finalSection).map(_.group(1)).toSet.size
+  }
+
   test("q01: shipdate filter pushed to parquet scan; scan is codegen'd") {
     val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
     df.collect()
@@ -59,6 +71,32 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("Broadcast"), s"$name: no broadcast in plan")
       assert(!plan.contains("CartesianProduct"), s"$name: cartesian plan")
     }
+  }
+
+  test("q46: correlated subquery decorrelates to one aggregate+join, no per-row re-scan") {
+    val plan = planOf("q46_correlated_subquery")
+    // Catalyst must rewrite the correlated scalar subquery into a join
+    // against a per-custkey aggregate: two scans total, never N
+    assert(plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    val scans = distinctNodes(plan, "Scan parquet")
+    assert(scans == 2, s"expected 2 orders scans (outer + aggregate side), got $scans")
+    assert(plan.matches("(?s).*partial_(sum|count).*"), "aggregate side lost partial aggregation")
+  }
+
+  test("q48: stratified sample is one window sort on the stratum key, no join") {
+    val plan = planOf("q48_stratified_sample")
+    assert(distinctNodes(plan, "Window") == 1, plan.take(2000))
+    assert(!plan.contains("Join"), "stratified sampling must not join")
+    // the window partitions by the stratum key — its exchange is hash(lang)
+    assert(plan.matches("(?s).*hashpartitioning.*lang.*"), "window not partitioned by stratum")
+  }
+
+  test("q49: mixture sample is a pure filter+aggregate — no window, no join") {
+    val plan = planOf("q49_mixture_sample")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"))
+    assert(plan.matches("(?s).*partial_count.*"), "no map-side combine before the shuffle")
   }
 
   test("no query in the suite plans a CartesianProduct") {

@@ -74,7 +74,21 @@ object Main {
         case "build" =>
           val dir = req("source")
           val schema = opts.getOrElse("schema", "public")
-          val ddl = DdlGenerator.generateSchemaDdl(schema, discoverTables(spark, dir, schema))
+          // --constraints-jdbc URL: enrich the DDL with PK/FK/UNIQUE from a
+          // live catalog (information_schema when present, DatabaseMetaData
+          // otherwise) — discovery.py:250-346 parity
+          val metas = opts.get("constraints-jdbc") match {
+            case Some(url) =>
+              val plain = discoverTables(spark, dir, schema)
+              val live = graft.meta.ConstraintDiscovery.discover(spark,
+                new graft.meta.JdbcMetadataCatalog(url,
+                  opts.getOrElse("constraints-schema", "APP"),
+                  plain.map(_.name.toUpperCase)),
+                opts.getOrElse("constraints-schema", "APP"))
+              plain.map(graft.meta.ConstraintDiscovery.enrich(_, live))
+            case None => discoverTables(spark, dir, schema)
+          }
+          val ddl = DdlGenerator.generateSchemaDdl(schema, metas)
           opts.get("output") match {
             case Some(f) =>
               Files.write(Paths.get(f), ddl.mkString(";\n\n").getBytes(StandardCharsets.UTF_8))
@@ -127,9 +141,18 @@ object Main {
               ddl.mkString(";\n\n").getBytes(StandardCharsets.UTF_8))
           }
           val cp = opts.get("checkpoint").map(f => new CheckpointManager(f, src, dst))
+          val sink: TableSink = opts.get("format") match {
+            case Some("csv") => new CsvBulkSink(dst) // COPY-ready shards
+            case _ => new ParquetSink(dst)
+          }
+          // --chunk-column KEY: per-chunk checkpoint commits + mid-table resume
+          val chunked = opts.get("chunk-column")
+            .map(c => tables.map(_ -> c).toMap).getOrElse(Map.empty[String, String])
           val engine = new TransferEngine(
-            new ParquetSource(src), new ParquetSink(dst), cp,
-            where = opts.get("where"), limit = opts.get("limit").map(_.toInt))
+            new ParquetSource(src), sink, cp,
+            where = opts.get("where"), limit = opts.get("limit").map(_.toInt),
+            chunkColumns = chunked,
+            chunkCount = opts.getOrElse("chunk-count", "8").toInt)
           val stats = engine.transferSchema(spark, tables,
             workers = opts.getOrElse("workers", "1").toInt)
           stats.foreach(s => out(
@@ -190,10 +213,12 @@ object Main {
     """usage: graft.cli.Main <action> [--opt value ...]
       |  discover    --source DIR [--format json]
       |  build       --source DIR [--schema NAME] [--output FILE]
+      |              [--constraints-jdbc URL] [--constraints-schema NAME]
       |  build-views --source DIR --views FILE
       |  destroy     --target DIR --confirm SCHEMA_NAME
       |  transfer    --source DIR --target DIR [--table T] [--where W] [--limit N]
-      |              [--workers K] [--checkpoint FILE]
+      |              [--workers K] [--checkpoint FILE] [--format csv]
+      |              [--chunk-column KEY] [--chunk-count N]
       |  migrate     (build + transfer) same options
       |  validate    --source DIR --target DIR [--table T] [--pk a,b] [--row-sample true]""".stripMargin
 }

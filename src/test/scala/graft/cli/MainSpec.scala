@@ -79,4 +79,45 @@ class MainSpec extends SparkSpec {
     val (code, out) = runCli("transfer", "--source", sfDir)
     assert(code === 1 && out.exists(_.contains("missing --target")))
   }
+
+  test("transfer --format csv writes COPY-ready shards") {
+    val dst = Files.createTempDirectory("clicsv").toString
+    val (code, out) = runCli("transfer", "--source", sfDir, "--target", dst,
+      "--table", "region", "--format", "csv")
+    assert(code === 0, out)
+    val lines = spark.read.text(s"$dst/region.csv").collect().map(_.getString(0))
+    assert(lines.length === 5)
+    assert(lines.forall(_.split(",", -1).length >= 2))
+  }
+
+  test("transfer --chunk-column runs chunked with a checkpoint watermark cleared on success") {
+    val dst = Files.createTempDirectory("clichunk").toString
+    val ckpt = s"$dst/ckpt.json"
+    val (code, out) = runCli("transfer", "--source", sfDir, "--target", dst,
+      "--table", "orders", "--checkpoint", ckpt,
+      "--chunk-column", "o_orderkey", "--chunk-count", "3")
+    assert(code === 0, out)
+    assert(spark.read.parquet(s"$dst/orders.parquet").count() ===
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+    val cp = new graft.transfer.CheckpointManager(ckpt, sfDir, dst)
+    assert(cp.isCompleted("orders") && cp.resumeOffset("orders") === 0L)
+  }
+
+  test("build --constraints-jdbc folds live catalog constraints into the DDL") {
+    // a live Derby catalog whose table name matches a parquet table
+    val url = "jdbc:derby:memory:clidb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE nation (
+          n_nationkey INT NOT NULL, n_name VARCHAR(25), n_regionkey INT,
+          CONSTRAINT cli_nation_pk PRIMARY KEY (n_nationkey))""")
+    } finally conn.close()
+    val f = Files.createTempDirectory("cliddl").resolve("schema.sql").toString
+    val (code, _) = runCli("build", "--source", sfDir, "--schema", "tpch",
+      "--output", f, "--constraints-jdbc", url)
+    assert(code === 0)
+    val ddl = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+    assert(ddl.contains("PRIMARY KEY (\"n_nationkey\")"), ddl)
+  }
 }

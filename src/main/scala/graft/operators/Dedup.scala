@@ -98,6 +98,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** Connected components over near-dup pairs — the cluster-formation step
+    * that turns pairwise candidates into dedup groups (keep one
+    * representative per group). Iterative min-label propagation: every node
+    * starts labeled with itself; each round takes the min of its own and
+    * its neighbors' labels; at fixpoint the label is the component's
+    * minimum id — a deterministic canonical representative.
+    *
+    * Scale notes: each round is one hash-partitioned join + partial-min
+    * aggregate on narrow (long, long) rows; the driver loop only checks a
+    * changed-count. Rounds needed = graph diameter, and near-dup clusters
+    * are clique-ish (diameter 1-3); for adversarial long-chain graphs
+    * switch to large-star/small-star (halves diameter per round, same
+    * join-shape plumbing). `maxIter` bounds the worst case.
+    */
+  def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                 maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): truncates the logical plan each round —
+    // the iterated self-join otherwise deepens the plan tree and Catalyst
+    // re-analysis time grows super-linearly with iteration count
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy("src").agg(min("label").as("nbr"))
+        .withColumnRenamed("src", "node")
+      val next = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash of a space-tokenized text column, computed per-row by
     * the native [[graft.functions.SimHash64]] expression (codegen'd vote
     * loop) — replaces an explode + 64-vote-aggregate shuffle of one row per

@@ -44,6 +44,22 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Dedup cluster formation: MinHash-LSH pairs → connected components →
+    // one row per cluster with its canonical (minimum-id) representative
+    // and sorted member list — the "which doc do we keep" step after pair
+    // generation.
+    "q70_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      Dedup.components(pairs)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",",
+            expr("transform(sort_array(collect_list(node)), x -> cast(x AS string))"))
+            .as("members"))
+        .orderBy(col("cluster"))
+    },
+
     // SimHash near-dup pairs (64-bit, hamming ≤ 3, pigeonhole bucketing).
     "q24_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -264,6 +280,46 @@ object DedupQueries {
         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
         |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q23's pair pipeline + recursive transitive closure: component id =
+    // min over every reachable node (LEAST of self and reachable min).
+    "q70_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS base FROM sh),
+        |slots AS (
+        |  SELECT doc_id, i.i AS i,
+        |    MIN((base * ((2654435761 * (i.i + 1)) % 2147483647)
+        |         + (40503 * (i.i + 1) + 1) % 2147483647) % 2147483647) AS m
+        |  FROM h, UNNEST(range(0, 32)) AS i(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band,
+        |    sig[b.b*4 + 1]::VARCHAR || '/' || sig[b.b*4 + 2]::VARCHAR || '/' ||
+        |    sig[b.b*4 + 3]::VARCHAR || '/' || sig[b.b*4 + 4]::VARCHAR AS key
+        |  FROM sig, UNNEST(range(0, 8)) AS b(b)),
+        |ok AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN ok USING (band, key) JOIN bands b USING (band, key)
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id
+        |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 32 >= 0.5),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT reach.s, e.d FROM reach JOIN edges e ON reach.d = e.s),
+        |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s)
+        |SELECT cluster, COUNT(*) AS n_members,
+        |  string_agg(node::VARCHAR, ',' ORDER BY node) AS members
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // Full SimHash replay: md5-prefix 64-bit token hashes → per-bit votes →
     // fingerprint (HUGEINT two-halves reconstruction — DuckDB's BIGINT <<

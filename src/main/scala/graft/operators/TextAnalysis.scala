@@ -75,4 +75,25 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = substring(md5(c.cast("binary")), 1, 16)
 
   def fingerprintSql(expr: String): String = s"substr(md5($expr), 1, 16)"
+
+  /** PII redaction patterns, applied in order (phone before IP: a dotted
+    * phone like `555.123.4567` must not half-match the IPv4 pattern).
+    * RE2-compatible subset only — character classes, `\b`, `{m,n}`; no
+    * lookarounds or backrefs — so Spark's java.util.regex and the DuckDB
+    * oracle's RE2 produce identical redactions. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redact emails / phone numbers / IPv4 addresses to placeholder tokens —
+    * the standard pre-training scrub pass; one codegen'd regexp_replace
+    * chain, no UDF. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  def redactPiiSql(expr: String): String =
+    piiPatterns.foldLeft(expr) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
 }

@@ -38,6 +38,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PII scrub: the fixture text is synthetic (no PII), so each row is
+    // augmented with a deterministic email/phone/IP suffix derived from its
+    // id — then redacted through the regexp_replace chain. Both engines
+    // build and scrub the identical string, so the redaction itself is
+    // what's hash-checked.
+    "q71_pii_redaction" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 node 10.0.0."),
+            (col("doc_id") % 256).cast("string")).as("txt"))
+        .select(col("doc_id"), redactPii(col("txt")).as("redacted"))
+        .withColumn("clean", !col("redacted").contains("@") &&
+          !col("redacted").rlike("\\d{3}[-.]\\d{3}"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus token accounting per lang (the budget query of a data pipe).
     "q31_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -166,6 +184,19 @@ object TextQueries {
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q71_pii_redaction" ->
+      s"""SELECT doc_id, redacted,
+         |  (NOT contains(redacted, '@'))
+         |    AND (NOT regexp_matches(redacted, '\\d{3}[-.]\\d{3}')) AS clean
+         |FROM (
+         |  SELECT doc_id,
+         |    ${graft.operators.TextAnalysis.redactPiiSql(
+                 "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+                 "'@example.com or 555-123-4567 node 10.0.0.' || " +
+                 "CAST(doc_id % 256 AS VARCHAR)")} AS redacted
+         |  FROM documents WHERE doc_id < 50)
+         |ORDER BY doc_id""".stripMargin,
 
     "q48_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars

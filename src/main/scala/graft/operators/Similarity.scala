@@ -43,6 +43,37 @@ object Similarity {
   def scaledNormSql(a: String): String =
     s"sqrt(CAST(${scaledDotSql(a, a)} AS DOUBLE))"
 
+  /** Symmetric per-vector int8 quantization — the embedding storage scale
+    * path (4× smaller vectors, integer-SIMD dot products at serving time):
+    * `qscale = max|x| / 127` (ε-guarded against all-zero vectors),
+    * `q_i = floor(x_i / qscale + 0.5)` clamped to ±127. `floor(x + 0.5)`,
+    * never `round`: Java rounds ties half-up, DuckDB half-away-from-zero —
+    * the floor form is identical in both. Adds `qscale` (double) and
+    * `qvec` (array<int>) columns. */
+  def int8Quantize(df: org.apache.spark.sql.DataFrame, vecCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("qscale", expr(
+        s"greatest(array_max(transform($vecCol, x -> abs(cast(x AS double)))), 1e-30d) / 127.0d"))
+      .withColumn("qvec", expr(
+        s"transform($vecCol, x -> cast(greatest(least(" +
+          s"floor(cast(x AS double) / qscale + 0.5d), 127.0d), -127.0d) AS int))"))
+
+  /** Integer dot of two quantized vectors — exact in any engine (≤ 64·127²
+    * fits a long with room to spare); rescale by `a_scale·b_scale` to
+    * approximate the original-unit dot. */
+  def int8Dot(qa: String, qb: String): Column =
+    expr(s"aggregate(zip_with($qa, $qb, (x, y) -> cast(x AS bigint) * y), 0L, (acc, v) -> acc + v)")
+
+  /** Matching DuckDB fragments for [[int8Quantize]]/[[int8Dot]]. */
+  def int8ScaleSql(vecCol: String): String =
+    s"greatest(list_max(list_transform($vecCol, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0"
+
+  def int8QuantizeSql(vecCol: String, scaleExpr: String): String =
+    s"list_transform($vecCol, x -> CAST(greatest(least(" +
+      s"floor(CAST(x AS DOUBLE) / $scaleExpr + 0.5), 127.0), -127.0) AS INT))"
+
+  def int8DotSql(qa: String, qb: String): String =
+    s"CAST(list_sum(list_transform(list_zip($qa, $qb), p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)"
+
   /** Exact dot product via DECIMAL(38,18) accumulation — the reference
     * formulation kept for cross-checks (ScalaTest pins it against the
     * scaled path); prefer [[scaledDot]] in query plans. */

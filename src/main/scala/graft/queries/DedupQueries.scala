@@ -131,6 +131,26 @@ object DedupQueries {
         .orderBy(col("a_id"))
     },
 
+    // int8-quantized similarity vs the exact scaled dot on consecutive
+    // pairs: the integer dot is bit-exact cross-engine; approx/exact
+    // doubles quantify the quantization error a 4×-compressed store pays.
+    "q72_int8_quantized_sim" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Similarity.int8Quantize(t(s, dir, "embeddings"), "embedding")
+      val a = e.select(col("vec_id").as("a_id"), col("qvec").as("a_q"),
+        col("qscale").as("a_s"), col("embedding").as("a_vec"))
+      val b = e.select((col("vec_id") - 1).as("a_id"), col("qvec").as("b_q"),
+        col("qscale").as("b_s"), col("embedding").as("b_vec"))
+      a.join(b, Seq("a_id"))
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          Similarity.int8Dot("a_q", "b_q").as("qdot"),
+          (Similarity.int8Dot("a_q", "b_q").cast("double") * col("a_s") * col("b_s"))
+            .as("approx_dot"),
+          (Similarity.scaledDot("a_vec", "b_vec").cast("double") /
+            java.lang.Math.scalb(1.0, Similarity.ScaledShift)).as("exact_dot"))
+        .orderBy(col("a_id"))
+    },
+
     // Brute-force cosine top-5 for queries vec_id < 10 (ANN baseline).
     "q27_ann_brute_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
@@ -408,6 +428,23 @@ object DedupQueries {
          |    (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cosine,
          |  a.label = b.label AS same_label
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |ORDER BY a_id""".stripMargin,
+
+    "q72_int8_quantized_sim" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, embedding,
+         |    ${Similarity.int8ScaleSql("embedding")} AS qscale
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, embedding, qscale,
+         |    ${Similarity.int8QuantizeSql("embedding", "qscale")} AS qvec
+         |  FROM sc)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Similarity.int8DotSql("a.qvec", "b.qvec")} AS qdot,
+         |  CAST(${Similarity.int8DotSql("a.qvec", "b.qvec")} AS DOUBLE)
+         |    * a.qscale * b.qscale AS approx_dot,
+         |  CAST(${dot("a.embedding", "b.embedding")} AS DOUBLE) / 68719476736.0 AS exact_dot
+         |FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
          |ORDER BY a_id""".stripMargin,
 
     "q33_ann_fast_topk" ->

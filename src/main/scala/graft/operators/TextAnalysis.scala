@@ -76,6 +76,30 @@ object TextAnalysis {
 
   def fingerprintSql(expr: String): String = s"substr(md5($expr), 1, 16)"
 
+  /** Within-document repetition: the fraction of word-trigram occurrences
+    * that are duplicates of an earlier trigram in the same document —
+    * the Gopher-style repetitious-text quality gate (high fraction =
+    * boilerplate/spam). Pure array arithmetic per row, no shuffle:
+    * `1 - distinct_trigrams / total_trigrams` (0 when fewer than 2
+    * trigrams, matching "nothing to repeat"). */
+  def dupTrigramFraction(textCol: String): Column = {
+    val toks = s"split($textCol, ' ')"
+    val grams = s"transform(sequence(0, greatest(size($toks) - 3, 0)), " +
+      s"i -> concat_ws(' ', slice($toks, i + 1, 3)))"
+    val total = s"size($grams)"
+    expr(s"CASE WHEN $total <= 1 THEN 0.0d ELSE " +
+      s"1.0d - CAST(size(array_distinct($grams)) AS DOUBLE) / $total END")
+  }
+
+  /** Matching DuckDB fragment for [[dupTrigramFraction]]. */
+  def dupTrigramFractionSql(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    val grams = s"list_transform(range(0, greatest(len($toks) - 3, 0) + 1), " +
+      s"i -> concat_ws(' ', $toks[i + 1], $toks[i + 2], $toks[i + 3]))"
+    s"CASE WHEN len($grams) <= 1 THEN 0.0 ELSE " +
+      s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / len($grams) END"
+  }
+
   /** PII redaction patterns, applied in order (phone before IP: a dotted
     * phone like `555.123.4567` must not half-match the IPv4 pattern).
     * RE2-compatible subset only — character classes, `\b`, `{m,n}`; no

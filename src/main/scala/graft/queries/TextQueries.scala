@@ -56,6 +56,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition gate: per-doc duplicate-trigram fraction and
+    // the resulting keep flag — the boilerplate/spam filter of a
+    // pretraining pipeline, pure per-row array arithmetic.
+    "q73_repetition_filter" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), dupTrigramFraction("text").as("dup_frac"))
+        .withColumn("keep", col("dup_frac") < 0.2)
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus token accounting per lang (the budget query of a data pipe).
     "q31_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -184,6 +194,12 @@ object TextQueries {
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q73_repetition_filter" ->
+      s"""SELECT doc_id,
+         |  ${dupTrigramFractionSql("text")} AS dup_frac,
+         |  ${dupTrigramFractionSql("text")} < 0.2 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q71_pii_redaction" ->
       s"""SELECT doc_id, redacted,

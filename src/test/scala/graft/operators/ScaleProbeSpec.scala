@@ -31,4 +31,28 @@ class ScaleProbeSpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("connected components converge on 100k clustered pairs in few rounds") {
+    // 100k edges over 150k nodes in 50k 3-node clusters (the realistic
+    // dedup shape: many small cliquish groups), plus one 64-node chain —
+    // the diameter worst case. Label propagation must flood both without
+    // iteration blowup or plan-lineage slowdown (localCheckpoint guard).
+    val clusters = spark.range(50000L).selectExpr(
+      "stack(2, id * 3, id * 3 + 1, id * 3, id * 3 + 2) AS (a_id, b_id)")
+    val chainBase = 1000000L
+    val chain = spark.range(63L).selectExpr(
+      s"id + $chainBase AS a_id", s"id + ${chainBase + 1} AS b_id")
+    val t0 = System.nanoTime()
+    val labels = Dedup.components(clusters.union(chain)).cache()
+    val nClusters = labels.select("label").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"150k nodes -> $nClusters components in $secs%.1f s")
+    assert(nClusters == 50001L) // 50k triangles + 1 chain
+    // the chain collapsed to its minimum node despite diameter 63
+    val chainLabels = labels.filter(col("node") >= chainBase)
+      .select("label").distinct().collect()
+    assert(chainLabels.map(_.getLong(0)).toSeq == Seq(chainBase))
+    assert(secs < 120.0, f"components took $secs%.1f s — iteration cost regressed")
+    labels.unpersist()
+  }
 }

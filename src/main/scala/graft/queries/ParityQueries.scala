@@ -26,6 +26,20 @@ object ParityQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     },
 
+    // CDC-style row diff between two deterministic versions of orders:
+    // drop every 89th key, double every 53rd price — diffSummary must
+    // classify added/removed/changed/same exactly (the incremental-sync
+    // primitive; graft.transfer.Cdc).
+    "q74_cdc_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val oldV = o.filter(col("o_orderkey") % 97 =!= 0)
+      val newV = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 53 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.transfer.Cdc.diffSummary(oldV, newV, Seq("o_orderkey"))
+    },
+
     "q36_scalar_funcs" -> { (s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_orderkey") < 100)
@@ -251,6 +265,27 @@ object ParityQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q74_cdc_diff" ->
+      """WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+        |newv AS (
+        |  SELECT * REPLACE (
+        |    CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice)
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |d AS (
+        |  SELECT CASE
+        |    WHEN o.o_orderkey IS NULL THEN 'added'
+        |    WHEN n.o_orderkey IS NULL THEN 'removed'
+        |    WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+        |      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |      OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |      OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+        |      OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |    THEN 'changed' ELSE 'same' END AS change_status
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_status, COUNT(*) AS cnt
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q45_moving_window" ->
       """SELECT d,
         |  CAST(SUM(day_total_dec) OVER w AS DOUBLE) AS moving_sum,

@@ -143,7 +143,9 @@ object Main {
           val cp = opts.get("checkpoint").map(f => new CheckpointManager(f, src, dst))
           val sink: TableSink = opts.get("format") match {
             case Some("csv") => new CsvBulkSink(dst) // COPY-ready shards
-            case _ => new ParquetSink(dst)
+            case _ => new ParquetSink(dst,
+              partitionColumns = opts.get("partition-by")
+                .map(_.split(',').toSeq).getOrElse(Nil))
           }
           // --chunk-column KEY: per-chunk checkpoint commits + mid-table resume
           val chunked = opts.get("chunk-column")
@@ -218,7 +220,7 @@ object Main {
       |  destroy     --target DIR --confirm SCHEMA_NAME
       |  transfer    --source DIR --target DIR [--table T] [--where W] [--limit N]
       |              [--workers K] [--checkpoint FILE] [--format csv]
-      |              [--chunk-column KEY] [--chunk-count N]
+      |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |  migrate     (build + transfer) same options
       |  validate    --source DIR --target DIR [--table T] [--pk a,b] [--row-sample true]""".stripMargin
 }

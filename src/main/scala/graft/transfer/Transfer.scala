@@ -45,12 +45,22 @@ final class ParquetSource(dir: String) extends TableSource {
     spark.read.parquet(s"$dir/$table.parquet")
 }
 
-final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extends TableSink {
+/** `partitionColumns` writes a Hive-style directory layout
+  * (`col=value/…`) — the 100 TB target layout: date-partitioned tables get
+  * directory-level partition pruning on every downstream date-range scan
+  * (pinned by PartitionPruningSpec for the read side). */
+final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite,
+                        partitionColumns: Seq[String] = Nil) extends TableSink {
+  private def writer(df: DataFrame, m: SaveMode) = {
+    val w = df.write.mode(m)
+    if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w
+  }
+
   def write(df: DataFrame, table: String): Unit =
-    df.write.mode(mode).parquet(s"$dir/$table.parquet")
+    writer(df, mode).parquet(s"$dir/$table.parquet")
 
   override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
-    df.write.mode(if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
+    writer(df, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
       .parquet(s"$dir/$table.parquet")
 
   override def countRows(spark: SparkSession, table: String): Option[Long] =

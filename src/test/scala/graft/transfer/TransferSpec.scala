@@ -84,6 +84,25 @@ class TransferSpec extends SparkSpec {
     assert(failed.tableName === "ghost" && failed.errorMessage.nonEmpty)
   }
 
+  test("partitioned sink writes a Hive layout that prunes on the partition key") {
+    val out = Files.createTempDirectory("xferpart").toString
+    val engine = new TransferEngine(
+      new ParquetSource(sfDir), new ParquetSink(out, partitionColumns = Seq("o_orderstatus")))
+    val stats = engine.transferTable(spark, "orders")
+    assert(stats.success)
+    // directory layout is partitioned…
+    val dirs = new java.io.File(s"$out/orders.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_orderstatus=")), dirs.toSeq)
+    // …and a status-filtered scan prunes to one partition's files
+    val df = spark.read.parquet(s"$out/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan.take(1500))
+    assert(df.count() ===
+      spark.read.parquet(s"$sfDir/orders.parquet").filter("o_orderstatus = 'F'").count())
+  }
+
   test("failure surfaces as stats, not exception (continue-on-error)") {
     val out = Files.createTempDirectory("xfer3").toString
     val engine = new TransferEngine(new ParquetSource("/nonexistent"), new ParquetSink(out))

@@ -24,6 +24,8 @@ import scala.annotation.tailrec
   *     (`DD/MM/YYYY HH24:MI` → `dd/MM/yyyy HH:mm`); `TO_CHAR(ts, fmt)` →
   *     `DATE_FORMAT` (cf. view_procedure_translator.py:318-327)
   *   - `ILIKE` needs no rewrite — native in Spark ≥3.3 (pinned by spec)
+  *   - `LATERAL FLATTEN(input => X)` / `TABLE(FLATTEN(...))` →
+  *     `LATERAL VIEW POSEXPLODE(X) f AS index, value` (array mode)
   *
   * The translation is string-level (like the reference) but implemented with
   * a character scanner that respects single-quoted literals (with `''`
@@ -35,9 +37,57 @@ object SnowflakeDialect {
     var s = sql
     s = stripThreePartNames(s)
     s = rewriteQualify(s)
+    s = rewriteLateralFlatten(s)
     s = rewriteFunctionCalls(s)
     s = rewriteCasts(s)
     s
+  }
+
+  /** `, LATERAL FLATTEN(input => X) f` / `, TABLE(FLATTEN(input => X)) f`
+    * → ` LATERAL VIEW POSEXPLODE(X) f AS index, value` — Snowflake's array
+    * flatten as Spark's generator clause. `f.value`/`f.index` references
+    * resolve unchanged (FLATTEN's VALUE/INDEX columns ↔ posexplode's).
+    * Scope: array inputs (the overwhelmingly common case); FLATTEN's
+    * OBJECT-mode KEY/PATH columns have no posexplode analogue and are
+    * left to a view rewrite. */
+  private def rewriteLateralFlatten(sql: String): String = {
+    val pat = """(?is),?\s*(LATERAL\s+FLATTEN|TABLE\s*\(\s*FLATTEN)\s*\(""".r
+    val m = pat.findFirstMatchIn(sql).getOrElse(return sql)
+    val isTableForm = m.group(1).toUpperCase.startsWith("TABLE")
+    // args start at the '(' that ends the match
+    val open = m.end - 1
+    val (args, close) = parseArgs(sql, open)
+    require(args.length == 1, s"FLATTEN expects one input arg, got ${args.length}")
+    val input = args.head.trim.replaceFirst("(?i)^input\\s*=>\\s*", "")
+    // TABLE(FLATTEN(...)): skip the TABLE-wrapper's own ')'
+    var i = close + 1
+    if (isTableForm) {
+      while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      require(i < sql.length && sql.charAt(i) == ')', "unclosed TABLE(FLATTEN(…))")
+      i += 1
+    }
+    // optional [AS] alias
+    var j = i
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    var k = j
+    while (k < sql.length && (sql.charAt(k).isLetterOrDigit || sql.charAt(k) == '_')) k += 1
+    val keywords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "HAVING",
+      "JOIN", "ON", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION", "SELECT")
+    var alias = if (k > j) sql.substring(j, k) else ""
+    if (alias.equalsIgnoreCase("AS")) {
+      var j2 = k
+      while (j2 < sql.length && sql.charAt(j2).isWhitespace) j2 += 1
+      k = j2
+      while (k < sql.length && (sql.charAt(k).isLetterOrDigit || sql.charAt(k) == '_')) k += 1
+      alias = sql.substring(j2, k)
+    }
+    val aliasEnd =
+      if (alias.isEmpty || keywords.contains(alias.toUpperCase)) { alias = "f"; i }
+      else k
+    val rewritten = sql.substring(0, m.start) +
+      s" LATERAL VIEW POSEXPLODE(${rewriteLateralFlatten(input)}) $alias AS index, value" +
+      sql.substring(aliasEnd)
+    rewriteLateralFlatten(rewritten) // additional FLATTENs later in the text
   }
 
   /** Table references of a translated statement, via Catalyst's parser

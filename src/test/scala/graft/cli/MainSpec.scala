@@ -36,14 +36,21 @@ class MainSpec extends SparkSpec {
       """-- view: big_orders
         |SELECT o_orderkey, IFF(o_totalprice > 150000, 'big', 'small') AS bucket
         |FROM TPCH.PUBLIC.ORDERS
+        |-- view: type_words
+        |SELECT p_partkey, w.value AS word
+        |FROM TPCH.PUBLIC.PART, LATERAL FLATTEN(input => split(p_type, ' ')) w
         |-- view: bad_view
         |SELECT nonexistent_col FROM orders
         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
     val (code, out) = runCli("build-views", "--source", sfDir, "--views", f.toString)
     assert(code === 1) // one failure
     assert(out.exists(_.startsWith("view big_orders: OK")))
+    assert(out.exists(_.startsWith("view type_words: OK")), out)
     assert(out.exists(_.startsWith("view bad_view: FAILED")))
     assert(spark.sql("SELECT bucket FROM big_orders").count() > 0)
+    // the flattened view explodes every space-separated type word
+    assert(spark.sql("SELECT word FROM type_words").count() ===
+      spark.sql("SELECT explode(split(p_type, ' ')) FROM part").count())
   }
 
   test("transfer + validate round-trip, then destroy with confirmation") {

@@ -136,4 +136,19 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT a FROM t WHERE name ILIKE '%urgent%'") ===
       "SELECT a FROM t WHERE name ILIKE '%urgent%'")
   }
+
+  test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
+    assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
+      "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")
+    // TABLE(FLATTEN(...)) form, AS-alias, and a trailing WHERE
+    assert(tr("SELECT d.index, d.value FROM t, TABLE(FLATTEN(input => arr)) AS d WHERE d.value > 1") ===
+      "SELECT d.index, d.value FROM t LATERAL VIEW POSEXPLODE(arr) d AS index, value WHERE d.value > 1")
+    // no alias: default f; keyword after the call is not eaten
+    assert(tr("SELECT value FROM t, LATERAL FLATTEN(input => arr) WHERE value > 0") ===
+      "SELECT value FROM t LATERAL VIEW POSEXPLODE(arr) f AS index, value WHERE value > 0")
+    // two flattens in one statement both rewrite
+    val two = tr("SELECT a.value, b.value FROM t, LATERAL FLATTEN(input => x) a, LATERAL FLATTEN(input => y) b")
+    assert(two.contains("POSEXPLODE(x) a AS index, value") &&
+      two.contains("POSEXPLODE(y) b AS index, value"), two)
+  }
 }

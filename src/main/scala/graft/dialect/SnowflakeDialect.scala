@@ -26,6 +26,8 @@ import scala.annotation.tailrec
   *   - `ILIKE` needs no rewrite — native in Spark ≥3.3 (pinned by spec)
   *   - `LATERAL FLATTEN(input => X)` / `TABLE(FLATTEN(...))` →
   *     `LATERAL VIEW POSEXPLODE(X) f AS index, value` (array mode)
+  *   - VARIANT paths `col:a.b[0]` → `get_json_object(col, '$.a.b[0]')`;
+  *     `LISTAGG … WITHIN GROUP` is native Spark ≥4.0 and passes through
   *
   * The translation is string-level (like the reference) but implemented with
   * a character scanner that respects single-quoted literals (with `''`
@@ -39,8 +41,62 @@ object SnowflakeDialect {
     s = rewriteQualify(s)
     s = rewriteLateralFlatten(s)
     s = rewriteFunctionCalls(s)
+    s = rewriteVariantPaths(s)
     s = rewriteCasts(s)
     s
+  }
+
+  /** Snowflake VARIANT path access `col:a.b[0].c` →
+    * `get_json_object(col, '$.a.b[0].c')`. Runs before the cast pass so
+    * `payload:k::NUMBER` composes (`get_json_object(...)::NUMBER` →
+    * decimal cast). Scanner-based: colons inside string literals (time
+    * text like '10:30') and the `::` cast operator are never touched;
+    * quoted path segments (`col:"Weird Key"`) lose their quotes inside
+    * the JSON path. Qualified bases (`t.payload:k`) keep the qualifier. */
+  private def rewriteVariantPaths(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { val j = skipString(sql, i); out.append(sql.substring(i, j)); i = j }
+      else if (c == '"') { val j = skipQuotedIdent(sql, i); out.append(sql.substring(i, j)); i = j }
+      else if (c == ':' && i + 1 < n && sql.charAt(i + 1) != ':' &&
+        (i == 0 || sql.charAt(i - 1) != ':') &&
+        out.nonEmpty && isIdentChar(out.last) &&
+        (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_' || sql.charAt(i + 1) == '"')) {
+        // scan the base identifier (possibly dotted) back off the output
+        var b = out.length
+        while (b > 0 && (isIdentChar(out.charAt(b - 1)) || out.charAt(b - 1) == '.')) b -= 1
+        val base = out.substring(b)
+        // parse the path: segments, quoted segments, [n] indexes
+        var j = i + 1
+        val path = new StringBuilder
+        var done = false
+        while (!done && j < n) {
+          val ch = sql.charAt(j)
+          if (isIdentChar(ch)) { path.append(ch); j += 1 }
+          else if (ch == '"') {
+            val e = skipQuotedIdent(sql, j); path.append(sql.substring(j + 1, e - 1)); j = e
+          } else if (ch == '.' && j + 1 < n &&
+            (sql.charAt(j + 1).isLetter || sql.charAt(j + 1) == '_' || sql.charAt(j + 1) == '"')) {
+            path.append('.'); j += 1
+          } else if (ch == '[') {
+            var e = j + 1
+            while (e < n && sql.charAt(e).isDigit) e += 1
+            if (e < n && sql.charAt(e) == ']') { path.append(sql.substring(j, e + 1)); j = e + 1 }
+            else done = true
+          } else done = true
+        }
+        if (path.nonEmpty && base.nonEmpty) {
+          out.delete(b, out.length)
+          out.append(s"get_json_object($base, '$$.$path')")
+          i = j
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** `, LATERAL FLATTEN(input => X) f` / `, TABLE(FLATTEN(input => X)) f`

@@ -69,6 +69,22 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // The Snowflake-syntax VARIANT surface end-to-end: colon-path access
+    // (props:k) + LISTAGG WITHIN GROUP through the dialect translator —
+    // what a migrated VARIANT view actually looks like.
+    "q75_variant_listagg" -> { (s, dir) =>
+      graft.sources.Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT event_type,
+          |       MAX(props:k::NUMBER)::DOUBLE AS max_k,
+          |       LISTAGG(DISTINCT user_id::STRING, ',')
+          |         WITHIN GROUP (ORDER BY user_id::STRING) AS users
+          |FROM TPCH.PUBLIC.EVENTS
+          |WHERE user_id < 3
+          |GROUP BY event_type ORDER BY event_type""".stripMargin
+      s.sql(graft.dialect.SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // Schema-based semi-structured parsing: from_json into a typed struct
     // (vs q21's path extraction) — the VARIANT-handling surface (§1.2).
     "q53_json_schema_parse" -> { (s, dir) =>
@@ -140,6 +156,14 @@ object EventQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q75_variant_listagg" ->
+      """SELECT event_type,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS DECIMAL(38,18))) AS DOUBLE) AS max_k,
+        |  string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+        |             ORDER BY CAST(user_id AS VARCHAR)) AS users
+        |FROM events WHERE user_id < 3
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q53_json_schema_parse" ->
       """SELECT event_type, COUNT(*) AS cnt,

@@ -137,6 +137,27 @@ class SnowflakeDialectSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE name ILIKE '%urgent%'")
   }
 
+  test("VARIANT colon paths become get_json_object") {
+    assert(tr("SELECT payload:user.name FROM events") ===
+      "SELECT get_json_object(payload, '$.user.name') FROM events")
+    assert(tr("SELECT e.props:items[0].id FROM events e") ===
+      "SELECT get_json_object(e.props, '$.items[0].id') FROM events e")
+    // composes with the cast rewrite
+    assert(tr("SELECT props:k::NUMBER AS k FROM events") ===
+      "SELECT get_json_object(props, '$.k')::DECIMAL(38,18) AS k FROM events")
+    // quoted path segment loses its quotes inside the JSON path
+    assert(tr("""SELECT props:"weird key" FROM t""") ===
+      "SELECT get_json_object(props, '$.weird key') FROM t")
+    // colons inside strings and the :: operator are untouched
+    assert(tr("SELECT '10:30' AS t, x::STRING FROM t") ===
+      "SELECT '10:30' AS t, x::STRING FROM t")
+  }
+
+  test("LISTAGG WITHIN GROUP is native Spark 4 and passes through") {
+    assert(tr("SELECT LISTAGG(x, ',') WITHIN GROUP (ORDER BY x) FROM t") ===
+      "SELECT LISTAGG(x, ',') WITHIN GROUP (ORDER BY x) FROM t")
+  }
+
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
     assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
       "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")

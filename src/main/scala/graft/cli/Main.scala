@@ -162,6 +162,38 @@ object Main {
               f"${s.rowsTransferred}%9d rows ${s.transferTimeSec}%6.2fs " +
               f"${s.rowsPerSecond}%10.0f rows/s${s.errorMessage.map(" " + _).getOrElse("")}"))
           if (stats.forall(_.success)) 0 else 1
+        case "dedup" =>
+          // training-data surface: exact or near-dup (MinHash→components)
+          // dedup of one table; keeps the minimum-id representative per
+          // duplicate group and writes the deduplicated table
+          import org.apache.spark.sql.functions.{col, md5, min => fmin, row_number}
+          val src = req("source")
+          val table = opts.getOrElse("table", "documents")
+          val dst = req("target")
+          val idCol = opts.getOrElse("id", "doc_id")
+          val textCol = opts.getOrElse("text-col", "text")
+          val df = spark.read.parquet(s"$src/$table.parquet")
+          val total = df.count()
+          val kept = opts.getOrElse("method", "exact") match {
+            case "exact" =>
+              // keep the min-id row per exact content hash
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+              df.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn")
+            case "minhash" =>
+              val thr = opts.getOrElse("threshold", "0.5").toDouble
+              val pairs = graft.operators.Dedup.minhashNearDups(df, idCol, textCol, thr)
+              val drop = graft.operators.Dedup.components(pairs)
+                .filter(col("node") =!= col("label")) // keep each cluster's min id
+                .select(col("node").as(idCol))
+              df.join(drop, Seq(idCol), "left_anti")
+            case other => throw new IllegalArgumentException(s"unknown method: $other")
+          }
+          new ParquetSink(dst).write(kept, table)
+          val keptN = spark.read.parquet(s"$dst/$table.parquet").count()
+          out(s"$table: $total rows -> $keptN kept, ${total - keptN} duplicates removed")
+          0
         case "validate" =>
           val src = req("source")
           val dst = req("target")
@@ -222,5 +254,7 @@ object Main {
       |              [--workers K] [--checkpoint FILE] [--format csv]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |  migrate     (build + transfer) same options
+      |  dedup       --source DIR --target DIR [--table T] [--method exact|minhash]
+      |              [--id COL] [--text-col COL] [--threshold X]
       |  validate    --source DIR --target DIR [--table T] [--pk a,b] [--row-sample true]""".stripMargin
 }

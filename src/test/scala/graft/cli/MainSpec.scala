@@ -110,6 +110,26 @@ class MainSpec extends SparkSpec {
     assert(cp.isCompleted("orders") && cp.resumeOffset("orders") === 0L)
   }
 
+  test("dedup verb removes near-duplicate documents, keeping cluster representatives") {
+    val dst = Files.createTempDirectory("clidedup").toString
+    val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--table", "documents", "--method", "minhash")
+    assert(code === 0, out)
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val kept = spark.read.parquet(s"$dst/documents.parquet").count()
+    assert(kept < total, s"no duplicates removed ($kept of $total)") // fixture plants near-dups
+    assert(out.exists(_.contains("duplicates removed")))
+
+    // exact mode on a table with no exact dups keeps everything
+    val dst2 = Files.createTempDirectory("clidedup2").toString
+    val (code2, _) = runCli("dedup", "--source", sfDir, "--target", dst2,
+      "--table", "documents", "--method", "exact")
+    assert(code2 === 0)
+    assert(spark.read.parquet(s"$dst2/documents.parquet").count() ===
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .dropDuplicates("text").count())
+  }
+
   test("build --constraints-jdbc folds live catalog constraints into the DDL") {
     // a live Derby catalog whose table name matches a parquet table
     val url = "jdbc:derby:memory:clidb;create=true"

@@ -43,4 +43,19 @@ object Sampling {
   /** 4-hex-digit threshold for a weight in [0,1]: floor(w * 16^4) as hex. */
   def hexThreshold(w: Double): String =
     f"${math.min(math.max((w * 65536).toInt, 0), 65535)}%04x"
+
+  /** Quality-weighted Bernoulli sampling: per-ROW keep probability (vs
+    * [[mixture]]'s per-stratum constant) — how corpora are actually
+    * downsampled (keep rate rises with document quality). Membership =
+    * 32-bit content-hash integer < floor(rate · 2³²): deterministic under
+    * any partitioning, replayable in SQL as
+    * `('0x'||substr(md5(x),1,8))::BIGINT < floor(rate * 4294967296)`.
+    * `rateCol` is clamped to [0,1]. */
+  def qualityWeighted(df: DataFrame, hashCol: String, rateCol: Column): DataFrame =
+    df.withColumn("_h",
+        conv(substring(md5(col(hashCol).cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("_thr",
+        floor(least(greatest(rateCol, lit(0.0)), lit(1.0)) * lit(4294967296.0)).cast("long"))
+      .filter(col("_h") < col("_thr"))
+      .drop("_h", "_thr")
 }

@@ -66,6 +66,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-weighted sampling: keep-rate proportional to document length
+    // (rate = min(1, tokens/150)) — per-row Bernoulli with deterministic
+    // content-hash membership, the realistic corpus-downsampling policy.
+    "q76_quality_weighted_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("n_tokens", tokenCount(col("text")))
+      val rate = least(lit(1.0), col("n_tokens").cast("double") / 150.0)
+      graft.operators.Sampling.qualityWeighted(docs, "text", rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // Corpus token accounting per lang (the budget query of a data pipe).
     "q31_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -194,6 +206,13 @@ object TextQueries {
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q76_quality_weighted_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(nt) AS BIGINT) AS kept_tokens
+         |FROM (SELECT lang, text, ${tokenCountSql("text")} AS nt FROM documents)
+         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT <
+         |  floor(least(CAST(nt AS DOUBLE) / 150.0, 1.0) * 4294967296)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q73_repetition_filter" ->
       s"""SELECT doc_id,

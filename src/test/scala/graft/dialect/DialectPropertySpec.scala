@@ -53,6 +53,26 @@ class DialectPropertySpec extends AnyFunSuite {
       SnowflakeDialect.translate(once) == once
     })
   }
+
+  test("variant paths of any depth rewrite completely and idempotently") {
+    val pathGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, ident)).map(_.mkString("."))
+    passes(Prop.forAll(ident, pathGen) { (base, path) =>
+      val out = SnowflakeDialect.translate(s"SELECT $base:$path FROM t")
+      out == s"SELECT get_json_object($base, '$$.$path') FROM t" &&
+        SnowflakeDialect.translate(out) == out
+    })
+  }
+
+  test("QUALIFY lifts into a __qualify filter for any predicate shape") {
+    passes(Prop.forAll(ident, ident, Gen.oneOf("", " ORDER BY 1")) { (a, b, tail) =>
+      val out = SnowflakeDialect.translate(
+        s"SELECT $a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY $b) = 1$tail")
+      out.startsWith("SELECT * EXCEPT(__qualify) FROM (SELECT") &&
+        out.contains("WHERE __qualify") &&
+        !out.matches("(?s).*\\bQUALIFY\\b.*") &&
+        SnowflakeDialect.translate(out) == out
+    })
+  }
 }
 
 class DialectParserSpec extends SparkSpec {

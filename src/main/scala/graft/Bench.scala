@@ -65,6 +65,18 @@ object Bench {
       else -1.0
     } catch { case _: Throwable => -1.0 }
 
+    // COPY-path throughput: the same lineitem through the CSV bulk sink
+    // (string formatting + minimal quoting is the extra cost vs parquet —
+    // the honest comparable to the reference's CSV+COPY pipeline).
+    val csvRps = try {
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_csv").toString
+      val engine = new graft.transfer.TransferEngine(
+        new graft.transfer.ParquetSource(sfDir), new graft.transfer.CsvBulkSink(out))
+      val stats = engine.transferTable(spark, "lineitem")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      if (stats.success) stats.rowsPerSecond else -1.0
+    } catch { case _: Throwable => -1.0 }
+
     // Query sweep. A failed query records its wall-time NEGATED (sentinel)
     // and lands in "errors" — a broken query must never read as a fast one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -82,7 +94,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errors,""" +
       s""""transfer_rows_per_sec":${transferRps.round},""" +
-      s""""schema_transfer_rows_per_sec":${schemaRps.round},"sf":"$sfDir"}""")
+      s""""schema_transfer_rows_per_sec":${schemaRps.round},""" +
+      s""""csv_transfer_rows_per_sec":${csvRps.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

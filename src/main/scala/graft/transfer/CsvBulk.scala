@@ -32,22 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object CsvBulk {
 
-  private val NullMarker = "\\N"
-
-  /** One COPY-ready CSV field: scrub, then null-mark, then minimally quote.
-    * Pure `functions._` composition — stays inside whole-stage codegen. */
-  def csvField(c: Column): Column = {
-    // \x00 scrub first (translate deletes unmapped chars), then quote test
-    val s = translate(c.cast("string"), "\u0000", "")
-    val needsQuote =
-      contains(s, lit(",")) || contains(s, lit("\"")) ||
-        contains(s, lit("\n")) || contains(s, lit("\r")) ||
-        (s === lit(NullMarker))
-    when(c.isNull, lit(NullMarker))
-      .otherwise(when(needsQuote,
-        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
-        .otherwise(s))
-  }
+  /** One COPY-ready CSV field via the native [[graft.functions.CsvField]]
+    * expression: single byte-scan, zero-copy for clean fields. (The first
+    * version composed translate + 4 contains + regexp_replace from
+    * built-ins; correct, but it benchmarked ~10x slower than the parquet
+    * write path — exactly the case the build rules reserve a native
+    * codegen expression for.) */
+  def csvField(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CsvField(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("string"))))
 
   /** A whole row as one COPY CSV line. `concat` (not `concat_ws`) so a
     * NULL field can never collapse the line — every field is already

@@ -162,6 +162,37 @@ object Main {
               f"${s.rowsTransferred}%9d rows ${s.transferTimeSec}%6.2fs " +
               f"${s.rowsPerSecond}%10.0f rows/s${s.errorMessage.map(" " + _).getOrElse("")}"))
           if (stats.forall(_.success)) 0 else 1
+        case "analyze" =>
+          // one-command corpus profile: per-language doc/token budgets,
+          // quality (repetition) distribution, exact-dup rate — the report
+          // a training-data pipeline runs before deciding sampling weights
+          import org.apache.spark.sql.functions._
+          import graft.operators.TextAnalysis
+          val src = req("source")
+          val table = opts.getOrElse("table", "documents")
+          val textCol = opts.getOrElse("text-col", "text")
+          val langCol = opts.getOrElse("lang-col", "lang")
+          val df = spark.read.parquet(s"$src/$table.parquet")
+            .withColumn("__tokens", TextAnalysis.tokenCount(col(textCol)))
+            .withColumn("__dup_frac", TextAnalysis.dupTrigramFraction(textCol))
+            .cache()
+          val profile = df.groupBy(col(langCol)).agg(
+            count(lit(1)).as("docs"),
+            sum(col("__tokens")).as("tokens"),
+            avg(col("__tokens")).as("avg_tokens"),
+            avg(col("__dup_frac")).as("avg_dup_frac"),
+            sum(when(col("__dup_frac") >= 0.2, 1L).otherwise(0L)).as("repetitious"))
+            .orderBy(col(langCol))
+          profile.collect().foreach(r => out(
+            f"${r.get(0)}%-8s docs=${r.getLong(1)}%6d tokens=${r.getLong(2)}%9d " +
+              f"avg_tokens=${r.getDouble(3)}%7.1f avg_dup_frac=${r.getDouble(4)}%5.3f " +
+              f"repetitious=${r.getLong(5)}%d"))
+          val total = df.count()
+          val distinct = df.select(md5(col(textCol).cast("binary"))).distinct().count()
+          out(s"exact-dup rate: ${total - distinct} of $total docs " +
+            f"(${100.0 * (total - distinct) / math.max(total, 1)}%.2f%%)")
+          df.unpersist()
+          0
         case "dedup" =>
           // training-data surface: exact or near-dup (MinHash→components)
           // dedup of one table; keeps the minimum-id representative per
@@ -254,6 +285,7 @@ object Main {
       |              [--workers K] [--checkpoint FILE] [--format csv]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |  migrate     (build + transfer) same options
+      |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
       |  dedup       --source DIR --target DIR [--table T] [--method exact|minhash]
       |              [--id COL] [--text-col COL] [--threshold X]
       |  validate    --source DIR --target DIR [--table T] [--pk a,b] [--row-sample true]""".stripMargin

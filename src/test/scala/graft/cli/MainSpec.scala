@@ -110,6 +110,16 @@ class MainSpec extends SparkSpec {
     assert(cp.isCompleted("orders") && cp.resumeOffset("orders") === 0L)
   }
 
+  test("analyze verb profiles the corpus per language") {
+    val (code, out) = runCli("analyze", "--source", sfDir)
+    assert(code === 0, out)
+    // one line per language plus the exact-dup tail line
+    assert(out.count(_.contains("avg_dup_frac")) === 5) // en fr de es zh
+    assert(out.exists(_.startsWith("exact-dup rate:")))
+    val en = out.find(_.startsWith("en")).get
+    assert(en.contains("docs=") && en.contains("tokens="))
+  }
+
   test("dedup verb removes near-duplicate documents, keeping cluster representatives") {
     val dst = Files.createTempDirectory("clidedup").toString
     val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,

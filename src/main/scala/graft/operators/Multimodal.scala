@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * training-data pipelines).
   *
   * The Spark-side plumbing — schema, partition-parallel batch processing,
-  * frame explosion — is real and tested. The codec step itself is STUBBED:
-  * this container has no image/audio libraries, so `decodeFeatures` derives
-  * deterministic fake features from the raw bytes where a real pipeline
-  * would call a decoder. The stub is confined to the two clearly-marked
-  * functions below; everything around them (column types, `mapPartitions`
-  * batching, explode fanout) is production-shaped.
+  * frame explosion — is real and tested. The codec step runs a REAL
+  * decode for PPM (P6) payloads via [[PpmCodec]] (pure JVM, no external
+  * libraries — production swaps in JPEG/PNG codecs behind the same
+  * bytes→pixels→bytes signatures); non-image payloads fall back to a
+  * clearly-marked deterministic byte-derived STUB so mixed corpora stay
+  * testable end-to-end in this codec-less container.
   */
 object Multimodal {
 
@@ -46,10 +46,9 @@ object Multimodal {
     * Scala analogue of a Pandas-UDF `mapInPandas` stage: one JVM-side batch
     * iterator per partition, no per-row UDF dispatch, executor-local.
     *
-    * STUB: a real implementation would decode `payload` with a codec and
-    * emit e.g. mean luminance; absent codecs, "brightness" is the mean of
-    * the first 64 payload bytes normalized to [0,1) — deterministic, so the
-    * pipeline stays testable end-to-end. */
+    * PPM payloads take the REAL path: decode → Rec.601 mean luminance.
+    * Non-image payloads fall back to the STUB (mean of the first 64 bytes
+    * normalized to [0,1)) — deterministic, so mixed corpora stay testable. */
   def decodeFeatures(assetsDf: DataFrame): Dataset[AssetFeatures] = {
     import assetsDf.sparkSession.implicits._
     assetsDf.select(col("asset_id"), col("media_type"), col("payload"))
@@ -58,26 +57,28 @@ object Multimodal {
           val id = r.getLong(0)
           val mt = r.getString(1)
           val payload = r.getAs[Array[Byte]](2)
-          // ---- STUB decode begins (would be: codec.decode(payload)) ----
-          val head = payload.take(64)
-          val brightness =
-            if (head.isEmpty) 0.0
-            else head.map(b => (b & 0xFF).toDouble).sum / (head.length * 256.0)
-          // ---- STUB decode ends ----
+          val brightness = PpmCodec.decode(payload) match {
+            case Some(img) => PpmCodec.meanLuminance(img) // REAL decode
+            case None =>
+              // ---- STUB fallback (non-image payloads, no codec) ----
+              val head = payload.take(64)
+              if (head.isEmpty) 0.0
+              else head.map(b => (b & 0xFF).toDouble).sum / (head.length * 256.0)
+            // ---- STUB fallback ends ----
+          }
           val frames = (payload.length + FrameBytes - 1) / FrameBytes
           AssetFeatures(id, mt, payload.length.toLong, brightness, frames.toLong)
         }
       }
   }
 
-  /** Batch-shaped "resize" via `mapPartitions` — the downscale stage of an
+  /** Batch-shaped resize via `mapPartitions` — the downscale stage of an
     * image/video pipeline, executor-local over binary payloads.
     *
-    * STUB: a real implementation would decode, scale (e.g. bilinear to
-    * target dims), and re-encode; absent codecs, the "resized" payload
-    * keeps every `factor`-th byte — deterministic, length ceil(L/factor),
-    * so the plumbing (binary in/out schema, batching, census arithmetic)
-    * is oracle-checkable end-to-end. */
+    * PPM payloads take the REAL path: decode → nearest-neighbor downscale
+    * by `factor` → re-encode. Non-image payloads fall back to the STUB
+    * (keep every `factor`-th byte — deterministic, length ceil(L/factor)),
+    * which is what the byte-census oracle queries exercise. */
   def resize(assetsDf: DataFrame, factor: Int = 2): DataFrame = {
     val spark = assetsDf.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -89,11 +90,17 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](2)
-          // ---- STUB resize begins (would be: codec.rescale(payload)) ----
-          val out = new Array[Byte]((payload.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
-          // ---- STUB resize ends ----
+          val out = PpmCodec.decode(payload) match {
+            case Some(img) => // REAL decode → scale → re-encode
+              PpmCodec.encode(PpmCodec.downscale(img, factor))
+            case None =>
+              // ---- STUB fallback (non-image payloads, no codec) ----
+              val thin = new Array[Byte]((payload.length + factor - 1) / factor)
+              var i = 0
+              while (i < thin.length) { thin(i) = payload(i * factor); i += 1 }
+              thin
+            // ---- STUB fallback ends ----
+          }
           org.apache.spark.sql.Row(r.getLong(0), r.getString(1), out)
         }
       }(enc)

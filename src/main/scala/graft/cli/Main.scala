@@ -131,8 +131,18 @@ object Main {
         case "transfer" | "migrate" =>
           val src = req("source")
           val dst = req("target")
-          val tables = opts.get("table").map(Seq(_)).getOrElse(listTables(src))
-          if (action == "migrate") {
+          // endpoints: a `jdbc:` URL selects the JDBC connector (the
+          // reference's Snowflake→PostgreSQL shape); anything else is a
+          // parquet directory. JDBC sources need --table/--tables (no
+          // directory to list).
+          val tables = opts.get("table").map(Seq(_))
+            .orElse(opts.get("tables").map(_.split(',').toSeq))
+            .getOrElse {
+              if (src.startsWith("jdbc:"))
+                throw new IllegalArgumentException("JDBC source requires --table or --tables")
+              listTables(src)
+            }
+          if (action == "migrate" && !src.startsWith("jdbc:") && !dst.startsWith("jdbc:")) {
             val schema = opts.getOrElse("schema", "public")
             val ddl = DdlGenerator.generateSchemaDdl(
               schema, discoverTables(spark, src, schema))
@@ -141,8 +151,13 @@ object Main {
               ddl.mkString(";\n\n").getBytes(StandardCharsets.UTF_8))
           }
           val cp = opts.get("checkpoint").map(f => new CheckpointManager(f, src, dst))
+          val jdbcOpts = opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty)
+          val source: TableSource =
+            if (src.startsWith("jdbc:")) new JdbcSource(src, jdbcOpts)
+            else new ParquetSource(src)
           val sink: TableSink = opts.get("format") match {
             case Some("csv") => new CsvBulkSink(dst) // COPY-ready shards
+            case _ if dst.startsWith("jdbc:") => new JdbcSink(dst, jdbcOpts)
             case _ => new ParquetSink(dst,
               partitionColumns = opts.get("partition-by")
                 .map(_.split(',').toSeq).getOrElse(Nil))
@@ -151,7 +166,7 @@ object Main {
           val chunked = opts.get("chunk-column")
             .map(c => tables.map(_ -> c).toMap).getOrElse(Map.empty[String, String])
           val engine = new TransferEngine(
-            new ParquetSource(src), sink, cp,
+            source, sink, cp,
             where = opts.get("where"), limit = opts.get("limit").map(_.toInt),
             chunkColumns = chunked,
             chunkCount = opts.getOrElse("chunk-count", "8").toInt)
@@ -228,16 +243,26 @@ object Main {
         case "validate" =>
           val src = req("source")
           val dst = req("target")
-          val tables = opts.get("table").map(Seq(_)).getOrElse(listTables(src))
+          val jdbcOpts = opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty)
+          def readSide(endpoint: String, t: String) =
+            if (endpoint.startsWith("jdbc:")) new JdbcSource(endpoint, jdbcOpts).read(spark, t)
+            else spark.read.parquet(s"$endpoint/$t.parquet")
+          val tables = opts.get("table").map(Seq(_))
+            .orElse(opts.get("tables").map(_.split(',').toSeq))
+            .getOrElse {
+              if (src.startsWith("jdbc:"))
+                throw new IllegalArgumentException("JDBC source requires --table or --tables")
+              listTables(src)
+            }
           var failures = 0
           tables.foreach { t =>
             // PK: --pk a,b beats the naming convention (<prefix>_<t>key)
-            val source = spark.read.parquet(s"$src/$t.parquet")
+            val source = readSide(src, t)
             val pkCols = opts.get("pk").map(_.split(',').toSeq).getOrElse(
               source.columns.filter(_.endsWith("key")).take(1).toSeq)
             val result = new Validator(
               source,
-              spark.read.parquet(s"$dst/$t.parquet"))
+              readSide(dst, t))
               .validateTable(t, pkCols = pkCols, rowSample = opts.contains("row-sample"))
             val mark = if (result.passed) "PASS" else "FAIL"
             out(s"$t: $mark")
@@ -281,12 +306,14 @@ object Main {
       |              [--constraints-jdbc URL] [--constraints-schema NAME]
       |  build-views --source DIR --views FILE
       |  destroy     --target DIR --confirm SCHEMA_NAME
-      |  transfer    --source DIR --target DIR [--table T] [--where W] [--limit N]
-      |              [--workers K] [--checkpoint FILE] [--format csv]
+      |  transfer    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
+      |              [--tables a,b] [--where W] [--limit N] [--workers K]
+      |              [--checkpoint FILE] [--format csv] [--driver CLASS]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |  migrate     (build + transfer) same options
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
       |  dedup       --source DIR --target DIR [--table T] [--method exact|minhash]
       |              [--id COL] [--text-col COL] [--threshold X]
-      |  validate    --source DIR --target DIR [--table T] [--pk a,b] [--row-sample true]""".stripMargin
+      |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
+      |              [--pk a,b] [--row-sample true] [--driver CLASS]""".stripMargin
 }

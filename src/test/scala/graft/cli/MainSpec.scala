@@ -110,6 +110,31 @@ class MainSpec extends SparkSpec {
     assert(cp.isCompleted("orders") && cp.resumeOffset("orders") === 0L)
   }
 
+  test("transfer and validate drive JDBC endpoints from jdbc: URLs") {
+    val url = "jdbc:derby:memory:clijdbc;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    // parquet → JDBC (the reference's load direction)
+    val (up, upOut) = runCli("transfer", "--source", sfDir, "--target", url,
+      "--table", "nation", "--driver", drv)
+    assert(up === 0, upOut)
+    // validate parquet source against the JDBC copy
+    val (vc, vout) = runCli("validate", "--source", sfDir, "--target", url,
+      "--table", "nation", "--driver", drv)
+    assert(vc === 0, vout)
+    assert(vout.exists(_.startsWith("nation: PASS")))
+    // JDBC → parquet (the extraction direction) round-trips the rows
+    val back = Files.createTempDirectory("clijdbcback").toString
+    val (down, downOut) = runCli("transfer", "--source", url, "--target", back,
+      "--table", "nation", "--driver", drv)
+    assert(down === 0, downOut)
+    assert(spark.read.parquet(s"$back/nation.parquet").count() ===
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+    // a JDBC source without --table fails with a clear message
+    val (bad, badOut) = runCli("transfer", "--source", url, "--target", back,
+      "--driver", drv)
+    assert(bad === 1 && badOut.exists(_.contains("requires --table")))
+  }
+
   test("analyze verb profiles the corpus per language") {
     val (code, out) = runCli("analyze", "--source", sfDir)
     assert(code === 0, out)

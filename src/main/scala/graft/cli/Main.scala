@@ -59,7 +59,7 @@ object Main {
       action match {
         case "discover" =>
           val dir = req("source")
-          val tables = discoverTables(spark, dir)
+          val tables = discoverAny(spark, dir, opts.getOrElse("schema", "public"), opts)
           if (opts.get("format").contains("json")) {
             val js = tables.map(t =>
               s"""{"table": "${t.name}", "rows": ${t.rowCount.getOrElse(-1L)}, "columns": [""" +
@@ -67,8 +67,12 @@ object Main {
               .mkString("[", ",\n ", "]")
             out(js)
           } else tables.foreach { t =>
-            out(s"${t.name} (${t.rowCount.getOrElse(-1L)} rows)")
+            val pk = if (t.primaryKey.nonEmpty) s" [pk: ${t.primaryKey.mkString(",")}]" else ""
+            out(s"${t.name} (${t.rowCount.getOrElse(-1L)} rows)$pk")
             t.columns.foreach(c => out(s"  ${c.name}: ${c.dataType.simpleString}"))
+            t.foreignKeys.foreach(fk => out(
+              s"  fk ${fk.name}: (${fk.columns.mkString(",")}) -> " +
+                s"${fk.referencedTable.getOrElse("?")}(${fk.referencedColumns.mkString(",")})"))
           }
           0
         case "build" =>
@@ -79,16 +83,18 @@ object Main {
           // otherwise) — discovery.py:250-346 parity
           val metas = opts.get("constraints-jdbc") match {
             case Some(url) =>
-              val plain = discoverTables(spark, dir, schema)
+              val plain = discoverAny(spark, dir, schema, opts)
               val live = graft.meta.ConstraintDiscovery.discover(spark,
                 new graft.meta.JdbcMetadataCatalog(url,
                   opts.getOrElse("constraints-schema", "APP"),
                   plain.map(_.name.toUpperCase)),
                 opts.getOrElse("constraints-schema", "APP"))
               plain.map(graft.meta.ConstraintDiscovery.enrich(_, live))
-            case None => discoverTables(spark, dir, schema)
+            case None => discoverAny(spark, dir, schema, opts)
           }
-          val ddl = DdlGenerator.generateSchemaDdl(schema, metas)
+          // tables discovered from a live database carry its catalog schema
+          // (e.g. APP) — the emitted DDL re-homes them in the target schema
+          val ddl = DdlGenerator.generateSchemaDdl(schema, metas.map(_.copy(schema = schema)))
           opts.get("output") match {
             case Some(f) =>
               Files.write(Paths.get(f), ddl.mkString(";\n\n").getBytes(StandardCharsets.UTF_8))
@@ -293,6 +299,39 @@ object Main {
       TableMeta.fromDataFrame(t, schema, df).copy(rowCount = Some(df.count()))
     }
 
+  /** Live-database discovery (discovery.py:99-249 shape): table list from
+    * DatabaseMetaData, per-table schema from a JDBC read, PK/FK/UNIQUE via
+    * [[graft.meta.ConstraintDiscovery]]. `dbSchema` is the catalog schema
+    * to enumerate (Derby: APP). */
+  private def discoverJdbc(spark: SparkSession, url: String, dbSchema: String,
+                           jdbcOpts: Map[String, String]): Seq[TableMeta] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val names =
+      try {
+        val rs = conn.getMetaData.getTables(null, dbSchema, "%", Array("TABLE"))
+        val out = Seq.newBuilder[String]
+        while (rs.next()) out += rs.getString("TABLE_NAME")
+        out.result()
+      } finally conn.close()
+    val constraints = graft.meta.ConstraintDiscovery.discover(spark,
+      new graft.meta.JdbcMetadataCatalog(url, dbSchema, names), dbSchema)
+    names.sorted.map { t =>
+      val df = new JdbcSource(url, jdbcOpts).read(spark, s"$dbSchema.$t")
+      graft.meta.ConstraintDiscovery.enrich(
+        TableMeta.fromDataFrame(t, dbSchema, df).copy(rowCount = Some(df.count())),
+        constraints)
+    }
+  }
+
+  /** Either endpoint kind → TableMeta list. */
+  private def discoverAny(spark: SparkSession, src: String, schema: String,
+                          opts: Map[String, String]): Seq[TableMeta] =
+    if (src.startsWith("jdbc:"))
+      discoverJdbc(spark, src,
+        opts.getOrElse("db-schema", "APP"),
+        opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty))
+    else discoverTables(spark, src, schema)
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -301,9 +340,9 @@ object Main {
 
   private val usage: String =
     """usage: graft.cli.Main <action> [--opt value ...]
-      |  discover    --source DIR [--format json]
-      |  build       --source DIR [--schema NAME] [--output FILE]
-      |              [--constraints-jdbc URL] [--constraints-schema NAME]
+      |  discover    --source DIR|jdbc:URL [--format json] [--db-schema S] [--driver CLASS]
+      |  build       --source DIR|jdbc:URL [--schema NAME] [--output FILE]
+      |              [--db-schema S] [--constraints-jdbc URL] [--constraints-schema NAME]
       |  build-views --source DIR --views FILE
       |  destroy     --target DIR --confirm SCHEMA_NAME
       |  transfer    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]

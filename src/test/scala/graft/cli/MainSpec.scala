@@ -110,6 +110,38 @@ class MainSpec extends SparkSpec {
     assert(cp.isCompleted("orders") && cp.resumeOffset("orders") === 0L)
   }
 
+  test("discover and build work against a live JDBC catalog with constraints") {
+    val url = "jdbc:derby:memory:clidisc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE region (r_regionkey INT NOT NULL, r_name VARCHAR(25),
+        CONSTRAINT disc_region_pk PRIMARY KEY (r_regionkey))""")
+      st.execute("""CREATE TABLE nation (n_nationkey INT NOT NULL, n_regionkey INT NOT NULL,
+        CONSTRAINT disc_nation_pk PRIMARY KEY (n_nationkey),
+        CONSTRAINT disc_nation_fk FOREIGN KEY (n_regionkey) REFERENCES region (r_regionkey))""")
+      st.close()
+    } finally conn.close()
+
+    val (dc, dout) = runCli("discover", "--source", url,
+      "--driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    assert(dc === 0, dout)
+    assert(dout.exists(_.startsWith("nation (0 rows) [pk: n_nationkey]")), dout)
+    assert(dout.exists(_.contains("fk disc_nation_fk: (n_regionkey) -> region(r_regionkey)")), dout)
+
+    // build straight from the live catalog: full discover→DDL loop
+    val f = Files.createTempDirectory("cliddl2").resolve("schema.sql").toString
+    val (bc, _) = runCli("build", "--source", url, "--schema", "pg",
+      "--driver", "org.apache.derby.jdbc.EmbeddedDriver", "--output", f)
+    assert(bc === 0)
+    val ddl = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+    assert(ddl.contains("PRIMARY KEY (\"n_nationkey\")"), ddl)
+    assert(ddl.contains("ADD CONSTRAINT \"disc_nation_fk\""), ddl)
+    // FK topo order survives: region created before nation
+    assert(ddl.indexOf("CREATE TABLE \"pg\".\"region\"") <
+      ddl.indexOf("CREATE TABLE \"pg\".\"nation\""))
+  }
+
   test("transfer and validate drive JDBC endpoints from jdbc: URLs") {
     val url = "jdbc:derby:memory:clijdbc;create=true"
     val drv = "org.apache.derby.jdbc.EmbeddedDriver"

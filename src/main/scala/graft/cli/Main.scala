@@ -166,7 +166,8 @@ object Main {
             case _ if dst.startsWith("jdbc:") => new JdbcSink(dst, jdbcOpts)
             case _ => new ParquetSink(dst,
               partitionColumns = opts.get("partition-by")
-                .map(_.split(',').toSeq).getOrElse(Nil))
+                .map(_.split(',').toSeq).getOrElse(Nil),
+              compression = opts.get("compression"))
           }
           // --chunk-column KEY: per-chunk checkpoint commits + mid-table resume
           val chunked = opts.get("chunk-column")
@@ -349,6 +350,7 @@ object Main {
       |              [--tables a,b] [--where W] [--limit N] [--workers K]
       |              [--checkpoint FILE] [--format csv] [--driver CLASS]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
+      |              [--compression snappy|zstd|gzip]
       |  migrate     (build + transfer) same options
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
       |  dedup       --source DIR --target DIR [--table T] [--method exact|minhash]

@@ -103,6 +103,17 @@ class TransferSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/orders.parquet").filter("o_orderstatus = 'F'").count())
   }
 
+  test("sink compression codec is applied to the written files") {
+    val out = Files.createTempDirectory("xferzstd").toString
+    val engine = new TransferEngine(
+      new ParquetSource(sfDir), new ParquetSink(out, compression = Some("zstd")))
+    assert(engine.transferTable(spark, "nation").success)
+    val files = new java.io.File(s"$out/nation.parquet").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.toSeq)
+    assert(spark.read.parquet(s"$out/nation.parquet").count() ==
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+  }
+
   test("failure surfaces as stats, not exception (continue-on-error)") {
     val out = Files.createTempDirectory("xfer3").toString
     val engine = new TransferEngine(new ParquetSource("/nonexistent"), new ParquetSink(out))

@@ -165,6 +165,19 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Embedding-space near-dup clusters: LSH candidate pairs → connected
+    // components — the same cluster-formation step as q70 composed over the
+    // vector modality (threshold low enough for the random fixture to
+    // produce multi-member clusters).
+    "q77_embed_cluster_dedup" -> { (s, dir) =>
+      val pairs = Similarity.lshNearNeighbors(t(s, dir, "embeddings"), threshold = 0.1)
+        .select(col("a_id"), col("b_id"))
+      Dedup.components(pairs)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
+    },
+
     // Throughput ANN via the native codegen'd fvec_dot expression — ranks
     // only in the output (double-fold cosine isn't bit-comparable to the
     // oracle's exact-decimal path, but the induced ranking is).
@@ -524,6 +537,27 @@ object DedupQueries {
          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT DISTINCT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.2
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q77_embed_cluster_dedup" ->
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT e.vec_id, CAST(${Similarity.lshBucketSql("e.embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings e),
+         |v AS (
+         |  SELECT e.vec_id, e.embedding, bk.bucket, ${nrm("e.embedding")} AS nrm
+         |  FROM embeddings e JOIN bk USING (vec_id)),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.1),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT reach.s, e.d FROM reach JOIN edges e ON reach.d = e.s),
+         |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s)
+         |SELECT cluster, COUNT(*) AS n_members
+         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // IVF replay: md5-ordered centroid sample, exact-decimal assignment
     // (ties → lowest centroid index), nProbe=4 probe lists, exact cosine

@@ -66,6 +66,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Context-window chunking: fixed 500-char chunks at stride 400 (100
+    // chars of overlap) — how documents become training-context rows; the
+    // chunk count per doc is ceil((L-chunk)/stride)+1 with a 1-chunk floor.
+    "q78_context_chunks" -> { (s, dir) =>
+      val (chunk, stride) = (500, 400)
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil((length(text) - $chunk) / $stride.0) AS int), 0)), " +
+            s"i -> substring(text, i * $stride + 1, $chunk))")).as(Seq("chunk_idx", "chunk")))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Quality-weighted sampling: keep-rate proportional to document length
     // (rate = min(1, tokens/150)) — per-row Bernoulli with deterministic
     // content-hash membership, the realistic corpus-downsampling policy.
@@ -206,6 +219,15 @@ object TextQueries {
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q78_context_chunks" ->
+      """SELECT doc_id, i.i AS chunk_idx,
+        |  substr(text, i.i * 400 + 1, 500) AS chunk,
+        |  CAST(length(substr(text, i.i * 400 + 1, 500)) AS BIGINT) AS chunk_len
+        |FROM documents,
+        |  UNNEST(range(0, greatest(CAST(ceil((length(text) - 500) / 400.0) AS INT), 0) + 1)) AS i(i)
+        |WHERE doc_id < 100
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q76_quality_weighted_sample" ->
       s"""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(nt) AS BIGINT) AS kept_tokens

@@ -79,6 +79,30 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Sequence packing: chunks fill fixed 4000-char context bins by
+    // running total within each language shard (bin = floor of the
+    // pre-chunk cumulative length / budget) — the greedy packing step that
+    // turns chunked documents into training sequences. Partitioned by
+    // lang so the window never degenerates to a single global sort.
+    "q79_sequence_packing" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (chunk, stride, budget) = (500, 400, 4000)
+      val chunks = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("lang"), col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil((length(text) - $chunk) / $stride.0) AS int), 0)), " +
+            s"i -> substring(text, i * $stride + 1, $chunk))")).as(Seq("chunk_idx", "chunk")))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("bin", floor((sum(col("chunk_len")).over(w) - col("chunk_len"))
+          / budget.toDouble).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("packed_chars"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // Quality-weighted sampling: keep-rate proportional to document length
     // (rate = min(1, tokens/150)) — per-row Bernoulli with deterministic
     // content-hash membership, the realistic corpus-downsampling policy.
@@ -219,6 +243,23 @@ object TextQueries {
          |  MIN(${tokenCountSql("text")}) AS min_tokens,
          |  MAX(${tokenCountSql("text")}) AS max_tokens
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q79_sequence_packing" ->
+      """WITH chunks AS (
+        |  SELECT lang, doc_id, i.i AS chunk_idx,
+        |    CAST(length(substr(text, i.i * 400 + 1, 500)) AS BIGINT) AS chunk_len
+        |  FROM documents,
+        |    UNNEST(range(0, greatest(CAST(ceil((length(text) - 500) / 400.0) AS INT), 0) + 1)) AS i(i)
+        |  WHERE doc_id < 100),
+        |binned AS (
+        |  SELECT lang,
+        |    CAST(floor((SUM(chunk_len) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_len) / 4000.0)
+        |      AS BIGINT) AS bin,
+        |    chunk_len
+        |  FROM chunks)
+        |SELECT lang, bin, COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS packed_chars
+        |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
     "q78_context_chunks" ->
       """SELECT doc_id, i.i AS chunk_idx,

@@ -99,6 +99,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.matches("(?s).*partial_count.*"), "no map-side combine before the shuffle")
   }
 
+  test("q74: CDC diff is one full-outer join over two scans, no value hashing stage") {
+    val plan = planOf("q74_cdc_diff")
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(distinctNodes(plan, "Scan parquet") == 2, "diff must scan each side once")
+  }
+
+  test("q79: sequence packing is one shard-partitioned window, no extra sort") {
+    val plan = planOf("q79_sequence_packing")
+    assert(distinctNodes(plan, "Window") == 1, plan.take(2000))
+    assert(plan.matches("(?s).*hashpartitioning.*lang.*"), "window not partitioned by shard")
+    assert(!plan.contains("Join"))
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

@@ -316,10 +316,19 @@ object Main {
       } finally conn.close()
     val constraints = graft.meta.ConstraintDiscovery.discover(spark,
       new graft.meta.JdbcMetadataCatalog(url, dbSchema, names), dbSchema)
+    // row counts via a DB-side COUNT(*) (discovery.py:348-352) — a Spark
+    // df.count() over the classic JDBC relation would pull every row out
     names.sorted.map { t =>
       val df = new JdbcSource(url, jdbcOpts).read(spark, s"$dbSchema.$t")
+      val cnt = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM $dbSchema.$t")
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      }
       graft.meta.ConstraintDiscovery.enrich(
-        TableMeta.fromDataFrame(t, dbSchema, df).copy(rowCount = Some(df.count())),
+        TableMeta.fromDataFrame(t, dbSchema, df).copy(rowCount = Some(cnt)),
         constraints)
     }
   }

@@ -57,14 +57,25 @@ object CsvBulk {
 
 /** [[TableSink]] writing COPY-compatible CSV shards to `dir/<table>.csv/`.
   * Pairs with [[JdbcSource]]/[[ParquetSource]] under [[TransferEngine]];
-  * the S3 COPY-sink row of SURVEY §2.1. */
+  * the S3 COPY-sink row of SURVEY §2.1. Row counts come from an
+  * `observe()` metric collected DURING the write job — re-reading the
+  * text shards (or re-counting the source) would add a full second pass
+  * just for stats. */
 final class CsvBulkSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extends TableSink {
+
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def path(table: String): String = s"$dir/$table.csv"
 
-  def write(df: DataFrame, table: String): Unit =
-    df.select(CsvBulk.csvLine(df)).write.mode(mode).text(path(table))
+  def write(df: DataFrame, table: String): Unit = {
+    val obs = org.apache.spark.sql.Observation(s"csv_rows_${table}_${java.util.UUID.randomUUID()}")
+    df.select(CsvBulk.csvLine(df))
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode(mode).text(path(table))
+    written.put(table, obs.get("rows").asInstanceOf[Long])
+  }
 
   override def countRows(spark: SparkSession, table: String): Option[Long] =
-    Some(spark.read.text(path(table)).count())
+    Option(written.get(table)).map(_.longValue())
 }

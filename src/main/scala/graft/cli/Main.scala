@@ -170,6 +170,10 @@ object Main {
               compression = opts.get("compression"))
           }
           // --chunk-column KEY: per-chunk checkpoint commits + mid-table resume
+          if (opts.contains("chunk-column") && cp.isEmpty)
+            throw new IllegalArgumentException(
+              "--chunk-column requires --checkpoint FILE (chunk progress must be recorded " +
+                "somewhere to resume from)")
           val chunked = opts.get("chunk-column")
             .map(c => tables.map(_ -> c).toMap).getOrElse(Map.empty[String, String])
           val engine = new TransferEngine(

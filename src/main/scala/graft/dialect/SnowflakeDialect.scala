@@ -108,13 +108,27 @@ object SnowflakeDialect {
     * left to a view rewrite. */
   private def rewriteLateralFlatten(sql: String): String = {
     val pat = """(?is),?\s*(LATERAL\s+FLATTEN|TABLE\s*\(\s*FLATTEN)\s*\(""".r
-    val m = pat.findFirstMatchIn(sql).getOrElse(return sql)
+    // skip matches inside string literals (the other passes scan; this one
+    // pre-computes the literal spans and filters regex hits against them)
+    val spans = stringSpans(sql)
+    val m = pat.findAllMatchIn(sql)
+      .find(mm => !spans.exists(s => mm.start >= s._1 && mm.start < s._2))
+      .getOrElse(return sql)
     val isTableForm = m.group(1).toUpperCase.startsWith("TABLE")
     // args start at the '(' that ends the match
     val open = m.end - 1
     val (args, close) = parseArgs(sql, open)
-    require(args.length == 1, s"FLATTEN expects one input arg, got ${args.length}")
-    val input = args.head.trim.replaceFirst("(?i)^input\\s*=>\\s*", "")
+    // FLATTEN(input => X [, path/outer/recursive/mode => …]): the input
+    // arg drives the rewrite; OUTER => TRUE maps to POSEXPLODE_OUTER
+    // (keep rows with empty/null arrays); other options pass unsupported
+    val byKey = args.map(_.trim).map { a =>
+      val kv = a.split("=>", 2)
+      if (kv.length == 2) kv(0).trim.toUpperCase -> kv(1).trim else "INPUT" -> a
+    }
+    val input = byKey.collectFirst { case ("INPUT", v) => v }
+      .getOrElse(throw new IllegalArgumentException(s"FLATTEN without input arg: ${m.matched}"))
+    val outer = byKey.exists { case (k, v) => k == "OUTER" && v.equalsIgnoreCase("TRUE") }
+    val explodeFn = if (outer) "POSEXPLODE_OUTER" else "POSEXPLODE"
     // TABLE(FLATTEN(...)): skip the TABLE-wrapper's own ')'
     var i = close + 1
     if (isTableForm) {
@@ -141,9 +155,24 @@ object SnowflakeDialect {
       if (alias.isEmpty || keywords.contains(alias.toUpperCase)) { alias = "f"; i }
       else k
     val rewritten = sql.substring(0, m.start) +
-      s" LATERAL VIEW POSEXPLODE(${rewriteLateralFlatten(input)}) $alias AS index, value" +
+      s" LATERAL VIEW $explodeFn(${rewriteLateralFlatten(input)}) $alias AS index, value" +
       sql.substring(aliasEnd)
     rewriteLateralFlatten(rewritten) // additional FLATTENs later in the text
+  }
+
+  /** [start, end) spans of single-quoted literals and double-quoted
+    * identifiers — for passes that pre-filter regex hits. */
+  private def stringSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => val j = skipString(sql, i); spans += i -> j; i = j
+        case '"' => val j = skipQuotedIdent(sql, i); spans += i -> j; i = j
+        case _ => i += 1
+      }
+    }
+    spans.result()
   }
 
   /** Table references of a translated statement, via Catalyst's parser
@@ -265,12 +294,19 @@ object SnowflakeDialect {
   private def rewriteTopLevelQualify(sql: String): String = {
     val kws = topLevelKeywords(sql)
     val qualify = kws.find(_._1 == "QUALIFY").map(_._2).getOrElse(return sql)
-    val select = kws.find(_._1 == "SELECT").map(_._2)
+    // the QUALIFY binds to the NEAREST preceding top-level SELECT — in a
+    // set operation that is the branch the clause sits in, not the first
+    val select = kws.filter { case (w, p) => w == "SELECT" && p < qualify }
+      .lastOption.map(_._2)
       .getOrElse(throw new IllegalArgumentException(s"QUALIFY without SELECT in: $sql"))
     val from = kws.find { case (w, p) => w == "FROM" && p > select }.map(_._2)
       .getOrElse(throw new IllegalArgumentException(s"QUALIFY without FROM in: $sql"))
+    // the predicate ends at the next top-level clause OR set operator — a
+    // following UNION/INTERSECT/EXCEPT must stay outside the rewrite
+    val tailKws = Set("ORDER", "LIMIT", "OFFSET", "FETCH",
+      "UNION", "INTERSECT", "EXCEPT", "MINUS")
     val tail = kws.collectFirst {
-      case (w, p) if (w == "ORDER" || w == "LIMIT") && p > qualify => p
+      case (w, p) if tailKws.contains(w) && p > qualify => p
     }.getOrElse(sql.length)
     val prefix = sql.substring(0, select) // e.g. a WITH clause
     val selList = sql.substring(select + "SELECT".length, from).trim

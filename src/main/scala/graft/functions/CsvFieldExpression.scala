@@ -71,10 +71,12 @@ object CsvUtils {
       else if (b == ',' || b == '"' || b == '\n' || b == '\r') needsQuote = true
       i += 1
     }
-    val isLiteralNullMarker = n == 2 && bytes(0) == '\\' && bytes(1) == 'N'
-    if (!needsQuote && !hasNul && !isLiteralNullMarker) return s
+    if (!needsQuote && !hasNul && !(n == 2 && bytes(0) == '\\' && bytes(1) == 'N'))
+      return s
 
-    // scrub NULs first, then decide quoting on the scrubbed value
+    // scrub NULs first; the literal-\N test MUST run on the scrubbed value
+    // (a NUL byte then backslash-N scrubs down to exactly backslash-N and
+    // would otherwise ship unquoted, collapsing to SQL NULL under COPY)
     val clean =
       if (!hasNul) bytes
       else {
@@ -84,6 +86,8 @@ object CsvUtils {
         while (j < n) { if (bytes(j) != 0) { out(o) = bytes(j); o += 1 }; j += 1 }
         java.util.Arrays.copyOf(out, o)
       }
+    val isLiteralNullMarker =
+      clean.length == 2 && clean(0) == '\\' && clean(1) == 'N'
     if (!needsQuote && !isLiteralNullMarker) return UTF8String.fromBytes(clean)
 
     var quotes = 0

@@ -85,6 +85,9 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // scaledDot/scaledNorm resolve fvec_scaled_dot from the session
+    // registry — register defensively for fresh sessions
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroids = pickCentroids(corpus, "vec_id", "embedding", nCentroids)
     val assigned = assign(corpus, "vec_id", "embedding", centroids, nProbe)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cluster"))

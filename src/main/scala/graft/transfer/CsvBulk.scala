@@ -68,12 +68,31 @@ final class CsvBulkSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extend
   def path(table: String): String = s"$dir/$table.csv"
 
   def write(df: DataFrame, table: String): Unit = {
+    written.put(table, writeLines(df, table, mode))
+  }
+
+  /** Chunked transfers append after the first chunk and accumulate the
+    * observed row counts — without this override the default writeChunk
+    * fell through to overwrite-mode write(), keeping only the LAST chunk.
+    * A resume in a fresh engine (append arrives with no recorded first
+    * chunk) makes the running count partial — drop it so stats fall back
+    * to an accurate count instead of under-reporting. */
+  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit = {
+    val resumedBlind = !firstChunk && !written.containsKey(table)
+    val rows = writeLines(df, table, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
+    if (resumedBlind) written.remove(table)
+    else if (firstChunk) written.put(table, rows)
+    else written.merge(table, rows,
+      (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+  }
+
+  private def writeLines(df: DataFrame, table: String, m: SaveMode): Long = {
     val obs = org.apache.spark.sql.Observation(s"csv_rows_${table}_${java.util.UUID.randomUUID()}")
     df.select(CsvBulk.csvLine(df))
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode(mode).text(path(table))
-    written.put(table, obs.get("rows").asInstanceOf[Long])
+      .write.mode(m).text(path(table))
+    obs.get("rows").asInstanceOf[Long]
   }
 
   override def countRows(spark: SparkSession, table: String): Option[Long] =

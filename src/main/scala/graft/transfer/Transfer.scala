@@ -127,8 +127,8 @@ final class JdbcSink(
   * (checkpoint.py:60-74 + data_transfer.py:300-323). Where the reference
   * checkpoints a *row offset* into an unordered result set (and concedes
   * the instability), the chunk key ranges are value-stable: the checkpoint
-  * stores the next chunk's lower bound, so a rerun after a mid-table crash
-  * re-reads only the un-committed key range. The chunk column must be
+  * stores the number of committed chunks, so a rerun after a mid-table
+  * crash re-reads only the un-committed key ranges. The chunk column must be
   * non-null numeric (a PK/partition key, same contract as the JDBC
   * partitionColumn). A crash between a chunk's commit and its checkpoint
   * write re-appends that one chunk (at-least-once, same window as the
@@ -171,8 +171,10 @@ final class TransferEngine(
 
   /** Key-range-chunked transfer with per-chunk checkpoint commits; returns
     * rows written. Chunk boundaries derive from the table's full [min,max]
-    * key span so they are identical across runs; resume starts at the
-    * checkpointed watermark (the next chunk's lower bound). */
+    * key span so they are identical across runs. The checkpoint stores the
+    * COUNT of committed chunks (1-based), not a key bound — a key watermark
+    * would collide with the checkpoint's "0 = never started" convention
+    * for tables whose chunk keys are negative or cross zero. */
   private def transferChunked(spark: SparkSession, df: DataFrame,
                               table: String, keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
@@ -184,14 +186,15 @@ final class TransferEngine(
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, math.ceil((hi - lo + 1).toDouble / chunkCount).toLong)
-    val resumeFrom = cp.resumeOffset(table)
-    var cur = if (resumeFrom > 0) resumeFrom else lo
-    var firstChunk = resumeFrom == 0
+    val doneChunks = math.max(0L, cp.resumeOffset(table))
+    var cur = lo + doneChunks * width
+    var chunkNo = doneChunks
     while (cur <= hi) {
       val next = cur + width
-      sink.writeChunk(df.filter(col(keyCol) >= cur && col(keyCol) < next), table, firstChunk)
-      cp.updateProgress(table, next) // commit the watermark AFTER the chunk lands
-      firstChunk = false
+      sink.writeChunk(df.filter(col(keyCol) >= cur && col(keyCol) < next), table,
+        firstChunk = chunkNo == 0)
+      chunkNo += 1
+      cp.updateProgress(table, chunkNo) // commit progress AFTER the chunk lands
       cur = next
     }
     sink.countRows(spark, table).getOrElse(df.count())

@@ -136,37 +136,47 @@ class Validator(
     if (pkCols.isEmpty)
       return CheckResult("row_sample", None, message = "no primary key; skipped")
     val dataCols = source.columns.filterNot(pkCols.contains).toSeq
-    val joined = rowSampleJoin(pkCols, sampleSize)
-    // TakeOrderedAndProject on the PK: cheap, and deterministic like the
-    // reference's ORDER BY pk LIMIT n sample (validator.py:419-424)
-    val sampleCount = source.orderBy(pkCols.map(col).toSeq: _*).limit(sampleSize).count()
-    val fieldNeq: Column = dataCols
-      .map(c => !(col(c) <=> col(s"s_$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val row = joined.agg(
-      count(lit(1)).as("present"),
-      sum(when(fieldNeq, 1L).otherwise(0L)).as("mismatched")).collect()(0)
-    val present = row.getLong(0)
-    val mismatched = if (row.isNullAt(1)) 0L else row.getLong(1)
-    // a duplicate-PK target inflates `present`; clamp so that pathology
-    // reads as 0 missing + its field mismatches, not a negative count
-    val missing = math.max(0L, sampleCount - present)
-    val passed = missing == 0 && mismatched == 0
-    CheckResult("row_sample", Some(passed),
-      message =
-        if (passed) s"all sampled rows present and equal"
-        else s"$missing missing rows, $mismatched rows with field mismatches")
+    // one TakeOrderedAndProject over the source, cached: both the count
+    // and the join read it — building the sample twice would be a second
+    // full source scan purely for the sample size
+    val sample = buildSample(pkCols, sampleSize).cache()
+    try {
+      val sampleCount = sample.count()
+      val joined = joinTargetAgainst(sample, pkCols)
+      val fieldNeq: Column = dataCols
+        .map(c => !(col(c) <=> col(s"s_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val row = joined.agg(
+        count(lit(1)).as("present"),
+        sum(when(fieldNeq, 1L).otherwise(0L)).as("mismatched")).collect()(0)
+      val present = row.getLong(0)
+      val mismatched = if (row.isNullAt(1)) 0L else row.getLong(1)
+      // a duplicate-PK target inflates `present`; clamp so that pathology
+      // reads as 0 missing + its field mismatches, not a negative count
+      val missing = math.max(0L, sampleCount - present)
+      val passed = missing == 0 && mismatched == 0
+      CheckResult("row_sample", Some(passed),
+        message =
+          if (passed) s"all sampled rows present and equal"
+          else s"$missing missing rows, $mismatched rows with field mismatches")
+    } finally sample.unpersist()
   }
 
-  /** The layer-5 join, exposed so specs can pin its executed shape:
-    * full target (probe) inner-joined against the broadcast sample (build),
-    * sample data columns renamed `s_*`. */
-  private[validate] def rowSampleJoin(pkCols: Seq[String], sampleSize: Int): DataFrame = {
+  /** ORDER BY pk LIMIT n with data columns renamed `s_*` — deterministic
+    * like the reference's sample (validator.py:419-424). */
+  private def buildSample(pkCols: Seq[String], sampleSize: Int): DataFrame = {
     val dataCols = source.columns.filterNot(pkCols.contains).toSeq
     val sample = source.orderBy(pkCols.map(col).toSeq: _*).limit(sampleSize)
-    val renamedSample = dataCols.foldLeft(sample)((df, c) => df.withColumnRenamed(c, s"s_$c"))
-    target.join(broadcast(renamedSample), pkCols, "inner")
+    dataCols.foldLeft(sample)((df, c) => df.withColumnRenamed(c, s"s_$c"))
   }
+
+  /** Full target (probe) inner-joined against the broadcast sample (build). */
+  private def joinTargetAgainst(sample: DataFrame, pkCols: Seq[String]): DataFrame =
+    target.join(broadcast(sample), pkCols, "inner")
+
+  /** The layer-5 join, exposed so specs can pin its executed shape. */
+  private[validate] def rowSampleJoin(pkCols: Seq[String], sampleSize: Int): DataFrame =
+    joinTargetAgainst(buildSample(pkCols, sampleSize), pkCols)
 
   /** All layers with auto-detection (validator.py:83-187 orchestration). */
   def validateTable(tableName: String, pkCols: Seq[String] = Nil,

@@ -158,6 +158,23 @@ class SnowflakeDialectSpec extends AnyFunSuite {
       "SELECT LISTAGG(x, ',') WITHIN GROUP (ORDER BY x) FROM t")
   }
 
+  test("QUALIFY in set operations: binds to its own branch, tail operator stays outside") {
+    assert(tr("SELECT a FROM t QUALIFY rk = 1 UNION SELECT b FROM u") ===
+      "SELECT * EXCEPT(__qualify) FROM (SELECT a, (rk = 1) AS __qualify FROM t) " +
+        "WHERE __qualify UNION SELECT b FROM u")
+    assert(tr("SELECT a FROM t UNION SELECT b FROM u QUALIFY rk = 1") ===
+      "SELECT a FROM t UNION SELECT * EXCEPT(__qualify) FROM " +
+        "(SELECT b, (rk = 1) AS __qualify FROM u) WHERE __qualify")
+  }
+
+  test("FLATTEN with outer => TRUE and extra options; literals untouched") {
+    assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => arr, outer => TRUE) f") ===
+      "SELECT f.value FROM t LATERAL VIEW POSEXPLODE_OUTER(arr) f AS index, value")
+    // string literal containing the keyword is not mangled
+    assert(tr("SELECT 'use LATERAL FLATTEN(input => x) here' AS hint FROM t") ===
+      "SELECT 'use LATERAL FLATTEN(input => x) here' AS hint FROM t")
+  }
+
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
     assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
       "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")

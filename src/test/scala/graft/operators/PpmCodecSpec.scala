@@ -36,6 +36,9 @@ class PpmCodecSpec extends SparkSpec {
     assert(decode("not an image at all".getBytes).isEmpty)
     assert(decode("P6\n4 4\n255\n".getBytes).isEmpty) // truncated pixel data
     assert(decode("P6\n0 4\n255\n".getBytes).isEmpty) // zero dimension
+    // hostile header whose w*h*3 overflows Int must return None, not index
+    // past the (much smaller) buffer
+    assert(decode(("P6\n38000 38000\n255\n" + "x" * 100).getBytes).isEmpty)
   }
 
   test("luminance of uniform images is exact") {

@@ -71,6 +71,33 @@ class ChunkedResumeSpec extends SparkSpec {
     assert(cp2.isCompleted("orders"))
   }
 
+  test("negative and zero-crossing chunk keys resume without duplication") {
+    // chunk-count progress (not a key watermark) — a key bound of 0 or
+    // negative would read as "never started" and re-append committed chunks
+    val src = Files.createTempDirectory("negkeys_src").toString
+    spark.range(-50, 50).selectExpr("id AS k", "id * 2 AS v")
+      .write.parquet(s"$src/negkeys.parquet")
+    val out = Files.createTempDirectory("negkeys_out").toString
+    val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    val chunking = Map("negkeys" -> "k")
+
+    val flaky = new FlakySink(new ParquetSink(out), failOnChunk = 2)
+    val s1 = new TransferEngine(new ParquetSource(src), flaky, Some(cp),
+      chunkColumns = chunking, chunkCount = 5).transferTable(spark, "negkeys")
+    assert(!s1.success)
+    assert(cp.resumeOffset("negkeys") == 2) // two committed chunks
+
+    val cp2 = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    val healthy = new FlakySink(new ParquetSink(out))
+    val s2 = new TransferEngine(new ParquetSource(src), healthy, Some(cp2),
+      chunkColumns = chunking, chunkCount = 5).transferTable(spark, "negkeys")
+    assert(s2.success, s2.errorMessage)
+    assert(healthy.chunkWrites == 3 && healthy.firstFlags.forall(_ == false))
+    val result = spark.read.parquet(s"$out/negkeys.parquet")
+    assert(result.count() == 100)
+    assert(result.groupBy("k").count().filter("count > 1").count() == 0, "duplicated chunks")
+  }
+
   test("unchunked tables keep whole-table semantics; chunked success completes checkpoint") {
     val out = Files.createTempDirectory("chunked2").toString
     val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")

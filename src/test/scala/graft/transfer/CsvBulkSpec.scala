@@ -88,6 +88,24 @@ class CsvBulkSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("a value that becomes literal \\N only after NUL-scrub is still quoted") {
+    // NUL + backslash + N scrubs to exactly \N — must ship quoted or COPY
+    // reads it as SQL NULL
+    assert(roundTrip(Seq(Some("\u0000\\N"))) === Seq(Some("\\N")))
+  }
+
+  test("chunked CSV transfer appends chunks instead of overwriting") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_chunked").toString
+    val cp = new CheckpointManager(s"$dir/ckpt.json", "sf", "csv")
+    val engine = new TransferEngine(new ParquetSource(sfDir), new CsvBulkSink(dir),
+      Some(cp), chunkColumns = Map("orders" -> "o_orderkey"), chunkCount = 4)
+    val stats = engine.transferTable(spark, "orders")
+    assert(stats.success)
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(stats.rowsTransferred === total, "chunked CSV lost rows (overwrite per chunk?)")
+    assert(spark.read.text(s"$dir/orders.csv").count() === total)
+  }
+
   test("CsvBulkSink writes COPY-ready shards through the transfer engine") {
     val dir = java.nio.file.Files.createTempDirectory("csv_bulk").toString
     val engine = new TransferEngine(new ParquetSource(sfDir), new CsvBulkSink(dir))

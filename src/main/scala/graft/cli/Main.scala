@@ -174,6 +174,10 @@ object Main {
             throw new IllegalArgumentException(
               "--chunk-column requires --checkpoint FILE (chunk progress must be recorded " +
                 "somewhere to resume from)")
+          if (opts.contains("chunk-column") && opts.contains("limit"))
+            throw new IllegalArgumentException(
+              "--chunk-column cannot combine with --limit (a row limit has no stable " +
+                "assignment to key-range chunks)")
           val chunked = opts.get("chunk-column")
             .map(c => tables.map(_ -> c).toMap).getOrElse(Map.empty[String, String])
           val engine = new TransferEngine(

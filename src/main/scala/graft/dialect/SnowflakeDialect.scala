@@ -128,6 +128,14 @@ object SnowflakeDialect {
     val input = byKey.collectFirst { case ("INPUT", v) => v }
       .getOrElse(throw new IllegalArgumentException(s"FLATTEN without input arg: ${m.matched}"))
     val outer = byKey.exists { case (k, v) => k == "OUTER" && v.equalsIgnoreCase("TRUE") }
+    // PATH/RECURSIVE/MODE change which values come out — translating them
+    // as a plain explode would run and silently return the wrong rows, so
+    // fail loudly like the pre-option parser did
+    val unsupported = byKey.map(_._1).filterNot(Set("INPUT", "OUTER"))
+    if (unsupported.nonEmpty)
+      throw new IllegalArgumentException(
+        s"FLATTEN option(s) ${unsupported.mkString(", ")} have no Spark rewrite " +
+          "(only input/outer are supported); restructure the view")
     val explodeFn = if (outer) "POSEXPLODE_OUTER" else "POSEXPLODE"
     // TABLE(FLATTEN(...)): skip the TABLE-wrapper's own ')'
     var i = close + 1
@@ -266,7 +274,12 @@ object SnowflakeDialect {
         case c => out.append(c); i += 1
       }
     }
-    rewriteTopLevelQualify(out.toString)
+    // fixpoint: a set operation may carry QUALIFY in several branches, and
+    // one pass rewrites only the first
+    var cur = out.toString
+    var prev = ""
+    while (cur != prev) { prev = cur; cur = rewriteTopLevelQualify(cur) }
+    cur
   }
 
   /** Positions of depth-0 keywords outside quotes, in order. */

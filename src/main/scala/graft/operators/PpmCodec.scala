@@ -51,11 +51,11 @@ object PpmCodec {
       w <- readInt()
       h <- readInt()
       maxVal <- readInt()
-      // dimension sanity bound also keeps w*h*3 far from Int overflow — a
-      // hostile "P6 38000 38000" header would otherwise wrap the length
-      // check and index past the buffer instead of returning None
-      if maxVal == 255 && w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14)
-      // exactly one whitespace byte separates the header from pixel data
+      if maxVal == 255 && w > 0 && h > 0
+      // exactly one whitespace byte separates the header from pixel data.
+      // The length comparison runs in Long: a hostile "P6 38000 38000"
+      // header would wrap w*h*3 in Int and index past the buffer. Passing
+      // it also proves w*h*3 fits an Int (it is ≤ bytes.length).
       if i < bytes.length && { i += 1; bytes.length.toLong - i >= w.toLong * h * 3 }
     } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
   }

@@ -35,10 +35,12 @@ final class CheckpointManager(path: String, schema: String, target: String) {
     save()
   }
 
-  /** Per-batch progress: absolute row offset (checkpoint.py:60-74; resume
-    * arithmetic `start_offset + total_rows`, data_transfer.py:314-321). */
-  def updateProgress(table: String, rowOffset: Long): Unit = synchronized {
-    inProgress(table) = rowOffset
+  /** Per-batch progress. Same JSON slot as the reference's absolute row
+    * offset (checkpoint.py:60-74), but the chunked transfer stores the
+    * COUNT of committed chunks — order-stable where a row offset is not
+    * (see TransferEngine.transferChunked). */
+  def updateProgress(table: String, progress: Long): Unit = synchronized {
+    inProgress(table) = progress
     save()
   }
 

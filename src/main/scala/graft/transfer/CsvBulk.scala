@@ -78,12 +78,10 @@ final class CsvBulkSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extend
     * chunk) makes the running count partial — drop it so stats fall back
     * to an accurate count instead of under-reporting. */
   override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit = {
-    val resumedBlind = !firstChunk && !written.containsKey(table)
     val rows = writeLines(df, table, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
-    if (resumedBlind) written.remove(table)
-    else if (firstChunk) written.put(table, rows)
-    else written.merge(table, rows,
-      (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+    if (firstChunk) written.put(table, rows)
+    else written.computeIfPresent(table, // a blind resume records nothing: never a partial count
+      (_: String, a: java.lang.Long) => java.lang.Long.valueOf(a + rows))
   }
 
   private def writeLines(df: DataFrame, table: String, m: SaveMode): Long = {

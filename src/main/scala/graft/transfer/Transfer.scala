@@ -185,17 +185,28 @@ final class TransferEngine(
       return 0L
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, math.ceil((hi - lo + 1).toDouble / chunkCount).toLong)
-    val doneChunks = math.max(0L, cp.resumeOffset(table))
-    var cur = lo + doneChunks * width
+    // chunk-index arithmetic in BigInt: a key span near the Long extremes
+    // (hi - lo + 1, lo + k*width, cur + width) would otherwise wrap and
+    // either loop forever or compute wrong ranges
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val width = (span + chunkCount - 1) / chunkCount max BigInt(1)
+    val totalChunks = ((span + width - 1) / width).toLong
+    // a checkpoint recording more chunks than this table can have is stale
+    // or from a different chunking config — restart cleanly rather than
+    // skipping past the data
+    val recorded = math.max(0L, cp.resumeOffset(table))
+    val doneChunks = if (recorded > totalChunks) 0L else recorded
     var chunkNo = doneChunks
-    while (cur <= hi) {
-      val next = cur + width
-      sink.writeChunk(df.filter(col(keyCol) >= cur && col(keyCol) < next), table,
-        firstChunk = chunkNo == 0)
+    while (chunkNo < totalChunks) {
+      val lower = (BigInt(lo) + BigInt(chunkNo) * width).toLong
+      val isLast = chunkNo == totalChunks - 1
+      val chunk =
+        if (isLast) df.filter(col(keyCol) >= lower && col(keyCol) <= hi)
+        else df.filter(col(keyCol) >= lower &&
+          col(keyCol) < (BigInt(lower) + width).toLong)
+      sink.writeChunk(chunk, table, firstChunk = chunkNo == 0)
       chunkNo += 1
       cp.updateProgress(table, chunkNo) // commit progress AFTER the chunk lands
-      cur = next
     }
     sink.countRows(spark, table).getOrElse(df.count())
   }

@@ -165,6 +165,10 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT a FROM t UNION SELECT b FROM u QUALIFY rk = 1") ===
       "SELECT a FROM t UNION SELECT * EXCEPT(__qualify) FROM " +
         "(SELECT b, (rk = 1) AS __qualify FROM u) WHERE __qualify")
+    // QUALIFY in BOTH branches: fixpoint rewrites every one
+    val both = tr("SELECT a FROM t QUALIFY r = 1 UNION SELECT b FROM u QUALIFY s = 2")
+    assert(!both.matches("(?s).*\\bQUALIFY\\b.*"), both)
+    assert(both.contains("(r = 1) AS __qualify") && both.contains("(s = 2) AS __qualify"), both)
   }
 
   test("FLATTEN with outer => TRUE and extra options; literals untouched") {
@@ -173,6 +177,14 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     // string literal containing the keyword is not mangled
     assert(tr("SELECT 'use LATERAL FLATTEN(input => x) here' AS hint FROM t") ===
       "SELECT 'use LATERAL FLATTEN(input => x) here' AS hint FROM t")
+    // path/recursive/mode change the produced rows — must fail loudly,
+    // never silently translate to a plain explode
+    intercept[IllegalArgumentException] {
+      tr("SELECT f.value FROM t, LATERAL FLATTEN(input => arr, path => 'items') f")
+    }
+    intercept[IllegalArgumentException] {
+      tr("SELECT f.value FROM t, LATERAL FLATTEN(input => arr, recursive => TRUE) f")
+    }
   }
 
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {

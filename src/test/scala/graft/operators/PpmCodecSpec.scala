@@ -39,6 +39,9 @@ class PpmCodecSpec extends SparkSpec {
     // hostile header whose w*h*3 overflows Int must return None, not index
     // past the (much smaller) buffer
     assert(decode(("P6\n38000 38000\n255\n" + "x" * 100).getBytes).isEmpty)
+    // but a legitimately large wide image decodes fine (no arbitrary cap)
+    val wide = Image(20000, 2, Array.fill(20000 * 2 * 3)(7.toByte))
+    assert(decode(encode(wide)).exists(d => d.width == 20000 && d.height == 2))
   }
 
   test("luminance of uniform images is exact") {

@@ -43,10 +43,10 @@ class ChunkedResumeSpec extends SparkSpec {
     assert(flaky.chunkWrites == 2)
     assert(flaky.firstFlags.head && !flaky.firstFlags(1)) // overwrite, then append
 
-    // the checkpoint recorded the watermark: not completed, offset > 0
+    // the checkpoint recorded committed-chunk progress: not completed, > 0
     assert(!cp.isCompleted("orders"))
     val watermark = cp.resumeOffset("orders")
-    assert(watermark > 0)
+    assert(watermark == 2) // two chunks landed before the crash
     val committed = spark.read.parquet(s"$out/orders.parquet").count()
     val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
     assert(committed > 0 && committed < total, s"committed=$committed total=$total")

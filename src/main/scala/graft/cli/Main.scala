@@ -83,6 +83,7 @@ object Main {
           // otherwise) — discovery.py:250-346 parity
           val metas = opts.get("constraints-jdbc") match {
             case Some(url) =>
+              opts.get("driver").foreach(Class.forName) // raw-connection path: no ServiceLoader guarantee
               val plain = discoverAny(spark, dir, schema, opts)
               val live = graft.meta.ConstraintDiscovery.discover(spark,
                 new graft.meta.JdbcMetadataCatalog(url,
@@ -314,6 +315,11 @@ object Main {
     * to enumerate (Derby: APP). */
   private def discoverJdbc(spark: SparkSession, url: String, dbSchema: String,
                            jdbcOpts: Map[String, String]): Seq[TableMeta] = {
+    // DriverManager relies on ServiceLoader auto-registration; a driver
+    // that needs explicit loading (--driver) must be Class.forName'd before
+    // the first getConnection — the Spark JDBC reader does this for the
+    // transfer path, this covers the raw-connection discovery path
+    jdbcOpts.get("driver").foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url)
     val names =
       try {

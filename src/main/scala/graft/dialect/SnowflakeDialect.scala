@@ -393,6 +393,19 @@ object SnowflakeDialect {
     out.toString
   }
 
+  /** True when a TO_CHAR/TO_VARCHAR format literal is a datetime mask —
+    * it carries at least one recognized Snowflake datetime token (or is
+    * already a Java pattern, which only datetime formats are here). A
+    * numeric mask like `$999.99` or `FM9,990.00` matches none of these. */
+  private[dialect] def isDatetimeFormat(fmt: String): Boolean = {
+    val upper = fmt.toUpperCase
+    val datetimeTokens =
+      Seq("YYYY", "YY", "MON", "MM", "DD", "HH", "MI", "SS", "AM", "PM", "TZH", "FF")
+    // FM/'9'/'0'/'$' masks are numeric even if they sneak in an ambiguous
+    // pair; require a datetime token AND no numeric-mask digits
+    datetimeTokens.exists(upper.contains) && !fmt.exists(c => c == '9' || c == '$')
+  }
+
   /** One pass over the SQL rewriting known function calls; recurses into
     * arguments so nested `IFF` translate fully. */
   private def rewriteFunctionCalls(sql: String): String = {
@@ -451,7 +464,15 @@ object SnowflakeDialect {
           else t
           val call = upper match {
             case "TO_CHAR" | "TO_VARCHAR" =>
-              if (translated.length == 2) s"DATE_FORMAT(${translated.mkString(", ")})"
+              // 2-arg TO_CHAR is only a datetime format when the literal
+              // carries datetime tokens; a numeric mask ('$999.99') must
+              // fail loudly — rewriting it to DATE_FORMAT would silently
+              // return a formatted *date* for an amount column
+              if (translated.length == 2 && isStringLiteral(t(1)) &&
+                  !isDatetimeFormat(t(1).substring(1, t(1).length - 1)))
+                throw new IllegalArgumentException(
+                  s"unsupported $upper numeric/text format ${t(1)} — only datetime formats translate")
+              else if (translated.length == 2) s"DATE_FORMAT(${translated.mkString(", ")})"
               else s"CAST(${translated.head} AS STRING)"
             case "TO_TIMESTAMP_NTZ" => s"TO_TIMESTAMP(${translated.mkString(", ")})"
             case fn => s"$fn(${translated.mkString(", ")})"

@@ -129,8 +129,9 @@ final class JdbcSink(
   * the instability), the chunk key ranges are value-stable: the checkpoint
   * stores the number of committed chunks, so a rerun after a mid-table
   * crash re-reads only the un-committed key ranges. The chunk column must be
-  * non-null numeric (a PK/partition key, same contract as the JDBC
-  * partitionColumn). A crash between a chunk's commit and its checkpoint
+  * non-null integral (a PK/partition key, same contract as the JDBC
+  * partitionColumn) — enforced up front, since a null or fractional key
+  * would silently fall outside every chunk's range predicate. A crash between a chunk's commit and its checkpoint
   * write re-appends that one chunk (at-least-once, same window as the
   * reference's commit-then-callback ordering).
   */
@@ -177,9 +178,23 @@ final class TransferEngine(
     * for tables whose chunk keys are negative or cross zero. */
   private def transferChunked(spark: SparkSession, df: DataFrame,
                               table: String, keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, max, min, when}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val cp = checkpoint.get
-    val bounds = df.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
+    // the chunk predicates filter on the RAW key, so the key type must be
+    // integral (a fractional key above the truncated max would fall outside
+    // the last chunk) and null keys must be rejected (they match no chunk's
+    // range) — either would otherwise drop rows with success=true
+    val keyType = df.schema(df.schema.fieldIndex(keyCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"chunk column $keyCol of $table must be integral, got ${keyType.simpleString}")
+    // null count rides the same scan as the bounds — no extra pass
+    val bounds = df.agg(
+      min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
+      count(when(col(keyCol).isNull, 1))).head()
+    require(bounds.getLong(2) == 0L,
+      s"chunk column $keyCol of $table has ${bounds.getLong(2)} NULL keys; " +
+        "rows with NULL chunk keys would be silently skipped")
     if (bounds.isNullAt(0)) { // empty table: one empty write, no chunks
       sink.write(df, table)
       return 0L

@@ -146,13 +146,14 @@ class Validator(
       val fieldNeq: Column = dataCols
         .map(c => !(col(c) <=> col(s"s_$c")))
         .reduceOption(_ || _).getOrElse(lit(false))
+      // DISTINCT sample keys, not join rows: a duplicate PK in the target
+      // (exactly what an at-least-once chunked resume can produce) would
+      // inflate a plain count and mask a genuinely missing sampled row
       val row = joined.agg(
-        count(lit(1)).as("present"),
+        countDistinct(pkCols.head, pkCols.tail: _*).as("present"),
         sum(when(fieldNeq, 1L).otherwise(0L)).as("mismatched")).collect()(0)
       val present = row.getLong(0)
       val mismatched = if (row.isNullAt(1)) 0L else row.getLong(1)
-      // a duplicate-PK target inflates `present`; clamp so that pathology
-      // reads as 0 missing + its field mismatches, not a negative count
       val missing = math.max(0L, sampleCount - present)
       val passed = missing == 0 && mismatched == 0
       CheckResult("row_sample", Some(passed),

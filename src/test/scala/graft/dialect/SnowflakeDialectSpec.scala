@@ -132,6 +132,18 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT TO_VARCHAR(ts, 'HH24:MI')") === "SELECT DATE_FORMAT(ts, 'HH:mm')")
   }
 
+  test("TO_CHAR: a numeric mask fails loudly instead of becoming DATE_FORMAT") {
+    // TO_CHAR(amount, '$999.99') run through DATE_FORMAT would silently
+    // render a datetime for a money column — unsupported must throw, the
+    // same contract as unsupported FLATTEN options
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '$999.99')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_VARCHAR(amount, 'FM9,990.00')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0.00')"))
+    // datetime masks keep translating
+    assert(tr("SELECT TO_CHAR(ts, 'DD/MM/YYYY HH24:MI')") ===
+      "SELECT DATE_FORMAT(ts, 'dd/MM/yyyy HH:mm')")
+  }
+
   test("ILIKE is native Spark SQL and passes through untouched") {
     assert(tr("SELECT a FROM t WHERE name ILIKE '%urgent%'") ===
       "SELECT a FROM t WHERE name ILIKE '%urgent%'")

@@ -98,6 +98,31 @@ class ChunkedResumeSpec extends SparkSpec {
     assert(result.groupBy("k").count().filter("count > 1").count() == 0, "duplicated chunks")
   }
 
+  test("null or fractional chunk keys are rejected, not silently dropped") {
+    // chunk predicates filter on the raw key: a NULL key matches no range,
+    // and a fractional key above the truncated max (10.7 vs hi=10) escapes
+    // the last chunk — both must fail the transfer instead of losing rows
+    val src = Files.createTempDirectory("badkeys_src").toString
+    spark.range(0, 10).selectExpr(
+      "CASE WHEN id = 3 THEN CAST(NULL AS BIGINT) ELSE id END AS k", "id AS v")
+      .write.parquet(s"$src/nullkeys.parquet")
+    spark.range(0, 10).selectExpr("id + 0.7 AS k", "id AS v")
+      .write.parquet(s"$src/frackeys.parquet")
+    val out = Files.createTempDirectory("badkeys_out").toString
+
+    val s1 = new TransferEngine(new ParquetSource(src), new ParquetSink(out),
+      Some(new CheckpointManager(s"$out/c1.json", "sf", "pq")),
+      chunkColumns = Map("nullkeys" -> "k"), chunkCount = 3).transferTable(spark, "nullkeys")
+    assert(!s1.success, "NULL chunk keys must fail the transfer")
+    assert(s1.errorMessage.exists(_.contains("NULL")), s1.errorMessage)
+
+    val s2 = new TransferEngine(new ParquetSource(src), new ParquetSink(out),
+      Some(new CheckpointManager(s"$out/c2.json", "sf", "pq")),
+      chunkColumns = Map("frackeys" -> "k"), chunkCount = 3).transferTable(spark, "frackeys")
+    assert(!s2.success, "non-integral chunk keys must fail the transfer")
+    assert(s2.errorMessage.exists(_.contains("integral")), s2.errorMessage)
+  }
+
   test("unchunked tables keep whole-table semantics; chunked success completes checkpoint") {
     val out = Files.createTempDirectory("chunked2").toString
     val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")

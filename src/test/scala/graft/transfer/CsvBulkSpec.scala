@@ -122,4 +122,20 @@ class CsvBulkSpec extends SparkSpec {
       .map(r => r.getAs[Number](0).intValue() -> r.getString(1)).toMap
     assert(parsed === nation)
   }
+
+  test("non-scalar columns are rejected up front, not mangled") {
+    // binary cast through UTF-8 and arrays rendered as '[1, 2]' would load
+    // wrong into PG silently — the sink's COPY contract is scalars only
+    val dir = java.nio.file.Files.createTempDirectory("csvbad").toString
+    val sink = new CsvBulkSink(dir)
+    val binDf = spark.range(3).selectExpr("id", "CAST('ab' AS BINARY) AS blob")
+    val e1 = intercept[IllegalArgumentException](sink.write(binDf, "bin_t"))
+    assert(e1.getMessage.contains("blob: binary"), e1.getMessage)
+    val arrDf = spark.range(3).selectExpr("id", "array(id, id + 1) AS xs")
+    val e2 = intercept[IllegalArgumentException](sink.write(arrDf, "arr_t"))
+    assert(e2.getMessage.contains("xs: array"), e2.getMessage)
+    // the documented escape hatch works: project through to_json/hex first
+    sink.write(arrDf.selectExpr("id", "to_json(xs) AS xs_json"), "arr_json")
+    assert(sink.countRows(spark, "arr_json").contains(3L))
+  }
 }

@@ -72,6 +72,18 @@ class ValidatorSpec extends SparkSpec {
     assert(r3.message.startsWith("2 missing rows"), r3.message)
   }
 
+  test("layer 5: a duplicated PK cannot mask a missing sampled row") {
+    // at-least-once chunked resume can duplicate rows; if `present` counted
+    // join rows, one duplicate would cancel one missing row and read PASS
+    val sampledKeys = orders.orderBy("o_orderkey").limit(10)
+      .select("o_orderkey").collect().map(_.getAs[Number](0).longValue())
+    val corrupted = orders.filter(col("o_orderkey") =!= sampledKeys.head)
+      .union(orders.filter(col("o_orderkey") === sampledKeys(1))) // key(1) now twice
+    val r = new Validator(orders, corrupted).checkRowSample(Seq("o_orderkey"), 10)
+    assert(r.passed === Some(false), r.message)
+    assert(r.message.startsWith("1 missing rows"), r.message)
+  }
+
   test("layer 5 broadcasts the SAMPLE, never the target") {
     // the scale contract: target is the probe side (scanned in place), the
     // ≤n-row sample is the broadcast build side — a reversed join would ship

@@ -110,22 +110,33 @@ object Dedup {
     * pointer-jumping shortcut (label := label of label), so flood distance
     * doubles per round — O(log diameter) rounds even on chain-shaped
     * graphs, verified by the 64-node-chain scale probe. The driver loop
-    * only checks a changed-count; `maxIter` bounds the worst case
-    * (2^20-diameter graphs at the default).
+    * only reads a one-row label-sum aggregate per round (labels decrease
+    * monotonically, so an unchanged sum is a fixpoint); `maxIter` bounds
+    * the worst case (2^20-diameter graphs at the default).
     */
   def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                  maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not cache): truncates the logical plan each round —
     // the iterated self-join otherwise deepens the plan tree and Catalyst
-    // re-analysis time grows super-linearly with iteration count
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // re-analysis time grows super-linearly with iteration count.
+    // The input pairs are checkpointed FIRST: the symmetrize union reads
+    // them twice, and a pairs argument that is itself an expensive pipeline
+    // (MinHash-LSH candidate generation) would run end-to-end twice.
+    val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint(true)
     var iter = 0
     var converged = false
+    // convergence probe: labels only ever DECREASE, so the label sum is
+    // strictly monotone while anything changes — an equal sum means a
+    // fixpoint. One aggregate job per round, vs the join+filter+count
+    // formulation's extra shuffle; decimal sum so 2^63-adjacent ids can't
+    // overflow (ANSI mode would throw mid-round)
+    var prevSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -135,17 +146,20 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
       // pointer jumping: follow the label's own label (labels are node
-      // ids, so this is a self-join) — doubles flood distance per round
+      // ids, so this is a self-join) — doubles flood distance per round.
+      // LAZY checkpoint: the convergence aggregate below materializes it,
+      // storing the blocks in the same job — eager ran a separate one
       val next = prop
         .join(prop.select(col("node").as("label"), col("label").as("parent")),
           Seq("label"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
+        .localCheckpoint(false)
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = (s == null && prevSum == null && iter > 0) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       iter += 1
     }
     labels

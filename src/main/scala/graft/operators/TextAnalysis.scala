@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale corpus pipelines: approximate
@@ -120,4 +120,33 @@ object TextAnalysis {
     piiPatterns.foldLeft(expr) { case (acc, (pat, rep)) =>
       s"regexp_replace($acc, '$pat', '$rep', 'g')"
     }
+
+  /** Train/eval decontamination: per train document, the number of distinct
+    * word `k`-grams it shares with ANY eval document — the n-gram-overlap
+    * test-set leakage check every pretraining pipeline runs before
+    * training (real pipelines use k of 8-13; the fixture corpus is short,
+    * so its query uses k=4).
+    *
+    * Scale shape: the eval side is distinct-reduced and BROADCAST — an eval
+    * benchmark is a few thousand documents against a 100 TB train corpus,
+    * so the train side streams map-side through the hash semi-join and the
+    * only shuffle is the final per-doc count. Set `broadcastEval = false`
+    * for the rare giant-eval case (falls back to a hash join keyed on the
+    * n-gram). Per-doc n-grams are built as one array per row
+    * ([[graft.operators.Dedup.shingles]] — array_distinct'd HOF, no
+    * explode) and only unrolled into the join itself.
+    */
+  def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, k: Int, broadcastEval: Boolean = true): DataFrame = {
+    val trainG = train.select(col(idCol),
+      explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+    val evalG = eval.select(explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+      .distinct()
+    val evalSide = if (broadcastEval) broadcast(evalG) else evalG
+    // per-doc n-grams are already distinct (shingles array_distincts), so
+    // the inner-join row count IS the distinct-overlap count
+    trainG.join(evalSide, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
 }

@@ -60,6 +60,25 @@ object DedupQueries {
         .orderBy(col("cluster"))
     },
 
+    // Cross-source contamination census: near-dup pairs rolled up by the
+    // (unordered) source pair — "which feeds duplicate each other", the
+    // question that decides which crawl snapshots to drop. Composition of
+    // the MinHash pipeline with a dimension re-attach: the pair set is tiny
+    // after LSH+verify, so the two source joins are broadcast-sized.
+    "q82_cross_source_dups" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // SimHash near-dup pairs (64-bit, hamming ≤ 3, pigeonhole bucketing).
     "q24_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -266,6 +285,40 @@ object DedupQueries {
   private val dot = Similarity.scaledDotSql _
   private def nrm(a: String) = Similarity.scaledNormSql(a)
 
+  /** Shared DuckDB replay of the MinHash-LSH pair pipeline (same constants
+    * as [[graft.operators.Dedup]]): shingles → md5-prefix base → 32 affine
+    * permutations mod 2^31-1 → 8 four-slot bands → capped bucket join →
+    * signature agreement. Ends at CTE `est(a_id, b_id, est_jaccard)`;
+    * q23/q70/q82 append their own tails. */
+  private val minhashEstCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
+      |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS base FROM sh),
+      |slots AS (
+      |  SELECT doc_id, i.i AS i,
+      |    MIN((base * ((2654435761 * (i.i + 1)) % 2147483647)
+      |         + (40503 * (i.i + 1) + 1) % 2147483647) % 2147483647) AS m
+      |  FROM h, UNNEST(range(0, 32)) AS i(i) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band,
+      |    sig[b.b*4 + 1]::VARCHAR || '/' || sig[b.b*4 + 2]::VARCHAR || '/' ||
+      |    sig[b.b*4 + 3]::VARCHAR || '/' || sig[b.b*4 + 4]::VARCHAR AS key
+      |  FROM sig, UNNEST(range(0, 8)) AS b(b)),
+      |ok AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 1000),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN ok USING (band, key) JOIN bands b USING (band, key)
+      |  WHERE a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.a_id, c.b_id,
+      |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 32
+      |      AS est_jaccard
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """WITH pfx AS (
@@ -280,79 +333,41 @@ object DedupQueries {
         |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
-    // Full MinHash-LSH replay: shingles → md5-prefix base → 32 affine
-    // permutations mod 2^31-1 → 8 four-slot bands → bucket join → signature
-    // agreement ≥ threshold. Same constants as graft.operators.Dedup.
+    // Full MinHash-LSH replay ending in est_jaccard ≥ threshold.
     "q23_dedup_minhash_lsh" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
-        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS base FROM sh),
-        |slots AS (
-        |  SELECT doc_id, i.i AS i,
-        |    MIN((base * ((2654435761 * (i.i + 1)) % 2147483647)
-        |         + (40503 * (i.i + 1) + 1) % 2147483647) % 2147483647) AS m
-        |  FROM h, UNNEST(range(0, 32)) AS i(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b.b AS band,
-        |    sig[b.b*4 + 1]::VARCHAR || '/' || sig[b.b*4 + 2]::VARCHAR || '/' ||
-        |    sig[b.b*4 + 3]::VARCHAR || '/' || sig[b.b*4 + 4]::VARCHAR AS key
-        |  FROM sig, UNNEST(range(0, 8)) AS b(b)),
-        |ok AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 1000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN ok USING (band, key) JOIN bands b USING (band, key)
-        |  WHERE a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT c.a_id, c.b_id,
-        |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 32
-        |      AS est_jaccard
-        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
-        |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $minhashEstCtes
+         |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // MinHash pairs re-attached to their documents' sources, rolled up by
+    // unordered source pair.
+    "q82_cross_source_dups" ->
+      s"""WITH $minhashEstCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+         |ps AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |         greatest(da.source, db.source) AS src_b
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.a_id
+         |  JOIN documents db ON db.doc_id = p.b_id)
+         |SELECT src_a, src_b, COUNT(*) AS n_pairs
+         |FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // q23's pair pipeline + recursive transitive closure: component id =
     // min over every reachable node (LEAST of self and reachable min).
     "q70_dedup_clusters" ->
-      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
-        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS base FROM sh),
-        |slots AS (
-        |  SELECT doc_id, i.i AS i,
-        |    MIN((base * ((2654435761 * (i.i + 1)) % 2147483647)
-        |         + (40503 * (i.i + 1) + 1) % 2147483647) % 2147483647) AS m
-        |  FROM h, UNNEST(range(0, 32)) AS i(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b.b AS band,
-        |    sig[b.b*4 + 1]::VARCHAR || '/' || sig[b.b*4 + 2]::VARCHAR || '/' ||
-        |    sig[b.b*4 + 3]::VARCHAR || '/' || sig[b.b*4 + 4]::VARCHAR AS key
-        |  FROM sig, UNNEST(range(0, 8)) AS b(b)),
-        |ok AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= 1000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN ok USING (band, key) JOIN bands b USING (band, key)
-        |  WHERE a.doc_id < b.doc_id),
-        |pairs AS (
-        |  SELECT c.a_id, c.b_id
-        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id
-        |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 32 >= 0.5),
-        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-        |          UNION SELECT b_id, a_id FROM pairs),
-        |reach(s, d) AS (
-        |  SELECT s, d FROM edges
-        |  UNION
-        |  SELECT reach.s, e.d FROM reach JOIN edges e ON reach.d = e.s),
-        |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s)
-        |SELECT cluster, COUNT(*) AS n_members,
-        |  string_agg(node::VARCHAR, ',' ORDER BY node) AS members
-        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin,
+      s"""WITH RECURSIVE $minhashEstCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT reach.s, e.d FROM reach JOIN edges e ON reach.d = e.s),
+         |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s)
+         |SELECT cluster, COUNT(*) AS n_members,
+         |  string_agg(node::VARCHAR, ',' ORDER BY node) AS members
+         |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // Full SimHash replay: md5-prefix 64-bit token hashes → per-bit votes →
     // fingerprint (HUGEINT two-halves reconstruction — DuckDB's BIGINT <<

@@ -220,6 +220,33 @@ object TextQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique_fp"))
         .orderBy(col("source"))
+    },
+
+    // Train/eval decontamination: docs with doc_id % 50 = 0 stand in for
+    // the held-out eval set; every train doc sharing a word 4-gram with it
+    // is flagged with its distinct-overlap count. Eval n-grams broadcast —
+    // the benchmark-vs-100TB-corpus shape (see TextAnalysis.ngramOverlap).
+    "q80_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      ngramOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    // Type-token ratio per language — the lexical-diversity quality signal.
+    // Integer sums aggregate exactly; the single double division at the end
+    // is IEEE-correctly-rounded in both engines.
+    "q81_type_token_ratio" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("nd"),
+          size(split(col("text"), " ")).cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nd")).as("sum_distinct"), sum(col("nw")).as("sum_words"))
+        .withColumn("ttr", col("sum_distinct").cast("double") / col("sum_words"))
+        .orderBy(col("lang"))
     })
 
   private val padded = "(' ' || text || ' ')"
@@ -373,5 +400,25 @@ object TextQueries {
     "q32_fingerprint" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  COUNT(DISTINCT ${fingerprintSql("trim(text)")}) AS n_unique_fp
-         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q80_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4]) AS ng
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 4, 0) + 1)) AS i(i)),
+        |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_overlap
+        |FROM g JOIN e USING (ng)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q81_type_token_ratio" ->
+      """SELECT lang,
+        |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+        |    / SUM(len(string_split(text, ' '))) AS ttr
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)
 }

@@ -135,4 +135,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.length === 16)
     assert(fp.matches("[0-9a-f]{16}"))
   }
+
+  test("ngramOverlap counts distinct shared k-grams, train-side only") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares the eval 4-gram twice-over region
+      (2L, "alpha beta gamma delta zeta"),    // shares exactly one 4-gram
+      (3L, "nothing in common at all here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramOverlap(train, eval, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 1: 4-grams {a b g d, b g d e} both shared → 2; doc 2: {a b g d} → 1
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("ngramOverlap broadcasts the eval n-gram set") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val eval = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val df = TextAnalysis.ngramOverlap(train, eval, "doc_id", "text", k = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the 100TB contract: eval (small) is the broadcast build side, the
+    // train explode streams through map-side — no shuffle of train n-grams
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

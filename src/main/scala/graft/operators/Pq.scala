@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Product quantization (PQ) — the memory-compression scale path for ANN
+  * serving, completing the similarity-search family (brute force → LSH →
+  * IVF → int8 → PQ):
+  *
+  *  1. split each `dims`-dim vector into `m` subvectors,
+  *  2. per subspace, learn a tiny codebook (`kCodes` entries — here the
+  *     md5-hash-sampled corpus rows of [[Ivf.pickCentroids]], sliced; at
+  *     100 TB you'd Lloyd-refine per subspace with [[Ivf.refineCentroids]]'s
+  *     plumbing),
+  *  3. encode every corpus vector as `m` small code indices — 64 floats
+  *     (256 bytes) become 8 codes (8 bytes here, m·log2(k) bits in general):
+  *     the corpus index fits in a fraction of the memory, which is the
+  *     difference between serving from RAM and thrashing at corpus scale,
+  *  4. queries score candidates with the asymmetric distance computation
+  *     (ADC): dot(q, decode(codes)) = Σ_j dot(q_j, codebook_j[code_j]) —
+  *     per query a k×m lookup table replaces every per-candidate float
+  *     multiply. In production ADC composes with IVF probing (scan only the
+  *     probed lists' codes); here the full-scan form keeps the operator
+  *     oracle-checkable end to end.
+  *
+  * Determinism: encoding reuses the scaled-Euclidean argmin expression
+  * ([[graft.functions.GraftFunctions.ivfNearestEuclid]], ties → lowest
+  * code) and ADC sums scaled-long dots ([[Similarity.ScaledShift]]), so
+  * codes AND scores replay bit-for-bit in the DuckDB oracle.
+  */
+object Pq {
+
+  /** Per-subspace codebooks (`m × kCodes × dims/m`), sliced from the
+    * `kCodes` md5-picked corpus vectors — deterministic, partition-stable,
+    * and SQL-replayable (`ORDER BY md5(CAST(id AS VARCHAR)), id`). */
+  def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                m: Int = 8, kCodes: Int = 128): Array[Array[Array[Float]]] = {
+    val rows = Ivf.pickCentroids(corpus, idCol, vecCol, kCodes)
+    val dims = rows.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible into $m subspaces")
+    val sub = dims / m
+    Array.tabulate(m)(j => rows.map(_._2.slice(j * sub, (j + 1) * sub).toArray))
+  }
+
+  /** Adds a `codes` column (`array<int>`, length m): per subspace the
+    * nearest sub-centroid under scaled Euclidean distance — one codegen'd
+    * argmin per subspace, no explode, no shuffle. */
+  def encode(df: DataFrame, vecCol: String, cbs: Array[Array[Array[Float]]]): DataFrame = {
+    val sub = cbs(0)(0).length
+    val codes = cbs.indices.map { j =>
+      graft.functions.GraftFunctions.ivfNearestEuclid(
+        slice(col(vecCol), j * sub + 1, sub), cbs(j), Similarity.ScaledShift)
+    }
+    df.withColumn("codes", array(codes: _*))
+  }
+
+  /** Column-typed scaled dot (the string-SQL [[Similarity.scaledDot]] can't
+    * address computed columns like an element_at over a literal codebook). */
+  private def dotCols(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.FloatVectorScaledDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), Similarity.ScaledShift))
+
+  /** ADC score of a full-precision query against a codes column: the
+    * codebooks ride as plan literals, `element_at` picks each subspace's
+    * reconstruction, and the m scaled-long dots sum exactly. */
+  def adcScore(qvec: Column, codes: Column, cbs: Array[Array[Array[Float]]]): Column = {
+    val sub = cbs(0)(0).length
+    cbs.indices.map { j =>
+      val cbLit = array(cbs(j).map(c => array(c.map(lit(_)): _*)): _*)
+      dotCols(slice(qvec, j * sub + 1, sub), element_at(cbLit, codes.getItem(j) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** PQ top-k: encode the corpus once, broadcast the (small) query set,
+    * rank candidates by ADC score. The corpus side carries only
+    * `(id, codes)` — the compressed index — through the scoring join. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           m: Int = 8, kCodes: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = codebooks(corpus, "vec_id", "embedding", m, kCodes)
+    val enc = encode(corpus, "embedding", cbs)
+      .select(col("vec_id").as("cid"), col("codes"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = enc.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("adc", adcScore(col("qvec"), col("codes"), cbs))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("adc"), col("rank"))
+  }
+}

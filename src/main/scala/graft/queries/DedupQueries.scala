@@ -228,6 +228,16 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Product quantization: 64-dim vectors → 8 sub-codes against md5-picked
+    // codebooks; queries rank the whole corpus by ADC lookups over the
+    // compressed codes (32x smaller index than raw floats). Codes and
+    // scaled-long ADC scores both replay exactly in the oracle.
+    "q83_pq_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Pq.topK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -604,6 +614,45 @@ object DedupQueries {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
          |  FROM scored)
          |SELECT qid, cid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    // PQ replay: md5-ordered codebook rows sliced per subspace, scaled-
+    // Euclidean encoding (bias = half scaled self-dot, ties → lowest code),
+    // ADC = summed scaled dots of query slices against coded sub-centroids.
+    // Same constants as graft.operators.Pq (m=8, k=128, shift=36).
+    "q83_pq_topk" ->
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+         |      embedding AS cvec
+         |    FROM embeddings) WHERE code < 128),
+         |cbsub AS (
+         |  SELECT j.j AS sub, code, list_slice(cvec, j.j*8 + 1, j.j*8 + 8) AS scvec
+         |  FROM cb, UNNEST(range(0, 8)) AS j(j)),
+         |bias AS (
+         |  SELECT sub, code, scvec,
+         |    CAST(list_sum(list_transform(scvec, x ->
+         |      CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 68719476736.0) AS BIGINT)))
+         |      AS BIGINT) // 2 AS b
+         |  FROM cbsub),
+         |enc AS (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, s.sub, s.code, s.scvec,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.sub
+         |        ORDER BY ${dot("list_slice(e.embedding, s.sub*8 + 1, s.sub*8 + 8)", "s.scvec")} - s.b DESC,
+         |          s.code) AS rn
+         |    FROM embeddings e CROSS JOIN bias s) WHERE rn = 1),
+         |adc AS (
+         |  SELECT q.vec_id AS qid, en.vec_id AS cid,
+         |    CAST(SUM(${dot("list_slice(q.embedding, en.sub*8 + 1, en.sub*8 + 8)", "en.scvec")}) AS BIGINT) AS adc
+         |  FROM embeddings q CROSS JOIN enc en
+         |  WHERE q.vec_id < 10 AND en.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, cid, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rank
+         |  FROM adc)
+         |SELECT qid, cid, adc, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
 
     "q27_ann_brute_topk" ->

@@ -28,6 +28,9 @@ import scala.annotation.tailrec
   *     `LATERAL VIEW POSEXPLODE(X) f AS index, value` (array mode)
   *   - VARIANT paths `col:a.b[0]` → `get_json_object(col, '$.a.b[0]')`;
   *     `LISTAGG … WITHIN GROUP` is native Spark ≥4.0 and passes through
+  *   - `DECODE(e, s, r, …, d)` → null-safe searched CASE (`<=>`);
+  *     `REGEXP_SUBSTR(s, p)` → `REGEXP_EXTRACT(s, p, 0)`;
+  *     `OBJECT_CONSTRUCT('k', v, …)` → `TO_JSON(NAMED_STRUCT(…))`
   *
   * The translation is string-level (like the reference) but implemented with
   * a character scanner that respects single-quoted literals (with `''`
@@ -483,6 +486,45 @@ object SnowflakeDialect {
           val (args, close) = parseArgs(sql, k)
           val t = args.map(a => rewriteFunctionCalls(a.trim))
           out.append(s"EXPLODE(SPLIT(${t.mkString(", ")}))")
+          i = close + 1
+        } else if (hasParen && upper == "DECODE") {
+          // DECODE(e, s1, r1[, s2, r2…][, default]) → searched CASE. The
+          // comparisons use `<=>` (null-safe equals): Snowflake DECODE
+          // matches NULL against a NULL search value, which plain `=`
+          // would silently never do.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length >= 3, s"DECODE expects >= 3 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val subject = t.head
+          val rest = t.tail
+          val whens = rest.grouped(2).filter(_.length == 2)
+            .map(p => s"WHEN ($subject <=> ${p(0)}) THEN ${p(1)}").mkString(" ")
+          val dflt = if (rest.length % 2 == 1) s" ELSE ${rest.last}" else ""
+          out.append(s"CASE $whens$dflt END")
+          i = close + 1
+        } else if (hasParen && upper == "REGEXP_SUBSTR") {
+          // 2-arg form → REGEXP_EXTRACT(subject, pattern, 0); the
+          // position/occurrence/flags variants change match semantics and
+          // must fail loudly rather than drop arguments
+          val (args, close) = parseArgs(sql, k)
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          if (t.length != 2)
+            throw new IllegalArgumentException(
+              s"unsupported REGEXP_SUBSTR arity ${t.length} — only (subject, pattern) translates")
+          out.append(s"REGEXP_EXTRACT(${t(0)}, ${t(1)}, 0)")
+          i = close + 1
+        } else if (hasParen && upper == "OBJECT_CONSTRUCT") {
+          // OBJECT_CONSTRUCT('k', v, …) → TO_JSON(NAMED_STRUCT(…)): the
+          // VARIANT object becomes its JSON text rendering, the same
+          // degrade-to-JSON the type map applies to VARIANT columns.
+          // OBJECT_CONSTRUCT(*) (all-columns form) has no key list to
+          // translate — fail loudly.
+          val (args, close) = parseArgs(sql, k)
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          if (t.isEmpty || t.length % 2 != 0)
+            throw new IllegalArgumentException(
+              s"unsupported OBJECT_CONSTRUCT form — need literal key/value pairs, got ${t.length} args")
+          out.append(s"TO_JSON(NAMED_STRUCT(${t.mkString(", ")}))")
           i = close + 1
         } else if (hasParen && zeroArg.contains(upper)) {
           val (_, close) = parseArgs(sql, k)

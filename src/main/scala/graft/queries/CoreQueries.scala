@@ -221,6 +221,21 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
+    // frequency Snowflake-isms, end-to-end through the translate path.
+    "q84_dialect_decode" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT p_partkey,
+          |       DECODE(p_size, 1, 'one', 2, 'two', 'many') AS size_word,
+          |       REGEXP_SUBSTR(p_type, '[A-Z]+') AS first_word,
+          |       OBJECT_CONSTRUCT('brand', p_brand, 'sz', p_size) AS obj
+          |FROM TPCH.PUBLIC.PART
+          |WHERE p_partkey < 200
+          |ORDER BY p_partkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     "q15_cast_projection" -> { (s, dir) =>
       t(s, dir, "nation")
         .select(
@@ -391,6 +406,15 @@ object CoreQueries {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders WHERE o_orderpriority ILIKE '%urgent%')
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q84_dialect_decode" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size = 1 THEN 'one' WHEN p_size = 2 THEN 'two'
+        |       ELSE 'many' END AS size_word,
+        |  regexp_extract(p_type, '[A-Z]+') AS first_word,
+        |  to_json(struct_pack(brand := p_brand, sz := p_size))::VARCHAR AS obj
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey""".stripMargin,
 
     "q15_cast_projection" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,

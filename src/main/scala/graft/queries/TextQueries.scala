@@ -235,6 +235,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Inverted-index build: term → document frequency + capped posting
+    // list — the search-infrastructure face of a corpus pipeline. Posting
+    // lists are bounded (first 10 doc ids) so the per-term aggregate state
+    // stays O(cap) however hot the term; one term-partitioned shuffle.
+    "q85_inverted_index" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"), col("doc_id"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", expr(
+            "transform(slice(sort_array(collect_list(doc_id)), 1, 10), x -> cast(x AS string))"))
+            .as("postings"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)
+    },
+
+    // Temperature-based corpus mixing (α = 0.5 via sqrt — the standard
+    // low-resource-language up-weighting): per-language natural share,
+    // temperature weight, and the resulting boost factor. sqrt and single
+    // divisions are IEEE-correctly-rounded, so the doubles replay exactly.
+    "q86_mixture_weights" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      // global window over the 5-row aggregate, not the corpus
+      val w = Window.partitionBy()
+      counts.withColumn("natural_share",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"))
+        .withColumn("temp_weight", sqrt(col("natural_share")))
+        .withColumn("boost", col("temp_weight") / col("natural_share"))
+        .select(col("lang"), col("n_docs"), col("natural_share"),
+          col("temp_weight"), col("boost"))
+        .orderBy(col("lang"))
+    },
+
     // Type-token ratio per language — the lexical-diversity quality signal.
     // Integer sums aggregate exactly; the single double division at the end
     // is IEEE-correctly-rounded in both engines.
@@ -413,6 +448,25 @@ object TextQueries {
         |FROM g JOIN e USING (ng)
         |WHERE g.doc_id % 50 <> 0
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q85_inverted_index" ->
+      """SELECT term, df, postings FROM (
+        |  SELECT u.term AS term, COUNT(*) AS df,
+        |    array_to_string(list_transform(
+        |      list_slice(list_sort(list(doc_id)), 1, 10),
+        |      x -> CAST(x AS VARCHAR)), ',') AS postings
+        |  FROM documents, UNNEST(list_distinct(string_split(text, ' '))) AS u(term)
+        |  GROUP BY 1)
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    "q86_mixture_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS natural_share,
+        |  sqrt(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS temp_weight,
+        |  sqrt(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS boost
+        |FROM c ORDER BY lang""".stripMargin,
 
     "q81_type_token_ratio" ->
       """SELECT lang,

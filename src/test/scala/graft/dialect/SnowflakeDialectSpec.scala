@@ -144,6 +144,33 @@ class SnowflakeDialectSpec extends AnyFunSuite {
       "SELECT DATE_FORMAT(ts, 'dd/MM/yyyy HH:mm')")
   }
 
+  test("DECODE becomes a null-safe searched CASE") {
+    assert(tr("SELECT DECODE(x, 1, 'a', 2, 'b', 'z') FROM t") ===
+      "SELECT CASE WHEN (x <=> 1) THEN 'a' WHEN (x <=> 2) THEN 'b' ELSE 'z' END FROM t")
+    // no default → no ELSE (CASE yields NULL, same as Snowflake)
+    assert(tr("SELECT DECODE(x, 1, 'a') FROM t") ===
+      "SELECT CASE WHEN (x <=> 1) THEN 'a' END FROM t")
+    // NULL search value must match via <=>, not silently never-match
+    assert(tr("SELECT DECODE(x, NULL, 'missing', x)") ===
+      "SELECT CASE WHEN (x <=> NULL) THEN 'missing' ELSE x END")
+    // nested calls in arguments rewrite recursively
+    assert(tr("SELECT DECODE(NVL(x, 0), 0, IFF(y, 'a', 'b'), 'z')") ===
+      "SELECT CASE WHEN (COALESCE(x, 0) <=> 0) THEN CASE WHEN y THEN 'a' ELSE 'b' END ELSE 'z' END")
+  }
+
+  test("REGEXP_SUBSTR 2-arg maps to REGEXP_EXTRACT group 0; other arities fail") {
+    assert(tr("SELECT REGEXP_SUBSTR(s, '[A-Z]+') FROM t") ===
+      "SELECT REGEXP_EXTRACT(s, '[A-Z]+', 0) FROM t")
+    intercept[IllegalArgumentException](tr("SELECT REGEXP_SUBSTR(s, 'x', 2)"))
+  }
+
+  test("OBJECT_CONSTRUCT becomes TO_JSON(NAMED_STRUCT(...)); star form fails") {
+    assert(tr("SELECT OBJECT_CONSTRUCT('k', v, 'n', 1) FROM t") ===
+      "SELECT TO_JSON(NAMED_STRUCT('k', v, 'n', 1)) FROM t")
+    intercept[IllegalArgumentException](tr("SELECT OBJECT_CONSTRUCT(*) FROM t"))
+    intercept[IllegalArgumentException](tr("SELECT OBJECT_CONSTRUCT('k') FROM t"))
+  }
+
   test("ILIKE is native Spark SQL and passes through untouched") {
     assert(tr("SELECT a FROM t WHERE name ILIKE '%urgent%'") ===
       "SELECT a FROM t WHERE name ILIKE '%urgent%'")

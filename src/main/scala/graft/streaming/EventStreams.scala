@@ -138,6 +138,16 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join a streaming fact against a broadcast
+    * dimension — stateless (no watermark, no state store; each micro-batch
+    * is a map-side hash join against the re-resolved static side, which is
+    * also how dimension updates become visible between batches). The
+    * standard shape for attaching user/account/catalog attributes to an
+    * event stream; at 100 TB the dim side must stay broadcast-sized or be
+    * pre-bucketed to a co-partitioned join. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
+
   /** Batch-read the events fixture as a typed Dataset for sessionize. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

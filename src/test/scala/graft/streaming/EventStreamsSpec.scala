@@ -54,6 +54,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join and stays stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = EventStreams.eventsDataset(spark, sfDir).collect().toSeq.take(300)
+    // static dimension: deterministic tier per user
+    val dim = events.map(_.user_id).distinct.map(u => (u, s"tier${u % 3}"))
+      .toDF("user_id", "tier")
+    val batch = events.toDF().join(dim, Seq("user_id"), "left_outer")
+      .select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val stream = MemoryStream[EventStreams.Event]
+    val (a, b) = events.splitAt(events.length / 2)
+    stream.addData(a)
+    val q = EventStreams.enrich(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").select("event_id", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch)
+      // stateless contract: no state store operator in the progress metrics
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"stream-static join must not build state: ${q.lastProgress.stateOperators}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits per-session records consistent with batch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -221,6 +221,17 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Global row numbering at scale: range-partition + parallel sorts +
+    // zipWithIndex prefix offsets — identical numbers to
+    // ROW_NUMBER() OVER (ORDER BY pk) without planning a single-task
+    // window sort (the formulation that dies at 100 TB).
+    "q87_global_rownum" -> { (s, dir) =>
+      graft.operators.GlobalIndex.withRowNumbers(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_orderkey"))
+        .orderBy(col("rn"))
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -406,6 +417,11 @@ object CoreQueries {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders WHERE o_orderpriority ILIKE '%urgent%')
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q87_global_rownum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |FROM orders ORDER BY rn""".stripMargin,
 
     "q84_dialect_decode" ->
       """SELECT p_partkey,

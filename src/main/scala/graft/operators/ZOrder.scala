@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the multi-dimensional data-layout tool
+  * for 100 TB scan pruning. Range-partitioning on ONE key gives min/max
+  * file pruning on that key only; interleaving the bits of several keys
+  * into one z-value and range-partitioning on THAT bounds every
+  * participating dimension's span within each partition/file, so a filter
+  * on ANY of the clustered columns skips most files (what Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` does at the table layout level).
+  *
+  * The z-value is pure integer bit arithmetic — `(x >> i) & 1` terms
+  * recombined with shifts — identical in any engine, so the mapping is
+  * oracle-checkable bit-for-bit.
+  */
+object ZOrder {
+
+  /** Morton code of `cols` (low `bits` bits each, masked first so values
+    * beyond the budget or negative inputs stay well-defined): bit i of
+    * column c lands at position `i * n + c`. Total bits (`bits × n`) must
+    * stay under 63. */
+  def zValue(cols: Seq[String], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 2, "z-order needs at least 2 columns")
+    require(bits * n < 63, s"bits=$bits over $n columns overflows a long")
+    val mask = (1L << bits) - 1
+    val terms = cols.zipWithIndex.map { case (c, ci) =>
+      s"shiftleft(shiftright(cast($c AS BIGINT) & ${mask}L, i) & 1L, i * $n + $ci)"
+    }.mkString(" + ")
+    expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + ($terms))")
+  }
+
+  /** Matching DuckDB fragment for [[zValue]]. */
+  def zValueSql(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.length
+    val mask = (1L << bits) - 1
+    // every term fully parenthesized: DuckDB's `<<` binds looser than `+`,
+    // so an unwrapped `a << p + b << q` chain parses as nested shifts
+    val terms = cols.zipWithIndex.map { case (c, ci) =>
+      s"((((CAST($c AS BIGINT) & $mask) >> i) & 1) << (i * $n + $ci))"
+    }.mkString(" + ")
+    s"CAST(list_sum(list_transform(range(0, $bits), i -> $terms)) AS BIGINT)"
+  }
+
+  /** Cluster a dataset along the z-curve of `cols`: the write-side layout
+    * pass — range exchange on the z-value then parallel in-partition
+    * sorts, exactly the shuffle shape of a distributed ORDER BY. Writing
+    * the result gives files whose per-file min/max bound EVERY clustered
+    * column. */
+  def cluster(df: DataFrame, cols: Seq[String], bits: Int = 16,
+              partitions: Int = 0): DataFrame = {
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.withColumn("zval", zValue(cols, bits))
+      .repartitionByRange(parts, col("zval"))
+      .sortWithinPartitions("zval")
+  }
+}

@@ -221,6 +221,16 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Z-order (Morton) mapping — the multi-dim clustering key for
+    // write-side layout: interleaved bits of (custkey, orderkey), checked
+    // bit-for-bit against the oracle's integer arithmetic.
+    "q88_zorder" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("zval",
+          graft.operators.ZOrder.zValue(Seq("o_custkey", "o_orderkey"), bits = 16))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Global row numbering at scale: range-partition + parallel sorts +
     // zipWithIndex prefix offsets — identical numbers to
     // ROW_NUMBER() OVER (ORDER BY pk) without planning a single-task
@@ -417,6 +427,11 @@ object CoreQueries {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders WHERE o_orderpriority ILIKE '%urgent%')
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q88_zorder" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  ${graft.operators.ZOrder.zValueSql(Seq("o_custkey", "o_orderkey"), bits = 16)} AS zval
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q87_global_rownum" ->
       """SELECT o_orderkey, o_custkey,

@@ -193,3 +193,74 @@ case class FvecTopProbes(child: Expression, centroids: Array[Array[Float]],
   override protected def withNewChildInternal(newChild: Expression): FvecTopProbes =
     copy(child = newChild)
 }
+
+/** PQ asymmetric-distance score: Σ_j scaledDot(query slice j, cb(j)(code_j)).
+  * The m×k×sub codebooks ride as ONE reference object — the composed
+  * alternative (element_at over nested literal arrays per subspace) embeds
+  * m·k·sub float literals in the plan, which is exactly the plan-bloat
+  * this file exists to avoid. Arithmetic matches [[FloatVectorScaledDot]]
+  * so the score replays in the DuckDB oracle. */
+case class PqAdcScore(left: Expression, right: Expression,
+                      codebooks: Array[Array[Array[Float]]], shift: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<int>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  @transient private lazy val scale: Double = java.lang.Math.scalb(1.0, shift)
+  private def sub: Int = codebooks(0)(0).length
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    var acc = 0L
+    var j = 0
+    val m = codebooks.length
+    while (j < m && j < codes.numElements()) {
+      val cen = codebooks(j)(codes.getInt(j))
+      val off = j * sub
+      var i = 0
+      while (i < sub && off + i < qv.numElements()) {
+        acc += math.floor(qv.getFloat(off + i).toDouble * cen(i).toDouble * scale).toLong
+        i += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val cen = ctx.freshName("cen")
+      val off = ctx.freshName("off")
+      s"""
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $cbRef.length && $j < $c.numElements(); $j++) {
+         |  float[] $cen = $cbRef[$j][$c.getInt($j)];
+         |  int $off = $j * ${sub};
+         |  for (int $i = 0; $i < ${sub} && $off + $i < $q.numElements(); $i++) {
+         |    $acc += (long) java.lang.Math.floor(
+         |      (double) $q.getFloat($off + $i) * (double) $cen[$i] * ${scale}D);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}

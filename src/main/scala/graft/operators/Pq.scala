@@ -55,22 +55,16 @@ object Pq {
     df.withColumn("codes", array(codes: _*))
   }
 
-  /** Column-typed scaled dot (the string-SQL [[Similarity.scaledDot]] can't
-    * address computed columns like an element_at over a literal codebook). */
-  private def dotCols(a: Column, b: Column): Column =
-    ColumnBridge.column(graft.functions.FloatVectorScaledDot(
-      ColumnBridge.expression(a), ColumnBridge.expression(b), Similarity.ScaledShift))
-
-  /** ADC score of a full-precision query against a codes column: the
-    * codebooks ride as plan literals, `element_at` picks each subspace's
-    * reconstruction, and the m scaled-long dots sum exactly. */
-  def adcScore(qvec: Column, codes: Column, cbs: Array[Array[Array[Float]]]): Column = {
-    val sub = cbs(0)(0).length
-    cbs.indices.map { j =>
-      val cbLit = array(cbs(j).map(c => array(c.map(lit(_)): _*)): _*)
-      dotCols(slice(qvec, j * sub + 1, sub), element_at(cbLit, codes.getItem(j) + 1))
-    }.reduce(_ + _)
-  }
+  /** ADC score of a full-precision query against a codes column — one
+    * native expression with the m×k×sub codebooks as a codegen reference
+    * object. (The first version composed `element_at` over nested literal
+    * arrays, which embedded all m·k·sub floats in the plan — seconds of
+    * Janino compile per query and a plan too fat to ship to tasks, exactly
+    * the anti-pattern the ANN expressions exist to avoid.) */
+  def adcScore(qvec: Column, codes: Column, cbs: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(graft.functions.PqAdcScore(
+      ColumnBridge.expression(qvec), ColumnBridge.expression(codes),
+      cbs, Similarity.ScaledShift))
 
   /** PQ top-k: encode the corpus once, broadcast the (small) query set,
     * rank candidates by ADC score. The corpus side carries only

@@ -113,6 +113,39 @@ object EventQueries {
         .agg(max(col("value")).as("p_value"))
       graft.operators.AsOf.asofJoin(clicks, purchases, "user_id", "ms", Seq("p_value"))
         .orderBy(col("user_id"), col("ms"), col("event_id"))
+    },
+
+    // Salted two-phase aggregation (graft.operators.Skew): a hot group key
+    // first partial-aggregates on (key, salt-of-event_id) across 16
+    // reducers, then merges on key — the shape that keeps a power-law key
+    // from pinning one reducer at cluster scale. Result must equal the
+    // plain GROUP BY exactly (decimal-cast sums are order-independent).
+    "q89_salted_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("v", col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+      graft.operators.Skew.saltedSumCount(ev, "event_type", "v", saltFactor = 16, saltBy = "event_id")
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_value"), col("cnt"))
+        .orderBy(col("event_type"))
+    },
+
+    // HLL register file over user_id (graft.operators.Sketch): 2^6 buckets,
+    // md5-split hash, integer bit-length rho — the bounded-state distinct
+    // sketch whose shuffle carries <= m rows per executor at any scale.
+    "q90_hll_registers" -> { (s, dir) =>
+      graft.operators.Sketch.hllRegisters(t(s, dir, "events"), "user_id", p = 6)
+        .orderBy(col("bucket"))
+    },
+
+    // Raw HLL estimate from the register file, next to the exact distinct
+    // count for error audit. All arithmetic is integer until one final
+    // IEEE division, so the double estimate replays bit-for-bit.
+    "q91_hll_estimate" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val regs = graft.operators.Sketch.hllRegisters(ev, "user_id", p = 6)
+      val est = graft.operators.Sketch.hllEstimate(s, regs, p = 6)
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.crossJoin(exact)
+        .select(col("occupied"), col("s_scaled"), col("hll_est"), col("exact_distinct"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +214,48 @@ object EventQueries {
         |SELECT c.event_id, c.user_id, c.ms, p.p_value AS asof_p_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ms >= p.ms
-        |ORDER BY c.user_id, c.ms, c.event_id""".stripMargin)
+        |ORDER BY c.user_id, c.ms, c.event_id""".stripMargin,
+
+    // The salted two-phase result must equal the plain GROUP BY — that
+    // equivalence IS the check.
+    "q89_salted_agg" ->
+      s"""SELECT event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS cnt
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // HLL registers: bucket = low 6 bits of the 32-bit md5 prefix, rho =
+    // leading zeros of the remaining 26-bit word + 1, via integer
+    // bit-length (length(bin(w))) — no float log anywhere.
+    "q90_hll_registers" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM events)
+        |SELECT h % 64 AS bucket,
+        |  CAST(MAX(CASE WHEN h // 64 = 0 THEN 27
+        |                ELSE 27 - length(bin(h // 64)) END) AS BIGINT) AS max_rho,
+        |  COUNT(*) AS n_rows
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Raw HLL estimate: harmonic sum scaled by 2^27 stays integer-exact;
+    // alpha_64 * m^2 * 2^27 / s_scaled is one IEEE division.
+    "q91_hll_estimate" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |regs AS (
+        |  SELECT h % 64 AS bucket,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END) AS max_rho
+        |  FROM h GROUP BY 1),
+        |filled AS (
+        |  SELECT b.bucket, COALESCE(r.max_rho, 0) AS rho
+        |  FROM (SELECT UNNEST(range(64)) AS bucket) b
+        |  LEFT JOIN regs r ON b.bucket = r.bucket),
+        |s AS (
+        |  SELECT CAST(SUM(1::BIGINT << (27 - rho)) AS BIGINT) AS s_scaled,
+        |    CAST(SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS occupied
+        |  FROM filled)
+        |SELECT occupied, s_scaled,
+        |  0.709::DOUBLE * 64 * 64 * 134217728 / s_scaled AS hll_est,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+        |FROM s""".stripMargin)
 }

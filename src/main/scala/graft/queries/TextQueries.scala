@@ -282,6 +282,38 @@ object TextQueries {
         .agg(sum(col("nd")).as("sum_distinct"), sum(col("nw")).as("sum_words"))
         .withColumn("ttr", col("sum_distinct").cast("double") / col("sum_words"))
         .orderBy(col("lang"))
+    },
+
+    // Count-min heavy hitters (graft.operators.Sketch): the corpus token
+    // stream folds into a fixed 3×512 grid — ONE bounded shuffle at any
+    // corpus size — then the top-20 exact tokens are point-estimated
+    // against it. cm_est >= exact_cnt always (sketch error is one-sided);
+    // both ride in the output for audit.
+    "q92_cm_heavy_hitters" -> { (s, dir) =>
+      val tokens = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sketch = graft.operators.Sketch.countMin(tokens, "tok", d = 3, w = 512)
+      val top = tokens.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      graft.operators.Sketch.countMinEstimate(top, "tok", "exact_cnt", sketch, d = 3, w = 512)
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+
+    // Line-level exact dedup (RefinedWeb/CCNet-style, on 10-token lines —
+    // the fixture text is single-line): first global occurrence of each
+    // line survives, later copies are dropped, documents are reassembled
+    // from their surviving lines. One shuffle on the line text (bounded by
+    // distinct lines), one on doc_id to reassemble.
+    "q93_line_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val clean = graft.operators.LineDedup.dedupLines(docs, "doc_id", "text", lineTokens = 10)
+      docs.select(col("doc_id"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     })
 
   private val padded = "(' ' || text || ' ')"
@@ -474,5 +506,46 @@ object TextQueries {
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
         |    / SUM(len(string_split(text, ' '))) AS ttr
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q92_cm_heavy_hitters" ->
+      """WITH tokens AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |salted AS (SELECT s, tok FROM tokens, UNNEST(range(3)) AS t(s)),
+        |sketch AS (
+        |  SELECT s,
+        |    ('0x' || substr(md5('cm' || CAST(s AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 512 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM salted GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok, COUNT(*) AS exact_cnt FROM tokens GROUP BY 1
+        |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |probes AS (
+        |  SELECT t.tok, t.exact_cnt, u.s,
+        |    ('0x' || substr(md5('cm' || CAST(u.s AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT % 512 AS bucket
+        |  FROM top t, UNNEST(range(3)) AS u(s))
+        |SELECT p.tok, p.exact_cnt, MIN(k.cnt) AS cm_est
+        |FROM probes p JOIN sketch k ON p.s = k.s AND p.bucket = k.bucket
+        |GROUP BY 1, 2 ORDER BY exact_cnt DESC, tok""".stripMargin,
+
+    "q93_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+        |  FROM toks, UNNEST(range((len(w)+9)//10)) AS t(i)),
+        |flagged AS (
+        |  SELECT doc_id, line_no, line,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines, CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(CASE WHEN keep = 1 THEN line END, ' ' ORDER BY line_no), '') AS clean_text
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

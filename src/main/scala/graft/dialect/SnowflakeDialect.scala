@@ -416,7 +416,9 @@ object SnowflakeDialect {
       "GETDATE"           -> "CURRENT_TIMESTAMP",
       "SYSDATE"           -> "CURRENT_TIMESTAMP",
       "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
-    val renamed = Map("NVL" -> "COALESCE", "IFNULL" -> "COALESCE")
+    val renamed = Map(
+      "NVL" -> "COALESCE", "IFNULL" -> "COALESCE",
+      "LEN" -> "LENGTH", "ARRAY_SIZE" -> "SIZE")
     val datetimeFns = Set("TO_TIMESTAMP", "TO_TIMESTAMP_NTZ", "TO_DATE", "TO_CHAR", "TO_VARCHAR")
     def isStringLiteral(s: String): Boolean =
       s.length >= 2 && s.head == '\'' && s.last == '\''
@@ -525,6 +527,52 @@ object SnowflakeDialect {
             throw new IllegalArgumentException(
               s"unsupported OBJECT_CONSTRUCT form — need literal key/value pairs, got ${t.length} args")
           out.append(s"TO_JSON(NAMED_STRUCT(${t.mkString(", ")}))")
+          i = close + 1
+        } else if (hasParen && upper == "DATEADD") {
+          // DATEADD('unit', n, expr) → TIMESTAMPADD(UNIT, n, expr). Spark's
+          // timestampadd covers every Snowflake unit the reference's views
+          // use; 2-arg DATEADD (PG form) passes through untouched.
+          val (args, close) = parseArgs(sql, k)
+          if (args.length == 3) {
+            val unit = args.head.trim.stripPrefix("'").stripSuffix("'").toUpperCase
+            val t = args.tail.map(a => rewriteFunctionCalls(a.trim))
+            out.append(s"TIMESTAMPADD($unit, ${t(0)}, ${t(1)})")
+            i = close + 1
+          } else { out.append(word); i = j }
+        } else if (hasParen && upper == "ZEROIFNULL") {
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"ZEROIFNULL expects 1 arg, got ${args.length}")
+          out.append(s"COALESCE(${rewriteFunctionCalls(args.head.trim)}, 0)")
+          i = close + 1
+        } else if (hasParen && upper == "NULLIFZERO") {
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"NULLIFZERO expects 1 arg, got ${args.length}")
+          out.append(s"NULLIF(${rewriteFunctionCalls(args.head.trim)}, 0)")
+          i = close + 1
+        } else if (hasParen && (upper == "TRY_TO_NUMBER" || upper == "TRY_TO_DECIMAL")) {
+          // TRY_TO_NUMBER(x[, p, s]) → TRY_CAST(x AS DECIMAL(p,s)); the
+          // format-string variant changes parse semantics — fail loudly.
+          val (args, close) = parseArgs(sql, k)
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val ps = t.drop(1)
+          if (ps.exists(a => !a.forall(_.isDigit)))
+            throw new IllegalArgumentException(
+              s"unsupported $upper format-string form — only (expr[, precision, scale]) translates")
+          val (p, sc) = ps match {
+            case Nil            => (38, 0)
+            case pp :: Nil      => (pp.toInt, 0)
+            case pp :: ss :: _  => (pp.toInt, ss.toInt)
+          }
+          out.append(s"TRY_CAST(${t.head} AS DECIMAL($p,$sc))")
+          i = close + 1
+        } else if (hasParen && upper == "CHARINDEX") {
+          // CHARINDEX(needle, hay[, start]) → LOCATE — same arg order, same
+          // 1-based/0-when-missing semantics.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 2 || args.length == 3,
+            s"CHARINDEX expects 2-3 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          out.append(s"LOCATE(${t.mkString(", ")})")
           i = close + 1
         } else if (hasParen && zeroArg.contains(upper)) {
           val (_, close) = parseArgs(sql, k)

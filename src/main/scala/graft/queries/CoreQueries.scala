@@ -204,6 +204,23 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // DATEADD/ZEROIFNULL/NULLIFZERO/TRY_TO_NUMBER/CHARINDEX/LEN — the
+    // scalar-function layer of a migrated reporting view, end-to-end
+    // through the translate path.
+    "q94_dialect_dateadd" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderkey,
+          |       DATEADD('day', 30, TO_DATE(o_orderdate))::DATE AS due_date,
+          |       ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(o_orderpriority, 1, 1)))::DOUBLE AS prio_num,
+          |       NULLIFZERO(CHARINDEX('-', o_orderpriority))::INT AS dash_at,
+          |       LEN(o_orderstatus)::INT AS st_len
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // QUALIFY + ILIKE + non-ISO TO_TIMESTAMP format + TO_CHAR — the
     // Snowflake-isms one view away in any real migration, end-to-end
     // through the translate path.
@@ -409,6 +426,15 @@ object CoreQueries {
         |  COUNT(*) AS cnt
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY 1, 2, 3, 4 ORDER BY st, mth, days_since, prio""".stripMargin,
+
+    "q94_dialect_dateadd" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS DECIMAL(38,0)), 0) AS DOUBLE) AS prio_num,
+        |  CAST(NULLIF(strpos(o_orderpriority, '-'), 0) AS INT) AS dash_at,
+        |  CAST(length(o_orderstatus) AS INT) AS st_len
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q14_dialect_iff" ->
       """SELECT o_orderstatus AS status,

@@ -226,6 +226,33 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("DATEADD 3-arg becomes TIMESTAMPADD; 2-arg passes through") {
+    assert(tr("SELECT DATEADD('day', 30, d) FROM t") ===
+      "SELECT TIMESTAMPADD(DAY, 30, d) FROM t")
+    assert(tr("SELECT DATEADD('month', -1, TO_DATE(x)) FROM t") ===
+      "SELECT TIMESTAMPADD(MONTH, -1, TO_DATE(x)) FROM t")
+    assert(tr("SELECT DATEADD(d, 1) FROM t") === "SELECT DATEADD(d, 1) FROM t")
+  }
+
+  test("ZEROIFNULL/NULLIFZERO become COALESCE/NULLIF") {
+    assert(tr("SELECT ZEROIFNULL(x), NULLIFZERO(y) FROM t") ===
+      "SELECT COALESCE(x, 0), NULLIF(y, 0) FROM t")
+  }
+
+  test("TRY_TO_NUMBER becomes TRY_CAST to decimal; format form fails") {
+    assert(tr("SELECT TRY_TO_NUMBER(x) FROM t") ===
+      "SELECT TRY_CAST(x AS DECIMAL(38,0)) FROM t")
+    assert(tr("SELECT TRY_TO_NUMBER(x, 10, 2) FROM t") ===
+      "SELECT TRY_CAST(x AS DECIMAL(10,2)) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT TRY_TO_NUMBER(x, '$99.99') FROM t"))
+  }
+
+  test("CHARINDEX becomes LOCATE; LEN/ARRAY_SIZE rename") {
+    assert(tr("SELECT CHARINDEX('-', s) FROM t") === "SELECT LOCATE('-', s) FROM t")
+    assert(tr("SELECT CHARINDEX('-', s, 3) FROM t") === "SELECT LOCATE('-', s, 3) FROM t")
+    assert(tr("SELECT LEN(s), ARRAY_SIZE(a) FROM t") === "SELECT LENGTH(s), SIZE(a) FROM t")
+  }
+
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
     assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
       "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")

@@ -148,6 +148,27 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream-stream interval join (click→purchase attribution): each left
+    * event matches right events of the same `key` whose event time falls in
+    * [left.ts, left.ts + `windowMs`]. Watermarks on BOTH sides plus the
+    * time-range join condition let Spark expire join state — without the
+    * range bound the state store grows forever; with it, state is bounded
+    * by (watermark + window) per key. The output column set keeps both
+    * event ids and the right-side value, the attribution record shape. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowMs: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+      .select(col(key), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"), col("r_value"))
+  }
+
   /** Batch-read the events fixture as a typed Dataset for sessionize. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

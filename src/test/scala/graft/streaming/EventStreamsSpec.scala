@@ -151,6 +151,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, drops outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val h = 3600L * 1000
+    def ev(id: Long, user: Long, ms: Long, typ: String = "click") =
+      EventStreams.Event(id, new java.sql.Timestamp(ms), user, typ, id.toDouble)
+
+    val clicks = MemoryStream[EventStreams.Event]
+    val purchases = MemoryStream[EventStreams.Event]
+    val t0 = 2 * h // away from the zero watermark
+    clicks.addData(Seq(ev(1, 1, t0), ev(2, 2, t0 + 60000)))
+    purchases.addData(Seq(
+      ev(101, 1, t0 + 10 * 60000, "purchase"),  // within 30 min of click 1
+      ev(102, 1, t0 + 45 * 60000, "purchase"),  // outside the window
+      ev(103, 2, t0 + 5 * 60000, "purchase")))  // matches click 2
+    val q = EventStreams.intervalJoin(clicks.toDF(), purchases.toDF(),
+        "user_id", windowMs = 30 * 60000)
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("interval_join_test")
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet // (l_id, r_id)
+      assert(got === Set((1L, 101L), (2L, 103L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionize query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

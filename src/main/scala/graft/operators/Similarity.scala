@@ -156,6 +156,51 @@ object Similarity {
          |  THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** KNN graph via banded LSH: ONE `bands × bandBits`-bit hyperplane
+    * signature per vector, split into `bands` independent buckets by
+    * shift/mask (near vectors agree on at least one band with much higher
+    * probability than on the full signature). Candidates share a (band,
+    * bucket); each candidate pair is scored with the exact scaled-long
+    * cosine; every node keeps its top `k`. The per-bucket `cap`
+    * (first-`cap` rows by id, a count-window over the join key — which
+    * also pre-partitions the self-join) bounds a viral bucket the same way
+    * [[Dedup.minhashLsh]] caps LSH bands, so no reducer ever sees a
+    * quadratic bucket at corpus scale. Every stage is deterministic and
+    * the graph replays bit-for-bit in the differential oracle. */
+  def knnGraph(corpus: DataFrame, k: Int, bands: Int = 3, bandBits: Int = 8,
+               cap: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val mask = (1L << bandBits) - 1
+    val sig = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sig", lshSignature("embedding", bands * bandBits))
+      .withColumn("nrm", scaledNorm("embedding"))
+    val withBucket = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+    val capped = withBucket.withColumn("rn",
+        row_number().over(Window.partitionBy(col("band"), col("bucket"))
+          .orderBy(col("vec_id"))))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    val a = capped.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = capped.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: only pairs sharing a signature bucket are scored —
     * the candidate join shuffles on the 16-bit bucket, never cross-joining
     * the corpus. Returns candidate pairs with exact cosine ≥ `threshold`. */

@@ -238,6 +238,15 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // KNN graph via banded LSH (graft.operators.Similarity.knnGraph): one
+    // 24-bit signature split into 3×8-bit band buckets, capped bucket
+    // self-join, exact rescoring, top-5 per node — the neighbor-graph
+    // input of SemDeDup-style pipelines and graph-based ANN indexes.
+    "q95_knn_graph" -> { (s, dir) =>
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 5)
+        .orderBy(col("a_id"), col("rank"))
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -562,6 +571,32 @@ object DedupQueries {
          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT DISTINCT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.2
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q95_knn_graph" ->
+      s"""WITH sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(${Similarity.lshBucketSql("e.embedding", 24)} AS BIGINT) AS sig,
+         |    ${nrm("e.embedding")} AS nrm
+         |  FROM embeddings e),
+         |banded AS (
+         |  SELECT vec_id, embedding, nrm, CAST(b AS INT) AS band,
+         |    (sig >> (8 * CAST(b AS INT))) & 255 AS bucket
+         |  FROM sig, UNNEST(range(3)) AS t(b)),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, nrm, band, bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM banded) WHERE rn <= 200),
+         |pairs AS (
+         |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id,
+         |    ${dot("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cosine
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id <> r.vec_id)
+         |SELECT a_id, b_id, cosine, rank FROM (
+         |  SELECT a_id, b_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+         |  FROM pairs) WHERE rank <= 5
+         |ORDER BY a_id, rank""".stripMargin,
 
     "q77_embed_cluster_dedup" ->
       s"""WITH RECURSIVE bk AS (

@@ -149,4 +149,46 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Distributed Bloom build over a key column: per-partition bitmaps,
+    * OR-merged tree-style — the log-depth reduction that keeps the driver
+    * from receiving more than one `mBits/8`-byte array per merge arm. */
+  def buildBloom(keys: DataFrame, keyCol: String, mBits: Int = 1 << 20,
+                 numHashes: Int = 3): Array[Long] = {
+    import org.apache.spark.sql.Encoders
+    keys.select(col(keyCol).cast("string")).na.drop().as(Encoders.STRING).rdd
+      .treeAggregate(new Array[Long](mBits / 64))(
+        (acc, s) => {
+          graft.functions.BloomUtils.add(acc,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s), numHashes, mBits)
+          acc
+        },
+        (a, b) => graft.functions.BloomUtils.merge(a, b))
+  }
+
+  /** [[ngramOverlap]] for the giant-eval case: when the eval n-gram set is
+    * too large to broadcast as a hash relation, its BITS still fit
+    * (2^20 bits = 128 KB). The train side is pruned map-side by the
+    * broadcast bloom — at production FP rates that's ~99% of probe rows
+    * never reaching the shuffle — and the surviving sliver goes through
+    * the exact (shuffled, non-broadcast) join, which removes the false
+    * positives. Results are therefore IDENTICAL to [[ngramOverlap]]; only
+    * the shuffled volume changes. */
+  def bloomNgramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, k: Int, mBits: Int = 1 << 20,
+                        numHashes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val evalG = eval
+      .select(explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+      .distinct()
+      .cache() // consumed twice: bloom build + exact join
+    val bits = buildBloom(evalG, "ngram", mBits, numHashes)
+    val probe = ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(col("ngram")), bits, numHashes, mBits))
+    train.select(col(idCol), explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+      .filter(probe)
+      .join(evalG, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
 }

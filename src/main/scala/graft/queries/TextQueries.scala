@@ -235,6 +235,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-pruned decontamination (TextAnalysis.bloomNgramOverlap): the
+    // giant-eval scale path — eval n-grams compressed to a 2^20-bit
+    // broadcast bloom that prunes train shingles map-side before the
+    // exact shuffled join. False positives die in the join, so the
+    // result equals the exact overlap — which is what the oracle checks.
+    "q96_bloom_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.bloomNgramOverlap(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0),
+        "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // Inverted-index build: term → document frequency + capped posting
     // list — the search-infrastructure face of a corpus pipeline. Posting
     // lists are bounded (first 10 doc ids) so the per-term aggregate state
@@ -479,6 +493,20 @@ object TextQueries {
         |SELECT g.doc_id, COUNT(*) AS n_overlap
         |FROM g JOIN e USING (ng)
         |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefiltering must not change the result: the oracle is the
+    // EXACT overlap on the same split.
+    "q96_bloom_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4]) AS ng
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 4, 0) + 1)) AS i(i)),
+        |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 40 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_overlap
+        |FROM g JOIN e USING (ng)
+        |WHERE g.doc_id % 40 <> 0
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q85_inverted_index" ->

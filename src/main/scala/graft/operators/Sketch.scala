@@ -85,6 +85,68 @@ object Sketch {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
+  /** Per-group HLL register files: (group, bucket, max_rho) — bounded at
+    * m rows per group key however many rows each group holds. The
+    * "distinct users per dimension" shape at corpus scale. */
+  def hllRegistersBy(df: DataFrame, groupCol: String, keyCol: String,
+                     p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val m = 1 << p
+    val wBits = 32 - p
+    val h = h32(col(keyCol))
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(col(groupCol), (h % m).as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).cast("long").as("max_rho"))
+  }
+
+  /** Per-group raw HLL estimates from [[hllRegistersBy]] output. Empty
+    * buckets enter the harmonic sum arithmetically (m - occupied rows at
+    * 2^0 each, scaled) — no bucket-spine join needed. */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val maxRho = (32 - p) + 1
+    val alpha = hllAlpha(m)
+    registers.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - CAST(max_rho AS INT))")).as("s_occ"))
+      .select(
+        col(groupCol),
+        col("occupied"),
+        (col("s_occ") + (lit(m.toLong) - col("occupied")) * (1L << maxRho))
+          .cast("long").as("s_scaled"))
+      .withColumn("hll_est",
+        lit(alpha) * m * m * math.pow(2.0, maxRho).toLong / col("s_scaled"))
+  }
+
+  /** Histogram-sketch quantiles: values fold into fixed-`width` bins (one
+    * bounded groupBy), quantiles read off the cumulative bin counts. The
+    * p-quantile test is pure integer arithmetic (`cum * 100 >= pct *
+    * total`), the returned estimate is the bin's lower edge — error
+    * bounded by `width`, state bounded by the value range / width, both
+    * independent of row count. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         width: Double, pcts: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .select(col(groupCol), floor(col(valueCol) / width).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("bin"))))
+      .withColumn("total", sum(col("cnt")).over(byGroup))
+    val qCols = pcts.map(pct =>
+      min(when(col("cum") * 100 >= lit(pct.toLong) * col("total"), col("bin")))
+        .cast("double").multiply(width).as(s"p$pct"))
+    val aggCols = max(col("total")).as("n") +: qCols
+    cum.groupBy(col(groupCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Count-min sketch of a token column: `d` independent md5-salted hash
     * rows × `w` buckets, one count per (row, bucket). The sketch is a
     * bounded d×w grid — ONE shuffle of at most d·w rows per executor,

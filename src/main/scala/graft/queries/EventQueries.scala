@@ -146,6 +146,27 @@ object EventQueries {
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
       est.crossJoin(exact)
         .select(col("occupied"), col("s_scaled"), col("hll_est"), col("exact_distinct"))
+    },
+
+    // Per-group HLL: distinct users per event_type from bounded register
+    // state (<= m rows per group in the shuffle), estimates audited
+    // against the exact distinct.
+    "q97_hll_per_group" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val regs = graft.operators.Sketch.hllRegistersBy(ev, "event_type", "user_id", p = 6)
+      val est = graft.operators.Sketch.hllEstimateBy(regs, "event_type", p = 6)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("event_type")).orderBy(col("event_type"))
+    },
+
+    // Histogram-sketch quantiles: fixed-width bins, integer cumulative
+    // test, bin-edge estimates — the bounded-state alternative to exact
+    // percentiles (q43) whose error is the bin width, not the data size.
+    "q98_histogram_quantiles" -> { (s, dir) =>
+      graft.operators.Sketch.histogramQuantiles(
+        t(s, dir, "events"), "event_type", "value", width = 1.0)
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +278,46 @@ object EventQueries {
         |SELECT occupied, s_scaled,
         |  0.709::DOUBLE * 64 * 64 * 134217728 / s_scaled AS hll_est,
         |  (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    "q97_hll_per_group" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END) AS max_rho
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS occupied,
+        |    CAST(SUM(1::BIGINT << (27 - max_rho)) AS BIGINT) AS s_occ
+        |  FROM regs GROUP BY 1),
+        |sc AS (
+        |  SELECT event_type, occupied,
+        |    CAST(s_occ + (64 - occupied) * 134217728 AS BIGINT) AS s_scaled
+        |  FROM agg)
+        |SELECT sc.event_type, sc.occupied, sc.s_scaled,
+        |  0.709::DOUBLE * 64 * 64 * 134217728 / sc.s_scaled AS hll_est,
+        |  e.exact_distinct
+        |FROM sc JOIN (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1) e USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q98_histogram_quantiles" ->
+      """WITH bins AS (
+        |  SELECT event_type, CAST(FLOOR(value / 1.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM bins)
+        |SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END) AS DOUBLE) * 1.0 AS p50,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 95 * total THEN bin END) AS DOUBLE) * 1.0 AS p95,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END) AS DOUBLE) * 1.0 AS p99
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin)
 }

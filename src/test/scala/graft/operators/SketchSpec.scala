@@ -46,6 +46,28 @@ class SketchSpec extends SparkSpec {
     assert(hot >= 50L)
   }
 
+  test("per-group hll estimates track per-group cardinalities") {
+    val df = (1 to 3).flatMap(g => (1 to g * 1000).map(i => (s"g$g", s"u${g}_$i")))
+      .toDF("grp", "user")
+    val regs = Sketch.hllRegistersBy(df, "grp", "user", p = 6)
+    assert(regs.groupBy("grp").count().filter($"count" > 64).count() === 0)
+    val est = Sketch.hllEstimateBy(regs, "grp", p = 6)
+      .select($"grp", $"hll_est").as[(String, Double)].collect().toMap
+    Seq("g1" -> 1000.0, "g2" -> 2000.0, "g3" -> 3000.0).foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.4, s"$g: ${est(g)} vs $n")
+    }
+  }
+
+  test("histogram quantiles land within one bin of the exact percentile") {
+    // uniform 0..999: p50 ~ 500, p95 ~ 950
+    val df = (0 until 1000).map(v => ("a", v.toDouble)).toDF("grp", "v")
+    val q = Sketch.histogramQuantiles(df, "grp", "v", width = 10.0)
+      .select($"p50", $"p95", $"p99").as[(Double, Double, Double)].head()
+    assert(math.abs(q._1 - 500.0) <= 10.0, s"p50=${q._1}")
+    assert(math.abs(q._2 - 950.0) <= 10.0, s"p95=${q._2}")
+    assert(math.abs(q._3 - 990.0) <= 10.0, s"p99=${q._3}")
+  }
+
   test("salted sum/count equals the plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
       .toDF("key", "v")

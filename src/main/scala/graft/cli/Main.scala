@@ -161,9 +161,21 @@ object Main {
           val jdbcOpts = opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty)
           val source: TableSource =
             if (src.startsWith("jdbc:")) new JdbcSource(src, jdbcOpts)
-            else new ParquetSource(src)
+            else opts.get("source-format") match {
+              case Some("orc")   => new OrcSource(src)
+              case Some("jsonl") => new JsonLinesSource(src)
+              case Some(other) if other != "parquet" =>
+                throw new IllegalArgumentException(s"unsupported --source-format $other")
+              case _ => new ParquetSource(src)
+            }
           val sink: TableSink = opts.get("format") match {
             case Some("csv") => new CsvBulkSink(dst) // COPY-ready shards
+            case Some("orc") => new OrcSink(dst,
+              partitionColumns = opts.get("partition-by")
+                .map(_.split(',').toSeq).getOrElse(Nil),
+              compression = opts.get("compression"))
+            case Some("jsonl") =>
+              new JsonLinesSink(dst, gzip = opts.get("compression").contains("gzip"))
             case _ if dst.startsWith("jdbc:") => new JdbcSink(dst, jdbcOpts)
             case _ => new ParquetSink(dst,
               partitionColumns = opts.get("partition-by")
@@ -371,7 +383,8 @@ object Main {
       |  destroy     --target DIR --confirm SCHEMA_NAME
       |  transfer    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--tables a,b] [--where W] [--limit N] [--workers K]
-      |              [--checkpoint FILE] [--format csv] [--driver CLASS]
+      |              [--checkpoint FILE] [--format csv|orc|jsonl]
+      |              [--source-format parquet|orc|jsonl] [--driver CLASS]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |              [--compression snappy|zstd|gzip]
       |  migrate     (build + transfer) same options

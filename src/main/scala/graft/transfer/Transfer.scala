@@ -71,6 +71,70 @@ final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite,
     Some(spark.read.parquet(s"$dir/$table.parquet").count())
 }
 
+/** ORC endpoints — Spark's other built-in columnar format (the lake
+  * standard in Hive/Trino shops). Same layout contract as [[ParquetSink]]:
+  * `dir/table.orc`, Hive-style partition directories, per-codec option
+  * (zlib/snappy/zstd), footer-metadata row counts. */
+final class OrcSource(dir: String) extends TableSource {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+}
+
+final class OrcSink(dir: String, mode: SaveMode = SaveMode.Overwrite,
+                    partitionColumns: Seq[String] = Nil,
+                    compression: Option[String] = None) extends TableSink {
+  private def writer(df: DataFrame, m: SaveMode) = {
+    val w0 = df.write.mode(m)
+    val w = compression.fold(w0)(c => w0.option("compression", c))
+    if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w
+  }
+
+  def write(df: DataFrame, table: String): Unit =
+    writer(df, mode).orc(s"$dir/$table.orc")
+
+  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
+    writer(df, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
+      .orc(s"$dir/$table.orc")
+
+  override def countRows(spark: SparkSession, table: String): Option[Long] =
+    Some(spark.read.orc(s"$dir/$table.orc").count())
+}
+
+/** JSONL endpoints — the training-data interchange format (datasets ship
+  * as newline-delimited JSON shards). The sink writes `dir/table.jsonl`
+  * shard directories (optionally gzip'd — text JSON compresses ~10×); the
+  * source reads them back with schema inference upgraded to parse
+  * timestamps. Fidelity caveat vs columnar formats: JSON has no
+  * int32/int64 or float/double distinction and no binary type — lossless
+  * for the long/double/string/bool/date/timestamp core, which the
+  * round-trip spec pins. */
+final class JsonLinesSource(dir: String) extends TableSource {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read
+      .option("inferTimestamp", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$dir/$table.jsonl")
+}
+
+final class JsonLinesSink(dir: String, mode: SaveMode = SaveMode.Overwrite,
+                          gzip: Boolean = false) extends TableSink {
+  private def writer(df: DataFrame, m: SaveMode) = {
+    val w = df.write.mode(m)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    if (gzip) w.option("compression", "gzip") else w
+  }
+
+  def write(df: DataFrame, table: String): Unit =
+    writer(df, mode).json(s"$dir/$table.jsonl")
+
+  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
+    writer(df, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
+      .json(s"$dir/$table.jsonl")
+
+  override def countRows(spark: SparkSession, table: String): Option[Long] =
+    Some(spark.read.json(s"$dir/$table.jsonl").count())
+}
+
 /** JDBC endpoints — the production path. Partitioned reads give the
   * intra-table parallelism the reference lacks (SURVEY §4); `batchsize` is
   * the analogue of `--batch-size` and `fetchsize` of the fetchmany loop

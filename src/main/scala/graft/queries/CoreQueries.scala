@@ -204,6 +204,18 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Blocked fuzzy matching (graft.operators.FuzzyJoin): record linkage
+    // for almost-agreeing keys — prefix/suffix blocking (provably complete
+    // for one substitution at fixed length) keeps the edit-distance
+    // compare off the cartesian product.
+    "q99_fuzzy_match" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      graft.operators.FuzzyJoin.fuzzyPairs(
+        cust.filter(col("id") < 200), cust, maxDist = 1)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // DATEADD/ZEROIFNULL/NULLIFZERO/TRY_TO_NUMBER/CHARINDEX/LEN — the
     // scalar-function layer of a migrated reporting view, end-to-end
     // through the translate path.
@@ -426,6 +438,21 @@ object CoreQueries {
         |  COUNT(*) AS cnt
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY 1, 2, 3, 4 ORDER BY st, mth, days_since, prio""".stripMargin,
+
+    "q99_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |l AS (SELECT id AS a_id, name AS a_name FROM c WHERE id < 200),
+        |r AS (SELECT id AS b_id, name AS b_name FROM c),
+        |cand AS (
+        |  SELECT a_id, a_name, b_id, b_name
+        |  FROM l JOIN r ON substr(a_name, 1, 16) = substr(b_name, 1, 16)
+        |  UNION ALL
+        |  SELECT a_id, a_name, b_id, b_name
+        |  FROM l JOIN r ON substr(a_name, -2, 2) = substr(b_name, -2, 2))
+        |SELECT DISTINCT a_id, b_id, levenshtein(a_name, b_name) AS dist
+        |FROM cand
+        |WHERE a_id <> b_id AND levenshtein(a_name, b_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q94_dialect_dateadd" ->
       """SELECT o_orderkey,

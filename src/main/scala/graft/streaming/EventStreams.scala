@@ -165,7 +165,9 @@ object EventStreams {
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+        // make_dt_interval takes fractional seconds — a sub-second windowMs
+        // must not truncate to zero through integer division
+        col("r_ts") <= col("l_ts") + expr(s"make_dt_interval(0, 0, 0, ${windowMs.toDouble / 1000})"))
       .select(col(key), col("l_id"), col("l_ts"), col("r_id"), col("r_ts"), col("r_value"))
   }
 

@@ -32,6 +32,26 @@ class ScaleProbeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("knn graph stays bucket-bounded at 20k synthetic vectors") {
+    // 20k 64-dim vectors (10x the sf0.1 embeddings table), deterministic
+    // pseudo-random components. The banded-LSH candidate join must stay
+    // bucket-bounded: no cartesian, bucket caps in force, and wall time
+    // linear-ish — a full pair enumeration would be 400M rescores.
+    val vecs = spark.range(20000L).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "CAST((pmod(hash(id * 64 + i), 1000) - 500) / 500.0 AS FLOAT))").as("embedding"))
+    val t0 = System.nanoTime()
+    val graph = Similarity.knnGraph(vecs, k = 3)
+    val cnt = graph.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k vectors -> $cnt knn edges in $secs%.1f s")
+    assert(cnt > 0L)
+    val plan = graph.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(secs < 120.0, f"knn graph took $secs%.1f s — candidate generation regressed")
+  }
+
   test("connected components converge on 100k clustered pairs in few rounds") {
     // 100k edges over 150k nodes in 50k 3-node clusters (the realistic
     // dedup shape: many small cliquish groups), plus one 64-node chain —

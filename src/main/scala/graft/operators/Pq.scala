@@ -66,6 +66,37 @@ object Pq {
       ColumnBridge.expression(qvec), ColumnBridge.expression(codes),
       cbs, Similarity.ScaledShift))
 
+  /** The production serving composition: IVF probing × PQ compression.
+    * The index is `(id, cluster, codes)` — cluster prunes WHICH rows a
+    * query touches (nProbe/nCentroids of the corpus; at scale the cluster
+    * column is the partition key, so probing is partition-pruned I/O), PQ
+    * codes shrink WHAT each touched row costs (8 bytes vs 256). Each
+    * stage is the same deterministic machinery as its standalone query
+    * (q41 probing, q83 ADC), so the composed operator still replays
+    * bit-for-bit in the oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCodes: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val centroids = Ivf.pickCentroids(corpus, "vec_id", "embedding", nCentroids)
+    val cents = centroids.map(_._2.toArray)
+    val cbs = codebooks(corpus, "vec_id", "embedding", m, kCodes)
+    val index = encode(
+      Ivf.assign(corpus, "vec_id", "embedding", centroids), "embedding", cbs)
+      .select(col("vec_id").as("cid"), col("cluster"), col("codes"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("cluster", explode(graft.functions.GraftFunctions.ivfProbes(
+        col("qvec"), cents, nProbe, Similarity.ScaledShift)))
+    val scored = index.join(broadcast(q), Seq("cluster"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("adc", adcScore(col("qvec"), col("codes"), cbs))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("adc"), col("rank"))
+  }
+
   /** PQ top-k: encode the corpus once, broadcast the (small) query set,
     * rank candidates by ADC score. The corpus side carries only
     * `(id, codes)` — the compressed index — through the scoring join. */

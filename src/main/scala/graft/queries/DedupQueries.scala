@@ -238,6 +238,16 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF probing × PQ compression (graft.operators.Pq.ivfPqTopK): the
+    // production ANN serving composition — clusters prune WHICH rows a
+    // query touches, codes shrink WHAT each row costs. Same deterministic
+    // machinery as q41 + q83, composed, still oracle-replayable.
+    "q100_ivf_pq" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // KNN graph via banded LSH (graft.operators.Similarity.knnGraph): one
     // 24-bit signature split into 3×8-bit band buckets, capped bucket
     // self-join, exact rescoring, top-5 per node — the neighbor-graph
@@ -682,6 +692,59 @@ object DedupQueries {
          |    CAST(SUM(${dot("list_slice(q.embedding, en.sub*8 + 1, en.sub*8 + 8)", "en.scvec")}) AS BIGINT) AS adc
          |  FROM embeddings q CROSS JOIN enc en
          |  WHERE q.vec_id < 10 AND en.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, cid, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rank
+         |  FROM adc)
+         |SELECT qid, cid, adc, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q100_ivf_pq" ->
+      s"""WITH cent AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id AS cvid, embedding AS cvec,
+         |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+         |    FROM embeddings) WHERE cidx < 16),
+         |asg AS (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, e.embedding, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dot("e.embedding", "c.cvec")} DESC, c.cidx) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dot("q.embedding", "c.cvec")} DESC, c.cidx) AS pr
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE pr <= 4),
+         |cb AS (
+         |  SELECT * FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+         |      embedding AS cvec
+         |    FROM embeddings) WHERE code < 128),
+         |cbsub AS (
+         |  SELECT j.j AS sub, code, list_slice(cvec, j.j*8 + 1, j.j*8 + 8) AS scvec
+         |  FROM cb, UNNEST(range(0, 8)) AS j(j)),
+         |bias AS (
+         |  SELECT sub, code, scvec,
+         |    CAST(list_sum(list_transform(scvec, x ->
+         |      CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 68719476736.0) AS BIGINT)))
+         |      AS BIGINT) // 2 AS b
+         |  FROM cbsub),
+         |enc AS (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, s.sub, s.code, s.scvec,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.sub
+         |        ORDER BY ${dot("list_slice(e.embedding, s.sub*8 + 1, s.sub*8 + 8)", "s.scvec")} - s.b DESC,
+         |          s.code) AS rn
+         |    FROM embeddings e CROSS JOIN bias s) WHERE rn = 1),
+         |adc AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    CAST(SUM(${dot("list_slice(p.qvec, en.sub*8 + 1, en.sub*8 + 8)", "en.scvec")}) AS BIGINT) AS adc
+         |  FROM probe p
+         |  JOIN asg a ON a.cidx = p.cidx AND a.vec_id <> p.qid
+         |  JOIN enc en ON en.vec_id = a.vec_id
          |  GROUP BY 1, 2),
          |ranked AS (
          |  SELECT qid, cid, adc,

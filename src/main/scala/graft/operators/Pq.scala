@@ -35,8 +35,13 @@ object Pq {
     * `kCodes` md5-picked corpus vectors — deterministic, partition-stable,
     * and SQL-replayable (`ORDER BY md5(CAST(id AS VARCHAR)), id`). */
   def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                m: Int = 8, kCodes: Int = 128): Array[Array[Array[Float]]] = {
-    val rows = Ivf.pickCentroids(corpus, idCol, vecCol, kCodes)
+                m: Int = 8, kCodes: Int = 128): Array[Array[Array[Float]]] =
+    codebooksFrom(Ivf.pickCentroids(corpus, idCol, vecCol, kCodes), m)
+
+  /** Slice already-picked md5-ordered rows into per-subspace codebooks —
+    * lets one corpus pick serve both the IVF centroid set (its prefix)
+    * and the PQ codebooks in [[ivfPqTopK]]. */
+  def codebooksFrom(rows: Array[(Long, Seq[Float])], m: Int): Array[Array[Array[Float]]] = {
     val dims = rows.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible into $m subspaces")
     val sub = dims / m
@@ -79,9 +84,13 @@ object Pq {
                 m: Int = 8, kCodes: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val centroids = Ivf.pickCentroids(corpus, "vec_id", "embedding", nCentroids)
+    // one md5-ordered pick serves both: the centroid set is a prefix of
+    // the codebook rows (identical ordering), so the corpus is scanned
+    // once, not twice, for the two constant sets
+    val picked = Ivf.pickCentroids(corpus, "vec_id", "embedding", math.max(nCentroids, kCodes))
+    val centroids = picked.take(nCentroids)
     val cents = centroids.map(_._2.toArray)
-    val cbs = codebooks(corpus, "vec_id", "embedding", m, kCodes)
+    val cbs = codebooksFrom(picked.take(kCodes), m)
     val index = encode(
       Ivf.assign(corpus, "vec_id", "embedding", centroids), "embedding", cbs)
       .select(col("vec_id").as("cid"), col("cluster"), col("codes"))

@@ -148,6 +148,38 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
 
+  /** Per-key ingest quota: pass at most `quota` events per user per
+    * event-time hour, dropping the overflow — the rate limiter that keeps
+    * one hot producer from flooding a training-ingest stream. State per
+    * (user, hour) is ONE counter; hours older than the watermark expire
+    * via the event-time timeout, so state is bounded by (active keys ×
+    * watermark hours) regardless of stream length. Deterministic within a
+    * batch: events are admitted in (ts, event_id) order, so replays admit
+    * the same prefix. */
+  def quotaSample(events: Dataset[Event], quota: Int,
+                  watermark: String = "2 hours"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.ts.getTime / 3600000L))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, es, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val used = state.getOption.getOrElse(0L)
+            val admitted = es.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .take(math.max(0, quota - used.toInt))
+            state.update(used + admitted.length)
+            // expire the counter once the watermark passes the hour's end
+            admitted.headOption.foreach { e =>
+              state.setTimeoutTimestamp((e.ts.getTime / 3600000L + 1) * 3600000L)
+            }
+            admitted.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join (click→purchase attribution): each left
     * event matches right events of the same `key` whose event time falls in
     * [left.ts, left.ts + `windowMs`]. Watermarks on BOTH sides plus the

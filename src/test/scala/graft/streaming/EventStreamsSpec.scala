@@ -151,6 +151,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quota sampler admits at most N per user-hour across batches, expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val h = 3600L * 1000
+    def ev(id: Long, user: Long, ms: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(ms), user, "click", 1.0)
+
+    val stream = MemoryStream[EventStreams.Event]
+    // batch 1: user 1 sends 5 events in hour 2 (quota 3), user 2 sends 2
+    stream.addData((1L to 5L).map(i => ev(i, 1, 2 * h + i * 1000)) ++
+      Seq(ev(10, 2, 2 * h), ev(11, 2, 2 * h + 1)))
+    val q = EventStreams.quotaSample(stream.toDS(), quota = 3)
+      .writeStream.format("memory").queryName("quota_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 sends 2 more in the same hour -> both rejected
+      stream.addData(Seq(ev(6, 1, 2 * h + 10000), ev(7, 1, 2 * h + 11000)))
+      q.processAllAvailable()
+      // batch 3: next hour -> fresh quota
+      stream.addData(Seq(ev(8, 1, 3 * h + 1000)))
+      q.processAllAvailable()
+      val got = spark.table("quota_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 8L, 10L, 11L),
+        s"expected first-3 of user 1 hour 2, user 2's pair, and the fresh-hour event; got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -176,6 +176,10 @@ object Main {
               compression = opts.get("compression"))
             case Some("jsonl") =>
               new JsonLinesSink(dst, gzip = opts.get("compression").contains("gzip"))
+            case Some(other) if other != "parquet" =>
+              // a typo must not silently fall through to parquet (or be
+              // swallowed by a jdbc target)
+              throw new IllegalArgumentException(s"unsupported --format $other")
             case _ if dst.startsWith("jdbc:") => new JdbcSink(dst, jdbcOpts)
             case _ => new ParquetSink(dst,
               partitionColumns = opts.get("partition-by")

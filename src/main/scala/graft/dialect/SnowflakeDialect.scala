@@ -452,7 +452,8 @@ object SnowflakeDialect {
           // timestampdiff expresses it exactly); 2-arg passes through.
           val (args, close) = parseArgs(sql, k)
           if (args.length == 3) {
-            val unit = args.head.trim.stripPrefix("'").stripSuffix("'").toUpperCase
+            val unit = normalizeDateUnit(
+              args.head.trim.stripPrefix("'").stripSuffix("'"), upper)
             val t = args.tail.map(a => rewriteFunctionCalls(a.trim))
             out.append(s"TIMESTAMPDIFF($unit, ${t(0)}, ${t(1)})")
             i = close + 1
@@ -529,12 +530,18 @@ object SnowflakeDialect {
           out.append(s"TO_JSON(NAMED_STRUCT(${t.mkString(", ")}))")
           i = close + 1
         } else if (hasParen && upper == "DATEADD") {
-          // DATEADD('unit', n, expr) → TIMESTAMPADD(UNIT, n, expr). Spark's
-          // timestampadd covers every Snowflake unit the reference's views
-          // use; 2-arg DATEADD (PG form) passes through untouched.
+          // DATEADD('unit', n, expr) → TIMESTAMPADD(UNIT, n, expr), with
+          // Snowflake unit aliases ('dd', 'mins', …) normalized — Spark
+          // rejects them at analysis time with an error pointing at SQL
+          // the user never wrote. 2-arg DATEADD (PG form) passes through.
+          // Type caveat (documented divergence): Snowflake returns DATE
+          // for DATE inputs on date-granularity units; a string-level
+          // rewriter can't see operand types, so the result is TIMESTAMP —
+          // migrated views that need DATE output add ::DATE (q94 does).
           val (args, close) = parseArgs(sql, k)
           if (args.length == 3) {
-            val unit = args.head.trim.stripPrefix("'").stripSuffix("'").toUpperCase
+            val unit = normalizeDateUnit(
+              args.head.trim.stripPrefix("'").stripSuffix("'"), upper)
             val t = args.tail.map(a => rewriteFunctionCalls(a.trim))
             out.append(s"TIMESTAMPADD($unit, ${t(0)}, ${t(1)})")
             i = close + 1
@@ -584,6 +591,26 @@ object SnowflakeDialect {
     }
     out.toString
   }
+
+  /** Snowflake date-part aliases → the Spark unit keyword
+    * (docs.snowflake.com "Supported date and time parts"); unknown units
+    * fail here, at the translation layer, instead of as a Spark analysis
+    * error pointing at generated SQL. */
+  private[dialect] def normalizeDateUnit(raw: String, fn: String): String =
+    raw.toUpperCase match {
+      case "YEAR" | "Y" | "YY" | "YYY" | "YYYY" | "YR" | "YEARS" | "YRS" => "YEAR"
+      case "QUARTER" | "Q" | "QTR" | "QTRS" | "QUARTERS"                 => "QUARTER"
+      case "MONTH" | "MM" | "MON" | "MONS" | "MONTHS"                    => "MONTH"
+      case "WEEK" | "W" | "WK" | "WEEKOFYEAR" | "WOY" | "WY" | "WEEKS"   => "WEEK"
+      case "DAY" | "D" | "DD" | "DAYS" | "DAYOFMONTH"                    => "DAY"
+      case "HOUR" | "H" | "HH" | "HR" | "HOURS" | "HRS"                  => "HOUR"
+      case "MINUTE" | "M" | "MI" | "MIN" | "MINUTES" | "MINS"            => "MINUTE"
+      case "SECOND" | "S" | "SEC" | "SECONDS" | "SECS"                   => "SECOND"
+      case "MILLISECOND" | "MS" | "MSEC" | "MILLISECONDS"                => "MILLISECOND"
+      case "MICROSECOND" | "US" | "USEC" | "MICROSECONDS"                => "MICROSECOND"
+      case other => throw new IllegalArgumentException(
+        s"unsupported $fn unit '$other'")
+    }
 
   /** Given `sql` with an opening '(' at `open`, return (top-level args,
     * index of matching ')'). Respects nested parens, single-quoted strings

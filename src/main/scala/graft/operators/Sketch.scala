@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-size distributed sketches — the cardinality / frequency answers
@@ -53,28 +53,29 @@ object Sketch {
   }
 
   /** Raw HLL estimate from a register file: `alpha_m * m^2 / Σ 2^-M_j`
-    * (empty buckets contribute 2^0). The harmonic sum is computed SCALED by
-    * 2^(wBits+1) so it stays a long — every term is an exact power of two,
-    * the sum is exact, and the single double division at the end is
-    * IEEE-deterministic across engines. Production HLL++ would apply
-    * small/large-range bias correction on top; the raw estimator keeps the
-    * operator oracle-replayable and is within ~2% at these cardinalities.
+    * (empty buckets contribute 2^0 — entering the sum ARITHMETICALLY as
+    * `(m - occupied) * 2^maxRho` scaled units, no bucket-spine join). The
+    * harmonic sum is computed SCALED by 2^(wBits+1) so it stays a long —
+    * every term is an exact power of two, the sum is exact, and the single
+    * double division at the end is IEEE-deterministic across engines.
+    * Production HLL++ would apply small/large-range bias correction on
+    * top; the raw estimator keeps the operator oracle-replayable and is
+    * within ~2% at these cardinalities.
     */
-  def hllEstimate(spark: SparkSession, registers: DataFrame, p: Int = 6): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame = {
     val m = 1 << p
     val maxRho = (32 - p) + 1
     val alpha = hllAlpha(m)
-    val full = spark.range(m).toDF("bucket")
-      .join(registers.select(col("bucket"), col("max_rho")), Seq("bucket"), "left")
-      .select(coalesce(col("max_rho"), lit(0L)).as("rho"))
-    full.agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - CAST(rho AS INT))")).as("s_scaled"),
-        sum(when(col("rho") > 0, 1L).otherwise(0L)).as("occupied"))
+    registers
+      .agg(
+        count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - CAST(max_rho AS INT))")).as("s_occ"))
       .select(
         col("occupied"),
-        col("s_scaled").cast("long").as("s_scaled"),
-        (lit(alpha) * m * m * math.pow(2.0, maxRho).toLong / col("s_scaled"))
-          .as("hll_est"))
+        (col("s_occ") + (lit(m.toLong) - col("occupied")) * (1L << maxRho))
+          .cast("long").as("s_scaled"))
+      .withColumn("hll_est",
+        lit(alpha) * m * m * math.pow(2.0, maxRho).toLong / col("s_scaled"))
   }
 
   /** The standard alpha_m constants (Flajolet et al. 2007, Fig. 3). */
@@ -166,8 +167,11 @@ object Sketch {
 
   /** Point-estimate candidate tokens against a count-min sketch:
     * `est(t) = min_s sketch[s][h_s(t)]` — always >= the true count. The
-    * candidate set is broadcast (it's top-k sized); the sketch side is
-    * d×w rows. Output keeps the exact count alongside for error audit. */
+    * sketch side is broadcast (bounded at d×w rows by construction); a
+    * LEFT join keeps candidates whose cells are unoccupied — a token the
+    * sketch never saw correctly estimates 0 instead of silently vanishing
+    * or overstating from its surviving cells. Output keeps the exact
+    * count alongside for error audit. */
   def countMinEstimate(candidates: DataFrame, tokenCol: String, exactCol: String,
                        sketch: DataFrame, d: Int = 3, w: Int = 512): DataFrame = {
     val probes = candidates.select(
@@ -175,8 +179,8 @@ object Sketch {
       explode(array((0 until d).map(lit(_)): _*)).as("s"))
       .withColumn("bucket",
         h32(concat(lit("cm"), col("s").cast("string"), lit(":"), col("tok"))) % w)
-    sketch.join(broadcast(probes), Seq("s", "bucket"))
+    probes.join(broadcast(sketch), Seq("s", "bucket"), "left_outer")
       .groupBy(col("tok"), col("exact_cnt"))
-      .agg(min(col("cnt")).as("cm_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 }

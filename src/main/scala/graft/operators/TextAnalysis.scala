@@ -178,10 +178,13 @@ object TextAnalysis {
                         textCol: String, k: Int, mBits: Int = 1 << 20,
                         numHashes: Int = 3): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // consumed twice (bloom build + exact join) but deliberately NOT
+    // cached: a session-lifetime cache entry sized "giant eval set" —
+    // this operator's target case — would outlive the query; recomputing
+    // the eval shingle pass once is the cheaper steady-state
     val evalG = eval
       .select(explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
       .distinct()
-      .cache() // consumed twice: bloom build + exact join
     val bits = buildBloom(evalG, "ngram", mBits, numHashes)
     val probe = ColumnBridge.column(graft.functions.BloomMightContain(
       ColumnBridge.expression(col("ngram")), bits, numHashes, mBits))

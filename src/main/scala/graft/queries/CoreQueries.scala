@@ -205,9 +205,9 @@ object CoreQueries {
     },
 
     // Blocked fuzzy matching (graft.operators.FuzzyJoin): record linkage
-    // for almost-agreeing keys — prefix/suffix blocking (provably complete
-    // for one substitution at fixed length) keeps the edit-distance
-    // compare off the cartesian product.
+    // for almost-agreeing fixed-format keys — (length, half) blocking
+    // (provably complete for one substitution at any length) keeps the
+    // edit-distance compare off the cartesian product.
     "q99_fuzzy_match" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -445,10 +445,12 @@ object CoreQueries {
         |r AS (SELECT id AS b_id, name AS b_name FROM c),
         |cand AS (
         |  SELECT a_id, a_name, b_id, b_name
-        |  FROM l JOIN r ON substr(a_name, 1, 16) = substr(b_name, 1, 16)
+        |  FROM l JOIN r ON length(a_name) = length(b_name)
+        |    AND substr(a_name, 1, length(a_name) // 2) = substr(b_name, 1, length(b_name) // 2)
         |  UNION ALL
         |  SELECT a_id, a_name, b_id, b_name
-        |  FROM l JOIN r ON substr(a_name, -2, 2) = substr(b_name, -2, 2))
+        |  FROM l JOIN r ON length(a_name) = length(b_name)
+        |    AND substr(a_name, length(a_name) // 2 + 1) = substr(b_name, length(b_name) // 2 + 1))
         |SELECT DISTINCT a_id, b_id, levenshtein(a_name, b_name) AS dist
         |FROM cand
         |WHERE a_id <> b_id AND levenshtein(a_name, b_name) <= 1

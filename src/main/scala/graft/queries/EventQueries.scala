@@ -142,7 +142,7 @@ object EventQueries {
     "q91_hll_estimate" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val regs = graft.operators.Sketch.hllRegisters(ev, "user_id", p = 6)
-      val est = graft.operators.Sketch.hllEstimate(s, regs, p = 6)
+      val est = graft.operators.Sketch.hllEstimate(regs, p = 6)
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
       est.crossJoin(exact)
         .select(col("occupied"), col("s_scaled"), col("hll_est"), col("exact_distinct"))

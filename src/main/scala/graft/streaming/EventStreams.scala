@@ -164,17 +164,20 @@ object EventStreams {
       .groupByKey(e => (e.user_id, e.ts.getTime / 3600000L))
       .flatMapGroupsWithState[Long, Event](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (_, es, state: GroupState[Long]) =>
+        case ((_, hour), es, state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val used = state.getOption.getOrElse(0L)
             val admitted = es.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
               .take(math.max(0, quota - used.toInt))
             state.update(used + admitted.length)
-            // expire the counter once the watermark passes the hour's end
-            admitted.headOption.foreach { e =>
-              state.setTimeoutTimestamp((e.ts.getTime / 3600000L + 1) * 3600000L)
-            }
+            // expire the counter once the watermark passes the hour's end —
+            // keyed off the GROUP's hour, not the admitted events, so a
+            // zero-admission group (quota exhausted or 0) still expires;
+            // clamp above the current watermark (a timeout in the past
+            // is rejected by the state store)
+            state.setTimeoutTimestamp(
+              math.max((hour + 1) * 3600000L, state.getCurrentWatermarkMs + 1))
             admitted.iterator
           }
       }

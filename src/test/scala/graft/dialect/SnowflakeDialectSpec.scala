@@ -234,6 +234,16 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT DATEADD(d, 1) FROM t") === "SELECT DATEADD(d, 1) FROM t")
   }
 
+  test("DATEADD/DATEDIFF normalize Snowflake unit aliases; unknown units fail") {
+    assert(tr("SELECT DATEADD('dd', 1, d) FROM t") ===
+      "SELECT TIMESTAMPADD(DAY, 1, d) FROM t")
+    assert(tr("SELECT DATEADD('mins', 5, ts) FROM t") ===
+      "SELECT TIMESTAMPADD(MINUTE, 5, ts) FROM t")
+    assert(tr("SELECT DATEDIFF('hrs', a, b) FROM t") ===
+      "SELECT TIMESTAMPDIFF(HOUR, a, b) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT DATEADD('fortnight', 1, d) FROM t"))
+  }
+
   test("ZEROIFNULL/NULLIFZERO become COALESCE/NULLIF") {
     assert(tr("SELECT ZEROIFNULL(x), NULLIFZERO(y) FROM t") ===
       "SELECT COALESCE(x, 0), NULLIF(y, 0) FROM t")

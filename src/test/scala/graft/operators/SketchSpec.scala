@@ -22,7 +22,7 @@ class SketchSpec extends SparkSpec {
   test("hll estimate lands near the true cardinality") {
     val df = spark.range(5000).toDF("k")
     val regs = Sketch.hllRegisters(df, "k", p = 6)
-    val est = Sketch.hllEstimate(spark, regs, p = 6).select("hll_est").as[Double].head()
+    val est = Sketch.hllEstimate(regs, p = 6).select("hll_est").as[Double].head()
     // raw HLL at m=64 has ~13% relative std error; 3 sigma
     assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est too far from 5000")
   }
@@ -44,6 +44,14 @@ class SketchSpec extends SparkSpec {
     assert(under === 0, "count-min must never underestimate")
     val hot = est.filter($"tok" === "hot").select("cm_est").as[Long].head()
     assert(hot >= 50L)
+    // a candidate the sketch never saw estimates 0 — not dropped, not
+    // inflated (sparse sketch so no hash-collision false positive)
+    val sparse = Sketch.countMin(Seq("a").toDF("tok"), "tok", d = 3, w = 512)
+    val absent = Sketch.countMinEstimate(
+      Seq(("never-seen-token", 7L)).toDF("tok", "exact_cnt"),
+      "tok", "exact_cnt", sparse, d = 3, w = 512)
+    assert(absent.count() === 1)
+    assert(absent.select("cm_est").as[Long].head() === 0L)
   }
 
   test("per-group hll estimates track per-group cardinalities") {

@@ -160,6 +160,21 @@ object EventQueries {
       est.join(exact, Seq("event_type")).orderBy(col("event_type"))
     },
 
+    // SCD2 history build (graft.transfer.Scd): the change stream becomes
+    // validity intervals via one key-partitioned window — no self-join;
+    // unchanged consecutive rows collapse first so reloaded snapshots
+    // don't fragment the history.
+    "q101_scd2_history" -> { (s, dir) =>
+      val src = t(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+      graft.transfer.Scd.scd2(src, "user_id", "ms", Seq("event_type"), "event_id")
+        .select(col("user_id"), col("event_id"), col("ms"), col("event_type"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy(col("user_id"), col("effective_from"), col("event_id"))
+    },
+
     // Histogram-sketch quantiles: fixed-width bins, integer cumulative
     // test, bin-edge estimates — the bounded-state alternative to exact
     // percentiles (q43) whose error is the bin width, not the data size.
@@ -305,6 +320,23 @@ object EventQueries {
         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
         |  FROM events GROUP BY 1) e USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q101_scd2_history" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type
+        |  FROM events WHERE user_id < 5),
+        |flagged AS (
+        |  SELECT user_id, event_id, ms, event_type,
+        |    (LAG(ms) OVER w IS NULL
+        |      OR LAG(event_type) OVER w IS DISTINCT FROM event_type) AS ch
+        |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |ded AS (SELECT user_id, event_id, ms, event_type FROM flagged WHERE ch)
+        |SELECT user_id, event_id, ms, event_type,
+        |  ms AS effective_from,
+        |  LEAD(ms) OVER w2 AS effective_to,
+        |  LEAD(ms) OVER w2 IS NULL AS is_current
+        |FROM ded WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)
+        |ORDER BY user_id, effective_from, event_id""".stripMargin,
 
     "q98_histogram_quantiles" ->
       """WITH bins AS (

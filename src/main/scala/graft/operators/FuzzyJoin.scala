@@ -10,39 +10,47 @@ import org.apache.spark.sql.functions._
   * product; blocking makes the shuffle O(Σ bucket²) with bucket sizes the
   * operator controls.
   *
-  * Completeness: equal-length strings at edit distance 1 differ by exactly
-  * one substitution, which falls in exactly one HALF of the string — so
-  * blocking on (length, first half) ∪ (length, second half) is provably
-  * complete for one substitution at ANY length (no fixed prefix/suffix
-  * width to fall outside of). Scope: fixed-format keys (ids, codes,
-  * phone numbers) where variants are substitutions; insert/delete
-  * variants change the length and need deletion-neighborhood blocking —
-  * deliberately out of scope here. Larger budgets use more/looser blocks
-  * (the standard multi-blocking trade: recall vs candidate volume).
+  * Blocking scheme (pigeonhole): cut each string into `pieces` equal
+  * pieces; one substitution touches exactly one piece, so the pair agrees
+  * on all the others — candidates are joined on each of the `pieces`
+  * (length, all-but-one-piece) keys and unioned. More pieces = longer
+  * keys = smaller buckets at the cost of more (cheap, narrow) joins: with
+  * id-style data, where most of the string is a shared constant and the
+  * entropy sits in a couple of trailing digits, coarse schemes (halves,
+  * quarters) leave one bucket holding the whole table — an eighth-piece
+  * key still carries 7/8 of every string, so every block stays selective.
+  * Provably complete for one substitution at any length and any
+  * `pieces` >= 2.
   *
-  * Both `levenshtein` and the blocking keys are engine-portable — the
-  * whole operator replays in the DuckDB oracle.
+  * Scope: fixed-format keys (ids, codes, phone numbers) where variants
+  * are substitutions; insert/delete variants change the length and need
+  * deletion-neighborhood blocking — deliberately out of scope. Both
+  * `levenshtein` and the blocking keys are engine-portable — the whole
+  * operator replays in the DuckDB oracle.
   */
 object FuzzyJoin {
 
-  /** Pairs (a_id, b_id, dist) with edit distance ≤ `maxDist`, candidates
-    * via the two half-blocks. `left`/`right`: (id, name) frames. */
-  def fuzzyPairs(left: DataFrame, right: DataFrame, maxDist: Int = 1): DataFrame = {
-    val l = left.select(col("id").as("a_id"), col("name").as("a_name"))
-    val r = right.select(col("id").as("b_id"), col("name").as("b_name"))
-    // (length, half) composite keys; length in the key keeps unequal-length
-    // strings (distance >= 1 by insertion alone) from colliding needlessly
-    def firstHalf(c: String): Column =
-      concat(length(col(c)).cast("string"), lit(":"),
-        expr(s"substr($c, 1, CAST(length($c) / 2 AS INT))"))
-    def secondHalf(c: String): Column =
-      concat(length(col(c)).cast("string"), lit(":"),
-        expr(s"substr($c, CAST(length($c) / 2 AS INT) + 1)"))
-    def block(key: String => Column): DataFrame =
-      l.withColumn("bk", key("a_name"))
-        .join(r.withColumn("bk", key("b_name")), Seq("bk"))
-        .drop("bk")
-    block(firstHalf).union(block(secondHalf))
+  /** Pairs (a_id, b_id, dist) with edit distance ≤ `maxDist` (≤ 1 for the
+    * completeness guarantee). `left`/`right`: (id, name) frames.
+    *
+    * Plan shape: the `pieces` block keys ride as one exploded array per
+    * row (the LSH-banding layout, computed by the native
+    * [[graft.functions.FuzzyBlockKeys]] expression in one byte scan per
+    * key — the composed substr+hash form paid pieces×(pieces-1) string
+    * allocations per row) so candidate generation is ONE shuffle join on
+    * an 8-byte key, not `pieces` separate joins — at fixture scale stage
+    * count dominates wall time, and at cluster scale one wide shuffle
+    * beats eight narrow ones. */
+  def fuzzyPairs(left: DataFrame, right: DataFrame, maxDist: Int = 1,
+                 pieces: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def banded(df: DataFrame, id: String, name: String): DataFrame =
+      df.select(col("id").as(id), col("name").as(name),
+        explode(ColumnBridge.column(graft.functions.FuzzyBlockKeys(
+          ColumnBridge.expression(col("name")), pieces))).as("bk"))
+    val l = banded(left, "a_id", "a_name")
+    val r = banded(right, "b_id", "b_name")
+    l.join(r, Seq("bk"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= maxDist)

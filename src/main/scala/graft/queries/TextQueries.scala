@@ -298,6 +298,22 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Per-source score calibration: equal-frequency decile binning (NTILE
+    // over each language's size distribution) — the normalization step
+    // before cross-source mixing, so "top decile" means the same thing in
+    // every source regardless of its absolute score scale. Deterministic
+    // tie-break on doc_id keeps bucket edges identical across engines.
+    "q102_decile_binning" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"), max(col("n_chars")).as("hi_chars"))
+        .orderBy(col("lang"), col("decile"))
+    },
+
     // Count-min heavy hitters (graft.operators.Sketch): the corpus token
     // stream folds into a fixed 3×512 grid — ONE bounded shuffle at any
     // corpus size — then the top-20 exact tokens are point-estimated
@@ -535,6 +551,15 @@ object TextQueries {
         |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
         |    / SUM(len(string_split(text, ' '))) AS ttr
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q102_decile_binning" ->
+      """SELECT lang, decile, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
 
     "q92_cm_heavy_hitters" ->
       """WITH tokens AS (

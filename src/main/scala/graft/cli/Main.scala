@@ -108,22 +108,48 @@ object Main {
           val viewsFile = req("views")
           Tables.registerAll(spark, dir)
           val raw = new String(Files.readAllBytes(Paths.get(viewsFile)), StandardCharsets.UTF_8)
-          // one CREATE VIEW per `-- view: <name>` section
-          val sections = raw.split("(?m)^-- view: ").filter(_.trim.nonEmpty)
+          // one CREATE VIEW per `-- view: <name>` section, one manual-TODO
+          // stub per `-- procedure: <name>` section
+          val header = "(?m)^-- (view|procedure): (.+)$".r
+          val heads = header.findAllMatchIn(raw).toVector
           var failures = 0
-          sections.foreach { sec =>
-            val name = sec.linesIterator.next().trim
-            val sql = sec.linesIterator.drop(1).mkString("\n")
-            val translated = SnowflakeDialect.translate(sql)
-            val deps = Try(SnowflakeDialect.crossSchemaRefs(
-              spark, translated, opts.getOrElse("schema", "public"))).getOrElse(Nil)
-            if (deps.nonEmpty)
-              out(s"view $name: WARNING cross-schema refs: ${deps.mkString(", ")}")
-            Try(spark.sql(translated).createOrReplaceTempView(name)) match {
-              case Success(_) => out(s"view $name: OK")
-              case Failure(e) => out(s"view $name: FAILED ${e.getMessage.linesIterator.next()}"); failures += 1
+          var procStubs = 0
+          var views = 0
+          heads.zipWithIndex.foreach { case (m, idx) =>
+            val kind = m.group(1)
+            val name = m.group(2).trim
+            val end = if (idx + 1 < heads.length) heads(idx + 1).start else raw.length
+            val body = raw.substring(m.end, end).trim
+            kind match {
+              case "view" =>
+                views += 1
+                val translated = SnowflakeDialect.translate(body)
+                val deps = Try(SnowflakeDialect.crossSchemaRefs(
+                  spark, translated, opts.getOrElse("schema", "public"))).getOrElse(Nil)
+                if (deps.nonEmpty)
+                  out(s"view $name: WARNING cross-schema refs: ${deps.mkString(", ")}")
+                Try(spark.sql(translated).createOrReplaceTempView(name)) match {
+                  case Success(_) => out(s"view $name: OK")
+                  case Failure(e) => out(s"view $name: FAILED ${e.getMessage.linesIterator.next()}"); failures += 1
+                }
+              case "procedure" =>
+                // procedures are not auto-translated — Snowflake bodies are
+                // JavaScript/SQL-scripting with no Spark counterpart; emit
+                // the reference's manual-TODO stub with the original text
+                // preserved and count it in the report
+                // (view_procedure_translator.py:343-383). The reference
+                // skips an empty body entirely (`if not snowflake_ddl`).
+                if (body.isEmpty) out(s"procedure $name: skipped (empty body)")
+                else {
+                  procedureStub(name, body,
+                    opts.getOrElse("schema", "public")).foreach(out)
+                  out(s"procedure $name: WARNING requires manual translation")
+                  procStubs += 1
+                }
             }
           }
+          out(s"build-views: $views views, $failures failed, " +
+            s"$procStubs procedures requiring manual translation")
           if (failures == 0) 0 else 1
         case "destroy" =>
           val dir = req("target")
@@ -159,6 +185,13 @@ object Main {
           }
           val cp = opts.get("checkpoint").map(f => new CheckpointManager(f, src, dst))
           val jdbcOpts = opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty)
+          // a jdbc: URL fixes the source connector — a --source-format
+          // alongside it is a misplaced flag, and silently ignoring it
+          // (pre-round-5 behavior) reads a different format than the user
+          // asked for; fail loudly like the unsupported-format cases below
+          if (src.startsWith("jdbc:") && opts.contains("source-format"))
+            throw new IllegalArgumentException(
+              "--source-format does not apply to a jdbc: source")
           val source: TableSource =
             if (src.startsWith("jdbc:")) new JdbcSource(src, jdbcOpts)
             else opts.get("source-format") match {
@@ -371,6 +404,30 @@ object Main {
         opts.getOrElse("db-schema", "APP"),
         opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty))
     else discoverTables(spark, src, schema)
+
+  /** The reference's manual-TODO procedure stub
+    * (view_procedure_translator.py:365-383): Snowflake procedures are
+    * JavaScript or SQL-scripting, which no engine auto-translates, so
+    * build-views preserves the original DDL as commented text plus a
+    * rewrite skeleton. One improvement over the reference: every original
+    * line gets its own `-- ` prefix (the reference interpolates the whole
+    * body after a single `-- `, so a multi-line original breaks out of the
+    * comment). */
+  private def procedureStub(name: String, originalDdl: String,
+                            targetSchema: String): Seq[String] =
+    Seq(
+      "-- WARNING: This procedure requires manual translation",
+      "-- Original Snowflake DDL:") ++
+      originalDdl.linesIterator.map(l => s"-- $l").toSeq ++
+      Seq(
+        "--",
+        "-- TODO: Rewrite as a Spark SQL routine or external job",
+        s"-- CREATE OR REPLACE FUNCTION $targetSchema.$name()",
+        "-- RETURNS void AS $$",
+        "-- BEGIN",
+        "--     -- Add your logic here",
+        "-- END;",
+        "-- $$ LANGUAGE plpgsql;")
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {

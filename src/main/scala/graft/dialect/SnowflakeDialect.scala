@@ -404,9 +404,18 @@ object SnowflakeDialect {
     val upper = fmt.toUpperCase
     val datetimeTokens =
       Seq("YYYY", "YY", "MON", "MM", "DD", "HH", "MI", "SS", "AM", "PM", "TZH", "FF")
-    // FM/'9'/'0'/'$' masks are numeric even if they sneak in an ambiguous
-    // pair; require a datetime token AND no numeric-mask digits
-    datetimeTokens.exists(upper.contains) && !fmt.exists(c => c == '9' || c == '$')
+    // '9'/'0'/'$' only occur in numeric masks — any of them decides
+    if (fmt.exists(c => c == '9' || c == '0' || c == '$')) return false
+    val hits = datetimeTokens.count(upper.contains)
+    // one short token alone is ambiguous: Snowflake's numeric elements
+    // include 'MI' (trailing minus), 'S' (sign), 'D' (decimal point) —
+    // built only from datetime-lookalike letters. Real datetime masks
+    // carry either two-plus distinct tokens ('HH24:MI', 'YYYY-MM-DD' —
+    // note 'YYYY' alone already matches both YYYY and YY) or a token
+    // plus a datetime separator. A bare 'MI'/'D'/'S' matches neither
+    // and is classified numeric, so TO_CHAR fails loudly instead of
+    // silently becoming DATE_FORMAT.
+    hits >= 2 || (hits == 1 && fmt.exists(c => "-/:,. ".contains(c)))
   }
 
   /** One pass over the SQL rewriting known function calls; recurses into
@@ -477,7 +486,8 @@ object SnowflakeDialect {
               if (translated.length == 2 && isStringLiteral(t(1)) &&
                   !isDatetimeFormat(t(1).substring(1, t(1).length - 1)))
                 throw new IllegalArgumentException(
-                  s"unsupported $upper numeric/text format ${t(1)} — only datetime formats translate")
+                  s"unsupported $upper numeric/text format ${t(1)} — only unambiguous datetime " +
+                    "formats (two-plus elements, or one element plus a separator) translate")
               else if (translated.length == 2) s"DATE_FORMAT(${translated.mkString(", ")})"
               else s"CAST(${translated.head} AS STRING)"
             case "TO_TIMESTAMP_NTZ" => s"TO_TIMESTAMP(${translated.mkString(", ")})"

@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the fuzzy join's candidate stage. Key `skip` hashes length, `skip`,
   * and every byte OUTSIDE piece `skip` (boundaries by integer division,
   * identical to the SQL form): equal-outside-the-piece strings get equal
-  * keys, so blocking completeness is untouched, and a hash collision can
-  * only add candidates that the edit-distance filter removes.
+  * keys, so blocking completeness is untouched. A hash collision adds
+  * candidates the downstream filters remove: the length-equality filter
+  * in [[graft.operators.FuzzyJoin]] catches colliding different-length
+  * pairs (which could otherwise pass `dist <= 1` via an insert/delete),
+  * and the edit-distance filter catches the same-length rest.
   *
   * Join-key-internal only — the differential oracle blocks with its own
   * (result-equivalent) SQL scheme, so this hash never needs cross-engine

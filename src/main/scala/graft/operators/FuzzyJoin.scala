@@ -52,6 +52,13 @@ object FuzzyJoin {
     val r = banded(right, "b_id", "b_name")
     l.join(r, Seq("bk"))
       .filter(col("a_id") =!= col("b_id"))
+      // the block keys hash the length, so same-bucket pairs *almost*
+      // always agree on it — this explicit equality closes the one
+      // astronomically-unlikely gap: a 64-bit hash collision between
+      // different-length strings at insert/delete distance 1 would pass
+      // `dist <= 1` here while the oracle's length-equality blocking
+      // excludes it. One cheap comparison buys exact cross-engine parity.
+      .filter(length(col("a_name")) === length(col("b_name")))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))

@@ -168,8 +168,25 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val used = state.getOption.getOrElse(0L)
-            val admitted = es.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-              .take(math.max(0, quota - used.toInt))
+            val room = math.max(0, quota - used.toInt)
+            // bounded selection of the `room` earliest events: a hot key can
+            // deliver an arbitrarily large batch in one trigger (exactly the
+            // case a quota sampler exists for), so materializing + sorting
+            // the whole group (`toSeq.sortBy`) is the wrong memory shape —
+            // a max-heap of at most `room` candidates admits the same
+            // deterministic (ts, event_id) prefix in O(batch · log quota)
+            // time and O(quota) space
+            val ord: Ordering[(Long, Long)] = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+            val heap = new scala.collection.mutable.PriorityQueue[Event]()(
+              Ordering.by((e: Event) => (e.ts.getTime, e.event_id))(ord))
+            if (room > 0) es.foreach { e =>
+              if (heap.size < room) heap.enqueue(e)
+              else if (ord.lt((e.ts.getTime, e.event_id),
+                (heap.head.ts.getTime, heap.head.event_id))) {
+                heap.dequeue(); heap.enqueue(e)
+              }
+            }
+            val admitted = heap.dequeueAll.reverse // heap pops latest-first
             state.update(used + admitted.length)
             // expire the counter once the watermark passes the hour's end —
             // keyed off the GROUP's hour, not the admitted events, so a

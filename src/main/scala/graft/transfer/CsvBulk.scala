@@ -53,6 +53,24 @@ object CsvBulk {
     }
     concat(withCommas.toSeq: _*).as("line")
   }
+
+  /** COPY text compatibility holds for scalar types only: a binary column
+    * cast to string mangles bytes through UTF-8, and array/struct/map render
+    * as Spark's `[1, 2]` display form, which PG array/record syntax does not
+    * parse — either would load wrong silently. Fail loudly instead; callers
+    * should project such columns to JSON (`to_json`) or hex (`hex`) first. */
+  private[transfer] def requireCopyCompatible(df: DataFrame, table: String,
+                                              sinkName: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    val bad = df.schema.fields.collect {
+      case f if f.dataType == BinaryType || f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[MapType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(bad.isEmpty,
+      s"$sinkName($table): COPY CSV cannot carry non-scalar columns [${bad.mkString(", ")}]; " +
+        "project them through to_json/hex before the sink")
+  }
 }
 
 /** [[TableSink]] writing COPY-compatible CSV shards to `dir/<table>.csv/`.
@@ -71,23 +89,6 @@ final class CsvBulkSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extend
     written.put(table, writeLines(df, table, mode))
   }
 
-  /** COPY text compatibility holds for scalar types only: a binary column
-    * cast to string mangles bytes through UTF-8, and array/struct/map render
-    * as Spark's `[1, 2]` display form, which PG array/record syntax does not
-    * parse — either would load wrong silently. Fail loudly instead; callers
-    * should project such columns to JSON (`to_json`) or hex (`hex`) first. */
-  private def requireCopyCompatible(df: DataFrame, table: String): Unit = {
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
-    val bad = df.schema.fields.collect {
-      case f if f.dataType == BinaryType || f.dataType.isInstanceOf[ArrayType] ||
-        f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[MapType] =>
-        s"${f.name}: ${f.dataType.simpleString}"
-    }
-    require(bad.isEmpty,
-      s"CsvBulkSink($table): COPY CSV cannot carry non-scalar columns [${bad.mkString(", ")}]; " +
-        "project them through to_json/hex before the sink")
-  }
-
   /** Chunked transfers append after the first chunk and accumulate the
     * observed row counts — without this override the default writeChunk
     * fell through to overwrite-mode write(), keeping only the LAST chunk.
@@ -102,7 +103,7 @@ final class CsvBulkSink(dir: String, mode: SaveMode = SaveMode.Overwrite) extend
   }
 
   private def writeLines(df: DataFrame, table: String, m: SaveMode): Long = {
-    requireCopyCompatible(df, table)
+    CsvBulk.requireCopyCompatible(df, table, "CsvBulkSink")
     val obs = org.apache.spark.sql.Observation(s"csv_rows_${table}_${java.util.UUID.randomUUID()}")
     df.select(CsvBulk.csvLine(df))
       .observe(obs, org.apache.spark.sql.functions.count(

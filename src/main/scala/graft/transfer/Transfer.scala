@@ -243,18 +243,30 @@ final class TransferEngine(
   private def transferChunked(spark: SparkSession, df: DataFrame,
                               table: String, keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col, count, max, min, when}
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     val cp = checkpoint.get
     // the chunk predicates filter on the RAW key, so the key type must be
     // integral (a fractional key above the truncated max would fall outside
     // the last chunk) and null keys must be rejected (they match no chunk's
-    // range) — either would otherwise drop rows with success=true
+    // range) — either would otherwise drop rows with success=true.
+    // DecimalType(p, 0) counts as integral: it is what JDBC sources commonly
+    // report for integer PKs (Oracle NUMBER, PG NUMERIC) — scale 0 means no
+    // fractional values exist, and the bounds check below verifies the
+    // actual value span fits in Long before any chunk arithmetic.
     val keyType = df.schema(df.schema.fieldIndex(keyCol)).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
-      s"chunk column $keyCol of $table must be integral, got ${keyType.simpleString}")
-    // null count rides the same scan as the bounds — no extra pass
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 => true
+      case _ => false
+    }
+    require(integral,
+      s"chunk column $keyCol of $table must be integral (or decimal scale 0), " +
+        s"got ${keyType.simpleString}")
+    // null count rides the same scan as the bounds — no extra pass; bounds
+    // computed at decimal(38,0) so a wide-decimal key can't wrap through a
+    // long cast before the range check
     val bounds = df.agg(
-      min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
+      min(col(keyCol).cast(DecimalType(38, 0))), max(col(keyCol).cast(DecimalType(38, 0))),
       count(when(col(keyCol).isNull, 1))).head()
     require(bounds.getLong(2) == 0L,
       s"chunk column $keyCol of $table has ${bounds.getLong(2)} NULL keys; " +
@@ -263,7 +275,13 @@ final class TransferEngine(
       sink.write(df, table)
       return 0L
     }
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (loD, hiD) = (bounds.getDecimal(0), bounds.getDecimal(1))
+    val longMin = java.math.BigDecimal.valueOf(Long.MinValue)
+    val longMax = java.math.BigDecimal.valueOf(Long.MaxValue)
+    require(loD.compareTo(longMin) >= 0 && hiD.compareTo(longMax) <= 0,
+      s"chunk column $keyCol of $table spans [$loD, $hiD], outside Long range — " +
+        "chunk boundaries cannot be computed")
+    val (lo, hi) = (loD.longValueExact(), hiD.longValueExact())
     // chunk-index arithmetic in BigInt: a key span near the Long extremes
     // (hi - lo + 1, lo + k*width, cur + width) would otherwise wrap and
     // either loop forever or compute wrong ranges

@@ -179,15 +179,62 @@ class Validator(
   private[validate] def rowSampleJoin(pkCols: Seq[String], sampleSize: Int): DataFrame =
     joinTargetAgainst(buildSample(pkCols, sampleSize), pkCols)
 
+  /** CHECK-constraint layer (SURVEY §1.1: CHECK → validation filter pass;
+    * the reference discovers the clauses at discovery.py:276-287 and only
+    * re-emits them in DDL — here each clause is actually evaluated against
+    * the TARGET data). SQL CHECK semantics: a row violates only when the
+    * clause evaluates to FALSE — NULL passes — so the violation predicate
+    * is `NOT coalesce(clause, true)`.
+    *
+    * All translatable clauses ride ONE aggregate scan (a sum(when(...))
+    * per clause), not a filter().count() job each — at 100 TB the second
+    * clause would otherwise double the cost. Clauses Spark cannot parse or
+    * resolve against the target schema degrade to an indeterminate result
+    * (passed = None) instead of failing the run: check clauses arrive as
+    * free dialect text from the source catalog. */
+  def checkConstraintClauses(
+      checks: Seq[graft.meta.ConstraintMeta]): Seq[CheckResult] = {
+    val named = checks.flatMap(c => c.checkClause.map(cl => (c.name, cl)))
+    if (named.isEmpty)
+      return Seq(CheckResult("check_constraints", None, message = "no CHECK constraints"))
+    def violation(clause: String): Column = !coalesce(expr(clause), lit(true))
+    // analyzability probe: plan-only (no job) — resolves the clause against
+    // the target schema so one bad clause can't sink the combined agg
+    val (ok, bad) = named.partition { case (_, cl) =>
+      scala.util.Try(target.filter(violation(cl)).queryExecution.analyzed).isSuccess
+    }
+    val counts: Map[String, Long] =
+      if (ok.isEmpty) Map.empty
+      else {
+        val aggs = ok.map { case (n, cl) =>
+          sum(when(violation(cl), 1L).otherwise(0L)).as(s"v_$n") }
+        val row = target.agg(aggs.head, aggs.tail: _*).collect()(0)
+        ok.zipWithIndex.map { case ((n, _), i) =>
+          n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }.toMap
+      }
+    ok.map { case (n, cl) =>
+      val v = counts(n)
+      CheckResult(s"check_$n", Some(v == 0),
+        message =
+          if (v == 0) s"CHECK ($cl) holds"
+          else s"$v rows violate CHECK ($cl)")
+    } ++ bad.map { case (n, cl) =>
+      CheckResult(s"check_$n", None,
+        message = s"untranslatable CHECK clause, skipped: $cl")
+    }
+  }
+
   /** All layers with auto-detection (validator.py:83-187 orchestration). */
   def validateTable(tableName: String, pkCols: Seq[String] = Nil,
-                    rowSample: Boolean = false): TableValidationResult = {
+                    rowSample: Boolean = false,
+                    checks: Seq[graft.meta.ConstraintMeta] = Nil): TableValidationResult = {
     val dateCol = Validator.detectDateColumn(source)
     val layers = Seq(checkRowCount()) ++
       dateCol.map(checkPartitionCounts).toSeq ++
       checkColumnStats() ++
       dateCol.map(d => checkAggregateFingerprint(d)).toSeq ++
-      (if (rowSample) Seq(checkRowSample(pkCols)) else Nil)
+      (if (rowSample) Seq(checkRowSample(pkCols)) else Nil) ++
+      (if (checks.nonEmpty) checkConstraintClauses(checks) else Nil)
     TableValidationResult(tableName, layers)
   }
 }

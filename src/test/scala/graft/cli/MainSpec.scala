@@ -53,6 +53,39 @@ class MainSpec extends SparkSpec {
       spark.sql("SELECT explode(split(p_type, ' ')) FROM part").count())
   }
 
+  test("build-views emits the manual-TODO stub for procedure sections") {
+    val f = Files.createTempDirectory("views").resolve("mixed.sql")
+    Files.write(f,
+      """-- view: ok_view
+        |SELECT o_orderkey FROM TPCH.PUBLIC.ORDERS
+        |-- procedure: refresh_stats
+        |CREATE OR REPLACE PROCEDURE refresh_stats()
+        |RETURNS VARCHAR LANGUAGE JAVASCRIPT AS
+        |$$ snowflake.execute({sqlText: "CALL SYSTEM$..."}); $$
+        |-- procedure: empty_proc
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val (code, out) = runCli("build-views", "--source", sfDir, "--views", f.toString)
+    // procedures warn, they don't fail the run (view_procedure_translator.py:343-383)
+    assert(code === 0, out)
+    assert(out.exists(_.startsWith("view ok_view: OK")))
+    assert(out.contains("-- WARNING: This procedure requires manual translation"))
+    // the original DDL is preserved line-by-line as comments
+    assert(out.exists(_.startsWith("-- CREATE OR REPLACE PROCEDURE refresh_stats()")))
+    assert(out.exists(_.contains("snowflake.execute")))
+    assert(out.exists(_.startsWith("procedure refresh_stats: WARNING")))
+    // the reference skips an empty body (`if not snowflake_ddl: return None`)
+    assert(out.exists(_.startsWith("procedure empty_proc: skipped")))
+    assert(out.exists(_.contains("1 views, 0 failed, 1 procedures requiring manual translation")))
+  }
+
+  test("--source-format is rejected alongside a jdbc: source, not silently ignored") {
+    val (code, out) = runCli("transfer", "--source", "jdbc:derby:memory:nope",
+      "--target", Files.createTempDirectory("clijdbc").toString,
+      "--table", "t", "--source-format", "orc")
+    assert(code === 1)
+    assert(out.exists(l => l.startsWith("error:") && l.contains("--source-format")), out)
+  }
+
   test("transfer + validate round-trip, then destroy with confirmation") {
     val dst = Files.createTempDirectory("clidst").resolve("myschema").toString
     val (tcode, tout) = runCli("transfer", "--source", sfDir, "--target", dst,

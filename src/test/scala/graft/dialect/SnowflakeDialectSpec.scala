@@ -139,6 +139,17 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '$999.99')"))
     intercept[IllegalArgumentException](tr("SELECT TO_VARCHAR(amount, 'FM9,990.00')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0.00')"))
+    // numeric elements built from datetime-lookalike letters: 'MI' is
+    // Snowflake's trailing-minus sign, 'D' the decimal point, 'S' the
+    // leading sign — a bare one must not silently become DATE_FORMAT
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'MI')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'D')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S')"))
+    // while unambiguous datetime masks still translate: two-plus elements,
+    // or one element next to a separator
+    assert(tr("SELECT TO_CHAR(ts, 'YYYY')") === "SELECT DATE_FORMAT(ts, 'yyyy')")
+    assert(tr("SELECT TO_CHAR(ts, 'HH24:MI')") === "SELECT DATE_FORMAT(ts, 'HH:mm')")
+    assert(tr("SELECT TO_CHAR(ts, 'MON YYYY')") === "SELECT DATE_FORMAT(ts, 'MMM yyyy')")
     // datetime masks keep translating
     assert(tr("SELECT TO_CHAR(ts, 'DD/MM/YYYY HH24:MI')") ===
       "SELECT DATE_FORMAT(ts, 'dd/MM/yyyy HH:mm')")

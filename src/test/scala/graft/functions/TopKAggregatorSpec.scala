@@ -33,13 +33,46 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(viaAgg(counts.repartition(17)) === expected) // partitioning-independent
   }
 
-  test("buffer never exceeds k") {
-    val agg = new TopKAggregator(2)
-    val buf = (1 to 10).foldLeft(agg.zero)((b, i) => agg.reduce(b, Weighted(s"x$i", i.toLong)))
-    assert(buf.length === 2)
-    assert(buf.map(_.weight) === Seq(10L, 9L))
-    val merged = agg.merge(buf, Seq(Weighted("y", 100L)))
+  test("reduce is amortized: buffer floats to 2k-1 between prunes, finish/merge prune to k") {
+    val agg = new TopKAggregator(2) // pruneAt = 4
+    // appends below 2k don't sort — the buffer grows past k
+    val b3 = (1 to 3).foldLeft(agg.zero)((b, i) => agg.reduce(b, Weighted(s"x$i", i.toLong)))
+    assert(b3.length === 3, "reduce should append, not prune, below 2k")
+    // hitting 2k prunes back to k
+    assert(agg.reduce(b3, Weighted("x4", 4L)).length === 2)
+    // the buffer is still bounded (≤ 2k-1) over any input length
+    val buf = (1 to 1000).foldLeft(agg.zero)((b, i) => agg.reduce(b, Weighted(s"x$i", i.toLong)))
+    assert(buf.length <= 3)
+    assert(agg.finish(buf).map(_.weight) === Seq(1000L, 999L))
+    val merged = agg.merge(agg.finish(buf), Seq(Weighted("y", 2000L)))
     assert(merged.length === 2)
-    assert(merged.head.weight === 100L)
+    assert(merged.head.weight === 2000L)
+  }
+
+  test("micro-bench: amortized reduce beats sort-per-row") {
+    // the round-4 nit: prune(buf :+ in) full-sorts per input row. With the
+    // amortized bound only every k-th row pays a 2k-element sort. k = 64
+    // amplifies the difference enough to dominate JIT noise in one JVM.
+    val k = 64
+    val n = 200000
+    val inputs = {
+      val rnd = new scala.util.Random(11)
+      Array.fill(n)(Weighted(s"w${rnd.nextInt(100000)}", rnd.nextInt(1000000).toLong))
+    }
+    val bounded = new TopKAggregator(k)
+    def sortPerRow(buf: Seq[Weighted], in: Weighted): Seq[Weighted] =
+      (buf :+ in).sortBy(w => (-w.weight, w.item)).take(k)
+    def run[B](zero: B)(step: (B, Weighted) => B): (B, Double) = {
+      val t0 = System.nanoTime()
+      val out = inputs.foldLeft(zero)(step)
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    // warmup both paths (JIT), then measure
+    run(bounded.zero)(bounded.reduce); run(Seq.empty[Weighted])(sortPerRow)
+    val (fastBuf, fastSec) = run(bounded.zero)(bounded.reduce)
+    val (slowBuf, slowSec) = run(Seq.empty[Weighted])(sortPerRow)
+    info(f"amortized reduce: $fastSec%.3fs, sort-per-row: $slowSec%.3fs (${slowSec / fastSec}%.1fx)")
+    assert(bounded.finish(fastBuf) === slowBuf, "both variants must agree exactly")
+    assert(fastSec < slowSec, "the amortized path should be measurably cheaper")
   }
 }

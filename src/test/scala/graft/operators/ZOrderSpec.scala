@@ -44,6 +44,60 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < ry / 2, "z-order should bound y far tighter than 1-d range partitioning")
   }
 
+  test("written files are skippable on the SECOND clustered column via footer min/max stats") {
+    // the q88 claim, completed: not just "partitions are local" but "a
+    // reader pruning on parquet footer statistics — what Spark's row-group
+    // filter, Delta and Iceberg all do — skips most files for a filter on
+    // the SECOND clustered column". The control layout (1-d range on x)
+    // leaves y unbounded in every file, so it can never skip on y.
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+
+    // per-file [min, max] of `column`, read from the parquet FOOTER — the
+    // exact metadata a stats-pruning reader consults, no data pages touched
+    def fileRange(file: java.io.File, column: String): (Long, Long) = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(file.getPath), spark.sparkContext.hadoopConfiguration))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics)
+        }
+        assert(stats.nonEmpty && stats.forall(s => s.hasNonNullValue),
+          s"footer carries no $column stats — nothing to prune on")
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally reader.close()
+    }
+
+    def surviving(dir: String, y: Long): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      val ranges = files.map(fileRange(_, "y"))
+      (ranges.count { case (mn, mx) => mn <= y && y <= mx }, files.length)
+    }
+
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val xdir = java.nio.file.Files.createTempDirectory("graft_xrange").toString
+    ZOrder.cluster(grid, Seq("x", "y"), bits = 8, partitions = 16)
+      .write.mode("overwrite").parquet(zdir)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xdir)
+
+    val (zKept, zTotal) = surviving(zdir, y = 5)
+    val (xKept, xTotal) = surviving(xdir, y = 5)
+    info(s"y=5 candidate files — z-order: $zKept/$zTotal, 1-d x-range: $xKept/$xTotal")
+    assert(zTotal >= 8 && xTotal >= 8, "expected one file per range partition")
+    // z-order: most files' y-stats exclude the value — a stats reader skips them
+    assert(zKept <= zTotal / 2,
+      s"z-order layout should let min/max stats skip most files on y, kept $zKept/$zTotal")
+    // control: 1-d x clustering leaves y spanning ~0..63 in every file
+    assert(xKept == xTotal,
+      "control broken — 1-d x layout should make every file a y-candidate")
+    // and pruning loses nothing: reading with the filter still finds all rows
+    assert(spark.read.parquet(zdir).filter(col("y") === 5).count() === 64)
+  }
+
   test("clustered output is range-disjoint on zval across partitions") {
     val parts = ZOrder.cluster(grid, Seq("x", "y"), bits = 8, partitions = 8)
       .select(col("zval"), spark_partition_id().as("pid"))

@@ -181,6 +181,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quota sampler: a hot key flooding one trigger admits the earliest `quota` deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val h = 3600L * 1000
+    def ev(id: Long, user: Long, ms: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(ms), user, "click", 1.0)
+
+    val stream = MemoryStream[EventStreams.Event]
+    // one hot producer delivers 5,000 events for ONE (user, hour) key in a
+    // single trigger — the exact case the bounded O(quota) insertion
+    // exists for — arriving in REVERSE time order so positional prefixes
+    // can't accidentally pass
+    stream.addData((5000L to 1L by -1).map(i => ev(i, 7, 2 * h + i * 10)))
+    val q = EventStreams.quotaSample(stream.toDS(), quota = 4)
+      .writeStream.format("memory").queryName("quota_hot")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("quota_hot").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // earliest 4 by (ts, event_id), regardless of arrival order
+      assert(got === Seq(1L, 2L, 3L, 4L), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

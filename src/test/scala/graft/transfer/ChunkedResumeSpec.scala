@@ -123,6 +123,38 @@ class ChunkedResumeSpec extends SparkSpec {
     assert(s2.errorMessage.exists(_.contains("integral")), s2.errorMessage)
   }
 
+  test("decimal(p,0) chunk keys — the JDBC integer-PK type — chunk like longs") {
+    // Oracle NUMBER / PG NUMERIC integer PKs surface as DecimalType(p, 0)
+    // through JDBC; scale 0 has no fractional values, so chunk-range
+    // predicates are exact and the key must be accepted
+    val src = Files.createTempDirectory("deckeys_src").toString
+    spark.range(0, 100).selectExpr("CAST(id AS DECIMAL(18,0)) AS k", "id * 3 AS v")
+      .write.parquet(s"$src/deckeys.parquet")
+    val out = Files.createTempDirectory("deckeys_out").toString
+    val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")
+    val sink = new FlakySink(new ParquetSink(out))
+    val s = new TransferEngine(new ParquetSource(src), sink, Some(cp),
+      chunkColumns = Map("deckeys" -> "k"), chunkCount = 4).transferTable(spark, "deckeys")
+    assert(s.success, s.errorMessage)
+    assert(s.rowsTransferred === 100)
+    assert(sink.chunkWrites === 4)
+    val back = spark.read.parquet(s"$out/deckeys.parquet")
+    assert(back.count() === 100)
+    assert(back.groupBy("k").count().filter("count > 1").count() === 0)
+  }
+
+  test("a decimal chunk key whose values exceed Long range is rejected up front") {
+    val src = Files.createTempDirectory("widekeys_src").toString
+    spark.sql("SELECT CAST('99999999999999999999' AS DECIMAL(38,0)) AS k, 1 AS v")
+      .write.parquet(s"$src/widekeys.parquet")
+    val out = Files.createTempDirectory("widekeys_out").toString
+    val s = new TransferEngine(new ParquetSource(src), new ParquetSink(out),
+      Some(new CheckpointManager(s"$out/c.json", "sf", "pq")),
+      chunkColumns = Map("widekeys" -> "k"), chunkCount = 3).transferTable(spark, "widekeys")
+    assert(!s.success, "a 20-digit key cannot produce Long chunk boundaries")
+    assert(s.errorMessage.exists(_.contains("outside Long range")), s.errorMessage)
+  }
+
   test("unchunked tables keep whole-table semantics; chunked success completes checkpoint") {
     val out = Files.createTempDirectory("chunked2").toString
     val cp = new CheckpointManager(s"$out/ckpt.json", "sf", "pq")

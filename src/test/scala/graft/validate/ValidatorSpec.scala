@@ -22,6 +22,38 @@ class ValidatorSpec extends SparkSpec {
       Set("row_count", "partition_counts", "column_stats", "aggregate_fingerprint", "row_sample"))
   }
 
+  test("CHECK layer: a seeded violating row is caught, NULL passes, bad clauses degrade") {
+    import graft.meta.ConstraintMeta
+    val checks = Seq(
+      ConstraintMeta("chk_price", "CHECK", Nil, checkClause = Some("o_totalprice > 0")),
+      // NULL clause result is NOT a violation (SQL CHECK semantics) — a
+      // clause over a nullable column must not flag the NULL rows
+      ConstraintMeta("chk_null_ok", "CHECK", Nil,
+        checkClause = Some("NULLIF(o_orderstatus, o_orderstatus) <> 'X'")),
+      // free source-dialect text Spark can't resolve → indeterminate, not a crash
+      ConstraintMeta("chk_alien", "CHECK", Nil,
+        checkClause = Some("no_such_col ## 'weird dialect'")))
+
+    val clean = new Validator(orders, orders).checkConstraintClauses(checks)
+    assert(clean.find(_.name == "check_chk_price").get.passed === Some(true))
+    assert(clean.find(_.name == "check_chk_null_ok").get.passed === Some(true))
+    assert(clean.find(_.name == "check_chk_alien").get.passed === None)
+
+    // seed one violating row: price negated on a single order
+    val corrupted = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") === orders.select(min("o_orderkey")).head().getLong(0),
+        -col("o_totalprice")).otherwise(col("o_totalprice")))
+    val dirty = new Validator(orders, corrupted).checkConstraintClauses(checks)
+    val hit = dirty.find(_.name == "check_chk_price").get
+    assert(hit.passed === Some(false))
+    assert(hit.message.contains("1 rows violate"))
+    // the layer rides validateTable when clauses are supplied
+    val full = new Validator(orders, corrupted)
+      .validateTable("orders", checks = checks)
+    assert(!full.passed)
+    assert(full.checks.exists(_.name == "check_chk_price"))
+  }
+
   test("layer 1 catches dropped rows") {
     val corrupted = orders.filter(col("o_orderkey") % 100 =!= 0)
     val r = new Validator(orders, corrupted).checkRowCount()

@@ -319,6 +319,18 @@ object Main {
                 throw new IllegalArgumentException("JDBC source requires --table or --tables")
               listTables(src)
             }
+          // --constraints-jdbc: discover CHECK constraints from a live
+          // catalog and EVALUATE each clause against the target data — the
+          // validation half of SURVEY §1.1's CHECK mapping (the reference
+          // only re-emits discovered clauses in DDL, discovery.py:276-287)
+          val liveChecks: Map[String, Seq[graft.meta.ConstraintMeta]] =
+            opts.get("constraints-jdbc").map { curl =>
+              graft.meta.ConstraintDiscovery.discover(spark,
+                new graft.meta.JdbcMetadataCatalog(curl,
+                  opts.getOrElse("constraints-schema", "APP"),
+                  tables.map(_.toUpperCase)),
+                opts.getOrElse("constraints-schema", "APP"))
+            }.getOrElse(Map.empty)
           var failures = 0
           tables.foreach { t =>
             // PK: --pk a,b beats the naming convention (<prefix>_<t>key)
@@ -328,7 +340,9 @@ object Main {
             val result = new Validator(
               source,
               readSide(dst, t))
-              .validateTable(t, pkCols = pkCols, rowSample = opts.contains("row-sample"))
+              .validateTable(t, pkCols = pkCols, rowSample = opts.contains("row-sample"),
+                checks = liveChecks.getOrElse(t.toLowerCase, Nil)
+                  .filter(_.constraintType == "CHECK"))
             val mark = if (result.passed) "PASS" else "FAIL"
             out(s"$t: $mark")
             result.checks.foreach(c =>
@@ -440,7 +454,7 @@ object Main {
       |  discover    --source DIR|jdbc:URL [--format json] [--db-schema S] [--driver CLASS]
       |  build       --source DIR|jdbc:URL [--schema NAME] [--output FILE]
       |              [--db-schema S] [--constraints-jdbc URL] [--constraints-schema NAME]
-      |  build-views --source DIR --views FILE
+      |  build-views --source DIR --views FILE   (sections: -- view: N | -- procedure: N)
       |  destroy     --target DIR --confirm SCHEMA_NAME
       |  transfer    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--tables a,b] [--where W] [--limit N] [--workers K]
@@ -453,5 +467,6 @@ object Main {
       |  dedup       --source DIR --target DIR [--table T] [--method exact|minhash]
       |              [--id COL] [--text-col COL] [--threshold X]
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
-      |              [--pk a,b] [--row-sample true] [--driver CLASS]""".stripMargin
+      |              [--pk a,b] [--row-sample true] [--driver CLASS]
+      |              [--constraints-jdbc URL] [--constraints-schema NAME]""".stripMargin
 }

@@ -21,6 +21,15 @@ trait ConstraintCatalog {
   def tableConstraints(spark: SparkSession): DataFrame
   def keyColumnUsage(spark: SparkSession): DataFrame
   def referentialConstraints(spark: SparkSession): DataFrame
+
+  /** (constraint_name, check_clause) for CHECK constraints
+    * (`discovery.py:276-287` reads the same pairing). Default: none —
+    * engines whose catalog exposes no clause text still discover
+    * everything else. */
+  def checkClauses(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("constraint_name", StringType),
+        StructField("check_clause", StringType))))
 }
 
 /** Production path: read `INFORMATION_SCHEMA.*` through [[JdbcSource]] —
@@ -40,6 +49,8 @@ final class InformationSchemaCatalog(
   def tableConstraints(spark: SparkSession): DataFrame = read(spark, "TABLE_CONSTRAINTS")
   def keyColumnUsage(spark: SparkSession): DataFrame = read(spark, "KEY_COLUMN_USAGE")
   def referentialConstraints(spark: SparkSession): DataFrame = read(spark, "REFERENTIAL_CONSTRAINTS")
+  override def checkClauses(spark: SparkSession): DataFrame =
+    read(spark, "CHECK_CONSTRAINTS").select(col("constraint_name"), col("check_clause"))
 }
 
 /** Fallback path for engines without an information schema (embedded Derby
@@ -63,7 +74,10 @@ final class JdbcMetadataCatalog(
     StructField("constraint_name", StringType), StructField("constraint_schema", StringType),
     StructField("unique_constraint_name", StringType), StructField("unique_constraint_schema", StringType)))
 
-  private case class Raw(tc: Seq[Row], kcu: Seq[Row], rc: Seq[Row])
+  private val ccSchema = StructType(Seq(
+    StructField("constraint_name", StringType), StructField("check_clause", StringType)))
+
+  private case class Raw(tc: Seq[Row], kcu: Seq[Row], rc: Seq[Row], cc: Seq[Row])
 
   private lazy val raw: Raw = {
     val conn = java.sql.DriverManager.getConnection(url)
@@ -72,7 +86,16 @@ final class JdbcMetadataCatalog(
       val tc = Seq.newBuilder[Row]
       val kcu = Seq.newBuilder[Row]
       val rc = Seq.newBuilder[Row]
+      val cc = Seq.newBuilder[Row]
       for (table <- tables) {
+        // CHECK constraints: DatabaseMetaData has no CHECK API, so read the
+        // engine's own catalog (Derby: SYSCONSTRAINTS ⋈ SYSCHECKS carries
+        // the clause text the reference pulls from CHECK_CONSTRAINTS at
+        // discovery.py:276-287); engines without these tables skip silently
+        for ((name, clause) <- checkClausesFor(conn, table)) {
+          tc += Row(name, "CHECK", schema, table)
+          cc += Row(name, clause)
+        }
         // primary key: one TABLE_CONSTRAINTS row + per-column KCU rows
         var pkName: Option[String] = None
         val pkCols = scala.collection.mutable.Set[String]()
@@ -123,9 +146,27 @@ final class JdbcMetadataCatalog(
             frs.getShort("KEY_SEQ").toInt)
         }
       }
-      Raw(tc.result(), kcu.result(), rc.result())
+      Raw(tc.result(), kcu.result(), rc.result(), cc.result())
     } finally conn.close()
   }
+
+  /** (constraint name, clause text) for `table`'s CHECK constraints via
+    * Derby's SYS catalog; empty on engines without it. */
+  private def checkClausesFor(conn: java.sql.Connection, table: String): Seq[(String, String)] =
+    try {
+      val st = conn.prepareStatement(
+        """SELECT c.constraintname, ck.checkdefinition
+          |FROM sys.sysconstraints c
+          |JOIN sys.syschecks ck ON c.constraintid = ck.constraintid
+          |JOIN sys.systables t ON c.tableid = t.tableid
+          |WHERE t.tablename = ?""".stripMargin)
+      st.setString(1, table)
+      val rs = st.executeQuery()
+      val out = Seq.newBuilder[(String, String)]
+      while (rs.next()) out += rs.getString(1) -> rs.getString(2)
+      st.close()
+      out.result()
+    } catch { case NonFatal(_) => Nil }
 
   /** Backing-index name → declared constraint name, via Derby's SYS
     * catalog (SYSCONSTRAINTS ⋈ SYSKEYS ⋈ SYSCONGLOMERATES) — itself a
@@ -154,6 +195,7 @@ final class JdbcMetadataCatalog(
   def tableConstraints(spark: SparkSession): DataFrame = frame(spark, raw.tc, tcSchema)
   def keyColumnUsage(spark: SparkSession): DataFrame = frame(spark, raw.kcu, kcuSchema)
   def referentialConstraints(spark: SparkSession): DataFrame = frame(spark, raw.rc, rcSchema)
+  override def checkClauses(spark: SparkSession): DataFrame = frame(spark, raw.cc, ccSchema)
 }
 
 /** Live constraint discovery — the reference's two catalog joins
@@ -227,7 +269,23 @@ object ConstraintDiscovery {
           case NonFatal(_) => Array.empty[(String, ConstraintMeta)] // PK/UNIQUE succeeded; FK view absent
         }
 
-      (pkUnique ++ fks).groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      // CHECK: constraint rows joined to their clause text — the same
+      // pairing the reference fetches (discovery.py:276-287); engines that
+      // surface no clause text simply contribute no rows
+      val checks =
+        try {
+          tc.filter(col("constraint_type") === "CHECK")
+            .join(catalog.checkClauses(spark), Seq("constraint_name"))
+            .select(col("table_name"), col("constraint_name"), col("check_clause"))
+            .collect()
+            .map(r => (r.getString(0).toLowerCase,
+              ConstraintMeta(r.getString(1).toLowerCase, "CHECK", Nil,
+                checkClause = Some(r.getString(2)))))
+        } catch {
+          case NonFatal(_) => Array.empty[(String, ConstraintMeta)]
+        }
+
+      (pkUnique ++ fks ++ checks).groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     } catch {
       case NonFatal(e) =>
         // mirror discovery.py:296-309 — warn, return no constraints
@@ -242,6 +300,7 @@ object ConstraintDiscovery {
     t.copy(
       primaryKey = cs.find(_.constraintType == "PRIMARY KEY").map(_.columns).getOrElse(Nil),
       foreignKeys = cs.filter(_.constraintType == "FOREIGN KEY"),
-      uniqueConstraints = cs.filter(_.constraintType == "UNIQUE"))
+      uniqueConstraints = cs.filter(_.constraintType == "UNIQUE"),
+      checkConstraints = cs.filter(_.constraintType == "CHECK"))
   }
 }

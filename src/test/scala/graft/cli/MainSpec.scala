@@ -86,6 +86,35 @@ class MainSpec extends SparkSpec {
     assert(out.exists(l => l.startsWith("error:") && l.contains("--source-format")), out)
   }
 
+  test("validate --constraints-jdbc evaluates discovered CHECK clauses against the target") {
+    // the CHECK lives in a live catalog; the data lives in parquet — the
+    // discover→validate loop must catch a target row violating the clause
+    val curl = "jdbc:derby:memory:validateck;create=true"
+    val conn = java.sql.DriverManager.getConnection(curl)
+    try conn.createStatement().execute(
+      """CREATE TABLE scores (s_id INT NOT NULL, s_value INT,
+        CONSTRAINT scores_value_ck CHECK (s_value >= 0))""")
+    finally conn.close()
+    val srcDir = Files.createTempDirectory("cksrc").toString
+    val dstDir = Files.createTempDirectory("ckdst").toString
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS s_id", "CAST(id AS INT) AS s_value")
+      .write.parquet(s"$srcDir/scores.parquet")
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS s_id",
+      "CAST(CASE WHEN id = 7 THEN -1 ELSE id END AS INT) AS s_value")
+      .write.parquet(s"$dstDir/scores.parquet")
+    val (code, out) = runCli("validate", "--source", srcDir, "--target", dstDir,
+      "--constraints-jdbc", curl, "--constraints-schema", "APP")
+    assert(code === 1)
+    assert(out.exists(l => l.contains("check_scores_value_ck") && l.contains("MISMATCH")), out)
+    // and a clean target passes the CHECK layer
+    val okDir = Files.createTempDirectory("ckok").toString
+    spark.read.parquet(s"$srcDir/scores.parquet").write.parquet(s"$okDir/scores.parquet")
+    val (okCode, okOut) = runCli("validate", "--source", srcDir, "--target", okDir,
+      "--constraints-jdbc", curl, "--constraints-schema", "APP")
+    assert(okCode === 0, okOut)
+    assert(okOut.exists(l => l.contains("check_scores_value_ck") && l.contains("ok")), okOut)
+  }
+
   test("transfer + validate round-trip, then destroy with confirmation") {
     val dst = Files.createTempDirectory("clidst").resolve("myschema").toString
     val (tcode, tout) = runCli("transfer", "--source", sfDir, "--target", dst,

@@ -34,7 +34,8 @@ class ConstraintDiscoverySpec extends SparkSpec {
       st.execute("""CREATE TABLE lineitem (
         l_orderkey INT NOT NULL, l_partkey INT NOT NULL, l_suppkey INT NOT NULL,
         CONSTRAINT lineitem_ps_fk FOREIGN KEY (l_partkey, l_suppkey)
-          REFERENCES partsupp (ps_partkey, ps_suppkey))""")
+          REFERENCES partsupp (ps_partkey, ps_suppkey),
+        CONSTRAINT lineitem_key_ck CHECK (l_orderkey > 0))""")
       st.close()
     } finally conn.close()
   }
@@ -69,6 +70,17 @@ class ConstraintDiscoverySpec extends SparkSpec {
     assert(cfk.referencedColumns == Seq("ps_partkey", "ps_suppkey"))
   }
 
+  test("CHECK constraints discovered with their clause text (discovery.py:276-287)") {
+    val ck = discovered("lineitem").find(_.constraintType == "CHECK").get
+    assert(ck.name == "lineitem_key_ck")
+    // Derby stores the clause text as written (parenthesization may vary)
+    assert(ck.checkClause.exists(_.toLowerCase.contains("l_orderkey")), ck.checkClause)
+    // the discovered clause is directly evaluable by the Validator layer
+    import org.apache.spark.sql.functions.expr
+    val data = spark.range(1, 5).selectExpr("id AS l_orderkey")
+    assert(data.filter(expr(ck.checkClause.get)).count() === 4)
+  }
+
   test("discover → enrich → generateSchemaDdl emits PK/FK/UNIQUE from the live catalog") {
     setup
     val cons = discovered
@@ -83,6 +95,7 @@ class ConstraintDiscoverySpec extends SparkSpec {
     assert(all.contains("ADD CONSTRAINT \"nation_region_fk\" FOREIGN KEY (\"n_regionkey\") " +
       "REFERENCES \"app\".\"region\" (\"r_regionkey\")"), all)
     assert(all.contains("PRIMARY KEY (\"ps_partkey\", \"ps_suppkey\")"), all)
+    assert(all.contains("CONSTRAINT \"lineitem_key_ck\" CHECK"), all)
     // FK topo order: referenced tables created before referencing ones
     val creates = ddl.filter(_.startsWith("CREATE TABLE"))
     assert(creates.indexWhere(_.contains("\"region\"")) <

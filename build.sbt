@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starved a local[32] session: 32 concurrent tasks over string-heavy
+  // operators intermittently drove full-GC storms (bench runs 10-70x their
+  // median on unlucky executions). The image has 128 GiB; give the single
+  // local JVM — which is driver AND all executors — a real executor-sized
+  // heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -86,9 +86,12 @@ object TextAnalysis {
     val toks = s"split($textCol, ' ')"
     val grams = s"transform(sequence(0, greatest(size($toks) - 3, 0)), " +
       s"i -> concat_ws(' ', slice($toks, i + 1, 3)))"
-    val total = s"size($grams)"
-    expr(s"CASE WHEN $total <= 1 THEN 0.0d ELSE " +
-      s"1.0d - CAST(size(array_distinct($grams)) AS DOUBLE) / $total END")
+    // bind the gram array ONCE (single-element transform as a poor-man's
+    // LET): referencing $grams three times in the CASE re-evaluates the
+    // whole split+transform+concat chain per reference — 3x the dominant
+    // per-row allocation cost on a string-heavy corpus scan
+    expr(s"transform(array($grams), gs -> CASE WHEN size(gs) <= 1 THEN 0.0d " +
+      s"ELSE 1.0d - CAST(size(array_distinct(gs)) AS DOUBLE) / size(gs) END)[0]")
   }
 
   /** Matching DuckDB fragment for [[dupTrigramFraction]]. */

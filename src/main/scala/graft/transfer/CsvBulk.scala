@@ -22,13 +22,12 @@ import org.apache.spark.sql.functions._
   *    QUOTE_MINIMAL writer leaves it unquoted and silently collapses it to
   *    NULL — a bug this formatter fixes.)
   *
-  * PostgreSQL hookup (not built here — no PG in this image): stream each
-  * shard through pgjdbc's CopyManager, one line of glue per partition:
-  * {{{
-  * new CopyManager(conn.unwrap(classOf[BaseConnection]))
-  *   .copyIn(s"""COPY "$table" FROM STDIN WITH CSV NULL '\\N'""", reader)
-  * }}}
-  * run inside `df.foreachPartition` for executor-parallel COPY streams.
+  * The executing counterpart is [[CopyManagerSink]]: it streams these same
+  * lines through a `CopyManager.copyIn(String, Reader)`-shaped session, one
+  * COPY stream per executor partition (no PG in this image, so the session
+  * is a trait; the 3-line pgjdbc factory is documented on
+  * [[CopySessionFactory]]). This sink keeps the file-shard form — COPY-ready
+  * CSV on disk for `psql \copy` or audit.
   */
 object CsvBulk {
 

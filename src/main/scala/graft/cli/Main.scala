@@ -49,13 +49,31 @@ object Main {
     out.result()
   }
 
-  def run(args: Array[String], spark: SparkSession, out: String => Unit = println): Int = {
-    if (args.isEmpty) { out(usage); return 2 }
+  def run(args: Array[String], spark: SparkSession, sink: String => Unit = println): Int = {
+    if (args.isEmpty) { sink(usage); return 2 }
     val action = args.head
     val opts = parseOpts(args.tail.toSeq)
+    // S12 log tee (sf_migrate.py:28-46, 954-976): mirror every emitted line
+    // to {--log-dir}/{ts}_{schema}/{action}.log with ANSI escapes stripped —
+    // the reference's timestamped per-run log directory, opt-in via flag
+    // (this CLI has no Django BASE_DIR to anchor an implicit logs/ under).
+    val tee: Option[java.io.PrintWriter] = opts.get("log-dir").map { base =>
+      val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+      val dir = Paths.get(base, s"${ts}_${opts.getOrElse("schema", "public")}")
+      Files.createDirectories(dir)
+      new java.io.PrintWriter(Files.newBufferedWriter(
+        dir.resolve(s"$action.log"), StandardCharsets.UTF_8))
+    }
+    // every call site below writes through `out`, so the tee sees exactly
+    // what the collector sees
+    val out: String => Unit = tee match {
+      case Some(w) => s => { sink(s); w.println(stripAnsi(s)) }
+      case None => sink
+    }
     def req(k: String): String =
       opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k"))
-    Try {
+    try Try {
       action match {
         case "discover" =>
           val dir = req("source")
@@ -85,11 +103,10 @@ object Main {
             case Some(url) =>
               opts.get("driver").foreach(Class.forName) // raw-connection path: no ServiceLoader guarantee
               val plain = discoverAny(spark, dir, schema, opts)
+              val cschema = opts.getOrElse("constraints-schema", "APP")
               val live = graft.meta.ConstraintDiscovery.discover(spark,
-                new graft.meta.JdbcMetadataCatalog(url,
-                  opts.getOrElse("constraints-schema", "APP"),
-                  plain.map(_.name.toUpperCase)),
-                opts.getOrElse("constraints-schema", "APP"))
+                constraintCatalog(url, cschema, plain.map(_.name.toUpperCase), opts),
+                cschema)
               plain.map(graft.meta.ConstraintDiscovery.enrich(_, live))
             case None => discoverAny(spark, dir, schema, opts)
           }
@@ -285,23 +302,31 @@ object Main {
           val textCol = opts.getOrElse("text-col", "text")
           val df = spark.read.parquet(s"$src/$table.parquet")
           val total = df.count()
-          val kept = opts.getOrElse("method", "exact") match {
-            case "exact" =>
-              // keep the min-id row per exact content hash
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(md5(col(textCol))).orderBy(col(idCol))
-              df.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1).drop("__rn")
-            case "minhash" =>
-              val thr = opts.getOrElse("threshold", "0.5").toDouble
-              val pairs = graft.operators.Dedup.minhashNearDups(df, idCol, textCol, thr)
-              val drop = graft.operators.Dedup.components(pairs)
-                .filter(col("node") =!= col("label")) // keep each cluster's min id
-                .select(col("node").as(idCol))
-              df.join(drop, Seq(idCol), "left_anti")
-            case other => throw new IllegalArgumentException(s"unknown method: $other")
-          }
-          new ParquetSink(dst).write(kept, table)
+          // pipeline caches live exactly as long as this verb: released
+          // after the terminal write, so a long-lived session (or repeated
+          // CLI invocations against one session) ends with an empty cache
+          // manager instead of accumulating corpus-sized signature frames
+          val scope = new graft.operators.CacheScope
+          try {
+            val kept = opts.getOrElse("method", "exact") match {
+              case "exact" =>
+                // keep the min-id row per exact content hash
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+                df.withColumn("__rn", row_number().over(w))
+                  .filter(col("__rn") === 1).drop("__rn")
+              case "minhash" =>
+                val thr = opts.getOrElse("threshold", "0.5").toDouble
+                val pairs = graft.operators.Dedup.minhashNearDups(
+                  df, idCol, textCol, thr, scope = scope)
+                val drop = graft.operators.Dedup.components(pairs)
+                  .filter(col("node") =!= col("label")) // keep each cluster's min id
+                  .select(col("node").as(idCol))
+                df.join(drop, Seq(idCol), "left_anti")
+              case other => throw new IllegalArgumentException(s"unknown method: $other")
+            }
+            new ParquetSink(dst).write(kept, table)
+          } finally scope.release()
           val keptN = spark.read.parquet(s"$dst/$table.parquet").count()
           out(s"$table: $total rows -> $keptN kept, ${total - keptN} duplicates removed")
           0
@@ -325,11 +350,11 @@ object Main {
           // only re-emits discovered clauses in DDL, discovery.py:276-287)
           val liveChecks: Map[String, Seq[graft.meta.ConstraintMeta]] =
             opts.get("constraints-jdbc").map { curl =>
+              opts.get("driver").foreach(Class.forName) // raw-connection path, like build's
+              val cschema = opts.getOrElse("constraints-schema", "APP")
               graft.meta.ConstraintDiscovery.discover(spark,
-                new graft.meta.JdbcMetadataCatalog(curl,
-                  opts.getOrElse("constraints-schema", "APP"),
-                  tables.map(_.toUpperCase)),
-                opts.getOrElse("constraints-schema", "APP"))
+                constraintCatalog(curl, cschema, tables.map(_.toUpperCase), opts),
+                cschema)
             }.getOrElse(Map.empty)
           var failures = 0
           tables.foreach { t =>
@@ -356,8 +381,14 @@ object Main {
     } match {
       case Success(code) => code
       case Failure(e) => out(s"error: ${e.getMessage}"); 1
-    }
+    } finally tee.foreach(_.close())
   }
+
+  /** ANSI escape stripping for the log tee (sf_migrate.py:28-33's
+    * `strip_ansi`) — log files must stay grep-clean even when a caller's
+    * collector emits colored lines. */
+  private val AnsiEscape = "\u001B\\[[0-9;]*[A-Za-z]".r
+  private[cli] def stripAnsi(s: String): String = AnsiEscape.replaceAllIn(s, "")
 
   private def listTables(dir: String): Seq[String] =
     Files.list(Paths.get(dir)).toArray.map(_.toString)
@@ -408,6 +439,33 @@ object Main {
         TableMeta.fromDataFrame(t, dbSchema, df).copy(rowCount = Some(cnt)),
         constraints)
     }
+  }
+
+  /** Constraint catalog selection: prefer the ANSI `INFORMATION_SCHEMA`
+    * views when the engine exposes them (PostgreSQL, Snowflake, MySQL — the
+    * exact relations the reference reads at discovery.py:250-346, including
+    * `CHECK_CONSTRAINTS` clause text), falling back to the
+    * `DatabaseMetaData`-synthesized catalog for engines without them
+    * (embedded Derby). Probed with a zero-row query against a live
+    * connection, so the choice follows the engine, not a guess — a
+    * Derby-only CHECK lookup against PostgreSQL would silently validate
+    * nothing. */
+  private[cli] def constraintCatalog(url: String, dbSchema: String, tables: Seq[String],
+                                     opts: Map[String, String]): graft.meta.ConstraintCatalog = {
+    val hasInfoSchema =
+      try {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(
+            "SELECT 1 FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS WHERE 1=0"); true }
+          finally st.close()
+        } finally conn.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (hasInfoSchema)
+      new graft.meta.InformationSchemaCatalog(url,
+        opts.get("driver").map(d => Map("driver" -> d)).getOrElse(Map.empty))
+    else new graft.meta.JdbcMetadataCatalog(url, dbSchema, tables)
   }
 
   /** Either endpoint kind → TableMeta list. */
@@ -468,5 +526,6 @@ object Main {
       |              [--id COL] [--text-col COL] [--threshold X]
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
-      |              [--constraints-jdbc URL] [--constraints-schema NAME]""".stripMargin
+      |              [--constraints-jdbc URL] [--constraints-schema NAME]
+      |  any action: [--log-dir DIR]  tee output to DIR/{ts}_{schema}/{action}.log""".stripMargin
 }

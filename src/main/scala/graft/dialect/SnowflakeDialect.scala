@@ -28,6 +28,8 @@ import scala.annotation.tailrec
   *     `LATERAL VIEW POSEXPLODE(X) f AS index, value` (array mode)
   *   - VARIANT paths `col:a.b[0]` → `get_json_object(col, '$.a.b[0]')`;
   *     `LISTAGG … WITHIN GROUP` is native Spark ≥4.0 and passes through
+  *   - `TRY_TO_TIMESTAMP(x[, fmt])` → native `TRY_TO_TIMESTAMP` (format
+  *     elements translated); `TRY_TO_DATE` → `CAST(TRY_TO_TIMESTAMP AS DATE)`
   *   - `DECODE(e, s, r, …, d)` → null-safe searched CASE (`<=>`);
   *     `REGEXP_SUBSTR(s, p)` → `REGEXP_EXTRACT(s, p, 0)`;
   *     `OBJECT_CONSTRUCT('k', v, …)` → `TO_JSON(NAMED_STRUCT(…))`
@@ -406,16 +408,17 @@ object SnowflakeDialect {
       Seq("YYYY", "YY", "MON", "MM", "DD", "HH", "MI", "SS", "AM", "PM", "TZH", "FF")
     // '9'/'0'/'$' only occur in numeric masks — any of them decides
     if (fmt.exists(c => c == '9' || c == '0' || c == '$')) return false
-    val hits = datetimeTokens.count(upper.contains)
-    // one short token alone is ambiguous: Snowflake's numeric elements
-    // include 'MI' (trailing minus), 'S' (sign), 'D' (decimal point) —
-    // built only from datetime-lookalike letters. Real datetime masks
-    // carry either two-plus distinct tokens ('HH24:MI', 'YYYY-MM-DD' —
-    // note 'YYYY' alone already matches both YYYY and YY) or a token
-    // plus a datetime separator. A bare 'MI'/'D'/'S' matches neither
-    // and is classified numeric, so TO_CHAR fails loudly instead of
-    // silently becoming DATE_FORMAT.
-    hits >= 2 || (hits == 1 && fmt.exists(c => "-/:,. ".contains(c)))
+    val hits = datetimeTokens.filter(upper.contains)
+    // Of these tokens only 'MI' doubles as a Snowflake *numeric* mask
+    // element (trailing minus sign); the numeric 'D'/'S'/'TM' elements are
+    // never tokenized here ('DD'/'SS' are the datetime spellings). So a
+    // single unambiguous hit ('MM', 'MON', 'DD', 'HH24') is a datetime
+    // mask on its own, while an 'MI'-only mask needs corroboration — a
+    // second token or a datetime separator ('HH24:MI' has both) — and a
+    // bare 'MI' keeps failing loudly instead of silently becoming
+    // DATE_FORMAT.
+    hits.size >= 2 ||
+      (hits.size == 1 && (hits.head != "MI" || fmt.exists(c => "-/:,. ".contains(c))))
   }
 
   /** One pass over the SQL rewriting known function calls; recurses into
@@ -565,6 +568,29 @@ object SnowflakeDialect {
           val (args, close) = parseArgs(sql, k)
           require(args.length == 1, s"NULLIFZERO expects 1 arg, got ${args.length}")
           out.append(s"NULLIF(${rewriteFunctionCalls(args.head.trim)}, 0)")
+          i = close + 1
+        } else if (hasParen && (upper == "TRY_TO_DATE" || upper == "TRY_TO_TIMESTAMP" ||
+            upper == "TRY_TO_TIMESTAMP_NTZ")) {
+          // TRY_TO_TIMESTAMP is native in Spark ≥3.5 (NULL on parse failure,
+          // exactly Snowflake's contract); format elements translate like
+          // TO_TIMESTAMP's. Spark has no TRY_TO_DATE, so it becomes
+          // CAST(TRY_TO_TIMESTAMP(…) AS DATE) — same null-on-failure
+          // semantics. Same loud-failure discipline as TRY_TO_NUMBER: a
+          // mask that isn't an unambiguous datetime format throws at
+          // translation time, not as a silently-NULL column at runtime.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1 || args.length == 2,
+            s"$upper expects 1-2 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val translated = if (t.length == 2 && isStringLiteral(t(1))) {
+            val fmt = t(1).substring(1, t(1).length - 1)
+            if (!isDatetimeFormat(fmt))
+              throw new IllegalArgumentException(
+                s"unsupported $upper format ${t(1)} — only unambiguous datetime formats translate")
+            Seq(t(0), "'" + translateDateFormat(fmt) + "'")
+          } else t
+          val inner = s"TRY_TO_TIMESTAMP(${translated.mkString(", ")})"
+          out.append(if (upper == "TRY_TO_DATE") s"CAST($inner AS DATE)" else inner)
           i = close + 1
         } else if (hasParen && (upper == "TRY_TO_NUMBER" || upper == "TRY_TO_DECIMAL")) {
           // TRY_TO_NUMBER(x[, p, s]) → TRY_CAST(x AS DECIMAL(p,s)); the

@@ -54,7 +54,8 @@ object Dedup {
     * (frequent-bucket mitigation: a mega-bucket of near-identical docs is
     * quadratic fanout; at corpus scale exact-dup them first, then LSH). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // band key = '/'-joined slot values (not a rehash): exactly replayable
     // in the DuckDB oracle, and the join key stays narrow (≤ 4×10+3 chars).
@@ -73,7 +74,7 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(w))
       .filter(col("n") <= maxBucketSize)
       .drop("n")
-      .cache()
+    scope.cached(bounded)
     bounded.select(col(idCol).as("a_id"), col("band"), col("bandhash"))
       .join(bounded.select(col(idCol).as("b_id"), col("band"), col("bandhash")),
         Seq("band", "bandhash"))
@@ -85,10 +86,11 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: docs → pairs with est. similarity
     * ≥ `threshold`. Signatures join back onto the (small) candidate set. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+                      threshold: Double = 0.5, k: Int = 3,
+                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // cached: re-read by banding and by both signature re-attach joins
-    val sigs = minhashSignatures(docs, idCol, textCol, k).cache()
-    lshCandidatePairs(sigs, idCol)
+    val sigs = scope.cached(minhashSignatures(docs, idCol, textCol, k))
+    lshCandidatePairs(sigs, idCol, scope = scope)
       .join(sigs.select(col(idCol).as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .withColumn("est_jaccard",
@@ -186,7 +188,8 @@ object Dedup {
     * filter runs *before* the distinct so the dedup shuffle only carries
     * surviving pairs. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = simhashes(docs, idCol, textCol)
     // bucket-size cap as a count-window over the chunk key (one shuffle,
@@ -199,7 +202,7 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
-      .cache()
+    scope.cached(bounded)
     val a = bounded.select(col(idCol).as("a_id"), col("simhash").as("a_fp"),
       col("chunk_idx"), col("chunk"))
     val b = bounded.select(col(idCol).as("b_id"), col("simhash").as("b_fp"),

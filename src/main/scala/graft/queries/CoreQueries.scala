@@ -233,6 +233,25 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // TRY_TO_DATE / TRY_TO_TIMESTAMP — the null-on-parse-failure ingestion
+    // surface of a migrated staging view: valid strings parse, garbage
+    // degrades to NULL instead of failing the query, end-to-end through
+    // the translate path (TRY_TO_NUMBER's sibling discipline, §2.8b).
+    "q103_dialect_try_dates" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderkey,
+          |       TRY_TO_DATE(TO_CHAR(o_orderdate, 'DD/MM/YYYY'), 'DD/MM/YYYY') AS d_ok,
+          |       TRY_TO_DATE(o_orderpriority, 'DD/MM/YYYY') AS d_bad,
+          |       TRY_TO_TIMESTAMP(TO_CHAR(o_orderdate, 'YYYY-MM-DD') || ' 08:30:00',
+          |                        'YYYY-MM-DD HH24:MI:SS') AS ts_ok,
+          |       TRY_TO_TIMESTAMP(o_orderstatus) AS ts_bad
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // QUALIFY + ILIKE + non-ISO TO_TIMESTAMP format + TO_CHAR — the
     // Snowflake-isms one view away in any real migration, end-to-end
     // through the translate path.
@@ -462,6 +481,16 @@ object CoreQueries {
         |  CAST(COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS DECIMAL(38,0)), 0) AS DOUBLE) AS prio_num,
         |  CAST(NULLIF(strpos(o_orderpriority, '-'), 0) AS INT) AS dash_at,
         |  CAST(length(o_orderstatus) AS INT) AS st_len
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q103_dialect_try_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(try_strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS d_ok,
+        |  CAST(try_strptime(o_orderpriority, '%d/%m/%Y') AS DATE) AS d_bad,
+        |  try_strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:00',
+        |               '%Y-%m-%d %H:%M:%S') AS ts_ok,
+        |  TRY_CAST(o_orderstatus AS TIMESTAMP) AS ts_bad
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
 

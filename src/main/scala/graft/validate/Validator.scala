@@ -203,21 +203,38 @@ class Validator(
     val (ok, bad) = named.partition { case (_, cl) =>
       scala.util.Try(target.filter(violation(cl)).queryExecution.analyzed).isSuccess
     }
-    val counts: Map[String, Long] =
+    // the analyzability probe can't catch clauses that resolve but error
+    // at RUNTIME (e.g. a cast/division error under ANSI mode) — those
+    // would sink the combined agg for every clause, so on failure fall
+    // back to one agg per clause and degrade only the offender(s) to
+    // indeterminate, as promised above
+    def countViolations(clauses: Seq[(String, String)]): Map[String, Long] = {
+      val aggs = clauses.map { case (n, cl) =>
+        sum(when(violation(cl), 1L).otherwise(0L)).as(s"v_$n") }
+      val row = target.agg(aggs.head, aggs.tail: _*).collect()(0)
+      clauses.zipWithIndex.map { case ((n, _), i) =>
+        n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }.toMap
+    }
+    val counts: Map[String, Option[Long]] =
       if (ok.isEmpty) Map.empty
-      else {
-        val aggs = ok.map { case (n, cl) =>
-          sum(when(violation(cl), 1L).otherwise(0L)).as(s"v_$n") }
-        val row = target.agg(aggs.head, aggs.tail: _*).collect()(0)
-        ok.zipWithIndex.map { case ((n, _), i) =>
-          n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }.toMap
+      else scala.util.Try(countViolations(ok)) match {
+        case scala.util.Success(m) => m.view.mapValues(Some(_): Option[Long]).toMap
+        case scala.util.Failure(_) =>
+          ok.map { case (n, cl) =>
+            n -> scala.util.Try(countViolations(Seq((n, cl)))).toOption.flatMap(_.get(n))
+          }.toMap
       }
     ok.map { case (n, cl) =>
-      val v = counts(n)
-      CheckResult(s"check_$n", Some(v == 0),
-        message =
-          if (v == 0) s"CHECK ($cl) holds"
-          else s"$v rows violate CHECK ($cl)")
+      counts(n) match {
+        case Some(v) =>
+          CheckResult(s"check_$n", Some(v == 0),
+            message =
+              if (v == 0) s"CHECK ($cl) holds"
+              else s"$v rows violate CHECK ($cl)")
+        case None =>
+          CheckResult(s"check_$n", None,
+            message = s"CHECK clause failed to evaluate, skipped: $cl")
+      }
     } ++ bad.map { case (n, cl) =>
       CheckResult(s"check_$n", None,
         message = s"untranslatable CHECK clause, skipped: $cl")

@@ -259,6 +259,38 @@ class MainSpec extends SparkSpec {
         .dropDuplicates("text").count())
   }
 
+  test("dedup verb releases its pipeline caches (empty cache manager after the run)") {
+    // round-5 verdict: minhashNearDups/lshCandidatePairs cached signatures
+    // and bucket frames for the session lifetime — repeated CLI invocations
+    // against one session accumulated corpus-sized entries
+    spark.catalog.clearCache()
+    val dst = Files.createTempDirectory("clidedupcache").toString
+    val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--table", "documents", "--method", "minhash")
+    assert(code === 0, out)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup verb must unpersist its pipeline caches after the terminal write")
+  }
+
+  test("--log-dir tees output to a timestamped per-action log file, ANSI-stripped") {
+    // S12 parity (sf_migrate.py:28-46, 954-976): logs/{ts}_{schema}/{action}.log
+    val logBase = Files.createTempDirectory("clilogs").toString
+    val (code, out) = runCli("discover", "--source", sfDir,
+      "--schema", "tpch", "--log-dir", logBase)
+    assert(code === 0)
+    val files = Files.walk(Paths.get(logBase)).toArray.map(_.toString)
+      .filter(_.endsWith("discover.log"))
+    assert(files.length === 1, files.mkString(","))
+    // directory name carries the timestamp + schema
+    assert(Paths.get(files.head).getParent.getFileName.toString.matches("\\d{8}_\\d{6}_tpch"))
+    // the file mirrors exactly what the collector saw
+    val logged = new String(Files.readAllBytes(Paths.get(files.head)), StandardCharsets.UTF_8)
+      .linesIterator.toSeq
+    assert(logged === out)
+    // ANSI escapes are stripped on the file side (strip_ansi parity)
+    assert(Main.stripAnsi("\u001b[31mFAIL\u001b[0m nation") === "FAIL nation")
+  }
+
   test("build --constraints-jdbc folds live catalog constraints into the DDL") {
     // a live Derby catalog whose table name matches a parquet table
     val url = "jdbc:derby:memory:clidb;create=true"

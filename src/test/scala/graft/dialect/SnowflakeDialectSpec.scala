@@ -150,9 +150,32 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT TO_CHAR(ts, 'YYYY')") === "SELECT DATE_FORMAT(ts, 'yyyy')")
     assert(tr("SELECT TO_CHAR(ts, 'HH24:MI')") === "SELECT DATE_FORMAT(ts, 'HH:mm')")
     assert(tr("SELECT TO_CHAR(ts, 'MON YYYY')") === "SELECT DATE_FORMAT(ts, 'MMM yyyy')")
+    // a SINGLE unambiguous token also translates (round-5 advice: only 'MI'
+    // doubles as a numeric-mask element; 'MM'/'MON'/'DD'/'HH24' never do, so
+    // rejecting them was a coverage regression)
+    assert(tr("SELECT TO_CHAR(ts, 'MM')") === "SELECT DATE_FORMAT(ts, 'MM')")
+    assert(tr("SELECT TO_CHAR(ts, 'MON')") === "SELECT DATE_FORMAT(ts, 'MMM')")
+    assert(tr("SELECT TO_CHAR(ts, 'DD')") === "SELECT DATE_FORMAT(ts, 'dd')")
+    assert(tr("SELECT TO_CHAR(ts, 'HH24')") === "SELECT DATE_FORMAT(ts, 'HH')")
     // datetime masks keep translating
     assert(tr("SELECT TO_CHAR(ts, 'DD/MM/YYYY HH24:MI')") ===
       "SELECT DATE_FORMAT(ts, 'dd/MM/yyyy HH:mm')")
+  }
+
+  test("TRY_TO_DATE/TRY_TO_TIMESTAMP translate with null-on-failure semantics") {
+    // TRY_TO_TIMESTAMP is native Spark (≥3.5); formats translate like
+    // TO_TIMESTAMP's. TRY_TO_DATE has no Spark twin → date-cast wrapper.
+    assert(tr("SELECT TRY_TO_TIMESTAMP(s, 'DD/MM/YYYY HH24:MI')") ===
+      "SELECT TRY_TO_TIMESTAMP(s, 'dd/MM/yyyy HH:mm')")
+    assert(tr("SELECT TRY_TO_TIMESTAMP(s)") === "SELECT TRY_TO_TIMESTAMP(s)")
+    assert(tr("SELECT TRY_TO_TIMESTAMP_NTZ(s)") === "SELECT TRY_TO_TIMESTAMP(s)")
+    assert(tr("SELECT TRY_TO_DATE(s, 'DD/MM/YYYY')") ===
+      "SELECT CAST(TRY_TO_TIMESTAMP(s, 'dd/MM/yyyy') AS DATE)")
+    assert(tr("SELECT TRY_TO_DATE(s)") === "SELECT CAST(TRY_TO_TIMESTAMP(s) AS DATE)")
+    // the TRY_TO_NUMBER loud-failure discipline: a non-datetime mask throws
+    // at translation time instead of quietly yielding an all-NULL column
+    intercept[IllegalArgumentException](tr("SELECT TRY_TO_DATE(s, '$999.99')"))
+    intercept[IllegalArgumentException](tr("SELECT TRY_TO_TIMESTAMP(s, 'MI')"))
   }
 
   test("DECODE becomes a null-safe searched CASE") {

@@ -54,6 +54,24 @@ class ValidatorSpec extends SparkSpec {
     assert(full.checks.exists(_.name == "check_chk_price"))
   }
 
+  test("CHECK layer: a clause that errors at RUNTIME degrades alone, not the whole run") {
+    import graft.meta.ConstraintMeta
+    // o_orderpriority is '1-URGENT'-style text: the clause analyzes cleanly
+    // against the schema (passes the plan-only probe) but the cast throws
+    // under ANSI mode on the first evaluated row — exactly the failure mode
+    // the round-5 advice flagged. The offender must degrade to
+    // indeterminate while the well-behaved clause still gets a real verdict.
+    val checks = Seq(
+      ConstraintMeta("chk_price", "CHECK", Nil, checkClause = Some("o_totalprice > 0")),
+      ConstraintMeta("chk_ansi_boom", "CHECK", Nil,
+        checkClause = Some("CAST(o_orderpriority AS INT) >= 0")))
+    val rs = new Validator(orders, orders).checkConstraintClauses(checks)
+    assert(rs.find(_.name == "check_chk_price").get.passed === Some(true))
+    val boom = rs.find(_.name == "check_chk_ansi_boom").get
+    assert(boom.passed === None)
+    assert(boom.message.contains("failed to evaluate"))
+  }
+
   test("layer 1 catches dropped rows") {
     val corrupted = orders.filter(col("o_orderkey") % 100 =!= 0)
     val r = new Validator(orders, corrupted).checkRowCount()

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale curve for the heavy document pipelines (round-5 verdict
+  * item 5): measure q23 (MinHash-LSH pairs), q70 (dedup clusters), q93
+  * (line dedup) and q96 (Bloom decontamination) at 1x/10x/100x the sf0.1
+  * documents corpus and report the observed growth exponent, converting the
+  * 100 TB design claims (bucket caps, O(log d) rounds, bounded broadcast)
+  * from argued to measured.
+  *
+  * Corpus synthesis: a verbatim m-fold copy would hand every document m
+  * identical twins, growing the near-dup pair count m^2-fold BY
+  * CONSTRUCTION — the measurement would report "quadratic" about the data,
+  * not the algorithm. Instead each copy applies a per-copy bijective
+  * character rotation to the text: shingle-set Jaccard is invariant under a
+  * character bijection, so every copy keeps the fixture's internal near-dup
+  * structure (duplicate DENSITY constant — the property real corpus growth
+  * has), while cross-copy shingles collide no more than random. Each scale
+  * is materialized to parquet first so the timed region is read→pipeline,
+  * same as the bench.
+  *
+  * Throttle guard: the same fixed-work calibration loop as [[Bench]] runs
+  * before every timed sample; a sample whose calibration is >3x the run
+  * median executed inside a host-throttle window and is flagged. Each
+  * (pipeline, scale) runs twice and reports the MIN — under intermittent
+  * throttling the faster run is the honest one.
+  *
+  * Usage: `runMain graft.ScaleCurve [sfDir] [outJson]`; prints one JSON
+  * line, also written to outJson if given.
+  */
+object ScaleCurve {
+  @volatile private var calibSink: Long = 0L
+
+  private def calibSecs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    calibSink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** m text-disjoint copies of the corpus, ids offset per copy. */
+  def synthesize(docs: DataFrame, m: Int): DataFrame =
+    (0 until m).map { j =>
+      if (j == 0) docs.select(col("doc_id"), col("text"))
+      else {
+        val shift = j % 25 + 1
+        val rotated = Alpha.drop(shift) + Alpha.take(shift)
+        docs.select(
+          (col("doc_id") + lit(j * 100000000L)).as("doc_id"),
+          translate(col("text"), Alpha, rotated).as("text"))
+      }
+    }.reduce(_ unionByName _)
+
+  private def drain(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = args.lift(1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val scales = Seq(1, 10, 100)
+    val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val corpora: Map[Int, DataFrame] = scales.map { m =>
+      val path = s"$work/docs_x$m"
+      synthesize(base, m).repartition(32).write.mode("overwrite").parquet(path)
+      m -> spark.read.parquet(path)
+    }.toMap
+
+    val pipelines: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q23_minhash_pairs" -> { docs =>
+        graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      },
+      "q70_dedup_clusters" -> { docs =>
+        val pairs = graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.5)
+        graft.operators.Dedup.components(pairs)
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      },
+      "q93_line_dedup" -> { docs =>
+        graft.operators.LineDedup.dedupLines(docs, "doc_id", "text", lineTokens = 10)
+      },
+      "q96_bloom_decontaminate" -> { docs =>
+        graft.operators.TextAnalysis.bloomNgramOverlap(
+          docs.filter(col("doc_id") % 40 =!= 0),
+          docs.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", k = 4)
+      })
+
+    // warmup: touch every path once at 1x, untimed
+    pipelines.foreach { case (_, p) => drain(p(corpora(1))) }
+
+    case class Sample(pipeline: String, m: Int, secs: Double, calib: Double)
+    val samples = for {
+      (name, p) <- pipelines
+      m <- scales
+    } yield {
+      val runs = (1 to 2).map { _ =>
+        val c = calibSecs()
+        val t0 = System.nanoTime()
+        drain(p(corpora(m)))
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (s, c)
+      }
+      val (s, c) = runs.minBy(_._1)
+      Sample(name, m, s, c)
+    }
+
+    val calibMed = samples.map(_.calib).sorted.apply(samples.size / 2)
+    val rows = pipelines.map { case (name, _) =>
+      val byScale = samples.filter(_.pipeline == name).map(s => s.m -> s).toMap
+      // exponent over the top decade (10x -> 100x): overheads amortized away
+      val expTop = math.log(byScale(100).secs / byScale(10).secs) / math.log(10.0)
+      val flagged = byScale.values.filter(s => calibMed > 0 && s.calib > 3 * calibMed)
+        .map(_.m).toSeq.sorted
+      (name, byScale, expTop, flagged)
+    }
+
+    val json = "{" + rows.map { case (name, byScale, expTop, flagged) =>
+      val secsJson = scales.map(m => s""""x$m":${fmt(byScale(m).secs)}""").mkString(",")
+      val calJson = scales.map(m => s""""x$m":${fmt(byScale(m).calib)}""").mkString(",")
+      s""""$name":{"secs":{$secsJson},"exponent_10x_to_100x":${fmt(expTop)},""" +
+        s""""calib":{$calJson},"throttled_scales":[${flagged.mkString(",")}]}"""
+    }.mkString(",") + s""","calib_median":${fmt(calibMed)},"base_rows":${base.count()}}"""
+    println(json)
+    outJson.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    spark.stop()
+  }
+}

@@ -220,6 +220,10 @@ object Main {
             }
           val sink: TableSink = opts.get("format") match {
             case Some("csv") => new CsvBulkSink(dst) // COPY-ready shards
+            case Some("copy") => // executed COPY FROM STDIN, per-partition
+              if (!dst.startsWith("jdbc:"))
+                throw new IllegalArgumentException("--format copy requires a jdbc: target")
+              new CopyManagerSink(new PgCopySessionFactory(dst, jdbcOpts))
             case Some("orc") => new OrcSink(dst,
               partitionColumns = opts.get("partition-by")
                 .map(_.split(',').toSeq).getOrElse(Nil),

@@ -117,7 +117,16 @@ object Dedup {
     * the worst case (2^20-diameter graphs at the default).
     */
   def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20): DataFrame =
+    componentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds it ran — the
+    * O(log diameter) claim as a measurable quantity. The scale probe asserts
+    * on the round count (work-proportional, throttle-immune) instead of
+    * wall-clock, which on this host can inflate 40-70x under intermittent
+    * CPU throttling. */
+  def componentsWithRounds(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                           maxIter: Int = 20): (DataFrame, Int) = {
     // localCheckpoint (not cache): truncates the logical plan each round —
     // the iterated self-join otherwise deepens the plan tree and Catalyst
     // re-analysis time grows super-linearly with iteration count.
@@ -164,7 +173,7 @@ object Dedup {
       prevSum = s
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** 64-bit SimHash of a space-tokenized text column, computed per-row by

@@ -17,21 +17,63 @@ trait CopySession extends AutoCloseable {
 /** Opened once per non-empty partition ON THE EXECUTOR, so it must be
   * serializable and must not capture a live connection — capture the JDBC
   * URL and build the connection inside `open()`. The production
-  * implementation (not compiled here: pgjdbc is not on this classpath):
-  * {{{
-  * final class PgCopySessionFactory(url: String) extends CopySessionFactory {
-  *   def open(): CopySession = new CopySession {
-  *     private val conn = java.sql.DriverManager.getConnection(url)
-  *     private val mgr = new org.postgresql.copy.CopyManager(
-  *       conn.unwrap(classOf[org.postgresql.core.BaseConnection]))
-  *     def copyIn(sql: String, from: java.io.Reader): Long = mgr.copyIn(sql, from)
-  *     def close(): Unit = conn.close()
-  *   }
-  * }
-  * }}}
+  * implementation is [[PgCopySessionFactory]].
   */
 trait CopySessionFactory extends Serializable {
   def open(): CopySession
+}
+
+/** Production COPY factory: one JDBC connection per executor partition,
+  * driving pgjdbc's `CopyManager.copyIn` — the call the reference makes at
+  * `data_transfer.py:339-344` (`copy_expert` over psycopg2), executed here
+  * per-partition instead of through one driver funnel.
+  *
+  * pgjdbc is invoked REFLECTIVELY: the offline artifact mirror this build
+  * runs against carries no `org.postgresql` artifacts, so a compile-time
+  * dependency cannot resolve. The reflective path is byte-for-byte the
+  * documented direct calls —
+  * {{{
+  *   val mgr = new org.postgresql.copy.CopyManager(
+  *     conn.unwrap(classOf[org.postgresql.core.BaseConnection]))
+  *   mgr.copyIn(sql, reader)   // returns rows loaded
+  * }}}
+  * — resolved at `open()` time on the executor, where a production
+  * `spark-submit --jars postgresql-*.jar` puts pgjdbc on the task
+  * classloader. The three class names are constructor parameters (defaulted
+  * to the pgjdbc names) so the reflective glue itself is spec-covered
+  * against stand-in classes in this image; only strings ship in the closure.
+  */
+final class PgCopySessionFactory(
+    url: String,
+    props: Map[String, String] = Map.empty,
+    driverClass: String = "org.postgresql.Driver",
+    copyManagerClass: String = "org.postgresql.copy.CopyManager",
+    baseConnectionClass: String = "org.postgresql.core.BaseConnection")
+  extends CopySessionFactory {
+
+  def open(): CopySession = new CopySession {
+    // Executor JVMs may not have run DriverManager's service discovery for
+    // this driver yet; load it explicitly and let getConnection fail with
+    // its own diagnostic if the jar is genuinely absent.
+    try Class.forName(driverClass)
+    catch { case _: ClassNotFoundException => () }
+    private val conn = {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      java.sql.DriverManager.getConnection(url, p)
+    }
+    private val copyFn = {
+      val baseCls = Class.forName(baseConnectionClass)
+      val mgrCls = Class.forName(copyManagerClass)
+      val unwrapped = conn.unwrap(baseCls.asInstanceOf[Class[AnyRef]])
+      val mgr = mgrCls.getConstructor(baseCls).newInstance(unwrapped).asInstanceOf[AnyRef]
+      val m = mgrCls.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+      (sql: String, from: java.io.Reader) =>
+        m.invoke(mgr, sql, from).asInstanceOf[java.lang.Long].longValue()
+    }
+    def copyIn(sql: String, from: java.io.Reader): Long = copyFn(sql, from)
+    def close(): Unit = conn.close()
+  }
 }
 
 /** Streams an iterator of CSV lines as a `java.io.Reader` without ever

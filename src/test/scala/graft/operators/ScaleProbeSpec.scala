@@ -8,48 +8,79 @@ import graft.SparkSpec
   * synthetic corpus 200× the sf0.001 fixture (100k documents) — evidence
   * the plan shape (per-row signatures, window-capped bucket join, narrow
   * candidate shuffles) holds when the data is no longer trivial, and a
-  * regression tripwire for accidental quadratic behavior. */
+  * regression tripwire for accidental quadratic behavior.
+  *
+  * Flake-proofing (round-5 verdict): this host throttles CPU 40-70× in
+  * intermittent windows — the components probe recorded 193.7s in a full
+  * `sbt test` run and 11.4s standalone on identical code — so absolute
+  * wall-clock bounds are a false-red generator. Each test now asserts the
+  * *work-proportional* invariants first (plan shape, planted-duplicate
+  * recall, O(log diameter) round count) and expresses its wall bound as a
+  * multiple of a same-JVM calibration job measured immediately before the
+  * probe: under throttling both inflate together, so the ratio holds.
+  */
 class ScaleProbeSpec extends SparkSpec {
 
+  /** Fixed-work Spark reference job timed in the same JVM, right before a
+    * probe: a 100M-row hash checksum (CPU-bound, no shuffle, no I/O; hash
+    * keeps the running sum inside Long under ANSI overflow checks). */
+  private def calibSecs(): Double = {
+    val t0 = System.nanoTime()
+    spark.range(100000000L).selectExpr("sum(cast(hash(id) as bigint))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Wall bound: generous multiple of the calibration, floored at the old
+    * absolute bound so a healthy host still catches a quadratic blowup
+    * (which shows up as minutes, not seconds). */
+  private def wallBound(calib: Double): Double = math.max(120.0, 200.0 * calib)
+
   test("minhash candidate pipeline stays linear at 100k synthetic docs") {
-    import spark.implicits._
     val n = 100000L
-    // ~24-token docs; every 1000th pair is a planted near-duplicate
+    // ~24-token docs; every 1000th doc is drawn from a 7-value token cycle
+    // (planted near-duplicate groups), the rest from a 9999-value cycle
     val docs = spark.range(n).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until 24).map(i =>
         concat(lit(s"w$i"), ((col("id") + i) % when(col("id") % 1000 === 0, 7)
           .otherwise(9999)).cast("string"))): _*).as("text"))
+    val calib = calibSecs()
     val t0 = System.nanoTime()
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
     val cnt = pairs.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    info(f"100k docs -> $cnt candidate pairs in $secs%.1f s")
-    // planted duplicates collide heavily; the run must complete quickly —
-    // quadratic candidate generation would take minutes here
-    assert(secs < 120.0, f"pipeline took $secs%.1f s — candidate generation regressed")
+    info(f"100k docs -> $cnt candidate pairs in $secs%.1f s (calib $calib%.2f s)")
+    // planted recall: the 100 docs on the 7-value cycle form identical-text
+    // groups by id mod 7 (1000 ≡ 6 mod 7 walks all residues: two groups of
+    // 15, five of 14) = 2*C(15,2) + 5*C(14,2) = 665 guaranteed pairs
+    assert(cnt >= 665L, s"planted near-duplicate pairs missing ($cnt < 665)")
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
+    // quadratic candidate generation would take minutes even unthrottled
+    assert(secs < wallBound(calib),
+      f"pipeline took $secs%.1f s vs calib $calib%.2f s — candidate generation regressed")
   }
 
   test("knn graph stays bucket-bounded at 20k synthetic vectors") {
     // 20k 64-dim vectors (10x the sf0.1 embeddings table), deterministic
     // pseudo-random components. The banded-LSH candidate join must stay
-    // bucket-bounded: no cartesian, bucket caps in force, and wall time
-    // linear-ish — a full pair enumeration would be 400M rescores.
+    // bucket-bounded: no cartesian, bucket caps in force — a full pair
+    // enumeration would be 400M rescores.
     val vecs = spark.range(20000L).select(
       col("id").as("vec_id"),
       expr("transform(sequence(0, 63), i -> " +
         "CAST((pmod(hash(id * 64 + i), 1000) - 500) / 500.0 AS FLOAT))").as("embedding"))
+    val calib = calibSecs()
     val t0 = System.nanoTime()
     val graph = Similarity.knnGraph(vecs, k = 3)
     val cnt = graph.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    info(f"20k vectors -> $cnt knn edges in $secs%.1f s")
+    info(f"20k vectors -> $cnt knn edges in $secs%.1f s (calib $calib%.2f s)")
     assert(cnt > 0L)
     val plan = graph.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    assert(secs < 120.0, f"knn graph took $secs%.1f s — candidate generation regressed")
+    assert(secs < wallBound(calib),
+      f"knn graph took $secs%.1f s vs calib $calib%.2f s — candidate generation regressed")
   }
 
   test("connected components converge on 100k clustered pairs in few rounds") {
@@ -63,16 +94,22 @@ class ScaleProbeSpec extends SparkSpec {
     val chain = spark.range(63L).selectExpr(
       s"id + $chainBase AS a_id", s"id + ${chainBase + 1} AS b_id")
     val t0 = System.nanoTime()
-    val labels = Dedup.components(clusters.union(chain)).cache()
+    val (rawLabels, rounds) = Dedup.componentsWithRounds(clusters.union(chain))
+    val labels = rawLabels.cache()
     val nClusters = labels.select("label").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
-    info(f"150k nodes -> $nClusters components in $secs%.1f s")
+    info(f"150k nodes -> $nClusters components in $rounds rounds, $secs%.1f s")
     assert(nClusters == 50001L) // 50k triangles + 1 chain
     // the chain collapsed to its minimum node despite diameter 63
     val chainLabels = labels.filter(col("node") >= chainBase)
       .select("label").distinct().collect()
     assert(chainLabels.map(_.getLong(0)).toSeq == Seq(chainBase))
-    assert(secs < 120.0, f"components took $secs%.1f s — iteration cost regressed")
+    // the O(log diameter) property, throttle-immune: pointer jumping
+    // doubles flood distance per round, so diameter 63 must collapse in
+    // ≤ ceil(log2(63)) + a convergence-detection round + slack — far under
+    // the naive 63 rounds plain propagation would need
+    assert(rounds <= 10,
+      s"components took $rounds rounds for diameter 63 — pointer jumping regressed")
     labels.unpersist()
   }
 }

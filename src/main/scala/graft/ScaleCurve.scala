@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   * Throttle guard: the same fixed-work calibration loop as [[Bench]] runs
   * before every timed sample; a sample whose calibration is >3x the run
   * median executed inside a host-throttle window and is flagged. Each
-  * (pipeline, scale) runs twice and reports the MIN — under intermittent
-  * throttling the faster run is the honest one.
+  * (pipeline, scale) runs three times and reports the MIN — under
+  * intermittent throttling the faster run is the honest one (the first
+  * recording of this curve put q93's entire block inside one slow window:
+  * flagged calib 3.6x, wall 24x — a fresh-session rerun of the same
+  * pipeline at x100 took 6.4s, not 87s).
   *
   * Usage: `runMain graft.ScaleCurve [sfDir] [outJson]`; prints one JSON
   * line, also written to outJson if given.
@@ -113,7 +116,7 @@ object ScaleCurve {
       (name, p) <- pipelines
       m <- scales
     } yield {
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val c = calibSecs()
         val t0 = System.nanoTime()
         drain(p(corpora(m)))

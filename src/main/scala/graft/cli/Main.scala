@@ -240,6 +240,12 @@ object Main {
                 .map(_.split(',').toSeq).getOrElse(Nil),
               compression = opts.get("compression"))
           }
+          // --verify needs a readable target; csv/copy shards have no read
+          // side — fail before transferring, not after
+          if (opts.contains("verify") &&
+              opts.get("format").exists(f => f == "csv" || f == "copy"))
+            throw new IllegalArgumentException(
+              s"--verify cannot read back a --format ${opts("format")} target")
           // --chunk-column KEY: per-chunk checkpoint commits + mid-table resume
           if (opts.contains("chunk-column") && cp.isEmpty)
             throw new IllegalArgumentException(
@@ -262,7 +268,19 @@ object Main {
             f"${s.tableName}%-12s ${if (s.success) "OK" else "FAIL"}%-4s " +
               f"${s.rowsTransferred}%9d rows ${s.transferTimeSec}%6.2fs " +
               f"${s.rowsPerSecond}%10.0f rows/s${s.errorMessage.map(" " + _).getOrElse("")}"))
-          if (stats.forall(_.success)) 0 else 1
+          val transferCode = if (stats.forall(_.success)) 0 else 1
+          // --verify: run the validation suite inline after a successful
+          // transfer — the non-interactive equivalent of the reference's
+          // post-migration "Verify migration?" prompt (sf_migrate.py:
+          // 940-952, which calls its verifier on yes). Only a readable
+          // target can be validated: csv/copy shards have no read side.
+          if (opts.contains("verify") && transferCode == 0) {
+            val nested = Seq("validate", "--source", src, "--target", dst,
+              "--tables", tables.mkString(",")) ++
+              opts.get("driver").toSeq.flatMap(d => Seq("--driver", d)) ++
+              opts.get("pk").toSeq.flatMap(p => Seq("--pk", p))
+            run(nested.toArray, spark, out) // no --log-dir: outer tee captures
+          } else transferCode
         case "analyze" =>
           // one-command corpus profile: per-language doc/token budgets,
           // quality (repetition) distribution, exact-dup rate — the report

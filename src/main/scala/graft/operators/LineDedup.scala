@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Line-level exact deduplication (the RefinedWeb/CCNet pass): the corpus
@@ -10,12 +9,15 @@ import org.apache.spark.sql.functions._
   * copies are dropped, and each document is reassembled from its surviving
   * lines in order.
   *
-  * Scale shape: the dedup decision is one shuffle keyed on the line text —
-  * bounded by the number of DISTINCT lines, with map-side nothing to
-  * combine but also no skew beyond genuinely viral lines (boilerplate —
-  * exactly what the pass exists to strip; a production run would cap those
-  * buckets the way [[Dedup]] caps LSH buckets). Reassembly is a second
-  * shuffle on doc id. No self-join, no cartesian anywhere.
+  * Scale shape: the first-occurrence decision is `min(struct(id, line_no))`
+  * GROUPED by line text — an aggregate, not a `row_number` window. The
+  * difference matters precisely on the skew case this pass exists for:
+  * a boilerplate line repeated 10^8 times is collapsed to ONE row per map
+  * partition by the partial min before anything shuffles, where a window
+  * would shuffle and sort all 10^8 copies into a single partition. No
+  * bucket caps needed — the combine IS the skew mitigation. Reassembly
+  * groups the surviving lines (bounded by DISTINCT lines) by doc and joins
+  * them back to the id-keyed document spine. No self-join, no cartesian.
   *
   * Line cutting is arithmetic on the token array (`transform(sequence)` +
   * `slice`), not an explode-then-window re-segmentation — the array never
@@ -38,18 +40,23 @@ object LineDedup {
     val exploded = df
       .select(col(idCol), explode(lines).as("l"))
       .select(col(idCol), col("l.line_no"), col("l.line"))
-    val firstOccurrence = Window.partitionBy(col("line"))
-      .orderBy(col(idCol), col("line_no"))
-    val flagged = exploded.withColumn("keep",
-      when(row_number().over(firstOccurrence) === 1, 1L).otherwise(0L))
-    flagged.groupBy(col(idCol))
+    // struct min orders field-by-field = lexicographic (id, line_no): the
+    // same global first-occurrence the reference pass defines
+    val winners = exploded
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol).as("id"), col("line_no").as("pos"))).as("first"))
+      .select(col("first.id").as(idCol), col("first.pos").as("line_no"), col("line"))
+    val kept = winners.groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_lines"),
-        sum(col("keep")).as("n_kept"),
+        count(lit(1)).as("n_kept"),
         concat_ws(" ",
           transform(
-            array_sort(collect_list(when(col("keep") === 1,
-              struct(col("line_no"), col("line"))))),
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
             s => s.getField("line"))).as("clean_text"))
+    df.select(col(idCol), nLines.cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

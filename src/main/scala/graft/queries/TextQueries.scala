@@ -335,14 +335,10 @@ object TextQueries {
     // from their surviving lines. One shuffle on the line text (bounded by
     // distinct lines), one on doc_id to reassemble.
     "q93_line_dedup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val clean = graft.operators.LineDedup.dedupLines(docs, "doc_id", "text", lineTokens = 10)
-      docs.select(col("doc_id"))
-        .join(clean, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+      // dedupLines carries every document itself (left join onto the
+      // id-keyed spine, zero-kept docs included) — no outer re-join needed
+      graft.operators.LineDedup.dedupLines(
+        t(s, dir, "documents"), "doc_id", "text", lineTokens = 10)
         .orderBy(col("doc_id"))
     })
 

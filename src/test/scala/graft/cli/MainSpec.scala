@@ -133,6 +133,22 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dst)))
   }
 
+  test("migrate --verify runs the validation suite inline after transfer") {
+    // the reference's post-migration "Verify migration?" prompt
+    // (sf_migrate.py:940-952), as a non-interactive flag
+    val dst = Files.createTempDirectory("cliverify").toString
+    val (code, out) = runCli("migrate", "--source", sfDir, "--target", dst,
+      "--table", "nation", "--verify")
+    assert(code === 0, out)
+    assert(out.exists(_.contains("nation") && out.exists(_.contains("OK"))), out)
+    assert(out.exists(_.startsWith("nation: PASS")), out)
+    // an unreadable target format cannot be verified — loud, not silent
+    val dst2 = Files.createTempDirectory("cliverify2").toString
+    val (code2, out2) = runCli("migrate", "--source", sfDir, "--target", dst2,
+      "--table", "nation", "--format", "csv", "--verify")
+    assert(code2 === 1 && out2.exists(_.contains("cannot read back")), out2)
+  }
+
   test("validate catches a corrupted copy") {
     val dst = Files.createTempDirectory("clibad").toString
     runCli("transfer", "--source", sfDir, "--target", dst,

@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   * is materialized to parquet first so the timed region is read→pipeline,
   * same as the bench.
   *
+  * Isolation: every (pipeline, scale) measurement runs in its OWN
+  * SparkContext (stop + rebuild between measurements). A shared session
+  * contaminates the curve in both directions: unmanaged pipeline caches
+  * from an earlier invocation are matched by canonicalized PLAN, so a
+  * later structurally-identical stage reads cached signatures it never
+  * paid for (observed: full q70 at x100 in 1.2s right after q23 drained
+  * the same MinHash pairs), while accumulated session state inflates late
+  * measurements (observed: q93 at x100 took 38.7s as the 12th measurement
+  * of a session vs 3.2-3.9s steady-state fresh). Per-measurement contexts
+  * cost ~3s each and make the samples order-independent.
+  *
   * Throttle guard: the same fixed-work calibration loop as [[Bench]] runs
   * before every timed sample; a sample whose calibration is >3x the run
   * median executed inside a host-throttle window and is flagged. Each
-  * (pipeline, scale) runs three times and reports the MIN — under
-  * intermittent throttling the faster run is the honest one (the first
-  * recording of this curve put q93's entire block inside one slow window:
-  * flagged calib 3.6x, wall 24x — a fresh-session rerun of the same
-  * pipeline at x100 took 6.4s, not 87s).
+  * measurement is one untimed warmup (codegen + page cache) then two timed
+  * runs, reporting the MIN — under intermittent throttling the faster run
+  * is the honest one.
   *
   * Usage: `runMain graft.ScaleCurve [sfDir] [outJson]`; prints one JSON
   * line, also written to outJson if given.
@@ -50,43 +59,66 @@ object ScaleCurve {
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  /** A distinct alphabet permutation per copy (deterministic Fisher-Yates
+    * over an LCG seeded by the copy index). A mere rotation has only 25
+    * distinct forms, so at m=100 four copies would share each rotation and
+    * be VERBATIM twins — the first recording of this curve did exactly
+    * that and measured a 124x pair blowup from x10 to x100 that was pure
+    * synthetic-data artifact (the quadratic-by-construction trap described
+    * above, sneaking back in through the modulus). 26! permutations cannot
+    * repeat for any feasible m. */
+  private def permutation(seed: Int): String = {
+    val a = Alpha.toCharArray
+    var s = seed.toLong * 6364136223846793005L + 1442695040888963407L
+    var i = a.length - 1
+    while (i > 0) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val k = (((s >>> 33) % (i + 1)) + (i + 1)) % (i + 1)
+      val tmp = a(i); a(i) = a(k.toInt); a(k.toInt) = tmp
+      i -= 1
+    }
+    new String(a)
+  }
+
   /** m text-disjoint copies of the corpus, ids offset per copy. */
   def synthesize(docs: DataFrame, m: Int): DataFrame =
     (0 until m).map { j =>
       if (j == 0) docs.select(col("doc_id"), col("text"))
-      else {
-        val shift = j % 25 + 1
-        val rotated = Alpha.drop(shift) + Alpha.take(shift)
-        docs.select(
-          (col("doc_id") + lit(j * 100000000L)).as("doc_id"),
-          translate(col("text"), Alpha, rotated).as("text"))
-      }
+      else docs.select(
+        (col("doc_id") + lit(j * 100000000L)).as("doc_id"),
+        translate(col("text"), Alpha, permutation(j)).as("text"))
     }.reduce(_ unionByName _)
 
   private def drain(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def session(): SparkSession = SparkSession.builder()
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outJson = args.lift(1)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val base = graft.sources.Tables.load(spark, sfDir, "documents")
     val scales = Seq(1, 10, 100)
     val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
-    val corpora: Map[Int, DataFrame] = scales.map { m =>
-      val path = s"$work/docs_x$m"
-      synthesize(base, m).repartition(32).write.mode("overwrite").parquet(path)
-      m -> spark.read.parquet(path)
-    }.toMap
+    val baseRows = {
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val base = graft.sources.Tables.load(spark, sfDir, "documents")
+      scales.foreach { m =>
+        synthesize(base, m).repartition(32)
+          .write.mode("overwrite").parquet(s"$work/docs_x$m")
+      }
+      val n = base.count()
+      spark.stop()
+      n
+    }
 
     val pipelines: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q23_minhash_pairs" -> { docs =>
@@ -108,25 +140,35 @@ object ScaleCurve {
           "doc_id", "text", k = 4)
       })
 
-    // warmup: touch every path once at 1x, untimed
-    pipelines.foreach { case (_, p) => drain(p(corpora(1))) }
-
-    case class Sample(pipeline: String, m: Int, secs: Double, calib: Double)
+    case class Sample(pipeline: String, m: Int, secs: Double, calib: Double,
+                      outRows: Long)
     val samples = for {
       (name, p) <- pipelines
       m <- scales
     } yield {
-      val runs = (1 to 3).map { _ =>
+      // fresh context per measurement: no cross-measurement plan-cache
+      // hits, no accumulated session state (see Scaladoc)
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val docs = spark.read.parquet(s"$work/docs_x$m")
+      // warmup doubles as the WORK metric: output cardinality is
+      // throttle-immune, so a super-linear candidate blowup shows in the
+      // row counts even when wall-clock is hostage to the host
+      val outRows = p(docs).count()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val runs = (1 to 2).map { _ =>
         val c = calibSecs()
         val t0 = System.nanoTime()
-        drain(p(corpora(m)))
+        drain(p(docs))
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (s, c)
       }
+      spark.stop()
       val (s, c) = runs.minBy(_._1)
-      Sample(name, m, s, c)
+      Sample(name, m, s, c, outRows)
     }
 
     val calibMed = samples.map(_.calib).sorted.apply(samples.size / 2)
@@ -142,15 +184,16 @@ object ScaleCurve {
     val json = "{" + rows.map { case (name, byScale, expTop, flagged) =>
       val secsJson = scales.map(m => s""""x$m":${fmt(byScale(m).secs)}""").mkString(",")
       val calJson = scales.map(m => s""""x$m":${fmt(byScale(m).calib)}""").mkString(",")
+      val rowsJson = scales.map(m => s""""x$m":${byScale(m).outRows}""").mkString(",")
       s""""$name":{"secs":{$secsJson},"exponent_10x_to_100x":${fmt(expTop)},""" +
+        s""""out_rows":{$rowsJson},""" +
         s""""calib":{$calJson},"throttled_scales":[${flagged.mkString(",")}]}"""
-    }.mkString(",") + s""","calib_median":${fmt(calibMed)},"base_rows":${base.count()}}"""
+    }.mkString(",") + s""","calib_median":${fmt(calibMed)},"base_rows":$baseRows}"""
     println(json)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-    spark.stop()
   }
 }

@@ -345,6 +345,19 @@ object Main {
                   .filter(col("node") =!= col("label")) // keep each cluster's min id
                   .select(col("node").as(idCol))
                 df.join(drop, Seq(idCol), "left_anti")
+              case "lines" =>
+                // RefinedWeb/CCNet line-level pass: every document survives,
+                // its text rebuilt from globally-first-occurrence lines
+                val lt = opts.getOrElse("line-tokens", "10").toInt
+                val clean = scope.cached(
+                  graft.operators.LineDedup.dedupLines(df, idCol, textCol, lt))
+                val ls = clean.agg(
+                  org.apache.spark.sql.functions.sum("n_lines"),
+                  org.apache.spark.sql.functions.sum("n_kept")).head
+                out(s"$table: line dedup kept ${ls.getLong(1)} of ${ls.getLong(0)} lines")
+                df.drop(textCol).join(
+                  clean.select(col(idCol), col("clean_text").as(textCol)),
+                  Seq(idCol), "inner")
               case other => throw new IllegalArgumentException(s"unknown method: $other")
             }
             new ParquetSink(dst).write(kept, table)
@@ -538,14 +551,18 @@ object Main {
       |  destroy     --target DIR --confirm SCHEMA_NAME
       |  transfer    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--tables a,b] [--where W] [--limit N] [--workers K]
-      |              [--checkpoint FILE] [--format csv|orc|jsonl]
+      |              [--checkpoint FILE] [--format csv|orc|jsonl|copy]
       |              [--source-format parquet|orc|jsonl] [--driver CLASS]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |              [--compression snappy|zstd|gzip]
-      |  migrate     (build + transfer) same options
+      |              (--format copy executes COPY FROM STDIN per partition
+      |               against a jdbc: target via pgjdbc on the classpath)
+      |  migrate     (build + transfer) same options, plus [--verify]
+      |              (run the validation suite inline after transfer)
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
-      |  dedup       --source DIR --target DIR [--table T] [--method exact|minhash]
-      |              [--id COL] [--text-col COL] [--threshold X]
+      |  dedup       --source DIR --target DIR [--table T]
+      |              [--method exact|minhash|lines] [--id COL] [--text-col COL]
+      |              [--threshold X] [--line-tokens N]
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
       |              [--constraints-jdbc URL] [--constraints-schema NAME]

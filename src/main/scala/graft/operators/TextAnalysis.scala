@@ -153,6 +153,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Bloom size for `n` build keys: next power of two ≥ 12·n bits (fpp
+    * ≈ 1% at 3 hashes), floored at 2^20 (128 KB) and capped at 2^28
+    * (32 MB broadcast). Above the cap the fpp degrades gracefully — the
+    * exact join still removes every false positive. */
+  def bloomBitsFor(n: Long): Int = {
+    val want = java.lang.Long.highestOneBit(math.max(1L, 12L * n) * 2 - 1)
+    math.min(1L << 28, math.max(1L << 20, want)).toInt
+  }
+
   /** Distributed Bloom build over a key column: per-partition bitmaps,
     * OR-merged tree-style — the log-depth reduction that keeps the driver
     * from receiving more than one `mBits/8`-byte array per merge arm. */
@@ -176,9 +185,19 @@ object TextAnalysis {
     * never reaching the shuffle — and the surviving sliver goes through
     * the exact (shuffled, non-broadcast) join, which removes the false
     * positives. Results are therefore IDENTICAL to [[ngramOverlap]]; only
-    * the shuffled volume changes. */
+    * the shuffled volume changes.
+    *
+    * `mBits = 0` (the default) sizes the filter from the measured eval
+    * cardinality: ~12 bits/key at 3 hashes (fpp ≈ 1%), floor 2^20,
+    * ceiling 2^28 (32 MB — a comfortable broadcast). A FIXED size is the
+    * scale trap this operator exists to avoid: the round-6 scale curve
+    * measured the 2^20 default saturating at 100× eval growth — prune
+    * pass-through rate → ~1, every train shingle reached the shuffle, and
+    * the x10→x100 wall-clock exponent read 1.09 with a 3× marginal-cost
+    * step. The sizing count is one extra job over the (smaller, by
+    * construction) eval side that the bloom build scans anyway. */
   def bloomNgramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
-                        textCol: String, k: Int, mBits: Int = 1 << 20,
+                        textCol: String, k: Int, mBits: Int = 0,
                         numHashes: Int = 3): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     // consumed twice (bloom build + exact join) but deliberately NOT
@@ -188,9 +207,10 @@ object TextAnalysis {
     val evalG = eval
       .select(explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
       .distinct()
-    val bits = buildBloom(evalG, "ngram", mBits, numHashes)
+    val sizedBits = if (mBits > 0) mBits else bloomBitsFor(evalG.count())
+    val bits = buildBloom(evalG, "ngram", sizedBits, numHashes)
     val probe = ColumnBridge.column(graft.functions.BloomMightContain(
-      ColumnBridge.expression(col("ngram")), bits, numHashes, mBits))
+      ColumnBridge.expression(col("ngram")), bits, numHashes, sizedBits))
     train.select(col(idCol), explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
       .filter(probe)
       .join(evalG, Seq("ngram"))

@@ -236,10 +236,11 @@ object TextQueries {
     },
 
     // Bloom-pruned decontamination (TextAnalysis.bloomNgramOverlap): the
-    // giant-eval scale path — eval n-grams compressed to a 2^20-bit
-    // broadcast bloom that prunes train shingles map-side before the
-    // exact shuffled join. False positives die in the join, so the
-    // result equals the exact overlap — which is what the oracle checks.
+    // giant-eval scale path — eval n-grams compressed to a broadcast
+    // bloom (auto-sized ~12 bits/key from the eval cardinality) that
+    // prunes train shingles map-side before the exact shuffled join.
+    // False positives die in the join, so the result equals the exact
+    // overlap — which is what the oracle checks.
     "q96_bloom_decontaminate" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       graft.operators.TextAnalysis.bloomNgramOverlap(

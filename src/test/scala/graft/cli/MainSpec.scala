@@ -275,6 +275,23 @@ class MainSpec extends SparkSpec {
         .dropDuplicates("text").count())
   }
 
+  test("dedup --method lines rewrites documents from first-occurrence lines") {
+    val dst = Files.createTempDirectory("clilines").toString
+    val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--method", "lines")
+    assert(code === 0, out)
+    assert(out.exists(_.matches("documents: line dedup kept \\d+ of \\d+ lines")), out)
+    val before = spark.read.parquet(s"$sfDir/documents.parquet")
+    val after = spark.read.parquet(s"$dst/documents.parquet")
+    assert(after.count() === before.count()) // every document survives
+    assert(after.columns.sorted === before.columns.sorted)
+    // some line was a later copy somewhere, so total text shrank
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val lenBefore = before.agg(sum(length(col("text")))).head.getLong(0)
+    val lenAfter = after.agg(sum(length(col("text")))).head.getLong(0)
+    assert(lenAfter < lenBefore)
+  }
+
   test("dedup verb releases its pipeline caches (empty cache manager after the run)") {
     // round-5 verdict: minhashNearDups/lshCandidatePairs cached signatures
     // and bucket frames for the session lifetime — repeated CLI invocations

@@ -33,6 +33,22 @@ class BloomSpec extends SparkSpec {
     assert(distributed.toSeq === local.toSeq)
   }
 
+  test("auto-sizing tracks eval cardinality: floor, linear middle, cap") {
+    // floor: tiny eval sets still get the 2^20 minimum
+    assert(TextAnalysis.bloomBitsFor(0) === (1 << 20))
+    assert(TextAnalysis.bloomBitsFor(1000) === (1 << 20))
+    // middle: next pow2 >= 12 bits/key — a 10x eval growth grows the
+    // filter, which is exactly what the fixed 2^20 default failed to do
+    // (round-6 scale curve: saturated bloom -> prune pass-through -> the
+    // x10->x100 exponent read 1.09 instead of ~1 with a 99% prune)
+    assert(TextAnalysis.bloomBitsFor(1000000) === (1 << 24))
+    assert(TextAnalysis.bloomBitsFor(10000000) === (1 << 27))
+    // exact power boundary: 12*n already a pow2 stays put
+    assert(TextAnalysis.bloomBitsFor((1L << 21) / 12 + 1) === (1 << 22))
+    // cap: never broadcast more than 32 MB of bits
+    assert(TextAnalysis.bloomBitsFor(1L << 40) === (1 << 28))
+  }
+
   test("bloom-pruned overlap equals the exact broadcast overlap") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     val train = docs.filter($"doc_id" % 40 =!= 0)

@@ -164,13 +164,24 @@ object Bench {
     // operators cache intermediates for intra-query reuse, and letting 100+
     // queries' worth pile up degrades the late sweep (round-3 bench showed
     // 2-6x late-query inflation vs the same queries in a clean session).
+    // Each run also records summed executor CPU time (CpuMeter): the
+    // throttle-immune counterpart to the wall sample — a throttled process
+    // is descheduled, not busier, so a wall spike with flat CPU seconds is
+    // environment, while a CPU increase is a real plan change. The 0.08s
+    // calibration probe samples only the instant BEFORE the repetition
+    // block; CPU seconds cover the runs themselves.
+    val cpuMeter = new CpuMeter
+    spark.sparkContext.addSparkListener(cpuMeter)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val calib = calibSecs()
       val samples = scala.collection.mutable.ArrayBuffer[Double]()
+      val cpuSamples = scala.collection.mutable.ArrayBuffer[Double]()
       var failSecs = Option.empty[Double]
       var i = 0
       while (i < Runs && failSecs.isEmpty) {
+        cpuMeter.reset()
         val (secs, ok) = time1(drain(fn(spark, sfDir)))
+        cpuSamples += cpuMeter.quiesce()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) samples += secs else failSecs = Some(secs)
@@ -178,19 +189,24 @@ object Bench {
       }
       val ok = failSecs.isEmpty
       val secs = failSecs.getOrElse(median(samples.toSeq))
-      (name, if (ok) secs else -secs, ok, samples.toSeq, calib)
+      (name, if (ok) secs else -secs, ok, samples.toSeq, calib,
+        median(cpuSamples.toSeq))
     }
     // 3-decimal (ms) precision keeps the line short enough for the driver's
     // bounded tail capture — full-precision doubles pushed the headline
     // fields past the window in rounds 2-3
-    val qs = results.map { case (k, v, _, _, _) => s""""$k":${fmt(v)}""" }
+    val qs = results.map { case (k, v, _, _, _, _) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, _, ss, _) =>
+    val runsJson = results.map { case (k, _, _, ss, _, _) =>
       s""""$k":[${ss.map(fmt).mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val cpuJson = results.map { case (k, _, _, _, _, cpu) =>
+      s""""$k":${fmt(cpu)}"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
+    val cpuTotal = results.collect { case (_, _, true, _, _, cpu) => cpu }.sum
     // Throttle self-adjudication (round-5 verdict item 1): each query's
     // calibration sample vs the run-wide calibration median. A query whose
     // probe ran >3x the median executed inside a host-throttle window — its
@@ -198,9 +214,9 @@ object Bench {
     // windows machine-readably; `throttled_count` rides in the headline.
     val calibMed = median(results.map(_._5))
     val throttled = results.collect {
-      case (k, _, _, _, c) if calibMed > 0 && c > 3 * calibMed => k
+      case (k, _, _, _, c, _) if calibMed > 0 && c > 3 * calibMed => k
     }
-    val calibJson = results.map { case (k, _, _, _, c) =>
+    val calibJson = results.map { case (k, _, _, _, c, _) =>
       s""""$k":${fmt(c)}"""
     }.mkString("{", ",", "}")
     val transferRuns =
@@ -219,9 +235,11 @@ object Bench {
       s""""schema_transfer_rows_per_sec":${schemaRps.round},""" +
       s""""csv_transfer_rows_per_sec":${csvRps.round},""" +
       s""""throttled_count":${throttled.size},""" +
+      s""""cpu_total_secs":${fmt(cpuTotal)},""" +
       s""""calib_median":${fmt(calibMed)}"""
     println(s"""{"metric":"total",$headline,"unit":"sec","stat":"median_of_$Runs",""" +
-      s""""transfer_runs":{$transferRuns},"runs":$runsJson,"calib":$calibJson,""" +
+      s""""transfer_runs":{$transferRuns},"runs":$runsJson,"cpu":$cpuJson,""" +
+      s""""calib":$calibJson,""" +
       s""""throttled":[${throttled.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries":$qs,""" +
       s""""errors":$errors,"sf":"$sfDir","headline":{$headline}}""")

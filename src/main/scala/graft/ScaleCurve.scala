@@ -37,7 +37,13 @@ import org.apache.spark.sql.functions._
   * median executed inside a host-throttle window and is flagged. Each
   * measurement is one untimed warmup (codegen + page cache) then two timed
   * runs, reporting the MIN — under intermittent throttling the faster run
-  * is the honest one.
+  * is the honest one. The 0.08s probe cannot see a throttle that begins
+  * MID-run, though (one recording shows a 340s q93 sample bracketed by
+  * clean probes), so each run also sums `executorCpuTime` from Spark's
+  * task metrics: a throttled process is descheduled, not busier — CPU
+  * consumed stays proportional to work while wall inflates — so the
+  * CPU-seconds exponent is the throttle-immune headline number and wall
+  * clock the corroborating one.
   *
   * Usage: `runMain graft.ScaleCurve [sfDir] [outJson]`; prints one JSON
   * line, also written to outJson if given.
@@ -140,8 +146,8 @@ object ScaleCurve {
           "doc_id", "text", k = 4)
       })
 
-    case class Sample(pipeline: String, m: Int, secs: Double, calib: Double,
-                      outRows: Long)
+    case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,
+                      calib: Double, outRows: Long)
     val samples = for {
       (name, p) <- pipelines
       m <- scales
@@ -150,6 +156,8 @@ object ScaleCurve {
       // hits, no accumulated session state (see Scaladoc)
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
+      val cpu = new CpuMeter
+      spark.sparkContext.addSparkListener(cpu)
       val docs = spark.read.parquet(s"$work/docs_x$m")
       // warmup doubles as the WORK metric: output cardinality is
       // throttle-immune, so a super-linear candidate blowup shows in the
@@ -159,16 +167,21 @@ object ScaleCurve {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val runs = (1 to 2).map { _ =>
         val c = calibSecs()
+        cpu.reset()
         val t0 = System.nanoTime()
         drain(p(docs))
         val s = (System.nanoTime() - t0) / 1e9
+        val cs = cpu.quiesce()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        (s, c)
+        (s, cs, c)
       }
       spark.stop()
-      val (s, c) = runs.minBy(_._1)
-      Sample(name, m, s, c, outRows)
+      // wall and CPU each take their own min: under a mid-run throttle the
+      // two runs' CPU agree while wall diverges, and the faster of each is
+      // the honest sample
+      val (s, _, c) = runs.minBy(_._1)
+      Sample(name, m, s, runs.map(_._2).min, c, outRows)
     }
 
     val calibMed = samples.map(_.calib).sorted.apply(samples.size / 2)
@@ -176,16 +189,20 @@ object ScaleCurve {
       val byScale = samples.filter(_.pipeline == name).map(s => s.m -> s).toMap
       // exponent over the top decade (10x -> 100x): overheads amortized away
       val expTop = math.log(byScale(100).secs / byScale(10).secs) / math.log(10.0)
+      val expCpu =
+        math.log(byScale(100).cpuSecs / byScale(10).cpuSecs) / math.log(10.0)
       val flagged = byScale.values.filter(s => calibMed > 0 && s.calib > 3 * calibMed)
         .map(_.m).toSeq.sorted
-      (name, byScale, expTop, flagged)
+      (name, byScale, expTop, expCpu, flagged)
     }
 
-    val json = "{" + rows.map { case (name, byScale, expTop, flagged) =>
+    val json = "{" + rows.map { case (name, byScale, expTop, expCpu, flagged) =>
       val secsJson = scales.map(m => s""""x$m":${fmt(byScale(m).secs)}""").mkString(",")
+      val cpuJson = scales.map(m => s""""x$m":${fmt(byScale(m).cpuSecs)}""").mkString(",")
       val calJson = scales.map(m => s""""x$m":${fmt(byScale(m).calib)}""").mkString(",")
       val rowsJson = scales.map(m => s""""x$m":${byScale(m).outRows}""").mkString(",")
       s""""$name":{"secs":{$secsJson},"exponent_10x_to_100x":${fmt(expTop)},""" +
+        s""""cpu_secs":{$cpuJson},"exponent_cpu_10x_to_100x":${fmt(expCpu)},""" +
         s""""out_rows":{$rowsJson},""" +
         s""""calib":{$calJson},"throttled_scales":[${flagged.mkString(",")}]}"""
     }.mkString(",") + s""","calib_median":${fmt(calibMed)},"base_rows":$baseRows}"""

@@ -250,6 +250,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram-LM cross-entropy (TextAnalysis.ngramLmCrossEntropy): the
+    // CCNet/Gopher perplexity quality signal — add-one-smoothed bigram
+    // model trained on the held-in split, held-out docs scored by mean
+    // -log2 P(w2|w1). The LM is a pair of count DataFrames joined onto
+    // the eval bigrams; per-bigram costs round to DECIMAL(30,6) before
+    // the exact sum so the mean survives libm and accumulation-order
+    // differences between engines.
+    "q104_ngram_lm_xent" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.ngramLmCrossEntropy(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0),
+        "doc_id", "text")
+    },
+
     // Inverted-index build: term → document frequency + capped posting
     // list — the search-infrastructure face of a corpus pipeline. Posting
     // lists are bounded (first 10 doc ids) so the per-term aggregate state
@@ -521,6 +536,35 @@ object TextQueries {
         |FROM g JOIN e USING (ng)
         |WHERE g.doc_id % 40 <> 0
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Bigram probabilities are exact integer ratios; the only
+    // transcendental op (log2) rounds to 6 decimals per bigram before the
+    // exact decimal sum — same discipline as the Spark side.
+    "q104_ngram_lm_xent" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |trbg AS (
+        |  SELECT t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 1, 0))) AS i(i)
+        |  WHERE doc_id % 40 <> 0),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM trbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w.w) AS v
+        |      FROM tk, UNNEST(t) AS w(w) WHERE doc_id % 40 <> 0),
+        |evbg AS (
+        |  SELECT doc_id, t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 1, 0))) AS i(i)
+        |  WHERE doc_id % 40 = 0),
+        |cost AS (
+        |  SELECT e.doc_id,
+        |    CAST(-log2((COALESCE(c2.c2, 0) + 1.0) /
+        |      (COALESCE(c1.c1, 0) + v.v)) AS DECIMAL(30,6)) AS nll
+        |  FROM evbg e
+        |  LEFT JOIN c2 ON c2.w1 = e.w1 AND c2.w2 = e.w2
+        |  LEFT JOIN c1 ON c1.w1 = e.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS xent
+        |FROM cost GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q85_inverted_index" ->
       """SELECT term, df, postings FROM (

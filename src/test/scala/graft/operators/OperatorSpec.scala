@@ -160,4 +160,18 @@ class TextAnalysisSpec extends SparkSpec {
     // train explode streams through map-side — no shuffle of train n-grams
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("bigram-LM cross-entropy: add-one smoothing, hand-computed") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c"), (101L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLmCrossEntropy(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // train bigrams: (a,b)x2, (b,a)x1 -> c1: a=2, b=1; vocab V=2
+    // P(b|a) = (2+1)/(2+2) = 0.75   -> -log2 rounds6 to 0.415037
+    // P(c|b) = (0+1)/(1+2) = 1/3    -> -log2 rounds6 to 1.584963
+    // xent = (0.415037 + 1.584963) / 2 = exactly 1.0 after the decimal sum;
+    // the 1-token doc has no bigrams and emits no row
+    assert(got === Seq((100L, 2L, 1.0)))
+  }
 }

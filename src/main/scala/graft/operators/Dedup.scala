@@ -100,6 +100,64 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** Incremental near-dup dedup — the rolling-ingestion flow: which
+    * `incoming` docs (a new crawl batch) near-duplicate the `existing`
+    * corpus, or an earlier (smaller-id) doc of their own batch. Returns
+    * one row per dropped incoming doc: (id, killed_by, est_jaccard,
+    * n_matches) with `killed_by` the minimum qualifying partner id
+    * (deterministic) and `est_jaccard` that pair's signature agreement.
+    * Id spaces of the two frames must be disjoint.
+    *
+    * Scale shape: both sides band into ONE union frame — a single shuffle
+    * that also computes the bucket cap over the combined corpus, same cap
+    * semantics as [[lshCandidatePairs]] run on the union — but the pair
+    * join is side-filtered: only incoming rows probe it, so
+    * EXISTING x EXISTING pairs (the quadratic bulk when the corpus dwarfs
+    * the batch) are never formed, and the within-batch direction keeps
+    * only smaller-id killers. Signatures re-attach to the narrow surviving
+    * candidate pairs, never to the bucket fanout. */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.5, k: Int = 3,
+                          maxBucketSize: Int = 1000,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = scope.cached(
+      minhashSignatures(existing, idCol, textCol, k).withColumn("inc", lit(false))
+        .unionByName(
+          minhashSignatures(incoming, idCol, textCol, k).withColumn("inc", lit(true))))
+    val w = Window.partitionBy(col("band"), col("bandhash"))
+    val bounded = sigs.select(col(idCol), col("inc"),
+      posexplode(array((0 until Bands).map { b =>
+        val slice = (0 until RowsPerBand)
+          .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
+        concat_ws("/", slice: _*)
+      }: _*)).as(Seq("band", "bandhash")))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") <= maxBucketSize)
+      .drop("n")
+    scope.cached(bounded)
+    val victims = bounded.filter(col("inc"))
+      .select(col(idCol).as("v_id"), col("band"), col("bandhash"))
+    val partners = bounded.select(col(idCol).as("p_id"), col("inc").as("p_inc"),
+      col("band"), col("bandhash"))
+    victims.join(partners, Seq("band", "bandhash"))
+      .filter(!col("p_inc") || (col("p_id") < col("v_id")))
+      .select(col("v_id"), col("p_id")).distinct()
+      .join(sigs.select(col(idCol).as("v_id"), col("sig").as("v_sig")), Seq("v_id"))
+      .join(sigs.select(col(idCol).as("p_id"), col("sig").as("p_sig")), Seq("p_id"))
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(v_sig, p_sig, (x, y) -> x = y), v -> v))")
+          .cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("v_id"))
+      .agg(min(struct(col("p_id"), col("est_jaccard"))).as("mk"),
+        count(lit(1)).as("n_matches"))
+      .select(col("v_id").as(idCol), col("mk.p_id").as("killed_by"),
+        col("mk.est_jaccard").as("est_jaccard"), col("n_matches"))
+      .orderBy(col(idCol))
+  }
+
   /** Connected components over near-dup pairs — the cluster-formation step
     * that turns pairwise candidates into dedup groups (keep one
     * representative per group). Iterative min-label propagation: every node

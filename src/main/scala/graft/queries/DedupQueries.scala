@@ -79,6 +79,18 @@ object DedupQueries {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Incremental dedup (Dedup.incrementalNearDups): the rolling-ingestion
+    // flow — a new batch (doc_id % 4 = 0) deduped against the standing
+    // corpus plus its own earlier docs. Existing x existing pairs are
+    // never formed; output is the deterministic kill list.
+    "q105_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", threshold = 0.5)
+    },
+
     // SimHash near-dup pairs (64-bit, hamming ≤ 3, pigeonhole bucketing).
     "q24_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -381,6 +393,25 @@ object DedupQueries {
          |  JOIN documents db ON db.doc_id = p.b_id)
          |SELECT src_a, src_b, COUNT(*) AS n_pairs
          |FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // q23's pair set filtered to kill-relevant directions: an incoming doc
+    // (% 4 = 0) dies to any existing partner or a smaller-id batch mate;
+    // killed_by = min qualifying partner, est via arg_min on the same key.
+    // The full-corpus est replay is the right oracle because the operator
+    // bands existing+incoming as one frame — identical buckets and caps.
+    "q105_incremental_dedup" ->
+      s"""WITH $minhashEstCtes,
+         |pairs AS (SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+         |k AS (
+         |  SELECT b_id AS doc_id, a_id AS killer, est_jaccard
+         |  FROM pairs WHERE b_id % 4 = 0
+         |  UNION ALL
+         |  SELECT a_id, b_id, est_jaccard
+         |  FROM pairs WHERE a_id % 4 = 0 AND b_id % 4 <> 0)
+         |SELECT doc_id, MIN(killer) AS killed_by,
+         |  arg_min(est_jaccard, killer) AS est_jaccard,
+         |  COUNT(*) AS n_matches
+         |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // q23's pair pipeline + recursive transitive closure: component id =
     // min over every reachable node (LEAST of self and reachable min).

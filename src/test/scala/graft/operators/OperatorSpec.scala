@@ -52,6 +52,23 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
     assert(sigs.count() === 2)
   }
+
+  test("incremental dedup: existing never dies, batch is first-occurrence-wins") {
+    import spark.implicits._
+    val x = "the quick brown fox jumps over the lazy dog again and again"
+    val y = "spark catalyst plans every join shuffle and broadcast carefully"
+    val z = "completely unrelated prose concerning nothing in particular here"
+    val existing = Seq((1L, x), (2L, x)).toDF("doc_id", "text")
+    val incoming = Seq((10L, x), (20L, y), (21L, y), (30L, z)).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(existing, incoming, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // existing 1 and 2 duplicate each other but existing docs are never
+    // victims; incoming 10 dies to the MIN existing partner with both
+    // matches counted; 21 dies to its earlier batch mate 20, which itself
+    // survives (no smaller-id match); 30 is unique and survives
+    assert(got.toSeq === Seq((10L, 1L, 1.0, 2L), (21L, 20L, 1.0, 1L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -144,6 +144,12 @@ object ScaleCurve {
           docs.filter(col("doc_id") % 40 =!= 0),
           docs.filter(col("doc_id") % 40 === 0),
           "doc_id", "text", k = 4)
+      },
+      "q105_incremental_dedup" -> { docs =>
+        graft.operators.Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", threshold = 0.5)
       })
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,

@@ -358,6 +358,18 @@ object Main {
                 df.drop(textCol).join(
                   clean.select(col(idCol), col("clean_text").as(textCol)),
                   Seq(idCol), "inner")
+              case "incremental" =>
+                // rolling ingestion: drop incoming docs that near-dup the
+                // standing corpus (--existing) or an earlier batch mate;
+                // existing x existing pairs are never formed
+                val ex = opts.getOrElse("existing",
+                  throw new IllegalArgumentException("--existing DIR required for --method incremental"))
+                val thr = opts.getOrElse("threshold", "0.5").toDouble
+                val existing = spark.read.parquet(s"$ex/$table.parquet")
+                val kills = graft.operators.Dedup.incrementalNearDups(
+                  existing, df, idCol, textCol, thr, scope = scope)
+                  .select(col(idCol))
+                df.join(kills, Seq(idCol), "left_anti")
               case other => throw new IllegalArgumentException(s"unknown method: $other")
             }
             new ParquetSink(dst).write(kept, table)
@@ -561,8 +573,11 @@ object Main {
       |              (run the validation suite inline after transfer)
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
       |  dedup       --source DIR --target DIR [--table T]
-      |              [--method exact|minhash|lines] [--id COL] [--text-col COL]
-      |              [--threshold X] [--line-tokens N]
+      |              [--method exact|minhash|lines|incremental] [--id COL]
+      |              [--text-col COL] [--threshold X] [--line-tokens N]
+      |              [--existing DIR]  (incremental: drop incoming docs
+      |               near-duplicating the standing corpus at DIR or an
+      |               earlier doc of their own batch)
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
       |              [--constraints-jdbc URL] [--constraints-schema NAME]

@@ -275,6 +275,26 @@ class MainSpec extends SparkSpec {
         .dropDuplicates("text").count())
   }
 
+  test("dedup --method incremental drops batch docs that near-dup the standing corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exDir = Files.createTempDirectory("cliincr_ex").toString
+    val inDir = Files.createTempDirectory("cliincr_in").toString
+    val dst = Files.createTempDirectory("cliincr_out").toString
+    docs.filter(col("doc_id") % 4 =!= 0).write.parquet(s"$exDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0).write.parquet(s"$inDir/documents.parquet")
+    val (code, out) = runCli("dedup", "--source", inDir, "--target", dst,
+      "--method", "incremental", "--existing", exDir)
+    assert(code === 0, out)
+    val incoming = spark.read.parquet(s"$inDir/documents.parquet")
+    val expectKills = graft.operators.Dedup.incrementalNearDups(
+      spark.read.parquet(s"$exDir/documents.parquet"), incoming,
+      "doc_id", "text", threshold = 0.5).count()
+    assert(expectKills > 0, "fixture should plant cross-split near-dups")
+    val kept = spark.read.parquet(s"$dst/documents.parquet").count()
+    assert(kept === incoming.count() - expectKills)
+  }
+
   test("dedup --method lines rewrites documents from first-occurrence lines") {
     val dst = Files.createTempDirectory("clilines").toString
     val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,

@@ -310,6 +310,24 @@ object Main {
           val distinct = df.select(md5(col(textCol).cast("binary"))).distinct().count()
           out(s"exact-dup rate: ${total - distinct} of $total docs " +
             f"(${100.0 * (total - distinct) / math.max(total, 1)}%.2f%%)")
+          // --perplexity: self-trained bigram-LM cross-entropy per language
+          // (train = the corpus itself) — mislabeled-language and noise
+          // docs surface as per-lang outliers of the fluency distribution
+          if (opts.contains("perplexity")) {
+            val idCol = opts.getOrElse("id", "doc_id")
+            val scope = new graft.operators.CacheScope
+            try {
+              val xent = TextAnalysis.ngramLmCrossEntropy(df, df, idCol, textCol,
+                scope = scope)
+              df.select(col(idCol), col(langCol))
+                .join(xent, Seq(idCol))
+                .groupBy(col(langCol))
+                .agg(avg(col("xent")).as("avg_xent"), max(col("xent")).as("max_xent"))
+                .orderBy(col(langCol))
+                .collect().foreach(r => out(
+                  f"${r.get(0)}%-8s avg_xent=${r.getDouble(1)}%6.3f max_xent=${r.getDouble(2)}%6.3f"))
+            } finally scope.release()
+          }
           df.unpersist()
           0
         case "dedup" =>
@@ -572,6 +590,8 @@ object Main {
       |  migrate     (build + transfer) same options, plus [--verify]
       |              (run the validation suite inline after transfer)
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
+      |              [--perplexity]  (self-trained bigram-LM cross-entropy
+      |               per language — outlier fluency surfaces mislabels)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|incremental] [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]

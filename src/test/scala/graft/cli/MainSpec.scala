@@ -255,6 +255,18 @@ class MainSpec extends SparkSpec {
     assert(en.contains("docs=") && en.contains("tokens="))
   }
 
+  test("analyze --perplexity appends per-language LM cross-entropy") {
+    val (code, out) = runCli("analyze", "--source", sfDir, "--perplexity")
+    assert(code === 0, out)
+    val xentLines = out.filter(_.contains("avg_xent="))
+    assert(xentLines.size === 5, out.mkString("\n")) // one per language
+    // self-trained LM on real text: strictly positive, finite bits/bigram
+    val avgs = xentLines.map(_.split("avg_xent=")(1).trim.split(" ")(0).toDouble)
+    assert(avgs.forall(x => x > 0 && x < 64), avgs.mkString(","))
+    // and the run leaves no scoped caches behind
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("dedup verb removes near-duplicate documents, keeping cluster representatives") {
     val dst = Files.createTempDirectory("clidedup").toString
     val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,

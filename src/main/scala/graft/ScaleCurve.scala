@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Empirical scale curve for the heavy document pipelines (round-5 verdict
   * item 5): measure q23 (MinHash-LSH pairs), q70 (dedup clusters), q93
-  * (line dedup) and q96 (Bloom decontamination) at 1x/10x/100x the sf0.1
-  * documents corpus and report the observed growth exponent, converting the
-  * 100 TB design claims (bucket caps, O(log d) rounds, bounded broadcast)
-  * from argued to measured.
+  * (line dedup), q96 (Bloom decontamination) and q105 (incremental
+  * batch-vs-corpus dedup) at 1x/10x/100x the sf0.1 documents corpus and
+  * report the observed growth exponent, converting the 100 TB design
+  * claims (bucket caps, O(log d) rounds, bounded broadcast) from argued
+  * to measured.
   *
   * Corpus synthesis: a verbatim m-fold copy would hand every document m
   * identical twins, growing the near-dup pair count m^2-fold BY

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Rolling ingestion must enforce one invariant whatever the micro-batch
+  * boundaries: no accepted document near-duplicates an earlier-accepted
+  * one, and every novel document survives. The scenario plants a dup of
+  * the seed corpus in one batch and a dup ACROSS batches (a later file
+  * repeating an earlier file's novel text) — the cross-batch kill only
+  * works because survivors are appended to the corpus between batches. */
+class IngestStreamSpec extends SparkSpec {
+
+  test("streamed ingestion dedups each batch against seed + earlier survivors") {
+    import spark.implicits._
+    val x = "the quick brown fox jumps over the lazy dog again and again"
+    val y = "spark catalyst plans every join shuffle and broadcast carefully"
+    val z = "novel prose that the seed corpus has never seen before today"
+    val w = "another entirely fresh document completing the final batch here"
+
+    val corpusDir = Files.createTempDirectory("ingest_corpus").toString + "/docs"
+    val srcDir = Files.createTempDirectory("ingest_src").toString
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+
+    val seed = Seq((1L, x), (2L, y)).toDF("doc_id", "text")
+    seed.write.parquet(corpusDir)
+
+    // two source files -> two micro-batches (maxFilesPerTrigger=1):
+    // 10 duplicates the seed, 20 duplicates 11 (the other batch's novelty)
+    Seq((10L, x), (11L, z)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    Seq((20L, z), (21L, w)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/b2")
+
+    val incoming = spark.readStream.schema(seed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = IngestStream.dedupIngest(incoming, corpusDir, ckpt, threshold = 0.9)
+    q.awaitTermination()
+
+    val fin = spark.read.parquet(corpusDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // one survivor per distinct text, nothing lost: whichever z arrived in
+    // the earlier-processed batch killed the other; the x rerun died to
+    // the seed; both batches' novelties landed
+    assert(fin.length === 4, fin.sortBy(_._1).mkString("; "))
+    assert(fin.map(_._2).toSet === Set(x, y, z, w))
+    assert(fin.count(_._2 == z) === 1)
+    // and the ingestion left no cached frames behind (scope-released)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}

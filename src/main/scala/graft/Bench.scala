@@ -22,33 +22,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   private val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
-  /** Sink for the calibration loop's result so the JIT can't eliminate it. */
-  @volatile private var calibSink: Long = 0L
-
-  /** Fixed-CPU calibration probe: a constant-work xorshift checksum loop
-    * timed on the driver thread (~60ms healthy). The host this runs on
-    * throttles CPU 40-70x in intermittent multi-minute windows (round-5
-    * official bench: q53/q92/q93/q94 inflated 40-83x while the suite median
-    * inflation was 1.23x); a probe sampled immediately before each query's
-    * repetition block inflates with the same throttle, so a reader can
-    * attribute an inflated query time to the environment instead of a plan
-    * regression. Driver-thread loop, not a Spark job: scheduling overhead
-    * would add noise, and the throttle hits every core equally.
-    */
-  private def calibSecs(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-    calibSink = x
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  /** Locale-independent 3-decimal formatting: f"%.3f" uses the JVM default
-    * locale and emits `0,519` under comma-decimal locales — invalid JSON.
-    */
-  private def fmt(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  // shared with ScaleCurve (Measure): SCALE.md compares the two tools'
+  // JSONs against the same 3x-median throttle threshold (round-5 official
+  // bench: q53/q92/q93/q94 inflated 40-83x while the suite median
+  // inflation was 1.23x)
+  private def calibSecs(): Double = Measure.calibSecs()
+  private def fmt(v: Double): String = Measure.fmt(v)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -80,9 +59,7 @@ object Bench {
     if (failed || samples.isEmpty) (-1.0, samples.toSeq) else (median(samples.toSeq), samples.toSeq)
   }
 
-  /** Consume every row of `df` without materializing anything driver-side. */
-  private def drain(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+  private def drain(df: DataFrame): Unit = Measure.drain(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,19 +50,10 @@ import org.apache.spark.sql.functions._
   * line, also written to outJson if given.
   */
 object ScaleCurve {
-  @volatile private var calibSink: Long = 0L
-
-  private def calibSecs(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-    calibSink = x
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  private def fmt(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  // shared with Bench (Measure): the two tools' calibration samples are
+  // compared against the same 3x-median threshold
+  private def calibSecs(): Double = Measure.calibSecs()
+  private def fmt(v: Double): String = Measure.fmt(v)
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
@@ -96,8 +87,7 @@ object ScaleCurve {
         translate(col("text"), Alpha, permutation(j)).as("text"))
     }.reduce(_ unionByName _)
 
-  private def drain(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+  private def drain(df: DataFrame): Unit = Measure.drain(df)
 
   private def session(): SparkSession = SparkSession.builder()
     .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

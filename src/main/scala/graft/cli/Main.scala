@@ -57,13 +57,20 @@ object Main {
     // to {--log-dir}/{ts}_{schema}/{action}.log with ANSI escapes stripped —
     // the reference's timestamped per-run log directory, opt-in via flag
     // (this CLI has no Django BASE_DIR to anchor an implicit logs/ under).
-    val tee: Option[java.io.PrintWriter] = opts.get("log-dir").map { base =>
-      val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-      val dir = Paths.get(base, s"${ts}_${opts.getOrElse("schema", "public")}")
-      Files.createDirectories(dir)
-      new java.io.PrintWriter(Files.newBufferedWriter(
-        dir.resolve(s"$action.log"), StandardCharsets.UTF_8))
+    val teeAttempt: Try[Option[java.io.PrintWriter]] =
+      Try(opts.get("log-dir").map { base =>
+        val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+        val dir = Paths.get(base, s"${ts}_${opts.getOrElse("schema", "public")}")
+        Files.createDirectories(dir)
+        new java.io.PrintWriter(Files.newBufferedWriter(
+          dir.resolve(s"$action.log"), StandardCharsets.UTF_8))
+      })
+    // an unwritable --log-dir reports through the same uniform error path
+    // as every other failure, not a raw stack trace out of main()
+    val tee: Option[java.io.PrintWriter] = teeAttempt match {
+      case Failure(e) => sink(s"error: cannot open --log-dir: ${e.getMessage}"); return 1
+      case scala.util.Success(t) => t
     }
     // every call site below writes through `out`, so the tee sees exactly
     // what the collector sees
@@ -240,12 +247,19 @@ object Main {
                 .map(_.split(',').toSeq).getOrElse(Nil),
               compression = opts.get("compression"))
           }
-          // --verify needs a readable target; csv/copy shards have no read
-          // side — fail before transferring, not after
-          if (opts.contains("verify") &&
-              opts.get("format").exists(f => f == "csv" || f == "copy"))
+          // --verify needs parquet on both sides (the nested validate reads
+          // $dir/$t.parquet) and an unfiltered transfer (it compares full
+          // source vs target counts) — fail before transferring, not after
+          if (opts.contains("verify") && opts.get("format").exists(_ != "parquet"))
             throw new IllegalArgumentException(
               s"--verify cannot read back a --format ${opts("format")} target")
+          if (opts.contains("verify") && opts.get("source-format").exists(_ != "parquet"))
+            throw new IllegalArgumentException(
+              s"--verify cannot re-read a --source-format ${opts("source-format")} source")
+          if (opts.contains("verify") && (opts.contains("where") || opts.contains("limit")))
+            throw new IllegalArgumentException(
+              "--verify compares full source vs target counts, so a --where/--limit " +
+                "transfer would always fail verification — run validate manually instead")
           // --chunk-column KEY: per-chunk checkpoint commits + mid-table resume
           if (opts.contains("chunk-column") && cp.isEmpty)
             throw new IllegalArgumentException(
@@ -384,6 +398,15 @@ object Main {
                   throw new IllegalArgumentException("--existing DIR required for --method incremental"))
                 val thr = opts.getOrElse("threshold", "0.5").toDouble
                 val existing = spark.read.parquet(s"$ex/$table.parquet")
+                // the operator's contract is disjoint id spaces; a shared
+                // id (--existing pointed at the source, an id collision)
+                // must fail loudly, not silently skew the kill set
+                val overlap = existing.select(col(idCol))
+                  .join(df.select(col(idCol)), Seq(idCol), "left_semi").count()
+                if (overlap > 0)
+                  throw new IllegalArgumentException(
+                    s"--existing shares $overlap ${idCol} value(s) with --source — " +
+                      "incremental dedup requires disjoint id spaces")
                 val kills = graft.operators.Dedup.incrementalNearDups(
                   existing, df, idCol, textCol, thr, scope = scope)
                   .select(col(idCol))

@@ -370,7 +370,10 @@ object SnowflakeDialect {
       "YYYY" -> "yyyy", "YY" -> "yy",
       "MMMM" -> "MMMM", "MON" -> "MMM", "MM" -> "MM",
       "DD" -> "dd",
-      "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH",
+      // Snowflake bare HH is an alias for HH12 (docs: "HH — hour 01-12"),
+      // while Java bare HH is 24-hour — mapping HH→HH would silently turn
+      // 3pm into "15" where Snowflake renders "03"
+      "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh",
       "MI" -> "mm", "SS" -> "ss",
       "AM" -> "a", "PM" -> "a",
       "TZH" -> "x", "FF" -> "")
@@ -402,6 +405,32 @@ object SnowflakeDialect {
     * it carries at least one recognized Snowflake datetime token (or is
     * already a Java pattern, which only datetime formats are here). A
     * numeric mask like `$999.99` or `FM9,990.00` matches none of these. */
+  /** True when `fmt` scans completely as known datetime tokens (the
+    * [[translateDateFormat]] table, longest-first, FF taking an optional
+    * digit) and separator punctuation — i.e. translation would emit no
+    * quoted-literal letter runs. 'MONTH' (MON + stray "TH") and 'DDD'
+    * (DD + stray "D") fail this; 'HH12', 'YYYY-MM-DD' pass. */
+  private def tokenizesCleanly(fmt: String): Boolean = {
+    val toks = Seq("YYYY", "MMMM", "HH24", "HH12", "TZH", "MON", "YY",
+      "MM", "DD", "HH", "MI", "SS", "AM", "PM", "FF")
+    var i = 0
+    val n = fmt.length
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c.isLetter) {
+        toks.find(t => fmt.regionMatches(i, t, 0, t.length)) match {
+          case Some("FF") =>
+            i += 2
+            if (i < n && fmt.charAt(i).isDigit) i += 1
+          case Some(t) => i += t.length
+          case None => return false
+        }
+      } else if ("-/:,. ".contains(c)) i += 1
+      else return false
+    }
+    true
+  }
+
   private[dialect] def isDatetimeFormat(fmt: String): Boolean = {
     val upper = fmt.toUpperCase
     val datetimeTokens =
@@ -411,14 +440,17 @@ object SnowflakeDialect {
     val hits = datetimeTokens.filter(upper.contains)
     // Of these tokens only 'MI' doubles as a Snowflake *numeric* mask
     // element (trailing minus sign); the numeric 'D'/'S'/'TM' elements are
-    // never tokenized here ('DD'/'SS' are the datetime spellings). So a
-    // single unambiguous hit ('MM', 'MON', 'DD', 'HH24') is a datetime
-    // mask on its own, while an 'MI'-only mask needs corroboration — a
-    // second token or a datetime separator ('HH24:MI' has both) — and a
-    // bare 'MI' keeps failing loudly instead of silently becoming
-    // DATE_FORMAT.
+    // never tokenized here ('DD'/'SS' are the datetime spellings). A
+    // single hit is accepted only when the WHOLE mask scans as datetime
+    // tokens + separators — substring hits inside something larger
+    // ('MONTH' ⊃ MON, 'DDD' ⊃ DD) previously slipped through to
+    // translateDateFormat, which quoted the stray letters into malformed
+    // patterns. An 'MI'-only mask additionally needs a datetime separator
+    // for corroboration; a bare 'MI' keeps failing loudly instead of
+    // silently becoming DATE_FORMAT.
     hits.size >= 2 ||
-      (hits.size == 1 && (hits.head != "MI" || fmt.exists(c => "-/:,. ".contains(c))))
+      (hits.size == 1 && tokenizesCleanly(upper) &&
+        (hits.head != "MI" || fmt.exists(c => "-/:,. ".contains(c))))
   }
 
   /** One pass over the SQL rewriting known function calls; recurses into

@@ -53,27 +53,36 @@ object Dedup {
     * signature arrays. Buckets over `maxBucketSize` are dropped first
     * (frequent-bucket mitigation: a mega-bucket of near-identical docs is
     * quadratic fanout; at corpus scale exact-dup them first, then LSH). */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String,
-                        maxBucketSize: Int = 1000,
-                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+  /** Banded, cap-filtered bucket rows for (id [, extra]) — the ONE
+    * definition of band-key arithmetic and bucket-cap semantics, shared by
+    * the batch self-join ([[lshCandidatePairs]]) and the incremental
+    * side-filtered join ([[incrementalNearDups]]) so the two paths (and
+    * the oracle's "identical buckets and caps" premise) can never diverge.
+    * Band key = '/'-joined slot values (not a rehash): exactly replayable
+    * in the DuckDB oracle, and the join key stays narrow (≤ 4×10+3 chars).
+    * The bucket-size cap is a count-window over the band key — ONE shuffle
+    * that also pre-partitions both sides of the subsequent join. */
+  private def bandedBuckets(sigs: DataFrame, idCol: String,
+                            extra: Seq[org.apache.spark.sql.Column],
+                            maxBucketSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // band key = '/'-joined slot values (not a rehash): exactly replayable
-    // in the DuckDB oracle, and the join key stays narrow (≤ 4×10+3 chars).
-    // The bucket-size cap is a count-window over the band key — ONE shuffle
-    // that also pre-partitions both sides of the self-join (vs the
-    // aggregate+join formulation: two extra stages and a recompute per
-    // join side). `bounded` is cached because the self-join reads it twice.
     val w = Window.partitionBy(col("band"), col("bandhash"))
-    val bounded = sigs.select(
-      col(idCol),
+    sigs.select((col(idCol) +: extra) :+
       posexplode(array((0 until Bands).map { b =>
         val slice = (0 until RowsPerBand)
           .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
         concat_ws("/", slice: _*)
-      }: _*)).as(Seq("band", "bandhash")))
+      }: _*)).as(Seq("band", "bandhash")): _*)
       .withColumn("n", count(lit(1)).over(w))
       .filter(col("n") <= maxBucketSize)
       .drop("n")
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        maxBucketSize: Int = 1000,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // `bounded` is cached because the self-join reads it twice
+    val bounded = bandedBuckets(sigs, idCol, Nil, maxBucketSize)
     scope.cached(bounded)
     bounded.select(col(idCol).as("a_id"), col("band"), col("bandhash"))
       .join(bounded.select(col(idCol).as("b_id"), col("band"), col("bandhash")),
@@ -121,28 +130,23 @@ object Dedup {
                           threshold: Double = 0.5, k: Int = 3,
                           maxBucketSize: Int = 1000,
                           scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sigs = scope.cached(
       minhashSignatures(existing, idCol, textCol, k).withColumn("inc", lit(false))
         .unionByName(
           minhashSignatures(incoming, idCol, textCol, k).withColumn("inc", lit(true))))
-    val w = Window.partitionBy(col("band"), col("bandhash"))
-    val bounded = sigs.select(col(idCol), col("inc"),
-      posexplode(array((0 until Bands).map { b =>
-        val slice = (0 until RowsPerBand)
-          .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
-        concat_ws("/", slice: _*)
-      }: _*)).as(Seq("band", "bandhash")))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("n") <= maxBucketSize)
-      .drop("n")
+    val bounded = bandedBuckets(sigs, idCol, Seq(col("inc")), maxBucketSize)
     scope.cached(bounded)
     val victims = bounded.filter(col("inc"))
       .select(col(idCol).as("v_id"), col("band"), col("bandhash"))
     val partners = bounded.select(col(idCol).as("p_id"), col("inc").as("p_inc"),
       col("band"), col("bandhash"))
     victims.join(partners, Seq("band", "bandhash"))
-      .filter(!col("p_inc") || (col("p_id") < col("v_id")))
+      // p_id =!= v_id guards the contract violation of overlapping id
+      // spaces: without it an existing doc with an incoming doc's id kills
+      // that doc via a self-pair at est 1.0 — pointing --existing at the
+      // source dir silently empties the whole batch
+      .filter(col("p_id") =!= col("v_id") &&
+        (!col("p_inc") || (col("p_id") < col("v_id"))))
       .select(col("v_id"), col("p_id")).distinct()
       .join(sigs.select(col(idCol).as("v_id"), col("sig").as("v_sig")), Seq("v_id"))
       .join(sigs.select(col(idCol).as("p_id"), col("sig").as("p_sig")), Seq("p_id"))
@@ -155,7 +159,9 @@ object Dedup {
         count(lit(1)).as("n_matches"))
       .select(col("v_id").as(idCol), col("mk.p_id").as("killed_by"),
         col("mk.est_jaccard").as("est_jaccard"), col("n_matches"))
-      .orderBy(col(idCol))
+    // no terminal sort: the common consumers (anti-join in the CLI verb and
+    // IngestStream, per-lang aggregate in analyze) immediately destroy row
+    // order — the oracle query adds its own ORDER BY
   }
 
   /** Connected components over near-dup pairs — the cluster-formation step

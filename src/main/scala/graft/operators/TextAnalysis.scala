@@ -198,15 +198,17 @@ object TextAnalysis {
     * construction) eval side that the bloom build scans anyway. */
   def bloomNgramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
                         textCol: String, k: Int, mBits: Int = 0,
-                        numHashes: Int = 3): DataFrame = {
+                        numHashes: Int = 3,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    // consumed twice (bloom build + exact join) but deliberately NOT
-    // cached: a session-lifetime cache entry sized "giant eval set" —
-    // this operator's target case — would outlive the query; recomputing
-    // the eval shingle pass once is the cheaper steady-state
-    val evalG = eval
+    // consumed three times (sizing count + bloom build + exact join), so
+    // cached through the caller's scope; under the unmanaged default the
+    // entry lives until the session clears caches — callers holding a
+    // genuinely giant eval set pass a scope and release() after the
+    // terminal action
+    val evalG = scope.cached(eval
       .select(explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
-      .distinct()
+      .distinct())
     val sizedBits = if (mBits > 0) mBits else bloomBitsFor(evalG.count())
     val bits = buildBloom(evalG, "ngram", sizedBits, numHashes)
     val probe = ColumnBridge.column(graft.functions.BloomMightContain(
@@ -273,6 +275,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("nll")).cast("double") / count(lit(1))).as("xent"))
-      .orderBy(col(idCol))
+    // no terminal sort: analyze --perplexity re-aggregates immediately —
+    // the oracle query adds its own ORDER BY
   }
 }

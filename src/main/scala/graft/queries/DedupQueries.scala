@@ -89,6 +89,7 @@ object DedupQueries {
         docs.filter(col("doc_id") % 4 =!= 0),
         docs.filter(col("doc_id") % 4 === 0),
         "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_id"))
     },
 
     // SimHash near-dup pairs (64-bit, hamming ≤ 3, pigeonhole bucketing).

@@ -263,6 +263,7 @@ object TextQueries {
         docs.filter(col("doc_id") % 40 =!= 0),
         docs.filter(col("doc_id") % 40 === 0),
         "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     // Inverted-index build: term → document frequency + capped posting

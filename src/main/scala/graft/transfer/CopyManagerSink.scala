@@ -62,15 +62,24 @@ final class PgCopySessionFactory(
       props.foreach { case (k, v) => p.setProperty(k, v) }
       java.sql.DriverManager.getConnection(url, p)
     }
-    private val copyFn = {
-      val baseCls = Class.forName(baseConnectionClass)
-      val mgrCls = Class.forName(copyManagerClass)
-      val unwrapped = conn.unwrap(baseCls.asInstanceOf[Class[AnyRef]])
-      val mgr = mgrCls.getConstructor(baseCls).newInstance(unwrapped).asInstanceOf[AnyRef]
-      val m = mgrCls.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
-      (sql: String, from: java.io.Reader) =>
-        m.invoke(mgr, sql, from).asInstanceOf[java.lang.Long].longValue()
-    }
+    // reflective setup can fail AFTER the connection opened (CopyManager
+    // class absent, a pooling wrapper that won't unwrap) — close the
+    // connection before rethrowing or every task retry leaks one server
+    // connection
+    private val copyFn =
+      try {
+        val baseCls = Class.forName(baseConnectionClass)
+        val mgrCls = Class.forName(copyManagerClass)
+        val unwrapped = conn.unwrap(baseCls.asInstanceOf[Class[AnyRef]])
+        val mgr = mgrCls.getConstructor(baseCls).newInstance(unwrapped).asInstanceOf[AnyRef]
+        val m = mgrCls.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+        (sql: String, from: java.io.Reader) =>
+          m.invoke(mgr, sql, from).asInstanceOf[java.lang.Long].longValue()
+      } catch {
+        case e: Throwable =>
+          try conn.close() catch { case _: Throwable => () }
+          throw e
+      }
     def copyIn(sql: String, from: java.io.Reader): Long = copyFn(sql, from)
     def close(): Unit = conn.close()
   }

@@ -160,6 +160,15 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     // datetime masks keep translating
     assert(tr("SELECT TO_CHAR(ts, 'DD/MM/YYYY HH24:MI')") ===
       "SELECT DATE_FORMAT(ts, 'dd/MM/yyyy HH:mm')")
+    // single-hit acceptance requires the WHOLE mask to scan as datetime
+    // tokens: a format merely CONTAINING a token must keep failing loudly
+    // ('MONTH' ⊃ MON, 'DDD' ⊃ DD would otherwise translate into patterns
+    // with quoted stray letters)
+    assertThrows[IllegalArgumentException](tr("SELECT TO_CHAR(ts, 'MONTH')"))
+    assertThrows[IllegalArgumentException](tr("SELECT TO_CHAR(ts, 'DDD')"))
+    // Snowflake bare HH aliases HH12, not Java's 24-hour HH
+    assert(tr("SELECT TO_CHAR(ts, 'HH')") === "SELECT DATE_FORMAT(ts, 'hh')")
+    assert(tr("SELECT TO_CHAR(ts, 'HH12')") === "SELECT DATE_FORMAT(ts, 'hh')")
   }
 
   test("TRY_TO_DATE/TRY_TO_TIMESTAMP translate with null-on-failure semantics") {

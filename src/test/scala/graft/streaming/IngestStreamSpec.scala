@@ -14,6 +14,9 @@ class IngestStreamSpec extends SparkSpec {
 
   test("streamed ingestion dedups each batch against seed + earlier survivors") {
     import spark.implicits._
+    // the suite session is shared across specs — start from a clean cache
+    // manager so the trailing isEmpty assertion sees only THIS test's leaks
+    spark.catalog.clearCache()
     val x = "the quick brown fox jumps over the lazy dog again and again"
     val y = "spark catalyst plans every join shuffle and broadcast carefully"
     val z = "novel prose that the seed corpus has never seen before today"

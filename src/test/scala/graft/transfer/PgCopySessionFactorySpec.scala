@@ -112,10 +112,15 @@ class PgCopySessionFactorySpec extends SparkSpec {
       copyManagerClass = classOf[FakePgCopyManager].getName,
       baseConnectionClass = classOf[FakePgBaseConnection].getName).open()
     okDespiteNoDriver.close()
-    // but the copy-manager class itself is load-bearing
+    // but the copy-manager class itself is load-bearing — and a setup
+    // failure AFTER getConnection must close the connection it opened
+    // (one leaked server connection per task retry otherwise)
+    val beforeLeakCheck = FakePgDriver.closedCount.get()
     assertThrows[ClassNotFoundException] {
       new PgCopySessionFactory("jdbc:fakepg:x").open()
     }
+    assert(FakePgDriver.closedCount.get() == beforeLeakCheck + 1,
+      "reflective-setup failure leaked the JDBC connection")
   }
 
   test("CopyManagerSink streams executor partitions through the factory") {

@@ -142,11 +142,27 @@ class MainSpec extends SparkSpec {
     assert(code === 0, out)
     assert(out.exists(_.contains("nation") && out.exists(_.contains("OK"))), out)
     assert(out.exists(_.startsWith("nation: PASS")), out)
-    // an unreadable target format cannot be verified — loud, not silent
-    val dst2 = Files.createTempDirectory("cliverify2").toString
-    val (code2, out2) = runCli("migrate", "--source", sfDir, "--target", dst2,
-      "--table", "nation", "--format", "csv", "--verify")
-    assert(code2 === 1 && out2.exists(_.contains("cannot read back")), out2)
+    // an unreadable target format cannot be verified — loud, not silent,
+    // and BEFORE the transfer runs (the target dir must stay untouched)
+    for (fmt <- Seq("csv", "orc", "jsonl")) {
+      val dst2 = Files.createTempDirectory(s"cliverify_$fmt").toString
+      val (code2, out2) = runCli("migrate", "--source", sfDir, "--target", dst2,
+        "--table", "nation", "--format", fmt, "--verify")
+      assert(code2 === 1 && out2.exists(_.contains("cannot read back")), out2)
+      // migrate's build step legitimately writes the DDL first; the guard
+      // must fire before any table DATA lands
+      import scala.jdk.CollectionConverters._
+      val leftover = Files.list(java.nio.file.Paths.get(dst2))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+      assert(leftover.subsetOf(Set("_schema.sql")),
+        s"$fmt: data written before the guard fired: $leftover")
+    }
+    // a filtered transfer would ALWAYS fail verification (full-count
+    // compare) — refuse up front rather than false-failing afterwards
+    val dst3 = Files.createTempDirectory("cliverify3").toString
+    val (code3, out3) = runCli("migrate", "--source", sfDir, "--target", dst3,
+      "--table", "nation", "--limit", "5", "--verify")
+    assert(code3 === 1 && out3.exists(_.contains("validate manually")), out3)
   }
 
   test("validate catches a corrupted copy") {

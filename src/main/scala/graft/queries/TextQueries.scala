@@ -357,6 +357,39 @@ object TextQueries {
       graft.operators.LineDedup.dedupLines(
         t(s, dir, "documents"), "doc_id", "text", lineTokens = 10)
         .orderBy(col("doc_id"))
+    },
+
+    // Quality funnel: ordered Gopher-style gates (min length, token shape,
+    // stopword evidence, repetition) with a per-stage rejection census —
+    // the acceptance-funnel report a pretraining pipeline publishes with
+    // every corpus release. ONE corpus scan computes all rule flags, one
+    // 1-row aggregate counts the cumulative survivors, and stack() unpivots
+    // the funnel — per-rule counts never re-scan the corpus.
+    "q106_quality_funnel" -> { (s, dir) =>
+      val flags = t(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .withColumn("avg_len", length(col("text")).cast("double") / col("n_tokens"))
+        .withColumn("stop_hits",
+          occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
+        .withColumn("f1", col("n_tokens") >= 25)
+        .withColumn("f2", col("f1") && col("avg_len").between(4.0, 5.8))
+        .withColumn("f3", col("f2") && (col("stop_hits") >= 2))
+        .withColumn("f4", col("f3") && (dupTrigramFraction("text") < 0.05))
+      flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("f3"), 1L).otherwise(0L)).as("s3"),
+          sum(when(col("f4"), 1L).otherwise(0L)).as("s4"))
+        .selectExpr(
+          """stack(4,
+            |  1, 'min_tokens',    n0 - s1, s1,
+            |  2, 'avg_token_len', s1 - s2, s2,
+            |  3, 'stopwords',     s2 - s3, s3,
+            |  4, 'repetition',    s3 - s4, s4
+            |) AS (stage, rule, n_fail, n_surviving)""".stripMargin)
+        .orderBy(col("stage"))
     })
 
   private val padded = "(' ' || text || ' ')"
@@ -642,5 +675,29 @@ object TextQueries {
         |  COALESCE(a.n_kept, 0) AS n_kept,
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q106_quality_funnel" ->
+      s"""WITH f AS (
+         |  SELECT ${tokenCountSql("text")} AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) / ${tokenCountSql("text")} AS avg_len,
+         |    ${occurrencesSql(padded, " the ")} + ${occurrencesSql(padded, " a ")} AS stop_hits,
+         |    ${dupTrigramFractionSql("text")} AS dup_frac
+         |  FROM documents),
+         |a AS (
+         |  SELECT COUNT(*) AS n0,
+         |    CAST(SUM(CASE WHEN n_tokens >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(SUM(CASE WHEN n_tokens >= 25 AND avg_len BETWEEN 4.0 AND 5.8
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(SUM(CASE WHEN n_tokens >= 25 AND avg_len BETWEEN 4.0 AND 5.8
+         |             AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(SUM(CASE WHEN n_tokens >= 25 AND avg_len BETWEEN 4.0 AND 5.8
+         |             AND stop_hits >= 2 AND dup_frac < 0.05
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |  FROM f)
+         |SELECT 1 AS stage, 'min_tokens' AS rule, n0 - s1 AS n_fail, s1 AS n_surviving FROM a
+         |UNION ALL SELECT 2, 'avg_token_len', s1 - s2, s2 FROM a
+         |UNION ALL SELECT 3, 'stopwords', s2 - s3, s3 FROM a
+         |UNION ALL SELECT 4, 'repetition', s3 - s4, s4 FROM a
+         |ORDER BY stage""".stripMargin)
 }

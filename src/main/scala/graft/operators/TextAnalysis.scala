@@ -153,6 +153,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Most-duplicated-passage census: the corpus-wide report of the top-N
+    * most repeated word k-grams (total occurrences, distinct documents, and
+    * the first document carrying each) that the dedup literature publishes
+    * with every corpus release — the memorization-risk signal that
+    * motivates sequence-level dedup in the first place. Reference scope:
+    * the migration tool profiles tables before moving them; this is the
+    * corpus-profiling analogue for text.
+    *
+    * Scale shape: occurrence-preserving k-grams (no array_distinct — the
+    * census counts repeats WITHIN a doc too) explode to one row per corpus
+    * token, but both aggregates are partial-agg friendly: Spark's
+    * single-distinct rewrite first combines on (ngram, doc) — collapsing a
+    * doc's internal repeats map-side — then on ngram, so a viral
+    * boilerplate passage (the skew case this report exists to find) arrives
+    * at the shuffle as one row per (partition, doc), not one per
+    * occurrence. The top-N lands as TakeOrderedAndProject: per-partition
+    * heaps, no global sort. Docs shorter than k tokens carry no full-length
+    * k-gram and are filtered before the explode.
+    */
+  def repeatedNgramCensus(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, topN: Int = 50): DataFrame = {
+    val toks = s"split($textCol, ' ')"
+    docs
+      .filter(expr(s"size($toks) >= $k"))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(0, size($toks) - $k), " +
+          s"i -> concat_ws(' ', slice($toks, i + 1, $k)))")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .orderBy(col("n_occ").desc, col("ngram"))
+      .limit(topN)
+  }
+
   /** Bloom size for `n` build keys: next power of two ≥ 12·n bits (fpp
     * ≈ 1% at 3 hashes), floored at 2^20 (128 KB) and capped at 2^28
     * (32 MB broadcast). Above the cap the fpp degrades gracefully — the

@@ -359,6 +359,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Most-duplicated-passage census (TextAnalysis.repeatedNgramCensus):
+    // top repeated word 8-grams with occurrence / distinct-doc counts and
+    // an example doc — the memorization-risk report published alongside
+    // corpus releases. Occurrence-preserving (within-doc repeats count),
+    // full-length 8-grams only; top-50 by (n_occ desc, ngram) is a total
+    // order, so the LIMIT cut is deterministic cross-engine.
+    "q107_repeated_ngrams" -> { (s, dir) =>
+      graft.operators.TextAnalysis.repeatedNgramCensus(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, topN = 50)
+    },
+
     // Quality funnel: ordered Gopher-style gates (min length, token shape,
     // stopword evidence, repetition) with a per-stage rejection census —
     // the acceptance-funnel report a pretraining pipeline publishes with
@@ -676,6 +687,19 @@ object TextQueries {
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q107_repeated_ngrams" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4],
+        |              t[i.i + 5], t[i.i + 6], t[i.i + 7], t[i.i + 8]) AS ngram
+        |  FROM tk, UNNEST(range(0, len(t) - 8 + 1)) AS i(i)
+        |  WHERE len(t) >= 8)
+        |SELECT ngram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS first_doc
+        |FROM g GROUP BY 1
+        |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin,
 
     "q106_quality_funnel" ->
       s"""WITH f AS (

@@ -178,6 +178,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("repeatedNgramCensus: occurrence-preserving counts, short docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w p q r s t u v w"), // the 8-gram "p q..w" twice
+      (2L, "p q r s t u v w x"),               // shares it once, plus one more
+      (3L, "short doc")).toDF("doc_id", "text") // < 8 tokens: no k-gram
+    val got = TextAnalysis.repeatedNgramCensus(docs, "doc_id", "text", k = 8, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // within-doc repeat counts in n_occ (3 = 2 in doc 1 + 1 in doc 2) but
+    // n_docs stays distinct; ties at n_occ=1 break on ngram asc
+    assert(got === Seq(
+      ("p q r s t u v w", 3L, 2L, 1L),
+      ("q r s t u v w p", 1L, 1L, 1L),
+      ("q r s t u v w x", 1L, 1L, 2L)))
+    assert(!got.exists(_._1.contains("short")))
+  }
+
+  test("repeatedNgramCensus top-N is a heap, not a global sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val df = TextAnalysis.repeatedNgramCensus(docs, "doc_id", "text", k = 8, topN = 5)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("bigram-LM cross-entropy: add-one smoothing, hand-computed") {
     import spark.implicits._
     val train = Seq((1L, "a b a b")).toDF("doc_id", "text")

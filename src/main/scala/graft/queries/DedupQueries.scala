@@ -92,6 +92,16 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Leakage-safe train/val/test split (Splits.clusterSplitCensus):
+    // exact-dup clusters inherit their representative's md5-bucketed
+    // split, so no duplicated passage straddles the train/eval boundary;
+    // n_leaked_naive counts the clusters a per-document hash split would
+    // have torn across splits — the leakage this operator prevents.
+    "q108_cluster_split" -> { (s, dir) =>
+      graft.operators.Splits.clusterSplitCensus(
+        t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // SimHash near-dup pairs (64-bit, hamming ≤ 3, pigeonhole bucketing).
     "q24_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -374,6 +384,23 @@ object DedupQueries {
         |  CAST(COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS BIGINT) AS n_prefix_dup_docs
         |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Cluster-aware split census: same md5-threshold split function on
+    // both engines (lowercase hex compares identically), clusters keyed by
+    // full-text md5, naive leakage counted per cluster-assigned split.
+    "q108_cluster_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(text) AS ch,
+         |    ${graft.operators.Splits.splitLabelSql("doc_id")} AS naive_split
+         |  FROM documents),
+         |c AS (
+         |  SELECT ch, MIN(doc_id) AS rep, COUNT(*) AS csize,
+         |    COUNT(DISTINCT naive_split) AS n_naive
+         |  FROM d GROUP BY ch)
+         |SELECT ${graft.operators.Splits.splitLabelSql("rep")} AS split,
+         |  COUNT(*) AS n_clusters, CAST(SUM(csize) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_naive
+         |FROM c GROUP BY 1 ORDER BY split""".stripMargin,
 
     // Full MinHash-LSH replay ending in est_jaccard ≥ threshold.
     "q23_dedup_minhash_lsh" ->

@@ -188,6 +188,43 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Cross-source n-gram overlap matrix: for every unordered pair of
+    * corpus sources, the count of distinct word k-grams they share and the
+    * resulting Jaccard — the source-level contamination census a corpus
+    * card publishes (which scrapes overlap which dumps, which sources are
+    * near-copies of each other). Complements q82's doc-pair census: this
+    * is content-set overlap, blind to document boundaries.
+    *
+    * Scale shape: the distinct (source, ngram) projection is a partial
+    * aggregate (a source's internal repeats collapse map-side before the
+    * shuffle). The self-join is keyed on ngram alone, but its per-key
+    * fanout is bounded by S·(S-1)/2 where S = #sources (single digits) —
+    * no quadratic blowup however viral a passage is. Source totals are a
+    * broadcast of S rows.
+    */
+  def crossSourceNgramOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                              k: Int = 5): DataFrame = {
+    val toks = s"split($textCol, ' ')"
+    val grams = docs
+      .filter(expr(s"size($toks) >= $k"))
+      .select(col(sourceCol).as("source"),
+        explode(expr(s"transform(sequence(0, size($toks) - $k), " +
+          s"i -> concat_ws(' ', slice($toks, i + 1, $k)))")).as("ngram"))
+      .distinct()
+    val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Bloom size for `n` build keys: next power of two ≥ 12·n bits (fpp
     * ≈ 1% at 3 hashes), floored at 2^20 (128 KB) and capped at 2^28
     * (32 MB broadcast). Above the cap the fpp degrades gracefully — the

@@ -370,6 +370,15 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", "text", k = 8, topN = 50)
     },
 
+    // Cross-source n-gram overlap matrix (TextAnalysis
+    // .crossSourceNgramOverlap): distinct word 5-gram sets per source,
+    // pairwise shared counts + Jaccard — the source-level contamination
+    // census. Per-ngram join fanout is bounded by the source count.
+    "q109_source_overlap" -> { (s, dir) =>
+      graft.operators.TextAnalysis.crossSourceNgramOverlap(
+        t(s, dir, "documents"), "source", "text", k = 5)
+    },
+
     // Quality funnel: ordered Gopher-style gates (min length, token shape,
     // stopword evidence, repetition) with a per-stage rejection census —
     // the acceptance-funnel report a pretraining pipeline publishes with
@@ -700,6 +709,24 @@ object TextQueries {
         |  MIN(doc_id) AS first_doc
         |FROM g GROUP BY 1
         |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin,
+
+    "q109_source_overlap" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4],
+        |              t[i.i + 5]) AS ngram
+        |  FROM tk, UNNEST(range(0, len(t) - 5 + 1)) AS i(i)
+        |  WHERE len(t) >= 5),
+        |tot AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b, ta.n AS n_a, tb.n AS n_b,
+        |  COUNT(*) AS n_shared,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(ta.n + tb.n - COUNT(*) AS DOUBLE) AS jaccard
+        |FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source
+        |JOIN tot ta ON ta.source = a.source
+        |JOIN tot tb ON tb.source = b.source
+        |GROUP BY a.source, b.source, ta.n, tb.n
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q106_quality_funnel" ->
       s"""WITH f AS (

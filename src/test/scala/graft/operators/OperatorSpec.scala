@@ -203,6 +203,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("crossSourceNgramOverlap: distinct sets, bounded pair fanout, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "x y z"), // A-grams: {x y, y z}
+      ("A", "x y q"), // dup "x y" collapses; A = {x y, y z, y q}
+      ("B", "x y z"), // B = {x y, y z}
+      ("C", "a b")    // C = {a b} — shares nothing: no output row
+    ).toDF("source", "text")
+    val got = TextAnalysis.crossSourceNgramOverlap(docs, "source", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === Seq(("A", "B", 3L, 2L, 2L, 2.0 / 3.0)))
+  }
+
   test("bigram-LM cross-entropy: add-one smoothing, hand-computed") {
     import spark.implicits._
     val train = Seq((1L, "a b a b")).toDF("doc_id", "text")

@@ -228,4 +228,46 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
       .distinct()
   }
+
+  /** Per-label centroid quality report: for every label, the exact per-dim
+    * mean vector (the class centroid), then each member's cosine to its own
+    * centroid, rolled up as count / mean / min cosine. This is the
+    * embedding-space audit of a labeled corpus — low mean cosine means the
+    * label is diffuse, a low min flags probable mislabels/outliers (the
+    * rows a curation pass re-examines first).
+    *
+    * Determinism: per-dim means are exact DECIMAL(38,18) sums over the
+    * float values (identical rounding both engines), and the centroid is
+    * rounded to float BEFORE the cosine so both engines feed the same
+    * 2^36-scaled integer dot ([[scaledDot]]). Per-row cosines are then
+    * bit-identical, and the mean re-enters the exact-decimal discipline.
+    *
+    * Scale shape: one (label, dim)-keyed shuffle with map-side combine —
+    * aggregate state is #labels × dims rows regardless of corpus size;
+    * centroids broadcast back (bounded by the label vocabulary); the final
+    * rollup is a #labels-group partial aggregate. No driver-side math.
+    */
+  def labelCentroidQuality(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    GraftFunctions.register(emb.sparkSession)
+    val dims = emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("c"))
+    val centroids = dims.groupBy(col("label"))
+      .agg(expr("cast(transform(array_sort(collect_list(struct(pos, c))), s -> s.c) " +
+        "as array<float>)").as("centroid"))
+    emb.select(col(labelCol).as("label"), col(vecCol).as("vec"))
+      .join(broadcast(centroids), Seq("label"))
+      .select(col("label"),
+        (scaledDot("vec", "centroid").cast("double") /
+          (scaledNorm("vec") * scaledNorm("centroid"))).as("cosine"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("cosine").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1))).as("mean_cosine"),
+        min(col("cosine")).as("min_cosine"))
+      .orderBy(col("label"))
+  }
 }

@@ -92,6 +92,15 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-label centroid quality (Similarity.labelCentroidQuality):
+    // exact per-dim class centroids, member cosine to own centroid,
+    // count/mean/min rollup — the embedding-space audit that flags
+    // diffuse labels and probable mislabels. Centroid state is bounded
+    // by #labels × dims; centroids broadcast back to the corpus.
+    "q110_label_centroids" -> { (s, dir) =>
+      Similarity.labelCentroidQuality(t(s, dir, "embeddings"), "embedding", "label")
+    },
+
     // Leakage-safe train/val/test split (Splits.clusterSplitCensus):
     // exact-dup clusters inherit their representative's md5-bucketed
     // split, so no duplicated passage straddles the train/eval boundary;
@@ -384,6 +393,30 @@ object DedupQueries {
         |  CAST(COALESCE(ANY_VALUE(pd.n_prefix_dup_docs), 0) AS BIGINT) AS n_prefix_dup_docs
         |FROM documents d LEFT JOIN pd ON d.lang = pd.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Centroid quality: per-dim exact-decimal means, centroid rounded to
+    // REAL before the scaled dot — both engines feed identical floats to
+    // the same integer-dot formula, so cosines replay bit-for-bit.
+    "q110_label_centroids" ->
+      s"""WITH ex AS (
+         |  SELECT label, i.i AS pos, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, UNNEST(range(0, len(embedding))) AS i(i)),
+         |dims AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label, list(CAST(c AS REAL) ORDER BY pos) AS centroid
+         |  FROM dims GROUP BY 1),
+         |cos AS (
+         |  SELECT e.label,
+         |    ${dot("e.embedding", "c.centroid")} /
+         |      (${nrm("e.embedding")} * ${nrm("c.centroid")}) AS cosine
+         |  FROM embeddings e JOIN cent c ON c.label = e.label)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean_cosine,
+         |  MIN(cosine) AS min_cosine
+         |FROM cos GROUP BY 1 ORDER BY label""".stripMargin,
 
     // Cluster-aware split census: same md5-threshold split function on
     // both engines (lowercase hex compares identically), clusters keyed by

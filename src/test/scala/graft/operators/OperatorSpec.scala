@@ -104,6 +104,30 @@ class SimilaritySpec extends SparkSpec {
     assert(dots(one) === dots(many))
   }
 
+  test("labelCentroidQuality: hand-computed centroids and cosines") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), // label-0 centroid = (0.5, 0.5); both members
+      (0, Array(0.0f, 1.0f)), // sit at cos = 0.5 / (1 · √0.5) = √0.5
+      (1, Array(3.0f, 4.0f))  // singleton: centroid = itself, cos exactly 1
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroidQuality(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 2)
+    val (l0, l1) = (got(0), got(1))
+    assert(l0._1 === 0 && l0._2 === 2L)
+    assert(math.abs(l0._3 - math.sqrt(0.5)) < 1e-5, l0)
+    assert(math.abs(l0._4 - math.sqrt(0.5)) < 1e-5, l0)
+    assert(l1._1 === 1 && l1._2 === 1L && l1._3 === 1.0 && l1._4 === 1.0)
+  }
+
+  test("labelCentroidQuality: centroids broadcast, no corpus-side shuffle join") {
+    val df = Similarity.labelCentroidQuality(emb, "embedding", "label")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("LSH bucket join never emits a pair not sharing a bucket") {
     val sig = emb.select(col("vec_id"),
       Similarity.lshSignature("embedding").as("bucket"))

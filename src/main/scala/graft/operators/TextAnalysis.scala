@@ -225,6 +225,47 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Per-source unigram KL divergence vs the whole-corpus distribution:
+    * `KL(source ‖ corpus) = Σ_w p(w|s) · ln(p(w|s) / p(w))` — the
+    * domain-shift report of a mixed corpus (which sources' word
+    * distributions sit far from the blend they'll be trained as). Reported
+    * with each source's token count and vocabulary size.
+    *
+    * Determinism: probabilities are exact integer-count ratios (single
+    * correctly-rounded double divisions); `ln` is the one libm call, so —
+    * same discipline as the bigram-LM cross-entropy — each term rounds to
+    * DECIMAL(30,9) before the exact decimal sum, making the result immune
+    * to both accumulation order and sub-ulp libm differences.
+    *
+    * Scale shape: unigram counts are one (source, word) shuffle with
+    * map-side combine; everything after runs on vocabulary-sized frames
+    * (source totals and the 1-row corpus total attach as broadcasts, the
+    * per-word corpus count as a word-keyed join of two vocab-sized
+    * frames). No driver-side math.
+    */
+  def unigramKlBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sw = docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val perSource = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    val perWord = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val total = perSource.agg(sum(col("t_s")).as("corpus_total"))
+    val pS = col("c_sw").cast("double") / col("t_s")
+    val pW = col("c_w").cast("double") / col("corpus_total")
+    sw.join(broadcast(perSource), Seq("source"))
+      .join(perWord, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("t_s"),
+        (pS * log(pS / pW)).cast(DecimalType(30, 9)).as("term"))
+      .groupBy(col("source"), col("t_s"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("term")).cast("double").as("kl_vs_corpus"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("vocab"), col("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   /** Bloom size for `n` build keys: next power of two ≥ 12·n bits (fpp
     * ≈ 1% at 3 hashes), floored at 2^20 (128 KB) and capped at 2^28
     * (32 MB broadcast). Above the cap the fpp degrades gracefully — the

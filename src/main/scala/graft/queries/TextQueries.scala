@@ -370,6 +370,16 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", "text", k = 8, topN = 50)
     },
 
+    // Per-source unigram KL divergence vs the corpus blend (TextAnalysis
+    // .unigramKlBySource): the domain-shift report — which sources' word
+    // distributions sit far from the mixture they'll be trained as.
+    // Probabilities are exact count ratios; the lone ln rounds to
+    // DECIMAL(30,9) per term before the exact sum (q104 discipline).
+    "q111_source_kl" -> { (s, dir) =>
+      graft.operators.TextAnalysis.unigramKlBySource(
+        t(s, dir, "documents"), "source", "text")
+    },
+
     // Cross-source n-gram overlap matrix (TextAnalysis
     // .crossSourceNgramOverlap): distinct word 5-gram sets per source,
     // pairwise shared counts + Jaccard — the source-level contamination
@@ -709,6 +719,25 @@ object TextQueries {
         |  MIN(doc_id) AS first_doc
         |FROM g GROUP BY 1
         |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin,
+
+    "q111_source_kl" ->
+      """WITH tk AS (
+        |  SELECT source, u.w AS w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |sw AS (SELECT source, w, COUNT(*) AS c_sw FROM tk GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM sw GROUP BY 1),
+        |wt AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t_s) AS BIGINT) AS corpus_total FROM s),
+        |terms AS (
+        |  SELECT sw.source, s.t_s,
+        |    CAST((CAST(c_sw AS DOUBLE) / t_s) *
+        |      ln((CAST(c_sw AS DOUBLE) / t_s) /
+        |         (CAST(c_w AS DOUBLE) / corpus_total)) AS DECIMAL(30,9)) AS term
+        |  FROM sw JOIN s ON s.source = sw.source
+        |  JOIN wt ON wt.w = sw.w CROSS JOIN tot)
+        |SELECT source, t_s AS n_tokens, COUNT(*) AS vocab,
+        |  CAST(SUM(term) AS DOUBLE) AS kl_vs_corpus
+        |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin,
 
     "q109_source_overlap" ->
       """WITH tk AS (SELECT source, string_split(text, ' ') AS t FROM documents),

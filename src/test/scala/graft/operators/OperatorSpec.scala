@@ -241,6 +241,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("A", "B", 3L, 2L, 2L, 2.0 / 3.0)))
   }
 
+  test("unigramKlBySource: hand-computed divergences") {
+    import spark.implicits._
+    // corpus: a:2 b:2 (T=4, q = 0.5/0.5)
+    val docs = Seq(("A", "a a b"), ("B", "b")).toDF("source", "text")
+    val got = TextAnalysis.unigramKlBySource(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val klA = (2.0 / 3) * math.log((2.0 / 3) / 0.5) + (1.0 / 3) * math.log((1.0 / 3) / 0.5)
+    val klB = math.log(2.0)
+    assert(got.map(t => (t._1, t._2, t._3)) === Seq(("A", 3L, 2L), ("B", 1L, 1L)))
+    assert(math.abs(got(0)._4 - klA) < 1e-6, got(0))
+    assert(math.abs(got(1)._4 - klB) < 1e-6, got(1))
+    // a source identical to the corpus diverges by (at most rounding) zero
+    val same = Seq(("X", "a b"), ("Y", "a b")).toDF("source", "text")
+    TextAnalysis.unigramKlBySource(same, "source", "text")
+      .collect().foreach(r => assert(math.abs(r.getDouble(3)) < 1e-8, r))
+  }
+
   test("bigram-LM cross-entropy: add-one smoothing, hand-computed") {
     import spark.implicits._
     val train = Seq((1L, "a b a b")).toDF("doc_id", "text")

@@ -58,4 +58,41 @@ object Sampling {
         floor(least(greatest(rateCol, lit(0.0)), lit(1.0)) * lit(4294967296.0)).cast("long"))
       .filter(col("_h") < col("_thr"))
       .drop("_h", "_thr")
+
+  /** Deterministic temperature-weighted epoch manifest: the materialized
+    * training ORDER of a mixed corpus. Each source's docs are ranked in
+    * content-hash order, and doc r of source s is scheduled at key
+    * `(r − 0.5) / sqrt(share_s)` — stride scheduling: walking keys
+    * ascending interleaves sources in proportion to their α = 0.5
+    * temperature weights (the low-resource up-weighting of q86), with no
+    * randomness, so the order is identical across runs, partitionings, and
+    * engines, and a resumed job can seek to a position instead of
+    * re-shuffling. The head of the manifest (`topN`) is the report; a full
+    * epoch materialization is the same plan with the limit dropped (one
+    * range-exchange sort — the cost IS the operator).
+    *
+    * Determinism: rank is an exact int; share is one division; sqrt is
+    * IEEE-correctly-rounded in both engines; one more division yields the
+    * key — bit-identical doubles, no libm beyond sqrt. Scale shape: one
+    * window shuffle keyed by source (rank), broadcast source counts, and a
+    * TakeOrdered heap for the head — no global sort until a full epoch is
+    * actually materialized.
+    */
+  def epochManifest(docs: DataFrame, idCol: String, sourceCol: String,
+                    topN: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val counts = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("n_total"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank_in_source", row_number().over(w))
+      .withColumn("pos_key",
+        (col("rank_in_source").cast("double") - lit(0.5)) /
+          sqrt(col("n_s").cast("double") / col("n_total").cast("double")))
+      .select(col("pos_key"), col("source"), col("doc_id"), col("rank_in_source"))
+      .orderBy(col("pos_key"), col("source"), col("doc_id"))
+      .limit(topN)
+  }
 }

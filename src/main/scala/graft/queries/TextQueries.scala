@@ -370,6 +370,15 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", "text", k = 8, topN = 50)
     },
 
+    // Temperature-weighted epoch manifest (Sampling.epochManifest): the
+    // deterministic training ORDER — stride scheduling interleaves
+    // sources in proportion to their sqrt-share weights; head-of-manifest
+    // report, TakeOrdered heap, no global sort.
+    "q112_epoch_manifest" -> { (s, dir) =>
+      graft.operators.Sampling.epochManifest(
+        t(s, dir, "documents"), "doc_id", "source", topN = 100)
+    },
+
     // Per-source unigram KL divergence vs the corpus blend (TextAnalysis
     // .unigramKlBySource): the domain-shift report — which sources' word
     // distributions sit far from the mixture they'll be trained as.
@@ -719,6 +728,20 @@ object TextQueries {
         |  MIN(doc_id) AS first_doc
         |FROM g GROUP BY 1
         |ORDER BY n_occ DESC, ngram LIMIT 50""".stripMargin,
+
+    "q112_epoch_manifest" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM c),
+        |r AS (
+        |  SELECT d.doc_id, d.source, c.n_s, t.n_total,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rank_in_source
+        |  FROM documents d JOIN c ON c.source = d.source CROSS JOIN t)
+        |SELECT (CAST(rank_in_source AS DOUBLE) - 0.5) /
+        |    sqrt(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)) AS pos_key,
+        |  source, doc_id, rank_in_source
+        |FROM r
+        |ORDER BY pos_key, source, doc_id LIMIT 100""".stripMargin,
 
     "q111_source_kl" ->
       """WITH tk AS (

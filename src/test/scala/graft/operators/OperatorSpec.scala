@@ -139,6 +139,31 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+
+  test("epochManifest: stride interleave upweights small sources by sqrt-share") {
+    import spark.implicits._
+    // A: 90 docs (share .9, weight ≈ .949), B: 10 (share .1, weight ≈ .316)
+    // → head proportion ≈ 3:1 (vs 9:1 natural); 40 head rows ⇒ B ≈ 10
+    val docs = ((1 to 90).map(i => (i.toLong, "A")) ++
+      (91 to 100).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val head = Sampling.epochManifest(docs, "doc_id", "source", topN = 40).collect()
+    val perSource = head.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perSource("B") >= 7 && perSource("B") <= 13, perSource)
+    // manifest comes back key-ascending, and each source's ranks appear
+    // gap-free from 1 (a resumed reader can seek, not re-shuffle)
+    val keys = head.map(_.getDouble(0))
+    assert(keys.sameElements(keys.sorted))
+    head.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.sameElements(1 to ranks.length), ranks.mkString(","))
+    }
+    // deterministic: a second evaluation is row-identical
+    val again = Sampling.epochManifest(docs, "doc_id", "source", topN = 40).collect()
+    assert(head.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
 
   import TextAnalysis._

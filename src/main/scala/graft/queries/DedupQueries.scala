@@ -289,6 +289,21 @@ object DedupQueries {
         .orderBy(col("a_id"), col("rank"))
     },
 
+    // PageRank over the q95 KNN graph (graft.operators.Graph.pageRank):
+    // graph-centrality quality signal — SemDeDup-style pipelines keep the
+    // most central member of a near-dup neighborhood. 3 fixed iterations,
+    // per-edge contributions decimal-rounded so scores replay exactly.
+    "q113_knn_pagerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val edges = graft.operators.Similarity.knnGraph(emb, k = 5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      graft.operators.Graph.pageRank(
+        emb.select(col("vec_id").as("id")), edges, iters = 3)
+        .select(col("id").as("vec_id"), col("pagerank"), col("n_out"))
+        .orderBy(col("pagerank").desc, col("vec_id"))
+        .limit(20)
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -345,6 +360,36 @@ object DedupQueries {
 
   private val dot = Similarity.scaledDotSql _
   private def nrm(a: String) = Similarity.scaledNormSql(a)
+
+  /** Shared DuckDB replay of the banded-LSH KNN graph (same constants as
+    * [[Similarity.knnGraph]] with k = 5): 24-bit signature → 3×8-bit band
+    * buckets → 200-cap → exact rescoring → top-5 per node. Ends at CTE
+    * `knn(a_id, b_id, cosine, rank)`; q95/q113 append their own tails. */
+  private lazy val knnGraphCtes: String =
+    s"""sig AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    CAST(${Similarity.lshBucketSql("e.embedding", 24)} AS BIGINT) AS sig,
+       |    ${nrm("e.embedding")} AS nrm
+       |  FROM embeddings e),
+       |banded AS (
+       |  SELECT vec_id, embedding, nrm, CAST(b AS INT) AS band,
+       |    (sig >> (8 * CAST(b AS INT))) & 255 AS bucket
+       |  FROM sig, UNNEST(range(3)) AS t(b)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding, nrm, band, bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+       |    FROM banded) WHERE rn <= 200),
+       |pairs AS (
+       |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id,
+       |    ${dot("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cosine
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |knn AS (
+       |  SELECT a_id, b_id, cosine, rank FROM (
+       |    SELECT a_id, b_id, cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+       |    FROM pairs) WHERE rank <= 5)""".stripMargin
 
   /** Shared DuckDB replay of the MinHash-LSH pair pipeline (same constants
     * as [[graft.operators.Dedup]]): shingles → md5-prefix base → 32 affine
@@ -675,30 +720,41 @@ object DedupQueries {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q95_knn_graph" ->
-      s"""WITH sig AS (
-         |  SELECT e.vec_id, e.embedding,
-         |    CAST(${Similarity.lshBucketSql("e.embedding", 24)} AS BIGINT) AS sig,
-         |    ${nrm("e.embedding")} AS nrm
-         |  FROM embeddings e),
-         |banded AS (
-         |  SELECT vec_id, embedding, nrm, CAST(b AS INT) AS band,
-         |    (sig >> (8 * CAST(b AS INT))) & 255 AS bucket
-         |  FROM sig, UNNEST(range(3)) AS t(b)),
-         |capped AS (
-         |  SELECT * FROM (
-         |    SELECT vec_id, embedding, nrm, band, bucket,
-         |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
-         |    FROM banded) WHERE rn <= 200),
-         |pairs AS (
-         |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id,
-         |    ${dot("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cosine
-         |  FROM capped l JOIN capped r
-         |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id <> r.vec_id)
-         |SELECT a_id, b_id, cosine, rank FROM (
-         |  SELECT a_id, b_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
-         |  FROM pairs) WHERE rank <= 5
+      s"""WITH $knnGraphCtes
+         |SELECT a_id, b_id, cosine, rank FROM knn
          |ORDER BY a_id, rank""".stripMargin,
+
+    // 3 unrolled PageRank iterations over q95's knn edge set; per-edge
+    // contributions round to DECIMAL(38,18) before each per-node sum and
+    // the damping constants are explicit double ops, mirroring the Spark
+    // loop bit-for-bit. Dangling mass leaks identically in both engines.
+    "q113_knn_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""c_$out AS (
+           |  SELECT e.dst AS id, SUM(CAST(r.pr / o.outdeg AS DECIMAL(38,18))) AS s
+           |  FROM edges e JOIN odeg o ON o.src = e.src
+           |  JOIN $prev r ON r.id = e.src GROUP BY 1),
+           |$out AS (
+           |  SELECT em.vec_id AS id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+           |      CAST(0.85 AS DOUBLE) * CAST(COALESCE(c.s, 0) AS DOUBLE) AS pr
+           |  FROM embeddings em CROSS JOIN nn
+           |  LEFT JOIN c_$out c ON c.id = em.vec_id)""".stripMargin
+      s"""WITH $knnGraphCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM knn),
+         |odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |r0 AS (
+         |  SELECT vec_id AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+         |  FROM embeddings CROSS JOIN nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT r3.id AS vec_id, r3.pr AS pagerank,
+         |  CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS n_out
+         |FROM r3 LEFT JOIN odeg o ON o.src = r3.id
+         |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin
+    },
 
     "q77_embed_cluster_dedup" ->
       s"""WITH RECURSIVE bk AS (

@@ -342,6 +342,22 @@ object Main {
                   f"${r.get(0)}%-8s avg_xent=${r.getDouble(1)}%6.3f max_xent=${r.getDouble(2)}%6.3f"))
             } finally scope.release()
           }
+          // --splits: leakage-safe cluster-aware train/val/test census
+          if (opts.contains("splits")) {
+            val idCol = opts.getOrElse("id", "doc_id")
+            graft.operators.Splits.clusterSplitCensus(df, idCol, textCol)
+              .collect().foreach(r => out(
+                f"${r.getString(0)}%-6s clusters=${r.getLong(1)}%6d docs=${r.getLong(2)}%6d " +
+                  f"naive_split_would_leak=${r.getLong(3)}%d"))
+          }
+          // --kl: per-source unigram KL divergence vs the corpus blend
+          if (opts.contains("kl")) {
+            val srcCol = opts.getOrElse("source-col", "source")
+            graft.operators.TextAnalysis.unigramKlBySource(df, srcCol, textCol)
+              .collect().foreach(r => out(
+                f"${r.getString(0)}%-12s tokens=${r.getLong(1)}%9d vocab=${r.getLong(2)}%7d " +
+                  f"kl_vs_corpus=${r.getDouble(3)}%7.4f"))
+          }
           df.unpersist()
           0
         case "dedup" =>
@@ -615,6 +631,10 @@ object Main {
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]
       |              [--perplexity]  (self-trained bigram-LM cross-entropy
       |               per language — outlier fluency surfaces mislabels)
+      |              [--splits]  (leakage-safe cluster-aware train/val/test
+      |               census + what a naive per-doc split would leak)
+      |              [--kl] [--source-col COL]  (per-source unigram KL
+      |               divergence vs the corpus blend — domain shift)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|incremental] [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]

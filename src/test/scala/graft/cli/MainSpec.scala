@@ -271,6 +271,19 @@ class MainSpec extends SparkSpec {
     assert(en.contains("docs=") && en.contains("tokens="))
   }
 
+  test("analyze --splits and --kl append the split census and KL report") {
+    val (code, out) = runCli("analyze", "--source", sfDir, "--splits", "--kl")
+    assert(code === 0, out)
+    val splitLines = out.filter(_.contains("naive_split_would_leak="))
+    assert(splitLines.size === 3, out.mkString("\n")) // train/val/test
+    assert(splitLines.exists(_.startsWith("train")))
+    val klLines = out.filter(_.contains("kl_vs_corpus="))
+    assert(klLines.nonEmpty, out.mkString("\n"))
+    // KL is non-negative by Gibbs' inequality (up to per-term rounding)
+    val kls = klLines.map(_.split("kl_vs_corpus=")(1).trim.toDouble)
+    assert(kls.forall(_ > -1e-6), kls.mkString(","))
+  }
+
   test("analyze --perplexity appends per-language LM cross-entropy") {
     val (code, out) = runCli("analyze", "--source", sfDir, "--perplexity")
     assert(code === 0, out)

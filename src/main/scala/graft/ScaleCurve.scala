@@ -78,14 +78,19 @@ object ScaleCurve {
     new String(a)
   }
 
-  /** m text-disjoint copies of the corpus, ids offset per copy. */
-  def synthesize(docs: DataFrame, m: Int): DataFrame =
+  /** m text-disjoint copies of the corpus, ids offset per copy. The
+    * `source` column (when present) rides along unchanged, so per-source
+    * structure — and with it the q109 overlap-matrix workload — scales
+    * with the corpus instead of collapsing to one label. */
+  def synthesize(docs: DataFrame, m: Int): DataFrame = {
+    val extra = docs.columns.filter(_ == "source").toSeq.map(col)
     (0 until m).map { j =>
-      if (j == 0) docs.select(col("doc_id"), col("text"))
+      if (j == 0) docs.select(col("doc_id") +: col("text") +: extra: _*)
       else docs.select(
-        (col("doc_id") + lit(j * 100000000L)).as("doc_id"),
-        translate(col("text"), Alpha, permutation(j)).as("text"))
+        (col("doc_id") + lit(j * 100000000L)).as("doc_id") +:
+          translate(col("text"), Alpha, permutation(j)).as("text") +: extra: _*)
     }.reduce(_ unionByName _)
+  }
 
   private def drain(df: DataFrame): Unit = Measure.drain(df)
 
@@ -141,6 +146,14 @@ object ScaleCurve {
           docs.filter(col("doc_id") % 4 =!= 0),
           docs.filter(col("doc_id") % 4 === 0),
           "doc_id", "text", threshold = 0.5)
+      },
+      "q107_repeated_ngrams" -> { docs =>
+        graft.operators.TextAnalysis.repeatedNgramCensus(docs, "doc_id", "text",
+          k = 8, topN = 50)
+      },
+      "q109_source_overlap" -> { docs =>
+        graft.operators.TextAnalysis.crossSourceNgramOverlap(docs, "source", "text",
+          k = 5)
       })
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,

@@ -92,6 +92,28 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // SemDeDup end step: canonical representative per near-dup cluster —
+    // each q70 cluster keeps its longest member (n_chars desc, id asc
+    // tie-break) and the rest become the kill list. One window over
+    // cluster-labeled rows; clusters have ≥2 members by construction.
+    "q114_cluster_canonical" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val labeled = Dedup.components(pairs)
+        .join(docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+      val w = Window.partitionBy(col("label")).orderBy(col("n_chars").desc, col("node"))
+      labeled.withColumn("rk", row_number().over(w))
+        .groupBy(col("label").as("cluster"))
+        .agg(min(when(col("rk") === 1, col("node"))).as("kept_id"),
+          max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_killed"),
+          concat_ws(",", expr(
+            "transform(sort_array(collect_list(CASE WHEN rk > 1 THEN node END)), " +
+              "x -> cast(x AS string))")).as("killed"))
+        .orderBy(col("cluster"))
+    },
+
     // Per-label centroid quality (Similarity.labelCentroidQuality):
     // exact per-dim class centroids, member cosine to own centroid,
     // count/mean/min rollup — the embedding-space audit that flags
@@ -534,6 +556,31 @@ object DedupQueries {
          |SELECT cluster, COUNT(*) AS n_members,
          |  string_agg(node::VARCHAR, ',' ORDER BY node) AS members
          |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // q70's recursive component replay + a quality window: the canonical
+    // member is rk=1 by (n_chars desc, node); string_agg skips the NULLed
+    // keeper, mirroring collect_list's null-skipping on the Spark side.
+    "q114_cluster_canonical" ->
+      s"""WITH RECURSIVE $minhashEstCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT reach.s, e.d FROM reach JOIN edges e ON reach.d = e.s),
+         |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s),
+         |m AS (
+         |  SELECT lbl.cluster, lbl.node, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY lbl.cluster
+         |      ORDER BY d.n_chars DESC, lbl.node) AS rk
+         |  FROM lbl JOIN documents d ON d.doc_id = lbl.node)
+         |SELECT cluster,
+         |  MIN(CASE WHEN rk = 1 THEN node END) AS kept_id,
+         |  MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+         |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_killed,
+         |  string_agg(CASE WHEN rk > 1 THEN node::VARCHAR END, ',' ORDER BY node) AS killed
+         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // Full SimHash replay: md5-prefix 64-bit token hashes → per-bit votes →
     // fingerprint (HUGEINT two-halves reconstruction — DuckDB's BIGINT <<

@@ -169,16 +169,27 @@ object Bench {
       (name, if (ok) secs else -secs, ok, samples.toSeq, calib,
         median(cpuSamples.toSeq))
     }
-    // 3-decimal (ms) precision keeps the line short enough for the driver's
-    // bounded tail capture — full-precision doubles pushed the headline
-    // fields past the window in rounds 2-3
-    val qs = results.map { case (k, v, _, _, _, _) => s""""$k":${fmt(v)}""" }
-      .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, _, ss, _, _) =>
-      s""""$k":[${ss.map(fmt).mkString(",")}]"""
-    }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (k, _, _, _, _, cpu) =>
-      s""""$k":${fmt(cpu)}"""
+    // The driver keeps only a bounded ~2000-char TAIL of stdout and parses
+    // the JSON line out of it. Rounds 2-6 emitted one giant line (per-run
+    // samples, cpu, calib maps) whose FRONT fell off that window, so the
+    // driver recorded `parsed: null` every round. Fix: the stdout line
+    // carries only short-key medians + headline fields (≲1800 chars for the
+    // full suite) and everything else — full query names, per-run samples,
+    // cpu seconds, calibration probes, throttle list — goes to
+    // BENCH_DETAIL.json in the working directory.
+    //
+    // Short keys: the `qNN` prefix up to the first '_' (unique today; any
+    // collision falls back to the full name rather than silently merging).
+    val shortOf: Map[String, String] = {
+      val pref = results.map { r => r._1 -> r._1.takeWhile(_ != '_') }.toMap
+      val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
+      pref.map { case (full, p) => full -> (if (counts(p) == 1) p else full) }
+    }
+    // Failed queries are listed in `errors` only — a broken query must never
+    // read as a (possibly negative) timing. Round-6 advice flagged the old
+    // negated-wall sentinel (-0.066s) as noise.
+    val qs = results.collect { case (k, v, true, _, _, _) =>
+      s""""${shortOf(k)}":${fmt(v)}"""
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -193,33 +204,47 @@ object Bench {
     val throttled = results.collect {
       case (k, _, _, _, c, _) if calibMed > 0 && c > 3 * calibMed => k
     }
-    val calibJson = results.map { case (k, _, _, _, c, _) =>
-      s""""$k":${fmt(c)}"""
-    }.mkString("{", ",", "}")
-    val transferRuns =
-      s""""transfer":[${transferSamples.map(_.round).mkString(",")}],""" +
-      s""""schema":[${schemaSamples.map(_.round).mkString(",")}],""" +
-      s""""csv":[${csvSamples.map(_.round).mkString(",")}],""" +
-      s""""calib":[${Seq(calibTransfer, calibSchema, calibCsv).map(fmt).mkString(",")}]"""
-
-    // headline fields appear FIRST (driver contract) and are REPEATED in the
-    // trailing `headline` object: the driver keeps only a bounded tail of
-    // stdout, and in rounds 2-3 the leading metric/value/transfer numbers
-    // fell off the front of the captured window. Per-run samples sit in the
-    // middle of the line so truncation costs detail, never headlines.
-    val headline = s""""value":${fmt(total)},""" +
+    val headline = s""""metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""stat":"median_of_$Runs",""" +
       s""""transfer_rows_per_sec":${transferRps.round},""" +
       s""""schema_transfer_rows_per_sec":${schemaRps.round},""" +
       s""""csv_transfer_rows_per_sec":${csvRps.round},""" +
       s""""throttled_count":${throttled.size},""" +
       s""""cpu_total_secs":${fmt(cpuTotal)},""" +
       s""""calib_median":${fmt(calibMed)}"""
-    println(s"""{"metric":"total",$headline,"unit":"sec","stat":"median_of_$Runs",""" +
+
+    // Detail file: full names, per-run wall samples, per-run-block cpu
+    // seconds, calibration probes, transfer samples.
+    val runsJson = results.map { case (k, _, _, ss, _, _) =>
+      s""""$k":[${ss.map(fmt).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val cpuJson = results.map { case (k, _, _, _, _, cpu) =>
+      s""""$k":${fmt(cpu)}"""
+    }.mkString("{", ",", "}")
+    val calibJson = results.map { case (k, _, _, _, c, _) =>
+      s""""$k":${fmt(c)}"""
+    }.mkString("{", ",", "}")
+    // failed queries keep the negated-wall sentinel HERE (detail only)
+    val fullQs = results.map { case (k, v, _, _, _, _) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val transferRuns =
+      s""""transfer":[${transferSamples.map(_.round).mkString(",")}],""" +
+      s""""schema":[${schemaSamples.map(_.round).mkString(",")}],""" +
+      s""""csv":[${csvSamples.map(_.round).mkString(",")}],""" +
+      s""""calib":[${Seq(calibTransfer, calibSchema, calibCsv).map(fmt).mkString(",")}]"""
+    val detail = s"""{$headline,"queries":$fullQs,"errors":$errors,""" +
       s""""transfer_runs":{$transferRuns},"runs":$runsJson,"cpu":$cpuJson,""" +
       s""""calib":$calibJson,""" +
       s""""throttled":[${throttled.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""queries":$qs,""" +
-      s""""errors":$errors,"sf":"$sfDir","headline":{$headline}}""")
+      s""""sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    // Headline fields sit at the END of the line: if a future suite ever
+    // overflows the tail window again, truncation eats query detail from the
+    // front while the human-readable headline survives.
+    println(s"""{"queries":$qs,"errors":$errors,$headline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,9 +12,10 @@ import Q._
   * batch-first so the DuckDB oracle can check them; the streaming variants
   * live in [[graft.streaming]].
   *
-  * Timestamp discipline: `ts` arrives as parquet TIMESTAMP(NANOS); both
-  * engines are compared at millisecond precision via `unix_millis`-style
-  * arithmetic to dodge ns-vs-µs truncation skew.
+  * Timestamp discipline: `ts` has arrived as parquet TIMESTAMP(NANOS),
+  * TIMESTAMP(MICROS) and TIMESTAMP_NTZ across driver fixture regenerations;
+  * both engines are compared at millisecond precision via [[Q.millisUtc]]
+  * (encoding-agnostic) to dodge ns-vs-µs truncation and NTZ-vs-LTZ skew.
   */
 object EventQueries {
 
@@ -43,9 +44,9 @@ object EventQueries {
     "q19_sessionize" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
-        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("prev_ms", lag(millisUtc(col("ts")), 1).over(w))
         .withColumn("new_session",
-          when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+          when(col("prev_ms").isNull || millisUtc(col("ts")) - col("prev_ms") > 1800000L, 1L)
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -106,10 +107,10 @@ object EventQueries {
       val ev = t(s, dir, "events")
       val clicks = ev
         .filter(col("event_type") === "click" && col("user_id") < 5)
-        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        .select(col("event_id"), col("user_id"), millisUtc(col("ts")).as("ms"))
       val purchases = ev
         .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .groupBy(col("user_id"), millisUtc(col("ts")).as("ms"))
         .agg(max(col("value")).as("p_value"))
       graft.operators.AsOf.asofJoin(clicks, purchases, "user_id", "ms", Seq("p_value"))
         .orderBy(col("user_id"), col("ms"), col("event_id"))
@@ -168,7 +169,7 @@ object EventQueries {
       val src = t(s, dir, "events")
         .filter(col("user_id") < 5)
         .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"), col("event_type"))
+          millisUtc(col("ts")).as("ms"), col("event_type"))
       graft.transfer.Scd.scd2(src, "user_id", "ms", Seq("event_type"), "event_id")
         .select(col("user_id"), col("event_id"), col("ms"), col("event_type"),
           col("effective_from"), col("effective_to"), col("is_current"))

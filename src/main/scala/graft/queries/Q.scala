@@ -20,6 +20,16 @@ object Q {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
 
+  /** Epoch milliseconds of a timestamp column regardless of its parquet
+    * encoding. The fixture's `events.ts` has arrived as TIMESTAMP(NANOS),
+    * TIMESTAMP(MICROS, adjusted-to-UTC) and TIMESTAMP_NTZ across driver
+    * regenerations; `unix_millis` only accepts TIMESTAMP, so cast first —
+    * a no-op for TIMESTAMP, and for NTZ under the suite's fixed UTC session
+    * timezone an identity reinterpretation of the same micros, matching
+    * DuckDB's `epoch_ms(CAST(ts AS TIMESTAMP))` on the naive value. */
+  def millisUtc(c: Column): Column =
+    unix_millis(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Order-independent exact sum of a double column, returned as double. */
   def dsum(c: Column, p: Int = 30, s: Int = 6): Column =
     sum(c.cast(DecimalType(p, s))).cast("double")

@@ -270,4 +270,33 @@ object Similarity {
         min(col("cosine")).as("min_cosine"))
       .orderBy(col("label"))
   }
+
+  /** Embedding-space decontamination: for every train vector, its maximum
+    * cosine against the (small) eval/benchmark set, plus how many eval
+    * vectors clear `threshold` — the semantic counterpart to the n-gram
+    * overlap decontamination in [[TextAnalysis.ngramOverlap]] (paraphrased
+    * leakage that shares no 13-gram still lands next to the benchmark in
+    * embedding space).
+    *
+    * Scale shape: the eval set is broadcast (benchmarks are thousands of
+    * rows; the corpus is the big side), so this is one corpus scan with a
+    * per-row loop over eval — no shuffle at all until the caller
+    * aggregates. Scaled-exact dots keep max/count deterministic, so the
+    * flag replays bit-for-bit in the oracle. */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("evec"))
+      .withColumn("enorm", scaledNorm("evec"))
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("tvec"))
+      .withColumn("tnorm", scaledNorm("tvec"))
+    tr.crossJoin(broadcast(ev)) // bounded fanout: |eval| rows per train row
+      .withColumn("cosine",
+        scaledDot("tvec", "evec").cast("double") / (col("tnorm") * col("enorm")))
+      .groupBy(col("train_id"))
+      .agg(max(col("cosine")).as("max_cosine"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
 }

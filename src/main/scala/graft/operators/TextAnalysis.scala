@@ -391,4 +391,103 @@ object TextAnalysis {
     // no terminal sort: analyze --perplexity re-aggregates immediately —
     // the oracle query adds its own ORDER BY
   }
+
+  /** Vocabulary coverage / OOV-rate census per group: build the global
+    * top-`topV` word vocabulary (count-desc, word-asc tie-break — the exact
+    * ordering both engines replay), then measure what fraction of each
+    * group's token stream falls outside it. The tokenizer-design question
+    * this answers — "how much of each language does a V-word vocab strand?"
+    * — is the first table in any tokenizer RFC.
+    *
+    * Scale shape: the vocab is a `topV`-row sorted aggregate over the
+    * word-count table (bounded by distinct words, sublinear in corpus) and
+    * rides broadcast into the coverage join; the token stream shuffles once
+    * on word for the count and once on group for the census. */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                    topV: Int): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topV)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("total_tokens"))
+      .withColumnRenamed("grp", groupCol)
+      .orderBy(col(groupCol))
+  }
+
+  /** Padding-waste census under power-of-two length bucketing — the cost
+    * model of fixed-shape batching: each document pads up to the next
+    * power-of-two token bucket (floored at `minBucket`), and the report
+    * says how many pad tokens each bucket burns and the utilization a
+    * batch served from it achieves. Pure integer arithmetic (bucket =
+    * `2^bitlength(n-1)` via the string bit-length trick both engines
+    * share — no float log2), one aggregate, ~log2(max_len) output rows. */
+  def paddingWaste(docs: DataFrame, textCol: String,
+                   minBucket: Int = 32): DataFrame = {
+    docs.select(greatest(tokenCount(col(textCol)), lit(minBucket.toLong))
+        .as("n_tok"))
+      .withColumn("bucket",
+        expr("CAST(shiftleft(1L, length(bin(n_tok - 1))) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("bucket") - col("n_tok")).as("pad_tokens"))
+      .withColumn("utilization",
+        col("sum_tokens").cast("double") / (col("bucket") * col("n_docs")))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin of the [[paddingWaste]] bucket expression. */
+  def pow2BucketSql(nExpr: String, minBucket: Int = 32): String =
+    s"CAST((1::BIGINT << length(bin(greatest($nExpr, $minBucket) - 1))) AS BIGINT)"
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score each document by how much more likely its hashed-unigram bag is
+    * under a target distribution than under the raw corpus —
+    * `log w(doc) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]` with
+    * add-one-smoothed bucket probabilities over `buckets` md5-hash
+    * features. High-weight docs are the ones importance resampling keeps
+    * when fitting a raw crawl to a curated target.
+    *
+    * Determinism: bucket = 32-bit md5-prefix hash mod `buckets` (the
+    * sketch-family discipline — replays in DuckDB); each ln() rounds to
+    * DECIMAL(30,9) before the exact per-document decimal sum, so libm and
+    * accumulation order cannot skew the score.
+    *
+    * Scale shape: both probability tables are `buckets`-row aggregates —
+    * independent of corpus size — joined broadcast onto the token stream;
+    * the only data-sized shuffle is the per-document sum. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val b = lit(buckets.toLong)
+    val toks = docs.select(col(idCol), targetPred.as("is_target"),
+        explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol), col("is_target"),
+        (conv(substring(md5(concat(lit("ds:"), col("w"))), 1, 8), 16, 10)
+          .cast("long") % b).as("bucket"))
+    val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val tgt = toks.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    // totals as 1-row broadcasts; buckets with no target mass still get the
+    // +1 smoothing via the outer join's coalesce
+    val totals = toks.agg(count(lit(1)).as("t_r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_t"))
+    val lr = raw.join(tgt, Seq("bucket"), "left").crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) /
+            (col("t_t") + b).cast("double"))
+          .cast(DecimalType(30, 9)) -
+         log((col("c_r") + lit(1.0)) / (col("t_r") + b).cast("double"))
+          .cast(DecimalType(30, 9))).as("lr"))
+    toks.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr")).cast("double").as("log_weight"))
+  }
 }

@@ -17,6 +17,18 @@ import Q._
 object DedupQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // Embedding-space decontamination (Similarity.semanticDecontaminate):
+    // every train vector's max cosine against a small broadcast eval set
+    // (vec_id % 499 == 0) + hits over 0.2 — the semantic counterpart to
+    // q80/q96's n-gram decontamination. Top-50 closest train vectors.
+    "q116_semantic_decontam" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 499 =!= 0), e.filter(col("vec_id") % 499 === 0),
+        "vec_id", "embedding", threshold = 0.2)
+        .orderBy(col("max_cosine").desc, col("train_id")).limit(50)
+    },
+
     // Exact dedup via content-hash groupBy: per-lang doc/unique/dup-group
     // counts, both full-text and 50-char-prefix normalized.
     "q22_dedup_exact" -> { (s, dir) =>
@@ -448,6 +460,26 @@ object DedupQueries {
       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q116_semantic_decontam" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS evec,
+         |    ${nrm("embedding")} AS enorm
+         |  FROM embeddings WHERE vec_id % 499 = 0),
+         |tr AS (
+         |  SELECT vec_id AS train_id, embedding AS tvec,
+         |    ${nrm("embedding")} AS tnorm
+         |  FROM embeddings WHERE vec_id % 499 <> 0),
+         |p AS (
+         |  SELECT train_id,
+         |    CAST(${dot("tvec", "evec")} AS DOUBLE) / (tnorm * enorm) AS cosine
+         |  FROM tr CROSS JOIN ev),
+         |a AS (
+         |  SELECT train_id, MAX(cosine) AS max_cosine,
+         |    CAST(SUM(CASE WHEN cosine >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM p GROUP BY 1)
+         |SELECT train_id, max_cosine, n_hits, n_hits > 0 AS contaminated
+         |FROM a ORDER BY max_cosine DESC, train_id LIMIT 50""".stripMargin,
+
     "q22_dedup_exact" ->
       """WITH pfx AS (
         |  SELECT lang, COUNT(*) AS c

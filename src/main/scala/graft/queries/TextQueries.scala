@@ -14,6 +14,64 @@ import Q._
 object TextQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // Vocabulary coverage (TextAnalysis.vocabCoverage): global top-500
+    // vocab (count-desc word-asc — both engines replay the tie-break),
+    // OOV-rate per language. The first table of any tokenizer RFC.
+    "q115_vocab_coverage" -> { (s, dir) =>
+      graft.operators.TextAnalysis.vocabCoverage(
+        t(s, dir, "documents"), "lang", "text", topV = 500)
+    },
+
+    // Padding-waste census (TextAnalysis.paddingWaste): power-of-two
+    // length buckets, pad tokens burned and utilization per bucket — the
+    // fixed-shape-batching cost model. Integer bit-length bucketing, no
+    // float log2.
+    "q117_padding_waste" -> { (s, dir) =>
+      graft.operators.TextAnalysis.paddingWaste(t(s, dir, "documents"), "text")
+    },
+
+    // CCNet-style perplexity gate: every document scored by the corpus
+    // bigram LM (q104's operator with train = eval = corpus), then cut
+    // into head/middle/tail terciles PER SOURCE (NTILE over xent with
+    // doc_id tie-break). The per-source framing is the point: a uniform
+    // global cut would just rank sources, not documents within them.
+    "q118_perplexity_gate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val docs = t(s, dir, "documents")
+      val xent = graft.operators.TextAnalysis.ngramLmCrossEntropy(
+        docs, docs, "doc_id", "text")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("xent"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .join(xent, Seq("doc_id")) // inner: docs under 2 tokens score nothing
+        .withColumn("tercile", ntile(3).over(w))
+        .groupBy(col("source"), col("tercile"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("xent").cast(DecimalType(30, 6))).cast("double") /
+            count(lit(1))).as("avg_xent"))
+        .orderBy(col("source"), col("tercile"))
+    },
+
+    // DSIR importance weights (TextAnalysis.dsirWeights): hashed-unigram
+    // log-likelihood ratio of each document under the English slice vs the
+    // raw corpus — the importance-resampling score for fitting a crawl to
+    // a curated target. Top/bottom 10 by weight, deterministic tie-break.
+    "q119_dsir_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.dsirWeights(
+        docs, "doc_id", "text", col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      val top = scored.orderBy(col("log_weight").desc, col("doc_id")).limit(10)
+        .withColumn("side", lit("top"))
+      val bottom = scored.orderBy(col("log_weight").asc, col("doc_id")).limit(10)
+        .withColumn("side", lit("bottom"))
+      top.unionByName(bottom)
+        .select(col("side"), col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("log_weight"))
+        .orderBy(col("side"), col("log_weight").desc, col("doc_id"))
+    },
+
     // Marker-based language ID vs the labeled lang column: confusion counts.
     "q29_lang_id" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -434,6 +492,88 @@ object TextQueries {
   private val padded = "(' ' || text || ' ')"
 
   val oracles: Map[String, String] = Map(
+    "q115_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT lang, u.w AS w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |v AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM tk GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 500))
+        |SELECT lang, COUNT(*) AS total_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM tk LEFT JOIN v ON tk.w = v.w
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q117_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT greatest(${tokenCountSql("text")}, 32) AS n_tok,
+         |    ${pow2BucketSql(tokenCountSql("text"))} AS bucket
+         |  FROM documents)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_tokens,
+         |  CAST(SUM(n_tok) AS DOUBLE) / (bucket * COUNT(*)) AS utilization
+         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the q104 LM replayed with train = eval = corpus, then the per-source
+    // NTILE(3) tercile cut with doc_id tie-break
+    "q118_perplexity_gate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 1, 0))) AS i(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w.w) AS v FROM tk, UNNEST(t) AS w(w)),
+        |cost AS (
+        |  SELECT b.doc_id,
+        |    CAST(-log2((COALESCE(c2.c2, 0) + 1.0) /
+        |      (COALESCE(c1.c1, 0) + v.v)) AS DECIMAL(30,6)) AS nll
+        |  FROM bg b
+        |  LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |  LEFT JOIN c1 ON c1.w1 = b.w1
+        |  CROSS JOIN v),
+        |x AS (
+        |  SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS xent
+        |  FROM cost GROUP BY 1),
+        |n AS (
+        |  SELECT d.source, d.doc_id, x.xent,
+        |    NTILE(3) OVER (PARTITION BY d.source ORDER BY x.xent, d.doc_id) AS tercile
+        |  FROM documents d JOIN x ON x.doc_id = d.doc_id)
+        |SELECT source, tercile, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(xent AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_xent
+        |FROM n GROUP BY 1, 2 ORDER BY source, tercile""".stripMargin,
+
+    "q119_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('ds:' || u.w), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |raw AS (SELECT bucket, COUNT(*) AS c_r FROM tk GROUP BY 1),
+        |tgt AS (SELECT bucket, COUNT(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS t_r,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_t
+        |  FROM tk),
+        |lr AS (
+        |  SELECT r.bucket,
+        |    CAST(ln((COALESCE(c_t, 0) + 1.0) / CAST(t_t + 1024 AS DOUBLE)) AS DECIMAL(30,9)) -
+        |    CAST(ln((c_r + 1.0) / CAST(t_r + 1024 AS DOUBLE)) AS DECIMAL(30,9)) AS lr
+        |  FROM raw r LEFT JOIN tgt ON tgt.bucket = r.bucket CROSS JOIN tot),
+        |sc AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(lr) AS DOUBLE) AS log_weight
+        |  FROM tk t JOIN lr ON lr.bucket = t.bucket GROUP BY 1),
+        |j AS (
+        |  SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.log_weight
+        |  FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |te AS (SELECT 'top' AS side, doc_id, lang, source, n_tokens, log_weight
+        |       FROM j ORDER BY log_weight DESC, doc_id LIMIT 10),
+        |be AS (SELECT 'bottom' AS side, doc_id, lang, source, n_tokens, log_weight
+        |       FROM j ORDER BY log_weight ASC, doc_id LIMIT 10)
+        |SELECT * FROM (SELECT * FROM te UNION ALL SELECT * FROM be)
+        |ORDER BY side, log_weight DESC, doc_id""".stripMargin,
+
     "q29_lang_id" ->
       s"""SELECT lang, ${langIdSql(padded)} AS predicted, COUNT(*) AS cnt
          |FROM documents

@@ -358,6 +358,36 @@ object Main {
                 f"${r.getString(0)}%-12s tokens=${r.getLong(1)}%9d vocab=${r.getLong(2)}%7d " +
                   f"kl_vs_corpus=${r.getDouble(3)}%7.4f"))
           }
+          // --vocab V: OOV rate per language under a top-V global vocabulary
+          if (opts.contains("vocab")) {
+            val v = opts("vocab").toInt
+            graft.operators.TextAnalysis.vocabCoverage(df, langCol, textCol, v)
+              .collect().foreach(r => out(
+                f"${r.get(0)}%-8s tokens=${r.getLong(1)}%9d oov=${r.getLong(2)}%8d " +
+                  f"oov_rate=${r.getDouble(3)}%6.4f"))
+          }
+          // --padding: power-of-two batch-bucket utilization census
+          if (opts.contains("padding")) {
+            graft.operators.TextAnalysis.paddingWaste(df, textCol)
+              .collect().foreach(r => out(
+                f"bucket=${r.getLong(0)}%5d docs=${r.getLong(1)}%6d " +
+                  f"pad_tokens=${r.getLong(3)}%9d utilization=${r.getDouble(4)}%5.3f"))
+          }
+          // --dsir LANG: DSIR importance-weight distribution of the corpus
+          // against the given target language slice
+          opts.get("dsir").foreach { targetLang =>
+            val idCol = opts.getOrElse("id", "doc_id")
+            val w = graft.operators.TextAnalysis.dsirWeights(
+              df, idCol, textCol, col(langCol) === targetLang)
+            df.select(col(idCol), col(langCol)).join(w, Seq(idCol))
+              .groupBy(col(langCol))
+              .agg(avg(col("log_weight")).as("avg_lw"),
+                max(col("log_weight")).as("max_lw"))
+              .orderBy(col(langCol))
+              .collect().foreach(r => out(
+                f"${r.get(0)}%-8s avg_log_w=${r.getDouble(1)}%8.3f " +
+                  f"max_log_w=${r.getDouble(2)}%8.3f"))
+          }
           df.unpersist()
           0
         case "dedup" =>
@@ -635,6 +665,12 @@ object Main {
       |               census + what a naive per-doc split would leak)
       |              [--kl] [--source-col COL]  (per-source unigram KL
       |               divergence vs the corpus blend — domain shift)
+      |              [--vocab V]  (OOV rate per language under a top-V
+      |               global vocabulary — tokenizer sizing)
+      |              [--padding]  (power-of-two batch-bucket pad-token and
+      |               utilization census)
+      |              [--dsir LANG]  (DSIR importance-weight distribution
+      |               against the LANG target slice)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|incremental] [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]

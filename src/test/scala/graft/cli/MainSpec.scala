@@ -296,6 +296,29 @@ class MainSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("analyze --vocab/--padding/--dsir append the round-7 censuses") {
+    // the sf0.001 fixture has ~31 distinct words — a top-10 vocab must
+    // strand something while still covering the head
+    val (code, out) = runCli("analyze", "--source", sfDir,
+      "--vocab", "10", "--padding", "--dsir", "en")
+    assert(code === 0, out)
+    val oov = out.filter(_.contains("oov_rate="))
+    assert(oov.size === 5, out.mkString("\n")) // one per language
+    assert(oov.exists(_.split("oov_rate=")(1).trim.toDouble > 0))
+    assert(oov.forall(_.split("oov_rate=")(1).trim.toDouble < 1.0))
+    val pad = out.filter(_.contains("utilization="))
+    assert(pad.nonEmpty, out.mkString("\n"))
+    // buckets are powers of two
+    val buckets = pad.map(_.split("bucket=")(1).trim.split(" ")(0).toLong)
+    assert(buckets.forall(b => (b & (b - 1)) == 0), buckets.mkString(","))
+    val dsir = out.filter(_.contains("avg_log_w="))
+    assert(dsir.size === 5, out.mkString("\n"))
+    // the target slice itself must score highest on average
+    val byLang = dsir.map(l =>
+      l.trim.split("\\s+")(0) -> l.split("avg_log_w=")(1).trim.split(" ")(0).toDouble).toMap
+    assert(byLang("en") === byLang.values.max, byLang.toString)
+  }
+
   test("dedup verb removes near-duplicate documents, keeping cluster representatives") {
     val dst = Files.createTempDirectory("clidedup").toString
     val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,

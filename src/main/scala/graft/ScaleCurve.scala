@@ -154,6 +154,16 @@ object ScaleCurve {
       "q109_source_overlap" -> { docs =>
         graft.operators.TextAnalysis.crossSourceNgramOverlap(docs, "source", "text",
           k = 5)
+      },
+      // round 7: the corpus-LM gate (the suite's heaviest per-token join
+      // chain) and the DSIR weight scan (bounded bucket tables broadcast)
+      "q118_perplexity_gate" -> { docs =>
+        graft.operators.TextAnalysis.ngramLmCrossEntropy(docs, docs,
+          "doc_id", "text")
+      },
+      "q119_dsir_weights" -> { docs =>
+        graft.operators.TextAnalysis.dsirWeights(docs, "doc_id", "text",
+          col("lang") === "en")
       })
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,

@@ -72,6 +72,54 @@ object TextQueries {
         .orderBy(col("side"), col("log_weight").desc, col("doc_id"))
     },
 
+    // HLL mergeability — THE distributed-sketch property: per-source
+    // register files (what each executor/partition would ship) max-merge
+    // into registers IDENTICAL to a direct whole-corpus build, so the
+    // union estimate equals the direct estimate bit-for-bit. One row:
+    // both estimates + the exact distinct for error audit.
+    "q120_hll_union" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bySrc = graft.operators.Sketch.hllRegistersBy(docs, "source", "text", p = 6)
+      val merged = bySrc.groupBy(col("bucket"))
+        .agg(max(col("max_rho")).cast("long").as("max_rho"))
+      val union = graft.operators.Sketch.hllEstimate(merged, p = 6)
+      val direct = graft.operators.Sketch.hllEstimate(
+        graft.operators.Sketch.hllRegisters(docs, "text", p = 6)
+          .select(col("bucket"), col("max_rho")), p = 6)
+      union.select(col("occupied").as("u_occupied"),
+          col("s_scaled").as("u_s_scaled"), col("hll_est").as("union_est"))
+        .crossJoin(direct.select(col("hll_est").as("direct_est")))
+        .crossJoin(docs.agg(countDistinct(col("text")).as("exact_distinct")))
+    },
+
+    // Model-based quality scoring (the fastText-classifier analogue of
+    // q30's hand features): fixed published-style weights over stopword
+    // ratio, token shape and repetition, squashed by a logistic. The
+    // accept gate is p >= 0.5 ⇔ z >= 0 — pure arithmetic, no exp in the
+    // decision; the reported mean score rounds each sigmoid to
+    // DECIMAL(30,9) before the exact sum (libm discipline).
+    "q121_quality_classifier" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val scored = t(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .withColumn("stop_ratio",
+          (occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
+            .cast("double") / col("n_tokens"))
+        .withColumn("avg_len", length(col("text")).cast("double") / col("n_tokens"))
+        .withColumn("dup_frac", dupTrigramFraction("text"))
+        .withColumn("z",
+          lit(10.0) * col("stop_ratio") - lit(1.0) +
+            lit(2.0) * (col("avg_len") - lit(5.0)) - lit(5.0) * col("dup_frac"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("z") >= 0.0, 1L).otherwise(0L)).as("n_accepted"),
+          (sum(col("score").cast(DecimalType(30, 9))).cast("double") /
+            count(lit(1))).as("avg_score"))
+        .orderBy(col("source"))
+    },
+
     // Marker-based language ID vs the labeled lang column: confusion counts.
     "q29_lang_id" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -492,6 +540,62 @@ object TextQueries {
   private val padded = "(' ' || text || ' ')"
 
   val oracles: Map[String, String] = Map(
+    // per-source registers max-merged == direct whole-corpus registers, so
+    // union_est must equal direct_est bit-for-bit (mergeability)
+    "q120_hll_union" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |regs AS (
+        |  SELECT source, h % 64 AS bucket,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END) AS max_rho
+        |  FROM h GROUP BY 1, 2),
+        |merged AS (SELECT bucket, MAX(max_rho) AS max_rho FROM regs GROUP BY 1),
+        |u AS (
+        |  SELECT COUNT(*) AS u_occupied,
+        |    CAST(SUM(1::BIGINT << (27 - max_rho)) AS BIGINT) AS s_occ
+        |  FROM merged),
+        |us AS (
+        |  SELECT u_occupied,
+        |    CAST(s_occ + (64 - u_occupied) * 134217728 AS BIGINT) AS u_s_scaled
+        |  FROM u),
+        |d AS (
+        |  SELECT h % 64 AS bucket,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END) AS max_rho
+        |  FROM h GROUP BY 1),
+        |dd AS (
+        |  SELECT COUNT(*) AS d_occ,
+        |    CAST(SUM(1::BIGINT << (27 - max_rho)) AS BIGINT) AS d_s_occ
+        |  FROM d),
+        |ds AS (
+        |  SELECT CAST(d_s_occ + (64 - d_occ) * 134217728 AS BIGINT) AS d_s_scaled
+        |  FROM dd)
+        |SELECT u_occupied, u_s_scaled,
+        |  0.709::DOUBLE * 64 * 64 * 134217728 / u_s_scaled AS union_est,
+        |  0.709::DOUBLE * 64 * 64 * 134217728 / d_s_scaled AS direct_est,
+        |  (SELECT COUNT(DISTINCT text) FROM documents) AS exact_distinct
+        |FROM us CROSS JOIN ds""".stripMargin,
+
+    "q121_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CAST(${occurrencesSql(padded, " the ")} + ${occurrencesSql(padded, " a ")} AS DOUBLE)
+         |      / ${tokenCountSql("text")} AS stop_ratio,
+         |    CAST(length(text) AS DOUBLE) / ${tokenCountSql("text")} AS avg_len,
+         |    ${dupTrigramFractionSql("text")} AS dup_frac
+         |  FROM documents),
+         |z AS (
+         |  SELECT source,
+         |    10.0 * stop_ratio - 1.0 + 2.0 * (avg_len - 5.0) - 5.0 * dup_frac AS z
+         |  FROM f)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         |  CAST(SUM(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(30,9))) AS DOUBLE)
+         |    / COUNT(*) AS avg_score
+         |FROM z GROUP BY 1 ORDER BY source""".stripMargin,
+
     "q115_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT lang, u.w AS w

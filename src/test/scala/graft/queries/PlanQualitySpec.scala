@@ -112,6 +112,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q119: DSIR bucket tables ride broadcast; the token stream shuffles only for the doc sum") {
+    val plan = planOf("q119_dsir_weights")
+    // the 1024-row log-ratio table and 1-row totals must both broadcast —
+    // a shuffled join here would re-shuffle the whole token stream twice
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(distinctNodes(plan, "SortMergeJoin") === 0,
+      "bucket join fell back to a sort-merge shuffle")
+  }
+
+  test("q118: LM count joins never explode — every join in the gate is equi-keyed") {
+    val plan = planOf("q118_perplexity_gate")
+    // c2/c1 joins are 1:1 per eval bigram (count tables have one row per
+    // key); the only nested-loop is the 1-row vocab broadcast
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val bnl = distinctNodes(plan, "BroadcastNestedLoopJoin")
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) in the LM gate")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

@@ -462,7 +462,8 @@ object SnowflakeDialect {
       "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
     val renamed = Map(
       "NVL" -> "COALESCE", "IFNULL" -> "COALESCE",
-      "LEN" -> "LENGTH", "ARRAY_SIZE" -> "SIZE")
+      "LEN" -> "LENGTH", "ARRAY_SIZE" -> "SIZE",
+      "ARRAY_TO_STRING" -> "ARRAY_JOIN")
     val datetimeFns = Set("TO_TIMESTAMP", "TO_TIMESTAMP_NTZ", "TO_DATE", "TO_CHAR", "TO_VARCHAR")
     def isStringLiteral(s: String): Boolean =
       s.length >= 2 && s.head == '\'' && s.last == '\''
@@ -530,6 +531,49 @@ object SnowflakeDialect {
           }
           out.append(call)
           i = close + 1
+        } else if (hasParen && upper == "ARRAY_AGG") {
+          // ARRAY_AGG([DISTINCT] e) [WITHIN GROUP (ORDER BY e [ASC|DESC])]
+          // → SORT_ARRAY(COLLECT_LIST/COLLECT_SET(e)[, false]) — Spark's
+          // collect_* reject WITHIN GROUP outright. Only the self-ordered
+          // form translates: ordering by a DIFFERENT key would need a
+          // struct sort-and-project, and silently dropping the order
+          // would corrupt the result, so that fails loudly.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"ARRAY_AGG expects 1 arg, got ${args.length}")
+          val raw = args.head.trim
+          val isDistinct = raw.length >= 9 && raw.substring(0, 9).equalsIgnoreCase("DISTINCT ")
+          val e = rewriteFunctionCalls((if (isDistinct) raw.substring(9) else raw).trim)
+          val coll = if (isDistinct) s"COLLECT_SET($e)" else s"COLLECT_LIST($e)"
+          // lookahead for the WITHIN GROUP clause
+          var p = close + 1
+          while (p < n && sql.charAt(p).isWhitespace) p += 1
+          if (p + 6 <= n && sql.substring(p, p + 6).equalsIgnoreCase("WITHIN")) {
+            var q = p + 6
+            while (q < n && sql.charAt(q).isWhitespace) q += 1
+            require(q + 5 <= n && sql.substring(q, q + 5).equalsIgnoreCase("GROUP"),
+              "ARRAY_AGG: WITHIN not followed by GROUP")
+            q += 5
+            while (q < n && sql.charAt(q).isWhitespace) q += 1
+            require(q < n && sql.charAt(q) == '(',
+              "ARRAY_AGG WITHIN GROUP: missing parenthesis")
+            val (wgArgs, wgClose) = parseArgs(sql, q)
+            val inner = wgArgs.mkString(",").trim
+            require(inner.length >= 8 && inner.substring(0, 8).equalsIgnoreCase("ORDER BY"),
+              s"ARRAY_AGG WITHIN GROUP expects ORDER BY, got: $inner")
+            var ord = inner.substring(8).trim
+            val descOrder = ord.toUpperCase.endsWith(" DESC")
+            if (descOrder) ord = ord.substring(0, ord.length - 5).trim
+            else if (ord.toUpperCase.endsWith(" ASC")) ord = ord.substring(0, ord.length - 4).trim
+            val ordT = rewriteFunctionCalls(ord)
+            require(ordT.equalsIgnoreCase(e),
+              s"ARRAY_AGG WITHIN GROUP only translates when ordered by its own argument " +
+                s"($e); ORDER BY $ordT has no lossless distributed rewrite")
+            out.append(if (descOrder) s"SORT_ARRAY($coll, false)" else s"SORT_ARRAY($coll)")
+            i = wgClose + 1
+          } else {
+            out.append(coll) // bare ARRAY_AGG: unordered, like collect_list
+            i = close + 1
+          }
         } else if (hasParen && upper == "SPLIT_TO_TABLE") {
           val (args, close) = parseArgs(sql, k)
           val t = args.map(a => rewriteFunctionCalls(a.trim))

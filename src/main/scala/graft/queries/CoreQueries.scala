@@ -233,6 +233,31 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Ordered-set and statistical aggregates through the translate path:
+    // MEDIAN / PERCENTILE_CONT WITHIN GROUP pass through natively,
+    // ARRAY_AGG [DISTINCT] WITHIN GROUP rewrites to sorted collect_set/
+    // collect_list (asc and desc), ARRAY_TO_STRING renames to ARRAY_JOIN,
+    // MONTHS_BETWEEN on month-aligned bounds stays integral so the oracle
+    // replays it as an exact month diff.
+    "q122_dialect_aggs" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderpriority,
+          |       MEDIAN(o_totalprice::DOUBLE) AS med_price,
+          |       PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice::DOUBLE) AS q1_price,
+          |       ARRAY_TO_STRING(ARRAY_AGG(DISTINCT o_orderstatus)
+          |                         WITHIN GROUP (ORDER BY o_orderstatus), ',') AS statuses,
+          |       ARRAY_TO_STRING(ARRAY_AGG(TO_VARCHAR(o_orderkey))
+          |                         WITHIN GROUP (ORDER BY TO_VARCHAR(o_orderkey) DESC), ',') AS keys_desc,
+          |       MONTHS_BETWEEN(DATE_TRUNC('month', MAX(TO_DATE(o_orderdate))),
+          |                      DATE_TRUNC('month', MIN(TO_DATE(o_orderdate))))::DOUBLE AS span_months
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 200
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // TRY_TO_DATE / TRY_TO_TIMESTAMP — the null-on-parse-failure ingestion
     // surface of a migrated staging view: valid strings parse, garbage
     // degrades to NULL instead of failing the query, end-to-end through
@@ -483,6 +508,18 @@ object CoreQueries {
         |  CAST(length(o_orderstatus) AS INT) AS st_len
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q122_dialect_aggs" ->
+      """SELECT o_orderpriority,
+        |  median(CAST(o_totalprice AS DOUBLE)) AS med_price,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1_price,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR)), 'DESC'), ',') AS keys_desc,
+        |  CAST(date_diff('month',
+        |    date_trunc('month', MIN(CAST(o_orderdate AS DATE))),
+        |    date_trunc('month', MAX(CAST(o_orderdate AS DATE)))) AS DOUBLE) AS span_months
+        |FROM orders WHERE o_orderkey < 200
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q103_dialect_try_dates" ->
       """SELECT o_orderkey,

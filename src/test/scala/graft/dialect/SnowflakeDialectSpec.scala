@@ -306,6 +306,26 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT LEN(s), ARRAY_SIZE(a) FROM t") === "SELECT LENGTH(s), SIZE(a) FROM t")
   }
 
+  test("ARRAY_AGG WITHIN GROUP becomes sorted collect; foreign order key fails") {
+    assert(tr("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY x) FROM t") ===
+      "SELECT SORT_ARRAY(COLLECT_LIST(x)) FROM t")
+    assert(tr("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY x DESC) FROM t") ===
+      "SELECT SORT_ARRAY(COLLECT_LIST(x), false) FROM t")
+    assert(tr("SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY x ASC) FROM t") ===
+      "SELECT SORT_ARRAY(COLLECT_SET(x)) FROM t")
+    // bare form: unordered collect
+    assert(tr("SELECT ARRAY_AGG(x) FROM t GROUP BY g") ===
+      "SELECT COLLECT_LIST(x) FROM t GROUP BY g")
+    // ARRAY_TO_STRING renames to ARRAY_JOIN, composing with the rewrite
+    assert(tr("SELECT ARRAY_TO_STRING(ARRAY_AGG(x) WITHIN GROUP (ORDER BY x), ',') FROM t") ===
+      "SELECT ARRAY_JOIN(SORT_ARRAY(COLLECT_LIST(x)), ',') FROM t")
+    // ordering by a different key has no lossless rewrite — loud failure,
+    // never a silently dropped ORDER BY
+    val e = intercept[IllegalArgumentException](
+      tr("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY y) FROM t"))
+    assert(e.getMessage.contains("its own argument"), e.getMessage)
+  }
+
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
     assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
       "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")

@@ -49,4 +49,42 @@ class TextPipelineStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty && batch.size < docs.count())
   }
+
+  test("streamed logistic quality classifier equals the batch scores exactly") {
+    // q121's model-based gate is also a pure Column expression — the same
+    // fixed-weight sigmoid runs over readStream unchanged, so continuous
+    // ingestion scores documents identically to the batch backfill
+    val srcDir = Files.createTempDirectory("clf_stream_src").toString
+    val docs = Tables.load(spark, sfDir, "documents").cache()
+    docs.write.parquet(s"$srcDir/files")
+
+    def classify(df: org.apache.spark.sql.DataFrame) = {
+      val p = concat(lit(" "), col("text"), lit(" "))
+      df.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("z",
+          lit(10.0) * ((TextAnalysis.occurrences(p, " the ") +
+              TextAnalysis.occurrences(p, " a ")).cast("double") / col("n_tokens")) -
+            lit(1.0) +
+            lit(2.0) * (length(col("text")).cast("double") / col("n_tokens") - lit(5.0)) -
+            lit(5.0) * TextAnalysis.dupTrigramFraction("text"))
+        .select(col("doc_id"), col("z"), (col("z") >= 0.0).as("accepted"))
+    }
+
+    val ckpt = Files.createTempDirectory("clf_stream_ckpt").toString
+    val q = classify(
+      spark.readStream.schema(docs.schema).parquet(s"$srcDir/files"))
+      .writeStream.format("memory").queryName("clf_pipe")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("clf_pipe").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = classify(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed === batch)
+    // both classes occur on the fixture — the gate is not degenerate
+    assert(batch.exists(_._3) && batch.exists(!_._3))
+  }
 }

@@ -29,6 +29,38 @@ object Bench {
   private def calibSecs(): Double = Measure.calibSecs()
   private def fmt(v: Double): String = Measure.fmt(v)
 
+  /** Short display keys for the stdout line: the `qNN` prefix up to the
+    * first '_' (unique today; any collision falls back to the full name
+    * rather than silently merging two queries' timings). */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
+    pref.map { case (full, p) => full -> (if (counts(p) == 1) p else full) }
+  }
+
+  /** The driver's stdout tail capture is ~2000 chars and sbt's trailing
+    * "[success] …" line eats ~80; the JSON line must fit the rest. */
+  val MaxLineLength = 1850
+
+  /** Assemble the stdout JSON line, degrading query-median precision
+    * 3 → 2 → 1 decimals until it fits the driver's tail window — a long
+    * suite (or a slow day) must cost timing precision, never the
+    * parseability of the round artifact. Headline fields keep full
+    * precision; the detail file always carries 3-decimal medians. */
+  def stdoutLine(medians: Seq[(String, Double)], errors: Seq[String],
+                 headline: String, sf: String,
+                 maxLen: Int = MaxLineLength): String = {
+    val keys = shortKeys(medians.map(_._1))
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def build(prec: Int): String = {
+      val qs = medians.map { case (k, v) =>
+        s""""${keys(k)}":${String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))}"""
+      }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"errors":$errJson,$headline,"sf":"$sf"}"""
+    }
+    Iterator(3, 2, 1).map(build).find(_.length <= maxLen).getOrElse(build(1))
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -177,22 +209,12 @@ object Bench {
     // full suite) and everything else — full query names, per-run samples,
     // cpu seconds, calibration probes, throttle list — goes to
     // BENCH_DETAIL.json in the working directory.
-    //
-    // Short keys: the `qNN` prefix up to the first '_' (unique today; any
-    // collision falls back to the full name rather than silently merging).
-    val shortOf: Map[String, String] = {
-      val pref = results.map { r => r._1 -> r._1.takeWhile(_ != '_') }.toMap
-      val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
-      pref.map { case (full, p) => full -> (if (counts(p) == 1) p else full) }
-    }
     // Failed queries are listed in `errors` only — a broken query must never
     // read as a (possibly negative) timing. Round-6 advice flagged the old
     // negated-wall sentinel (-0.066s) as noise.
-    val qs = results.collect { case (k, v, true, _, _, _) =>
-      s""""${shortOf(k)}":${fmt(v)}"""
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val okMedians = results.collect { case (k, v, true, _, _, _) => (k, v) }
+    val errorNames = results.collect { case (k, _, false, _, _, _) => k }
+    val errors = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     val cpuTotal = results.collect { case (_, _, true, _, _, cpu) => cpu }.sum
     // Throttle self-adjudication (round-5 verdict item 1): each query's
@@ -243,8 +265,9 @@ object Bench {
 
     // Headline fields sit at the END of the line: if a future suite ever
     // overflows the tail window again, truncation eats query detail from the
-    // front while the human-readable headline survives.
-    println(s"""{"queries":$qs,"errors":$errors,$headline,"sf":"$sfDir"}""")
+    // front while the human-readable headline survives. stdoutLine degrades
+    // median precision until the line fits the window.
+    println(stdoutLine(okMedians, errorNames, headline, sfDir))
     spark.stop()
   }
 }

@@ -296,6 +296,27 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Tokenizer fertility — the cross-lingual fairness metric: subword
+    // (BPE-ish) tokens per whitespace word and chars per subword token,
+    // per language. A tokenizer that spends 3× the tokens per word on one
+    // language triples that language's training and serving cost; this is
+    // the table that decision cites. Pure per-row counting, one aggregate.
+    "q123_token_fertility" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_bpe", bpeTokenCount(col("text")))
+        .withColumn("n_ws", tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(col("n_bpe")).as("sum_bpe"),
+          sum(col("n_ws")).as("sum_words"))
+        .withColumn("fertility",
+          col("sum_bpe").cast("double") / col("sum_words"))
+        .withColumn("chars_per_token",
+          col("sum_chars").cast("double") / col("sum_bpe"))
+        .orderBy(col("lang"))
+    },
+
     // Winnowing fingerprints (12-gram hashes → min-per-8-window): docs
     // sharing ≥8 kept fingerprints — the rolling-hash overlap detector.
     // Ubiquitous fingerprints (doc-frequency > 50) are dropped before the
@@ -540,6 +561,17 @@ object TextQueries {
   private val padded = "(' ' || text || ' ')"
 
   val oracles: Map[String, String] = Map(
+    "q123_token_fertility" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${bpeTokenCountSql("text")}) AS BIGINT) AS sum_bpe,
+         |  CAST(SUM(${tokenCountSql("text")}) AS BIGINT) AS sum_words,
+         |  CAST(SUM(${bpeTokenCountSql("text")}) AS DOUBLE)
+         |    / SUM(${tokenCountSql("text")}) AS fertility,
+         |  CAST(SUM(length(text)) AS DOUBLE)
+         |    / SUM(${bpeTokenCountSql("text")}) AS chars_per_token
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
     // per-source registers max-merged == direct whole-corpus registers, so
     // union_est must equal direct_est bit-for-bit (mergeability)
     "q120_hll_union" ->

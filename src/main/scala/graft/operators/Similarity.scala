@@ -282,7 +282,10 @@ object Similarity {
     * rows; the corpus is the big side), so this is one corpus scan with a
     * per-row loop over eval — no shuffle at all until the caller
     * aggregates. Scaled-exact dots keep max/count deterministic, so the
-    * flag replays bit-for-bit in the oracle. */
+    * flag replays bit-for-bit in the oracle.
+    *
+    * Reference scope: extension surface beyond reference parity (the
+    * similarity family of SURVEY §7 step 8; no reference counterpart). */
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
                             idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {

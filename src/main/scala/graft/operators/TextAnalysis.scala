@@ -402,7 +402,10 @@ object TextAnalysis {
     * Scale shape: the vocab is a `topV`-row sorted aggregate over the
     * word-count table (bounded by distinct words, sublinear in corpus) and
     * rides broadcast into the coverage join; the token stream shuffles once
-    * on word for the count and once on group for the census. */
+    * on word for the count and once on group for the census.
+    *
+    * Reference scope: extension surface beyond reference parity (the
+    * reference computes exact column stats only, validator.py:208-238). */
   def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
                     topV: Int): DataFrame = {
     val toks = docs.select(col(groupCol).as("grp"),
@@ -461,7 +464,10 @@ object TextAnalysis {
     *
     * Scale shape: both probability tables are `buckets`-row aggregates —
     * independent of corpus size — joined broadcast onto the token stream;
-    * the only data-sized shuffle is the per-document sum. */
+    * the only data-sized shuffle is the per-document sum.
+    *
+    * Reference scope: extension surface beyond reference parity (the
+    * quality/sampling family of SURVEY §7 step 8). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

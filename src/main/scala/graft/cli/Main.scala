@@ -464,6 +464,53 @@ object Main {
           val keptN = spark.read.parquet(s"$dst/$table.parquet").count()
           out(s"$table: $total rows -> $keptN kept, ${total - keptN} duplicates removed")
           0
+        case "decontaminate" =>
+          // train/eval hygiene as a verb: drop (or just count) training
+          // documents that overlap an eval/benchmark set — exact n-gram
+          // overlap, its Bloom-pruned scale variant (identical result), or
+          // embedding-cosine for paraphrased leakage. Writes the cleaned
+          // table plus a per-document hit report.
+          import org.apache.spark.sql.functions.col
+          val src = req("source")
+          val evalDir = req("eval")
+          val dst = req("target")
+          val table = opts.getOrElse("table", "documents")
+          val idCol = opts.getOrElse("id", "doc_id")
+          val method = opts.getOrElse("method", "ngram")
+          val scope = new graft.operators.CacheScope
+          try {
+            val (df, flaggedIds) = method match {
+              case "ngram" | "bloom" =>
+                val textCol = opts.getOrElse("text-col", "text")
+                val k = opts.getOrElse("ngram", "4").toInt
+                val train = spark.read.parquet(s"$src/$table.parquet")
+                val eval = spark.read.parquet(s"$evalDir/$table.parquet")
+                val hits =
+                  if (method == "ngram")
+                    graft.operators.TextAnalysis.ngramOverlap(
+                      train, eval, idCol, textCol, k)
+                  else graft.operators.TextAnalysis.bloomNgramOverlap(
+                    train, eval, idCol, textCol, k, scope = scope)
+                (train, hits.select(col(idCol)))
+              case "semantic" =>
+                val vecCol = opts.getOrElse("vec-col", "embedding")
+                val thr = opts.getOrElse("threshold", "0.9").toDouble
+                val train = spark.read.parquet(s"$src/$table.parquet")
+                val eval = spark.read.parquet(s"$evalDir/$table.parquet")
+                val flagged = graft.operators.Similarity.semanticDecontaminate(
+                  train, eval, idCol, vecCol, thr)
+                  .filter(col("contaminated"))
+                (train, flagged.select(col("train_id").as(idCol)))
+              case other => throw new IllegalArgumentException(s"unknown method: $other")
+            }
+            val total = df.count()
+            val clean = df.join(flaggedIds, Seq(idCol), "left_anti")
+            new ParquetSink(dst).write(clean, table)
+            val keptN = spark.read.parquet(s"$dst/$table.parquet").count()
+            out(s"$table: $total rows -> $keptN kept, " +
+              s"${total - keptN} contaminated removed ($method)")
+          } finally scope.release()
+          0
         case "validate" =>
           val src = req("source")
           val dst = req("target")
@@ -677,6 +724,13 @@ object Main {
       |              [--existing DIR]  (incremental: drop incoming docs
       |               near-duplicating the standing corpus at DIR or an
       |               earlier doc of their own batch)
+      |  decontaminate --source DIR --eval DIR --target DIR [--table T]
+      |              [--method ngram|bloom|semantic] [--id COL]
+      |              [--text-col COL] [--ngram K]  (ngram/bloom: drop
+      |               training docs sharing any word K-gram with the eval
+      |               set — bloom prunes map-side, identical result)
+      |              [--vec-col COL] [--threshold X]  (semantic: drop docs
+      |               whose embedding cosine vs any eval row >= X)
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
       |              [--constraints-jdbc URL] [--constraints-schema NAME]

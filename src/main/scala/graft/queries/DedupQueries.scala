@@ -29,6 +29,37 @@ object DedupQueries {
         .orderBy(col("max_cosine").desc, col("train_id")).limit(50)
     },
 
+    // MinHash calibration — the reliability diagram for the sketch every
+    // dedup decision rests on: LSH candidate pairs at a low gate
+    // (est >= 0.2) re-scored with their TRUE shingle-set Jaccard, rolled
+    // up by estimated-similarity decile. mean_true tracking mean_est per
+    // bin is what justifies the q23/q70/q105 thresholds; a bin where they
+    // diverge is a miscalibrated sketch. Candidates stay LSH-bounded — the
+    // exact rescoring only touches pairs the banding already surfaced.
+    "q124_minhash_calibration" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.2)
+      val sh = docs.select(col("doc_id"), Dedup.shingles("text", 3).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+        .withColumn("true_j", col("inter").cast("double") /
+          (size(col("a_sh")).cast("long") + size(col("b_sh")).cast("long") - col("inter"))
+            .cast("double"))
+        .withColumn("bin", floor(col("est_jaccard") * 10).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("est_jaccard").cast(DecimalType(30, 9))).cast("double") /
+            count(lit(1))).as("mean_est"),
+          (sum(col("true_j").cast(DecimalType(30, 9))).cast("double") /
+            count(lit(1))).as("mean_true"),
+          min(col("true_j")).as("min_true"),
+          max(col("true_j")).as("max_true"))
+        .orderBy(col("bin"))
+    },
+
     // Exact dedup via content-hash groupBy: per-lang doc/unique/dup-group
     // counts, both full-text and 50-char-prefix normalized.
     "q22_dedup_exact" -> { (s, dir) =>
@@ -479,6 +510,33 @@ object DedupQueries {
          |  FROM p GROUP BY 1)
          |SELECT train_id, max_cosine, n_hits, n_hits > 0 AS contaminated
          |FROM a ORDER BY max_cosine DESC, train_id LIMIT 50""".stripMargin,
+
+    // est CTE reused unfiltered; true Jaccard from the same sh shingle
+    // sets the signatures were built over
+    "q124_minhash_calibration" ->
+      s"""WITH $minhashEstCtes,
+         |p AS (SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.a_id, p.b_id, COUNT(*) AS cnt
+         |  FROM p
+         |  JOIN sh a ON a.doc_id = p.a_id
+         |  JOIN sh b ON b.doc_id = p.b_id AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |tj AS (
+         |  SELECT p.a_id, p.b_id, p.est_jaccard,
+         |    CAST(COALESCE(i.cnt, 0) AS DOUBLE)
+         |      / (sa.n + sb.n - COALESCE(i.cnt, 0)) AS true_j
+         |  FROM p
+         |  JOIN sz sa ON sa.doc_id = p.a_id
+         |  JOIN sz sb ON sb.doc_id = p.b_id
+         |  LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
+         |SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(est_jaccard AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mean_est,
+         |  CAST(SUM(CAST(true_j AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mean_true,
+         |  MIN(true_j) AS min_true, MAX(true_j) AS max_true
+         |FROM tj GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q22_dedup_exact" ->
       """WITH pfx AS (

@@ -319,6 +319,50 @@ class MainSpec extends SparkSpec {
     assert(byLang("en") === byLang.values.max, byLang.toString)
   }
 
+  test("decontaminate verb drops training docs overlapping the eval set; bloom matches exact") {
+    import org.apache.spark.sql.functions.col
+    val evalDir = Files.createTempDirectory("decon_eval").toString
+    val dst = Files.createTempDirectory("decon_out").toString
+    graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 40 === 0)
+      .write.parquet(s"$evalDir/documents.parquet")
+    val (code, out) = runCli("decontaminate", "--source", sfDir,
+      "--eval", evalDir, "--target", dst, "--method", "ngram")
+    assert(code === 0, out)
+    val kept = spark.read.parquet(s"$dst/documents.parquet")
+    // the eval docs exist verbatim in train — every one must be dropped
+    assert(kept.filter(col("doc_id") % 40 === 0).count() === 0)
+    assert(kept.count() > 0)
+    assert(out.exists(_.contains("contaminated removed (ngram)")), out.mkString("\n"))
+    // the Bloom-pruned variant must keep the IDENTICAL id set
+    val dst2 = Files.createTempDirectory("decon_out2").toString
+    val (code2, _) = runCli("decontaminate", "--source", sfDir,
+      "--eval", evalDir, "--target", dst2, "--method", "bloom")
+    assert(code2 === 0)
+    val ids = (d: String) => spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(dst2) === ids(dst))
+    // scoped caches released after the terminal write
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("decontaminate --method semantic drops embedding-cosine matches") {
+    import org.apache.spark.sql.functions.col
+    val evalDir = Files.createTempDirectory("decon_sem_eval").toString
+    val dst = Files.createTempDirectory("decon_sem_out").toString
+    // eval = exact copies of a few training vectors → cosine 1.0 hits
+    graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .write.parquet(s"$evalDir/embeddings.parquet")
+    val (code, out) = runCli("decontaminate", "--source", sfDir,
+      "--eval", evalDir, "--target", dst, "--method", "semantic",
+      "--table", "embeddings", "--id", "vec_id", "--threshold", "0.99")
+    assert(code === 0, out)
+    val kept = spark.read.parquet(s"$dst/embeddings.parquet")
+    assert(kept.filter(col("vec_id") % 50 === 0).count() === 0)
+    assert(kept.count() > 0)
+  }
+
   test("dedup verb removes near-duplicate documents, keeping cluster representatives") {
     val dst = Files.createTempDirectory("clidedup").toString
     val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,

@@ -296,6 +296,26 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Blocklist / safety filter census — the word-list gate every corpus
+    // release runs (toxicity, PII keywords, spam markers): per-source hit
+    // counts against a fixed term list, docs flagged at >= 2 hits, and
+    // the flagged share. Same padded-occurrences arithmetic as the
+    // stopword features — deterministic, no regex classes.
+    "q125_blocklist_filter" -> { (s, dir) =>
+      val terms = Seq("spark", "merge") // stands in for a real blocklist
+      val p = concat(lit(" "), col("text"), lit(" "))
+      val hits = terms.map(t => occurrences(p, s" $t ")).reduce(_ + _)
+      t(s, dir, "documents")
+        .withColumn("hits", hits)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("hits")).as("total_hits"),
+          sum(when(col("hits") >= 2L, 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("flagged_share",
+          col("n_flagged").cast("double") / col("n_docs"))
+        .orderBy(col("source"))
+    },
+
     // Tokenizer fertility — the cross-lingual fairness metric: subword
     // (BPE-ish) tokens per whitespace word and chars per subword token,
     // per language. A tokenizer that spends 3× the tokens per word on one
@@ -561,6 +581,18 @@ object TextQueries {
   private val padded = "(' ' || text || ' ')"
 
   val oracles: Map[String, String] = Map(
+    "q125_blocklist_filter" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    ${occurrencesSql(padded, " spark ")} + ${occurrencesSql(padded, " merge ")} AS hits
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+         |  CAST(SUM(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(SUM(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS flagged_share
+         |FROM h GROUP BY 1 ORDER BY source""".stripMargin,
+
     "q123_token_fertility" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,

@@ -38,27 +38,38 @@ object Bench {
     pref.map { case (full, p) => full -> (if (counts(p) == 1) p else full) }
   }
 
-  /** The driver's stdout tail capture is ~2000 chars and sbt's trailing
-    * "[success] …" line eats ~80; the JSON line must fit the rest. */
-  val MaxLineLength = 1850
+  /** Stdout-line budget. The driver's tail capture is ~2000 chars and sbt's
+    * trailing "[success] …" line eats ~80 — but rounds 2-7 proved that
+    * SPENDING the whole window is the failure mode: r7's full-roster line ran
+    * 1815 chars and the captured tail already showed the front clipped into a
+    * stray warning; r6's overflowed outright and the artifact recorded
+    * `parsed: null`. So the line now carries only the headline plus the
+    * slowest few query medians and stays under HALF the window — the full
+    * per-query map lives solely in BENCH_DETAIL.json. */
+  val MaxLineLength = 1000
 
-  /** Assemble the stdout JSON line, degrading query-median precision
-    * 3 → 2 → 1 decimals until it fits the driver's tail window — a long
-    * suite (or a slow day) must cost timing precision, never the
-    * parseability of the round artifact. Headline fields keep full
-    * precision; the detail file always carries 3-decimal medians. */
+  /** Assemble the stdout JSON line: errors, headline, suite size, and the
+    * `queries` map holding only the SLOWEST medians — as many as fit the
+    * budget (10 → 5 → 0). The last rung additionally truncates the error
+    * list to 10 names (`errors_total` keeps the true count), so the line is
+    * bounded for ANY roster size or failure count — suite growth can never
+    * push the artifact back into the rounds-2..6 `parsed: null` mode. */
   def stdoutLine(medians: Seq[(String, Double)], errors: Seq[String],
                  headline: String, sf: String,
                  maxLen: Int = MaxLineLength): String = {
     val keys = shortKeys(medians.map(_._1))
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def build(prec: Int): String = {
-      val qs = medians.map { case (k, v) =>
-        s""""${keys(k)}":${String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))}"""
+    val slowest = medians.sortBy { case (k, v) => (-v, k) }
+    def build(nQueries: Int, errs: Seq[String]): String = {
+      val qs = slowest.take(nQueries).map { case (k, v) =>
+        s""""${keys(k)}":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))}"""
       }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"errors":$errJson,$headline,"sf":"$sf"}"""
+      val errJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"errors":$errJson,"errors_total":${errors.size},$headline,""" +
+        s""""queries_total":${medians.size + errors.size},"queries":$qs,""" +
+        s""""detail":"BENCH_DETAIL.json","sf":"$sf"}"""
     }
-    Iterator(3, 2, 1).map(build).find(_.length <= maxLen).getOrElse(build(1))
+    Iterator(10, 5, 0).map(build(_, errors)).find(_.length <= maxLen)
+      .getOrElse(build(0, errors.take(10)))
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -204,11 +215,12 @@ object Bench {
     // The driver keeps only a bounded ~2000-char TAIL of stdout and parses
     // the JSON line out of it. Rounds 2-6 emitted one giant line (per-run
     // samples, cpu, calib maps) whose FRONT fell off that window, so the
-    // driver recorded `parsed: null` every round. Fix: the stdout line
-    // carries only short-key medians + headline fields (≲1800 chars for the
-    // full suite) and everything else — full query names, per-run samples,
-    // cpu seconds, calibration probes, throttle list — goes to
-    // BENCH_DETAIL.json in the working directory.
+    // driver recorded `parsed: null` every round; round 7's short-key map
+    // fit but at 1815 chars the tail already clipped its front. Fix: the
+    // stdout line carries only headline fields + the slowest few medians
+    // (≤MaxLineLength, see stdoutLine) and everything else — full query
+    // names, per-run samples, cpu seconds, calibration probes, throttle and
+    // outlier lists — goes to BENCH_DETAIL.json in the working directory.
     // Failed queries are listed in `errors` only — a broken query must never
     // read as a (possibly negative) timing. Round-6 advice flagged the old
     // negated-wall sentinel (-0.066s) as noise.
@@ -225,6 +237,17 @@ object Bench {
     val calibMed = median(results.map(_._5))
     val throttled = results.collect {
       case (k, _, _, _, c, _) if calibMed > 0 && c > 3 * calibMed => k
+    }
+    // Per-query outlier flag (round-7 verdict item 4): the calibration probe
+    // samples only the instant BEFORE each repetition block, so a host stall
+    // in the MIDDLE of a block (r7 saw q107 run 14.2s between 2.0s
+    // neighbors) is invisible to `throttled`. A query whose worst sample ran
+    // >5x its own median had exactly such a mid-block stall — the median
+    // headline absorbs it, but the flag tells a reader the spread is
+    // environment, not plan nondeterminism.
+    val outliers = results.collect {
+      case (k, _, true, ss, _, _)
+        if ss.nonEmpty && median(ss) > 0 && ss.max / median(ss) > 5 => k
     }
     val headline = s""""metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""stat":"median_of_$Runs",""" +
@@ -258,15 +281,14 @@ object Bench {
       s""""transfer_runs":{$transferRuns},"runs":$runsJson,"cpu":$cpuJson,""" +
       s""""calib":$calibJson,""" +
       s""""throttled":[${throttled.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""outliers":[${outliers.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
-    // Headline fields sit at the END of the line: if a future suite ever
-    // overflows the tail window again, truncation eats query detail from the
-    // front while the human-readable headline survives. stdoutLine degrades
-    // median precision until the line fits the window.
+    // stdoutLine is bounded (≤MaxLineLength for any roster) — headline plus
+    // the slowest medians only; the full map is in BENCH_DETAIL.json.
     println(stdoutLine(okMedians, errorNames, headline, sfDir))
     spark.stop()
   }

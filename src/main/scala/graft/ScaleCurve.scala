@@ -167,6 +167,13 @@ object ScaleCurve {
       "q119_dsir_weights" -> { docs =>
         graft.operators.TextAnalysis.dsirWeights(docs, "doc_id", "text",
           col("doc_id") % 5 === 0)
+      },
+      // round 8: exact-substring kill spans — the q107-class window shuffle
+      // plus a per-doc interval merge; the per-copy alphabet permutation
+      // keeps cross-copy 8-token windows collision-free, so duplicate
+      // density stays constant as the corpus grows
+      "q126_substring_dedup" -> { docs =>
+        graft.operators.SubstringDedup.killSpans(docs, "doc_id", "text", k = 8)
       })
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,

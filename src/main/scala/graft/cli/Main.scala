@@ -390,6 +390,27 @@ object Main {
           }
           df.unpersist()
           0
+        case "corpus-report" =>
+          // the reference's `discover` report analogue for the text
+          // pipeline: one command, one JSON document with all six census
+          // sections (quality funnel, source overlap, KL, vocab/OOV,
+          // padding, fertility), built over ONE cached corpus scan and ONE
+          // cached unigram explode (CorpusReport) instead of six separate
+          // corpus scans.
+          val src = req("source")
+          val table = opts.getOrElse("table", "documents")
+          val scope = new graft.operators.CacheScope
+          try {
+            val docs = spark.read.parquet(s"$src/$table.parquet")
+            val json = graft.operators.CorpusReport.reportJson(docs, scope)
+            opts.get("output") match {
+              case Some(path) =>
+                java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
+                out(s"corpus report written to $path")
+              case None => out(json)
+            }
+          } finally scope.release()
+          0
         case "dedup" =>
           // training-data surface: exact or near-dup (MinHash→components)
           // dedup of one table; keeps the minimum-id representative per
@@ -497,8 +518,17 @@ object Main {
                 val thr = opts.getOrElse("threshold", "0.9").toDouble
                 val train = spark.read.parquet(s"$src/$table.parquet")
                 val eval = spark.read.parquet(s"$evalDir/$table.parquet")
+                // --eval is user-supplied: an arbitrarily large eval set must
+                // degrade to a partition-wise join, not a broadcast OOM. The
+                // guard counts eval rows (one cheap parquet-footer count)
+                // against a cap that keeps the broadcast well under Spark's
+                // default 8GB broadcast-table limit at embedding widths.
+                val evalRows = eval.count()
+                val bcast = evalRows <= opts.getOrElse("broadcast-eval-max", "2000000").toLong
+                if (!bcast) out(s"eval set has $evalRows rows — broadcast disabled, " +
+                  "running partition-wise cross join")
                 val flagged = graft.operators.Similarity.semanticDecontaminate(
-                  train, eval, idCol, vecCol, thr)
+                  train, eval, idCol, vecCol, thr, broadcastEval = bcast)
                   .filter(col("contaminated"))
                 (train, flagged.select(col("train_id").as(idCol)))
               case other => throw new IllegalArgumentException(s"unknown method: $other")
@@ -731,6 +761,10 @@ object Main {
       |               set — bloom prunes map-side, identical result)
       |              [--vec-col COL] [--threshold X]  (semantic: drop docs
       |               whose embedding cosine vs any eval row >= X)
+      |  corpus-report --source DIR [--table T] [--output FILE]
+      |              (all six census sections — quality funnel, source
+      |               overlap, KL, vocab/OOV, padding, fertility — as one
+      |               JSON over one cached corpus scan + one token explode)
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
       |              [--constraints-jdbc URL] [--constraints-schema NAME]

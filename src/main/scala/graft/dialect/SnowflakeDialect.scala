@@ -541,8 +541,12 @@ object SnowflakeDialect {
           val (args, close) = parseArgs(sql, k)
           require(args.length == 1, s"ARRAY_AGG expects 1 arg, got ${args.length}")
           val raw = args.head.trim
-          val isDistinct = raw.length >= 9 && raw.substring(0, 9).equalsIgnoreCase("DISTINCT ")
-          val e = rewriteFunctionCalls((if (isDistinct) raw.substring(9) else raw).trim)
+          // any whitespace after the keyword (tab/newline/multiple spaces) —
+          // a single-space-only match would leave "DISTINCT\tx" embedded in
+          // the rewritten expression
+          val distinctRe = "(?i)^DISTINCT\\s+".r
+          val isDistinct = distinctRe.findPrefixOf(raw).isDefined
+          val e = rewriteFunctionCalls(distinctRe.replaceFirstIn(raw, "").trim)
           val coll = if (isDistinct) s"COLLECT_SET($e)" else s"COLLECT_LIST($e)"
           // lookahead for the WITHIN GROUP clause
           var p = close + 1

@@ -18,6 +18,19 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Dedup-key normalization: casefold + whitespace collapse + trim, so
+    * documents that differ only by case drift or re-wrapped whitespace
+    * (the two most common ingestion artifacts) hash to the same key before
+    * exact or MinHash dedup. Restricted to the ASCII-expressible subset
+    * (`lower` + `\s+`→' ') that Spark and the DuckDB oracle evaluate
+    * identically; full Unicode NFC + casefold (java.text.Normalizer on the
+    * JVM) has no cross-engine SQL twin, so it is deliberately out of the
+    * oracle-checked surface — at 100 TB you would put NFC in front of this
+    * key as a one-pass map with no shuffle, leaving the pipeline shape
+    * unchanged. */
+  def normalizeKey(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
   /** Word k-shingles of a text column, deduplicated. `greatest(..., 0)`
     * guards texts shorter than k tokens (Spark `sequence` would otherwise
     * count *down* and explode). The MinHash pipeline itself skips this

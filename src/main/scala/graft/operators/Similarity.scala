@@ -284,17 +284,23 @@ object Similarity {
     * aggregates. Scaled-exact dots keep max/count deterministic, so the
     * flag replays bit-for-bit in the oracle.
     *
+    * `broadcastEval = false` (mirroring [[TextAnalysis.ngramOverlap]])
+    * drops the broadcast hint for an eval side too big to ship to every
+    * executor — the cross join then runs partition-wise instead of
+    * OOM-ing the driver; the CLI verb auto-selects via a row-count guard.
+    *
     * Reference scope: extension surface beyond reference parity (the
     * similarity family of SURVEY §7 step 8; no reference counterpart). */
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
                             idCol: String, vecCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            broadcastEval: Boolean = true): DataFrame = {
     GraftFunctions.register(train.sparkSession)
     val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("evec"))
       .withColumn("enorm", scaledNorm("evec"))
     val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("tvec"))
       .withColumn("tnorm", scaledNorm("tvec"))
-    tr.crossJoin(broadcast(ev)) // bounded fanout: |eval| rows per train row
+    tr.crossJoin(if (broadcastEval) broadcast(ev) else ev) // bounded fanout: |eval| rows per train row
       .withColumn("cosine",
         scaledDot("tvec", "evec").cast("double") / (col("tnorm") * col("enorm")))
       .groupBy(col("train_id"))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication — the suffix-array pass of Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better", PAPERS.md),
+  * re-expressed as a distributed k-token sliding-window pipeline: any
+  * ≥k-token span whose exact token sequence occurred EARLIER in the corpus
+  * (global (doc, position) order, first occurrence wins) is a kill span;
+  * overlapping kill spans merge per document. Where q107's census COUNTS
+  * repeated 8-grams, this operator decides what to REMOVE.
+  *
+  * Distributed shape, stage by stage:
+  *   1. window enumeration is `transform(sequence(...))` arithmetic on the
+  *      token array inside the row — the array is never duplicated across
+  *      window rows; one `explode` feeds the shuffle (same discipline as
+  *      [[LineDedup]]).
+  *   2. the first-occurrence decision is `min(struct(doc, pos))` GROUPED BY
+  *      window text — a partial-aggregatable min, so a boilerplate span
+  *      repeated 10^8 times collapses to one candidate per map partition
+  *      before anything shuffles (a `row_number` window would sort all
+  *      copies into one partition; the combine IS the skew mitigation).
+  *   3. later occurrences are identified by joining windows back to winners
+  *      on the window text (AQE handles residual gram skew), yielding one
+  *      [start, start+k) kill interval per duplicated window.
+  *   4. span merge is the classic sorted-interval union: per doc, order
+  *      intervals by start and subtract each interval's overlap with the
+  *      running max end of its predecessors. The window partitions by
+  *      DOCUMENT (bounded: a doc has < its token count intervals), never
+  *      globally — no single-partition stage anywhere.
+  *
+  * At 100 TB the dominant cost is stage 2's shuffle of distinct k-token
+  * windows, the same cardinality class as the q107 census that measured a
+  * 0.87 wall exponent at x100 — and here the map-side min combine sends
+  * one winner candidate per (gram, partition) rather than every
+  * occurrence.
+  */
+object SubstringDedup {
+
+  /** Per-document kill-span accounting for `k`-token exact-substring dedup:
+    * (idCol, total_tokens, removed_tokens, kept_tokens), documents with no
+    * kill span omitted. Token positions are 1-based; a kill interval is
+    * [pos, pos+k). `removed_tokens` is the merged-union length of all kill
+    * intervals, i.e. exactly how many tokens a rewrite pass would drop. */
+  def killSpans(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8): DataFrame = {
+    require(k >= 2, s"window of $k tokens is not a substring test")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("ts"))
+    // sequence(1, n-k+1) would DESCEND for n < k (Spark generates backward
+    // sequences), silently fabricating windows — guard the short docs out.
+    val wins = toks.filter(size(col("ts")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), " +
+          s"i -> struct(i as pos, array_join(slice(ts, i, $k), ' ') as gram))")).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    val firsts = wins
+      .groupBy(col("gram"))
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("first"))
+    val spans = wins.join(firsts, Seq("gram"))
+      .filter(!(col(idCol) === col("first.id") && col("pos") === col("first.p")))
+      .select(col(idCol), col("pos").as("start"), (col("pos") + k).as("end"))
+    val prev = Window.partitionBy(col(idCol)).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val removed = spans
+      .withColumn("covered", greatest(coalesce(max(col("end")).over(prev), col("start")),
+        col("start")))
+      .withColumn("contrib", greatest(col("end") - col("covered"), lit(0)))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).cast("long").as("removed_tokens"))
+    toks.select(col(idCol), size(col("ts")).cast("long").as("total_tokens"))
+      .join(removed, Seq(idCol))
+      .select(col(idCol), col("total_tokens"), col("removed_tokens"),
+        (col("total_tokens") - col("removed_tokens")).as("kept_tokens"))
+  }
+}

@@ -243,10 +243,16 @@ object TextAnalysis {
     * per-word corpus count as a word-keyed join of two vocab-sized
     * frames). No driver-side math.
     */
-  def unigramKlBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+  def unigramKlBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    unigramKlFromTokens(docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("w")))
+
+  /** [[unigramKlBySource]] over a pre-exploded `(source, w)` token stream —
+    * lets [[CorpusReport]] share ONE cached unigram explode across the
+    * censuses instead of re-exploding the corpus per report section. */
+  def unigramKlFromTokens(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val sw = docs
-      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("w"))
+    val sw = tokens
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c_sw"))
     val perSource = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
@@ -407,9 +413,15 @@ object TextAnalysis {
     * Reference scope: extension surface beyond reference parity (the
     * reference computes exact column stats only, validator.py:208-238). */
   def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
-                    topV: Int): DataFrame = {
-    val toks = docs.select(col(groupCol).as("grp"),
-      explode(split(col(textCol), " ")).as("w"))
+                    topV: Int): DataFrame =
+    vocabCoverageFromTokens(docs.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("w")), groupCol, topV)
+
+  /** [[vocabCoverage]] over a pre-exploded `(grp, w)` token stream (shared
+    * cached explode in [[CorpusReport]]); `groupCol` is the output name the
+    * `grp` column is restored to. */
+  def vocabCoverageFromTokens(toks: DataFrame, groupCol: String,
+                              topV: Int): DataFrame = {
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topV)
       .select(col("w"), lit(1L).as("in_vocab"))
@@ -444,6 +456,57 @@ object TextAnalysis {
         col("sum_tokens").cast("double") / (col("bucket") * col("n_docs")))
       .orderBy(col("bucket"))
   }
+
+  /** Ordered Gopher-style quality gates (min length, token shape, stopword
+    * evidence, repetition) with a per-stage rejection census. ONE corpus
+    * scan computes all rule flags, one 1-row aggregate counts cumulative
+    * survivors, `stack()` unpivots the funnel — per-rule counts never
+    * re-scan the corpus. (Shared by the q106 oracle query and the
+    * `corpus-report` verb.) */
+  def qualityFunnel(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val flags = docs
+      .withColumn("padded", concat(lit(" "), col(textCol), lit(" ")))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("avg_len", length(col(textCol)).cast("double") / col("n_tokens"))
+      .withColumn("stop_hits",
+        occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
+      .withColumn("f1", col("n_tokens") >= 25)
+      .withColumn("f2", col("f1") && col("avg_len").between(4.0, 5.8))
+      .withColumn("f3", col("f2") && (col("stop_hits") >= 2))
+      .withColumn("f4", col("f3") && (dupTrigramFraction(textCol) < 0.05))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("s3"),
+        sum(when(col("f4"), 1L).otherwise(0L)).as("s4"))
+      .selectExpr(
+        """stack(4,
+          |  1, 'min_tokens',    n0 - s1, s1,
+          |  2, 'avg_token_len', s1 - s2, s2,
+          |  3, 'stopwords',     s2 - s3, s3,
+          |  4, 'repetition',    s3 - s4, s4
+          |) AS (stage, rule, n_fail, n_surviving)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  /** Tokenizer-fertility census: (BPE-ish) tokens per whitespace word and
+    * chars per subword token, per `langCol` group. Pure per-row counting,
+    * one aggregate. (Shared by the q123 oracle query and `corpus-report`.) */
+  def tokenFertility(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("n_bpe", bpeTokenCount(col(textCol)))
+      .withColumn("n_ws", tokenCount(col(textCol)))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("sum_chars"),
+        sum(col("n_bpe")).as("sum_bpe"),
+        sum(col("n_ws")).as("sum_words"))
+      .withColumn("fertility",
+        col("sum_bpe").cast("double") / col("sum_words"))
+      .withColumn("chars_per_token",
+        col("sum_chars").cast("double") / col("sum_bpe"))
+      .orderBy(col(langCol))
 
   /** DuckDB twin of the [[paddingWaste]] bucket expression. */
   def pow2BucketSql(nExpr: String, minBucket: Int = 32): String =

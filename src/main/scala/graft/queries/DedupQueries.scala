@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, SubstringDedup}
 import Q._
 
 /** Deduplication + similarity-search suite over the `documents` and
@@ -27,6 +27,19 @@ object DedupQueries {
         e.filter(col("vec_id") % 499 =!= 0), e.filter(col("vec_id") % 499 === 0),
         "vec_id", "embedding", threshold = 0.2)
         .orderBy(col("max_cosine").desc, col("train_id")).limit(50)
+    },
+
+    // Exact-substring dedup (SubstringDedup.killSpans, Lee et al. 2022):
+    // per-document merged kill-span accounting for 8-token windows whose
+    // exact sequence occurred earlier in the corpus — first occurrence (by
+    // (doc_id, pos)) survives, every later occurrence marks its [pos,
+    // pos+8) span, overlapping spans union per document. The oracle
+    // computes the union by COUNT(DISTINCT killed position) while the
+    // Spark side merges sorted intervals — two independent algorithms
+    // agreeing on the same answer.
+    "q126_substring_dedup" -> { (s, dir) =>
+      SubstringDedup.killSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("removed_tokens").desc, col("doc_id")).limit(100)
     },
 
     // MinHash calibration — the reliability diagram for the sketch every
@@ -79,6 +92,37 @@ object DedupQueries {
           coalesce(col("n_prefix_dup_groups"), lit(0L)).as("n_prefix_dup_groups"),
           coalesce(col("n_prefix_dup_docs"), lit(0L)).as("n_prefix_dup_docs"))
         .orderBy(col("lang"))
+    },
+
+    // Normalized dedup keys (Dedup.normalizeKey): exact-dup census under
+    // raw vs casefold+whitespace-collapsed keys. The fixture corpus is
+    // uniformly lowercase and single-spaced, so the normalizer's effect is
+    // demonstrated on a deterministically perturbed union: every 40th doc
+    // re-ingested with case drift (UPPER), every 55th with whitespace
+    // drift (doubled separators + leading pad) — the two artifacts real
+    // re-crawls produce. Raw keys see the perturbed copies as unique;
+    // normalized keys collapse them back onto their originals, so the two
+    // modes report DIFFERENT dup counts. One corpus scan: both keys ride
+    // a 2-element explode, then two-level aggregation.
+    "q127_normalized_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cased = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), upper(col("text")).as("text"))
+      val spaced = d.filter(col("doc_id") % 55 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "  ")).as("text"))
+      d.unionByName(cased).unionByName(spaced)
+        .select(explode(array(
+          struct(lit("raw").as("mode"), col("text").as("k")),
+          struct(lit("normalized").as("mode"),
+            Dedup.normalizeKey(col("text")).as("k")))).as("mk"))
+        .select(col("mk.mode").as("mode"), col("mk.k").as("k"))
+        .groupBy(col("mode"), col("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("mode"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))).as("dup_groups"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L))).as("dup_docs"))
+        .orderBy(col("mode"))
     },
 
     // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
@@ -491,6 +535,26 @@ object DedupQueries {
       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // union length via COUNT(DISTINCT killed position) — deliberately NOT
+    // the Spark side's sorted-interval merge (independent algorithms)
+    "q126_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |w0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+        |       FROM toks WHERE len(ts) >= 8),
+        |wins AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS gram FROM w0),
+        |firsts AS (SELECT gram, MIN(struct_pack(id := doc_id, p := pos)) AS f
+        |           FROM wins GROUP BY gram),
+        |dups AS (SELECT w.doc_id, w.pos FROM wins w JOIN firsts f USING (gram)
+        |         WHERE NOT (w.doc_id = f.f.id AND w.pos = f.f.p)),
+        |killed AS (SELECT DISTINCT doc_id, pos + o AS tok
+        |           FROM dups, UNNEST(range(0, 8)) AS o(o)),
+        |rem AS (SELECT doc_id, COUNT(*) AS removed_tokens FROM killed GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS total_tokens,
+        |  CAST(r.removed_tokens AS BIGINT) AS removed_tokens,
+        |  CAST(len(t.ts) - r.removed_tokens AS BIGINT) AS kept_tokens
+        |FROM toks t JOIN rem r USING (doc_id)
+        |ORDER BY removed_tokens DESC, doc_id LIMIT 100""".stripMargin,
+
     "q116_semantic_decontam" ->
       s"""WITH ev AS (
          |  SELECT vec_id AS eval_id, embedding AS evec,
@@ -537,6 +601,25 @@ object DedupQueries {
          |  CAST(SUM(CAST(true_j AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mean_true,
          |  MIN(true_j) AS min_true, MAX(true_j) AS max_true
          |FROM tj GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q127_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, '  ' || replace(text, ' ', '  ')
+        |  FROM documents WHERE doc_id % 55 = 0),
+        |keyed AS (
+        |  SELECT 'raw' AS mode, text AS k FROM corpus
+        |  UNION ALL
+        |  SELECT 'normalized', trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |  FROM corpus),
+        |grp AS (SELECT mode, k, COUNT(*) AS c FROM keyed GROUP BY 1, 2)
+        |SELECT mode, COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM grp GROUP BY mode ORDER BY mode""".stripMargin,
 
     "q22_dedup_exact" ->
       """WITH pfx AS (

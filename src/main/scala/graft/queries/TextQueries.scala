@@ -98,6 +98,19 @@ object TextQueries {
     // accept gate is p >= 0.5 ⇔ z >= 0 — pure arithmetic, no exp in the
     // decision; the reported mean score rounds each sigmoid to
     // DECIMAL(30,9) before the exact sum (libm discipline).
+    //
+    // Accepted ulp-boundary risk (round-7 advice): the transcendental
+    // queries (here, q104/q118's log2) depend on JVM Math.exp/log agreeing
+    // with DuckDB's libm to within the DECIMAL rounding scale. Both engines
+    // promise <1 ulp error but not the SAME rounding, so an input whose
+    // true value sits within 1 ulp of a DECIMAL(30,9) rounding boundary
+    // COULD round apart and flip the hash. The exposure is per-value ~1e-7
+    // (boundary width / value spacing at scale 9) across ~1e4 fixture
+    // values — ~0.1% per regeneration, accepted rather than coarsened:
+    // rounding at a coarser scale shrinks the boundary-hit chance linearly
+    // but loses a digit of report precision, and a hash flip here fails
+    // loudly (one query, diagnosable in minutes) rather than corrupting
+    // anything. If it ever fires twice, drop these casts to DECIMAL(30,6).
     "q121_quality_classifier" -> { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val scored = t(s, dir, "documents")
@@ -322,19 +335,7 @@ object TextQueries {
     // language triples that language's training and serving cost; this is
     // the table that decision cites. Pure per-row counting, one aggregate.
     "q123_token_fertility" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("n_bpe", bpeTokenCount(col("text")))
-        .withColumn("n_ws", tokenCount(col("text")))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text")).cast("long")).as("sum_chars"),
-          sum(col("n_bpe")).as("sum_bpe"),
-          sum(col("n_ws")).as("sum_words"))
-        .withColumn("fertility",
-          col("sum_bpe").cast("double") / col("sum_words"))
-        .withColumn("chars_per_token",
-          col("sum_chars").cast("double") / col("sum_bpe"))
-        .orderBy(col("lang"))
+      graft.operators.TextAnalysis.tokenFertility(t(s, dir, "documents"), "lang", "text")
     },
 
     // Winnowing fingerprints (12-gram hashes → min-per-8-window): docs
@@ -434,13 +435,14 @@ object TextQueries {
     // temperature weight, and the resulting boost factor. sqrt and single
     // divisions are IEEE-correctly-rounded, so the doubles replay exactly.
     "q86_mixture_weights" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val counts = t(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      // global window over the 5-row aggregate, not the corpus
-      val w = Window.partitionBy()
-      counts.withColumn("natural_share",
-          col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"))
+      // Attach the corpus total as a broadcast 1-row crossJoin rather than an
+      // empty-partition Window: same 5-row result, but no "Moving all data to
+      // a single partition" warning polluting the bench stdout tail.
+      counts.crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("total_docs"))))
+        .withColumn("natural_share",
+          col("n_docs").cast("double") / col("total_docs").cast("double"))
         .withColumn("temp_weight", sqrt(col("natural_share")))
         .withColumn("boost", col("temp_weight") / col("natural_share"))
         .select(col("lang"), col("n_docs"), col("natural_share"),
@@ -552,30 +554,7 @@ object TextQueries {
     // 1-row aggregate counts the cumulative survivors, and stack() unpivots
     // the funnel — per-rule counts never re-scan the corpus.
     "q106_quality_funnel" -> { (s, dir) =>
-      val flags = t(s, dir, "documents")
-        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
-        .withColumn("n_tokens", tokenCount(col("text")))
-        .withColumn("avg_len", length(col("text")).cast("double") / col("n_tokens"))
-        .withColumn("stop_hits",
-          occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
-        .withColumn("f1", col("n_tokens") >= 25)
-        .withColumn("f2", col("f1") && col("avg_len").between(4.0, 5.8))
-        .withColumn("f3", col("f2") && (col("stop_hits") >= 2))
-        .withColumn("f4", col("f3") && (dupTrigramFraction("text") < 0.05))
-      flags.agg(
-          count(lit(1)).as("n0"),
-          sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
-          sum(when(col("f2"), 1L).otherwise(0L)).as("s2"),
-          sum(when(col("f3"), 1L).otherwise(0L)).as("s3"),
-          sum(when(col("f4"), 1L).otherwise(0L)).as("s4"))
-        .selectExpr(
-          """stack(4,
-            |  1, 'min_tokens',    n0 - s1, s1,
-            |  2, 'avg_token_len', s1 - s2, s2,
-            |  3, 'stopwords',     s2 - s3, s3,
-            |  4, 'repetition',    s3 - s4, s4
-            |) AS (stage, rule, n_fail, n_surviving)""".stripMargin)
-        .orderBy(col("stage"))
+      graft.operators.TextAnalysis.qualityFunnel(t(s, dir, "documents"), "text")
     })
 
   private val padded = "(' ' || text || ' ')"

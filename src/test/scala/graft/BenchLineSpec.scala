@@ -5,10 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The round driver stores only a ~2000-character stdout TAIL of the bench
   * run (sbt's trailing "[success] Total time: …" line eats ~80 of them) and
   * parses the JSON line out of it. Rounds 2-6 recorded `parsed: null`
-  * because the line outgrew that window. `Bench.stdoutLine` degrades
-  * median precision until the line fits; this spec drives that mechanism
-  * with the REAL query roster at pessimistic widths so growth in the suite
-  * fails the build before the round artifact silently degrades again.
+  * because the line outgrew that window; round 7's full-roster line fit at
+  * 1815 chars but the captured tail already showed its FRONT clipped into a
+  * stray warning. `Bench.stdoutLine` now emits headline + slowest-N medians
+  * only, bounded at `MaxLineLength` (half the window) for ANY roster size or
+  * failure count. This spec drives the mechanism with the real roster plus
+  * pathological inputs so suite growth can never regress the artifact.
   */
 class BenchLineSpec extends AnyFunSuite {
 
@@ -20,24 +22,41 @@ class BenchLineSpec extends AnyFunSuite {
       """"csv_transfer_rows_per_sec":9999999,"throttled_count":99,""" +
       """"cpu_total_secs":99999.999,"calib_median":9.999"""
 
-  test("stdout line fits the tail window even with every query slow") {
-    // every median at 99.999 s — an absurdly slow suite must still produce
-    // a parseable artifact (precision degrades, parseability never)
+  test("stdout line stays under the budget with every query slow") {
     val line = Bench.stdoutLine(names.map(_ -> 99.999), Nil, headline,
       "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineLength,
-      s"line ${line.length} chars — the precision ladder can no longer " +
-        "absorb the roster; move more fields to BENCH_DETAIL.json")
-    // and it is real JSON with every query present
+      s"line ${line.length} chars > ${Bench.MaxLineLength} — the slowest-N " +
+        "ladder is broken; the artifact would risk the parsed:null mode again")
     assert(line.startsWith("{") && line.endsWith("}"))
-    assert(Bench.shortKeys(names).values.forall(k => line.contains("\"" + k + "\"")))
+    // headline + suite size survive; the full map does NOT ride the line
+    assert(line.contains(""""metric":"total""""))
+    assert(line.contains(s""""queries_total":${names.size}"""))
   }
 
-  test("typical medians keep full 3-decimal precision") {
-    val line = Bench.stdoutLine(names.map(_ -> 0.123), Nil, headline,
-      "/root/testdata/sf0.1")
-    assert(line.contains(":0.123"), "3-decimal precision lost on a normal run")
-    assert(line.length <= Bench.MaxLineLength)
+  test("budget is half the driver tail window") {
+    // the window is ~2000 chars and r7 proved that filling it clips the
+    // front; the budget must leave generous headroom for stray warnings
+    assert(Bench.MaxLineLength <= 1000)
+  }
+
+  test("line carries the slowest medians, not the first alphabetically") {
+    val medians = names.zipWithIndex.map { case (n, i) => n -> (i + 1) * 0.01 }
+    val line = Bench.stdoutLine(medians, Nil, headline, "sf")
+    val slowest = medians.sortBy(-_._2).take(3).map(_._1)
+    val keys = Bench.shortKeys(names)
+    slowest.foreach { n =>
+      assert(line.contains("\"" + keys(n) + "\":"),
+        s"slowest query $n missing from the stdout line")
+    }
+  }
+
+  test("line is bounded even when every query errors with a long name") {
+    val longNames = (1 to 300).map(i => f"q$i%03d_exhaustively_described_failure_mode_name")
+    val line = Bench.stdoutLine(Nil, longNames, headline, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.MaxLineLength,
+      "last rung must truncate the error list — a mass failure must still parse")
+    assert(line.contains(""""errors_total":300"""))
   }
 
   test("short keys never merge two queries") {

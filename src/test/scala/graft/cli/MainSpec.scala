@@ -319,6 +319,50 @@ class MainSpec extends SparkSpec {
     assert(byLang("en") === byLang.values.max, byLang.toString)
   }
 
+  test("corpus-report emits all six census sections from one cached corpus scan") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // scan counter: parquet relations left in a frame's OPTIMIZED plan —
+    // after cache substitution, so a section served from the shared cache
+    // counts zero while a standalone census counts its own corpus scan.
+    // Plan-level counting is deterministic where a listener on the async
+    // execution bus is racy, and AQE cannot hide logical-plan leaves.
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case r: LogicalRelation => r
+      }.size
+    val censusQueries = Seq("q106_quality_funnel", "q109_source_overlap",
+      "q111_source_kl", "q115_vocab_coverage", "q117_padding_waste",
+      "q123_token_fertility")
+    // standalone verbs first — measured BEFORE the report's cache exists,
+    // or Spark's cache manager would substitute it into these plans too
+    val separateScans = censusQueries
+      .map(n => scanCount(graft.SparkEntry.queries(n)(spark, sfDir))).sum
+    assert(separateScans >= 6, s"expected >=1 corpus scan per census, got $separateScans")
+    val scope = new graft.operators.CacheScope
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sections = graft.operators.CorpusReport.sections(docs, scope)
+      assert(sections.map(_._1) === Seq("quality_funnel", "source_overlap",
+        "source_kl", "vocab_coverage", "padding_waste", "token_fertility"))
+      val chainedScans = sections.map(s => scanCount(s._2)).sum
+      assert(chainedScans < separateScans,
+        s"report sections hit $chainedScans corpus scans vs $separateScans separate")
+      // and the sections agree with their oracle-checked twins
+      val vocabRows = sections.toMap.apply("vocab_coverage").collect()
+      val q115Rows = graft.SparkEntry.queries("q115_vocab_coverage")(spark, sfDir).collect()
+      assert(vocabRows.map(_.toString).sorted.toSeq ===
+        q115Rows.map(_.toString).sorted.toSeq)
+    } finally scope.release()
+    // the CLI verb: one JSON document, every section present and populated
+    val (code, out) = runCli("corpus-report", "--source", sfDir)
+    assert(code === 0, out)
+    val json = out.last
+    Seq("quality_funnel", "source_overlap", "source_kl", "vocab_coverage",
+      "padding_waste", "token_fertility").foreach { s =>
+      assert(json.contains("\"" + s + "\":[{"), s"section $s missing or empty: $json")
+    }
+  }
+
   test("decontaminate verb drops training docs overlapping the eval set; bloom matches exact") {
     import org.apache.spark.sql.functions.col
     val evalDir = Files.createTempDirectory("decon_eval").toString

@@ -313,6 +313,14 @@ class SnowflakeDialectSpec extends AnyFunSuite {
       "SELECT SORT_ARRAY(COLLECT_LIST(x), false) FROM t")
     assert(tr("SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY x ASC) FROM t") ===
       "SELECT SORT_ARRAY(COLLECT_SET(x)) FROM t")
+    // DISTINCT separated by any whitespace, any case — a tab/newline or
+    // doubled space must not leave the keyword embedded in the expression
+    assert(tr("SELECT ARRAY_AGG(DISTINCT\tx) FROM t GROUP BY g") ===
+      "SELECT COLLECT_SET(x) FROM t GROUP BY g")
+    assert(tr("SELECT ARRAY_AGG(distinct  x) WITHIN GROUP (ORDER BY x) FROM t") ===
+      "SELECT SORT_ARRAY(COLLECT_SET(x)) FROM t")
+    assert(tr("SELECT ARRAY_AGG(DISTINCT\nx) FROM t GROUP BY g") ===
+      "SELECT COLLECT_SET(x) FROM t GROUP BY g")
     // bare form: unordered collect
     assert(tr("SELECT ARRAY_AGG(x) FROM t GROUP BY g") ===
       "SELECT COLLECT_LIST(x) FROM t GROUP BY g")

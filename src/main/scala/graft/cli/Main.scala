@@ -457,6 +457,17 @@ object Main {
                 df.drop(textCol).join(
                   clean.select(col(idCol), col("clean_text").as(textCol)),
                   Seq(idCol), "inner")
+              case "substring" =>
+                // Lee et al. exact-substring pass: every document survives,
+                // repeated >=K-token spans removed (first occurrence wins)
+                val kTok = opts.getOrElse("ngram", "8").toInt
+                val acct = graft.operators.SubstringDedup.killSpans(df, idCol, textCol, kTok)
+                  .agg(org.apache.spark.sql.functions.sum("removed_tokens"),
+                    org.apache.spark.sql.functions.count(col(idCol))).head
+                if (!acct.isNullAt(0))
+                  out(s"$table: substring dedup removed ${acct.getLong(0)} tokens " +
+                    s"across ${acct.getLong(1)} documents")
+                graft.operators.SubstringDedup.rewrite(df, idCol, textCol, kTok)
               case "incremental" =>
                 // rolling ingestion: drop incoming docs that near-dup the
                 // standing corpus (--existing) or an earlier batch mate;
@@ -749,8 +760,11 @@ object Main {
       |              [--dsir LANG]  (DSIR importance-weight distribution
       |               against the LANG target slice)
       |  dedup       --source DIR --target DIR [--table T]
-      |              [--method exact|minhash|lines|incremental] [--id COL]
+      |              [--method exact|minhash|lines|substring|incremental]
+      |              [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]
+      |              [--ngram K]  (substring: remove repeated >=K-token
+      |               spans in place, first occurrence wins)
       |              [--existing DIR]  (incremental: drop incoming docs
       |               near-duplicating the standing corpus at DIR or an
       |               earlier doc of their own batch)

@@ -39,13 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Per-document kill-span accounting for `k`-token exact-substring dedup:
-    * (idCol, total_tokens, removed_tokens, kept_tokens), documents with no
-    * kill span omitted. Token positions are 1-based; a kill interval is
-    * [pos, pos+k). `removed_tokens` is the merged-union length of all kill
-    * intervals, i.e. exactly how many tokens a rewrite pass would drop. */
-  def killSpans(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 8): DataFrame = {
+  /** The kill intervals themselves: one `(idCol, start, end)` row per
+    * duplicated window, [start, end) over 1-based token positions —
+    * shared by the accounting ([[killSpans]]) and the rewrite
+    * ([[rewrite]]) paths. */
+  private def spanFrames(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"window of $k tokens is not a substring test")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("ts"))
     // sequence(1, n-k+1) would DESCEND for n < k (Spark generates backward
@@ -61,6 +60,17 @@ object SubstringDedup {
     val spans = wins.join(firsts, Seq("gram"))
       .filter(!(col(idCol) === col("first.id") && col("pos") === col("first.p")))
       .select(col(idCol), col("pos").as("start"), (col("pos") + k).as("end"))
+    (toks, spans)
+  }
+
+  /** Per-document kill-span accounting for `k`-token exact-substring dedup:
+    * (idCol, total_tokens, removed_tokens, kept_tokens), documents with no
+    * kill span omitted. Token positions are 1-based; a kill interval is
+    * [pos, pos+k). `removed_tokens` is the merged-union length of all kill
+    * intervals, i.e. exactly how many tokens a rewrite pass would drop. */
+  def killSpans(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8): DataFrame = {
+    val (toks, spans) = spanFrames(df, idCol, textCol, k)
     val prev = Window.partitionBy(col(idCol)).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val removed = spans
@@ -73,5 +83,36 @@ object SubstringDedup {
       .join(removed, Seq(idCol))
       .select(col(idCol), col("total_tokens"), col("removed_tokens"),
         (col("total_tokens") - col("removed_tokens")).as("kept_tokens"))
+  }
+
+  /** The rewrite pass: every document survives with its killed spans
+    * REMOVED — `(idCol, clean_text)`, the actual Lee-et-al. dedup output a
+    * training pipeline feeds the tokenizer. Every doc appears (untouched
+    * docs keep their text verbatim).
+    *
+    * Shape: the bounded per-doc span list rides a `collect_list` group
+    * (same reassembly discipline as [[LineDedup]] — a doc has fewer spans
+    * than tokens), then token filtering is per-row array arithmetic
+    * (`transform` + `filter` + `exists`), no second shuffle. The per-token
+    * span probe is O(tokens · spans) within one document — bounded by
+    * document length squared in the worst case, and the spans of real
+    * boilerplate overlap so heavily that the merged count stays tiny. */
+  def rewrite(df: DataFrame, idCol: String, textCol: String,
+              k: Int = 8): DataFrame = {
+    val (_, spans) = spanFrames(df, idCol, textCol, k)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start"), col("end"))).as("__spans"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("__clean",
+        when(col("__spans").isNull, col(textCol)).otherwise(expr(
+          s"""concat_ws(' ', transform(
+             |  filter(
+             |    transform(split($textCol, ' '),
+             |      (t, i) -> named_struct('t', t, 'p', i + 1)),
+             |    s -> NOT exists(__spans,
+             |      sp -> s.p >= sp.start AND s.p < sp.end)),
+             |  s -> s.t))""".stripMargin)))
+      .drop("__spans").drop(textCol)
+      .withColumnRenamed("__clean", textCol)
   }
 }

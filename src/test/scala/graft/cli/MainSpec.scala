@@ -464,6 +464,24 @@ class MainSpec extends SparkSpec {
     assert(lenAfter < lenBefore)
   }
 
+  test("dedup --method substring removes repeated spans in place, keeping every doc") {
+    val dst = Files.createTempDirectory("clisubstring").toString
+    val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--method", "substring")
+    assert(code === 0, out)
+    assert(out.exists(_.matches(
+      "documents: substring dedup removed \\d+ tokens across \\d+ documents")), out)
+    val before = spark.read.parquet(s"$sfDir/documents.parquet")
+    val after = spark.read.parquet(s"$dst/documents.parquet")
+    assert(after.count() === before.count()) // rewrite pass, not a row filter
+    assert(after.columns.sorted === before.columns.sorted)
+    // the fixture has cross-doc repeated 8-grams, so total text shrank
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val lenBefore = before.agg(sum(length(col("text")))).head.getLong(0)
+    val lenAfter = after.agg(sum(length(col("text")))).head.getLong(0)
+    assert(lenAfter < lenBefore)
+  }
+
   test("dedup verb releases its pipeline caches (empty cache manager after the run)") {
     // round-5 verdict: minhashNearDups/lshCandidatePairs cached signatures
     // and bucket frames for the session lifetime — repeated CLI invocations

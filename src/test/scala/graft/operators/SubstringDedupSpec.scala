@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{size, split}
 
 class SubstringDedupSpec extends SparkSpec {
 
@@ -51,6 +52,40 @@ class SubstringDedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val rows = SubstringDedup.killSpans(docs, "doc_id", "text", k = 8).collect()
     assert(rows.isEmpty)
+  }
+
+  test("rewrite removes killed spans in place and keeps every document") {
+    val docs = Seq(
+      (1L, s"$phrase unique1 unique2 unique3"),
+      (2L, s"lead1 lead2 $phrase tail1 tail2")
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.rewrite(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect()
+    // doc 1 is the first occurrence — verbatim; doc 2 loses exactly the
+    // 12 phrase tokens its killSpans accounting reported
+    assert(out.length === 2)
+    assert(out(0)._2 === s"$phrase unique1 unique2 unique3")
+    assert(out(1)._2 === "lead1 lead2 tail1 tail2")
+  }
+
+  test("rewrite and killSpans agree on the removed-token count") {
+    val eight = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$eight $eight $eight"),
+      (2L, s"pre1 pre2 pre3 $eight post1")
+    ).toDF("doc_id", "text")
+    val acct = SubstringDedup.killSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val clean = SubstringDedup.rewrite(docs, "doc_id", "text", k = 8)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val orig = docs
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    orig.foreach { case (id, n) =>
+      assert(n - clean(id) === acct.getOrElse(id, 0L).toInt,
+        s"doc $id: rewrite dropped ${n - clean(id)} tokens, accounting says ${acct.get(id)}")
+    }
   }
 
   test("normalizeKey collapses case and whitespace drift, trims ends") {

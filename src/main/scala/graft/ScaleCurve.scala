@@ -174,6 +174,15 @@ object ScaleCurve {
       // density stays constant as the corpus grows
       "q126_substring_dedup" -> { docs =>
         graft.operators.SubstringDedup.killSpans(docs, "doc_id", "text", k = 8)
+      },
+      // round 8: per-character explode with a charset²-bounded aggregate —
+      // wall should track the scan, not the key space
+      "q129_bpe_pair_census" -> { docs =>
+        graft.operators.TextAnalysis.bpePairCensus(docs, "text", topN = 30)
+      },
+      // round 8: vocabulary-bounded count shuffles + broadcast totals
+      "q131_pmi_collocations" -> { docs =>
+        graft.operators.TextAnalysis.pmiCollocations(docs, "text")
       })
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,

@@ -118,6 +118,31 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  /** ANN recall audit: for each query, the fraction of its exact cosine
+    * top-`k` neighbors ([[bruteForceTopK]] ground truth) that the
+    * `bits`-bit LSH bucketing would surface as candidates (same bucket as
+    * the query). The go/no-go evaluation every pipeline runs before
+    * trusting an approximate index — recall too low means more bands /
+    * fewer bits, not a bigger corpus scan.
+    *
+    * Scale shape: ground truth is |queries|·k rows and rides the join
+    * broadcast; the bucket table is corpus-sized but joined only on ids
+    * present in the truth set, so the output stays |queries| rows. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                bits: Int = 16): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val truth = bruteForceTopK(corpus, queries, k).select(col("qid"), col("cid"))
+    val buckets = corpus.select(col("vec_id"), lshSignature("embedding", bits).as("bucket"))
+    truth
+      .join(buckets.select(col("vec_id").as("qid"), col("bucket").as("q_bucket")), Seq("qid"))
+      .join(buckets.select(col("vec_id").as("cid"), col("bucket").as("c_bucket")), Seq("cid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("q_bucket") === col("c_bucket"), 1L).otherwise(0L)).as("n_candidates"))
+      .withColumn("recall_at_k",
+        col("n_candidates").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** Default embedding dimensionality of the fixtures; hyperplanes are
     * materialized at this width (extra dims would need a wider table). */
   val LshDims = 64

@@ -559,4 +559,122 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lr")).cast("double").as("log_weight"))
   }
+
+  /** BPE first-merge census: the frequency table of adjacent character
+    * pairs inside whitespace tokens — exactly the statistic byte-pair
+    * encoding training computes before its first merge (Sennrich et al.
+    * 2016; PAPERS.md). Returns the `topN` most frequent pairs with their
+    * occurrence count and the number of distinct words containing them.
+    *
+    * Scale shape: the explode is one row per character of the corpus (the
+    * q107-census class), but the aggregate key space is bounded by the
+    * charset squared, so the (pair, word) pre-aggregate combines map-side
+    * and the final top-N plans as a TakeOrdered heap — no corpus-sized
+    * shuffle ever forms.
+    *
+    * Reference scope: extension surface beyond reference parity (tokenizer
+    * design family of SURVEY §7 step 8). */
+  def bpePairCensus(docs: DataFrame, textCol: String = "text",
+                    topN: Int = 30): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("w")).as("n_distinct_words"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Zipf rank-frequency fit per group: word frequencies ranked count-desc
+    * (word-asc tie-break), least-squares slope/intercept of ln(freq) over
+    * ln(rank) across the top `topN` ranks. The slope is the corpus-health
+    * statistic every corpus report quotes (natural text ≈ -1; templated or
+    * boilerplate-heavy sources flatten it).
+    *
+    * Determinism: each ln is rounded to DECIMAL(30,9) and returned to
+    * double, per-point products are single IEEE multiplies of those
+    * identical doubles re-rounded to DECIMAL(30,12), sums are exact
+    * decimal, and the closed-form slope is the same scalar double
+    * expression in both engines — the [[graft.queries.Q]] discipline.
+    *
+    * Scale shape: one word-keyed count shuffle (map-side combined), a
+    * per-group top-`topN` window over the vocabulary table (bounded by
+    * distinct words, sublinear in corpus), then a #groups-row aggregate. */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String = "text",
+                topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val freq = docs
+      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("grp"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val pts = freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("f").desc, col("w"))))
+      .filter(col("rank") <= topN)
+      .select(col("grp"),
+        log(col("rank").cast("double")).cast(DecimalType(30, 9)).cast("double").as("x"),
+        log(col("f").cast("double")).cast(DecimalType(30, 9)).cast("double").as("y"))
+    pts.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(DecimalType(30, 9))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(30, 9))).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(30, 12))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 12))).cast("double").as("sxx"))
+      .select(col("grp"),
+        col("n").cast("long").as("n_ranks"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n")).as("intercept"))
+  }
+
+  /** PMI collocation mining: pointwise mutual information of adjacent word
+    * pairs — ln(P(ab) / (P(a)·P(b))) over corpus bigram/unigram counts —
+    * for pairs seen at least `minCount` times; top `topN` by PMI. The
+    * phrase-detection statistic a tokenizer-vocabulary or quality pass
+    * runs to find multiword units worth fusing.
+    *
+    * Determinism: PMI's argument is a scalar double expression over exact
+    * integer counts (identical in both engines); the single ln rounds to
+    * DECIMAL(30,6) — coarse enough to absorb a last-ulp libm divergence —
+    * before ordering, with a (w1, w2) tie-break.
+    *
+    * Scale shape: bigram and unigram count shuffles both combine map-side
+    * and are bounded by vocabulary, not corpus; totals ride as 1-row
+    * broadcasts; the `minCount` filter prunes the tail before the joins;
+    * top-N plans as a TakeOrdered heap. */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+                      minCount: Long = 5, topN: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = split(col(textCol), " ")
+    val bg = docs.filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val uni = docs.select(explode(t).as("w")).groupBy(col("w"))
+      .agg(count(lit(1)).as("c_w"))
+    val totals = c2.agg(sum(col("c_ab")).as("n2"))
+      .crossJoin(uni.agg(sum(col("c_w")).as("n1")))
+    c2.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log((col("c_ab").cast("double") / col("n2").cast("double")) /
+            ((col("c_a").cast("double") / col("n1").cast("double")) *
+             (col("c_b").cast("double") / col("n1").cast("double"))))
+          .cast(DecimalType(30, 6)).cast("double"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

@@ -318,6 +318,15 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // ANN recall audit: fraction of the exact top-5 (q27's ground truth)
+    // that q28's 16-bit LSH bucketing surfaces as candidates — the eval a
+    // pipeline runs before trusting the approximate index at scale.
+    "q128_ann_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.annRecall(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"))
+    },
+
     // LSH-bucketed near-neighbor pairs (the scale path): md5-derived
     // deterministic hyperplanes, fully oracle-replayable.
     "q28_ann_lsh" -> { (s, dir) =>
@@ -1133,5 +1142,32 @@ object DedupQueries {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
          |  FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin)
+         |ORDER BY qid, rank""".stripMargin,
+
+    // q27's exact-top-5 CTEs + q28's bucket CTE composed into the recall
+    // audit; SUM(CASE ...) is HUGEINT in DuckDB, hence the BIGINT cast.
+    "q128_ann_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |truth AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |    FROM scored) WHERE rank <= 5),
+         |bk AS (
+         |  SELECT e.vec_id, CAST(${Similarity.lshBucketSql("e.embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings e)
+         |SELECT t.qid, COUNT(*) AS n_truth,
+         |  CAST(SUM(CASE WHEN q.bucket = c.bucket THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_candidates,
+         |  CAST(SUM(CASE WHEN q.bucket = c.bucket THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+         |FROM truth t
+         |JOIN bk q ON q.vec_id = t.qid
+         |JOIN bk c ON c.vec_id = t.cid
+         |GROUP BY 1 ORDER BY qid""".stripMargin)
 }

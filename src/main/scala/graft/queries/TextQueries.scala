@@ -329,6 +329,29 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // BPE first-merge census: adjacent character-pair frequencies inside
+    // words — the statistic tokenizer training computes before its first
+    // merge. Charset²-bounded key space; top-N plans as a heap.
+    "q129_bpe_pair_census" -> { (s, dir) =>
+      graft.operators.TextAnalysis.bpePairCensus(t(s, dir, "documents"), "text", topN = 30)
+    },
+
+    // Zipf rank-frequency slope per language — the corpus-health number
+    // (natural text ≈ -1; templated sources flatten it). Least squares on
+    // decimal-rounded ln(rank)/ln(freq) over the top-200 ranks.
+    "q130_zipf_slope" -> { (s, dir) =>
+      graft.operators.TextAnalysis.zipfSlope(t(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"))
+    },
+
+    // PMI collocations: top adjacent word pairs by pointwise mutual
+    // information (min count 5) — the phrase-mining pass a tokenizer
+    // vocabulary or n-gram quality audit runs.
+    "q131_pmi_collocations" -> { (s, dir) =>
+      graft.operators.TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text")
+    },
+
     // Tokenizer fertility — the cross-lingual fairness metric: subword
     // (BPE-ish) tokens per whitespace word and chars per subword token,
     // per language. A tokenizer that spends 3× the tokens per word on one
@@ -1089,5 +1112,73 @@ object TextQueries {
          |UNION ALL SELECT 2, 'avg_token_len', s1 - s2, s2 FROM a
          |UNION ALL SELECT 3, 'stopwords', s2 - s3, s3 FROM a
          |UNION ALL SELECT 4, 'repetition', s3 - s4, s4 FROM a
-         |ORDER BY stage""".stripMargin)
+         |ORDER BY stage""".stripMargin,
+
+    // DuckDB range(1, n) yields 1..n-1, matching the Spark side's
+    // sequence(1, length(w)-1) adjacent-pair positions.
+    "q129_bpe_pair_census" ->
+      """WITH w AS (
+        |  SELECT t.w FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+        |  WHERE length(t.w) >= 2),
+        |p AS (
+        |  SELECT w, substr(w, CAST(i.i AS INT), 2) AS pair
+        |  FROM w, UNNEST(range(1, length(w))) AS i(i))
+        |SELECT pair, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT w) AS n_distinct_words
+        |FROM p GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
+
+    // Same decimal-rounded ln / exact-sum / closed-form-double discipline
+    // as the Spark side; the slope expression tree is written identically.
+    "q130_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT lang AS grp, t.w AS w, COUNT(*) AS f
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+        |  WHERE length(t.w) > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, f,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY f DESC, w) AS rank
+        |  FROM f),
+        |p AS (
+        |  SELECT grp,
+        |    CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(30,9)) AS DOUBLE) AS x,
+        |    CAST(CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(30,9)) AS DOUBLE) AS y
+        |  FROM r WHERE rank <= 200),
+        |s AS (
+        |  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+        |  FROM p GROUP BY 1)
+        |SELECT grp AS lang, CAST(n AS BIGINT) AS n_ranks,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        |FROM s ORDER BY lang""".stripMargin,
+
+    // PMI argument is a scalar double over exact integer counts; the lone
+    // ln rounds to DECIMAL(30,6) before ordering (w1, w2 tie-break).
+    "q131_pmi_collocations" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 1, 0))) AS i(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT u.w AS w, COUNT(*) AS c_w
+        |  FROM tk, UNNEST(t) AS u(w) GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM c2) AS n2,
+        |         (SELECT CAST(SUM(c_w) AS BIGINT) FROM uni) AS n1)
+        |SELECT c2.w1, c2.w2, c2.c_ab,
+        |  CAST(CAST(ln((CAST(c_ab AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    ((CAST(a.c_w AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+        |     (CAST(b.c_w AS DOUBLE) / CAST(n1 AS DOUBLE))))
+        |    AS DECIMAL(30,6)) AS DOUBLE) AS pmi
+        |FROM c2
+        |JOIN uni a ON a.w = c2.w1
+        |JOIN uni b ON b.w = c2.w2
+        |CROSS JOIN tot
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin)
 }

@@ -392,11 +392,11 @@ object Main {
           0
         case "corpus-report" =>
           // the reference's `discover` report analogue for the text
-          // pipeline: one command, one JSON document with all six census
-          // sections (quality funnel, source overlap, KL, vocab/OOV,
-          // padding, fertility), built over ONE cached corpus scan and ONE
-          // cached unigram explode (CorpusReport) instead of six separate
-          // corpus scans.
+          // pipeline: one command, one JSON document with every census
+          // section (quality funnel, source overlap, KL, vocab/OOV,
+          // padding, fertility, Zipf slope), built over ONE cached corpus
+          // scan and ONE cached unigram explode (CorpusReport) instead of
+          // seven separate corpus scans.
           val src = req("source")
           val table = opts.getOrElse("table", "documents")
           val scope = new graft.operators.CacheScope
@@ -776,9 +776,10 @@ object Main {
       |              [--vec-col COL] [--threshold X]  (semantic: drop docs
       |               whose embedding cosine vs any eval row >= X)
       |  corpus-report --source DIR [--table T] [--output FILE]
-      |              (all six census sections — quality funnel, source
-      |               overlap, KL, vocab/OOV, padding, fertility — as one
-      |               JSON over one cached corpus scan + one token explode)
+      |              (all census sections — quality funnel, source
+      |               overlap, KL, vocab/OOV, padding, fertility, Zipf
+      |               slope — as one JSON over one cached corpus scan +
+      |               one token explode)
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
       |              [--constraints-jdbc URL] [--constraints-schema NAME]

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** The text-pipeline analogue of the reference's `discover` report
   * (sf_migrate.py's per-schema discovery summary): ONE verb that emits the
   * whole corpus health report — quality funnel, cross-source n-gram
-  * overlap, per-source KL, vocabulary/OOV coverage, padding waste and
-  * tokenizer fertility — as a single JSON document.
+  * overlap, per-source KL, vocabulary/OOV coverage, padding waste,
+  * tokenizer fertility and the Zipf rank-frequency slope — as a single
+  * JSON document.
   *
   * The point of chaining (vs running the six census verbs separately) is
   * scan reuse: run independently, each census starts with its own parquet
@@ -26,10 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusReport {
 
-  /** The six report sections, in publication order, built over one cached
-    * corpus and one cached unigram explode registered in `scope`. Every
-    * section output is a bounded aggregate (stages, source pairs, sources,
-    * langs, log2 buckets) — safe to collect. */
+  /** The report sections, in publication order, built over one cached
+    * corpus and one cached unigram explode registered in `scope` (the KL,
+    * vocab/OOV and Zipf censuses all aggregate from that one token
+    * stream). Every section output is a bounded aggregate (stages, source
+    * pairs, sources, langs, log2 buckets, top ranks) — safe to collect. */
   def sections(docs: DataFrame, scope: CacheScope,
                langCol: String = "lang", sourceCol: String = "source",
                textCol: String = "text", topV: Int = 500,
@@ -45,7 +47,10 @@ object CorpusReport {
       "vocab_coverage" -> TextAnalysis.vocabCoverageFromTokens(
         tokens.select(col(langCol).as("grp"), col("w")), langCol, topV),
       "padding_waste" -> TextAnalysis.paddingWaste(d, textCol),
-      "token_fertility" -> TextAnalysis.tokenFertility(d, langCol, textCol))
+      "token_fertility" -> TextAnalysis.tokenFertility(d, langCol, textCol),
+      "zipf_slope" -> TextAnalysis.zipfSlopeFromTokens(
+        tokens.select(col(langCol).as("grp"), col("w")))
+        .withColumnRenamed("grp", langCol).orderBy(col(langCol)))
   }
 
   /** Render the report as one JSON object `{section: [row, ...], ...}` —

@@ -605,11 +605,18 @@ object TextAnalysis {
     * per-group top-`topN` window over the vocabulary table (bounded by
     * distinct words, sublinear in corpus), then a #groups-row aggregate. */
   def zipfSlope(docs: DataFrame, groupCol: String, textCol: String = "text",
-                topN: Int = 200): DataFrame = {
+                topN: Int = 200): DataFrame =
+    zipfSlopeFromTokens(
+      docs.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("w")), topN)
+
+  /** [[zipfSlope]] over a pre-exploded `(grp, w)` token stream — the
+    * corpus-report chaining hook (shares one cached explode with the other
+    * unigram censuses). */
+  def zipfSlopeFromTokens(toks: DataFrame, topN: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val freq = docs
-      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ")).as("w"))
+    val freq = toks
       .filter(length(col("w")) > 0)
       .groupBy(col("grp"), col("w"))
       .agg(count(lit(1)).as("f"))

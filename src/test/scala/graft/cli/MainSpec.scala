@@ -319,7 +319,7 @@ class MainSpec extends SparkSpec {
     assert(byLang("en") === byLang.values.max, byLang.toString)
   }
 
-  test("corpus-report emits all six census sections from one cached corpus scan") {
+  test("corpus-report emits every census section from one cached corpus scan") {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     // scan counter: parquet relations left in a frame's OPTIMIZED plan —
     // after cache substitution, so a section served from the shared cache
@@ -332,18 +332,19 @@ class MainSpec extends SparkSpec {
       }.size
     val censusQueries = Seq("q106_quality_funnel", "q109_source_overlap",
       "q111_source_kl", "q115_vocab_coverage", "q117_padding_waste",
-      "q123_token_fertility")
+      "q123_token_fertility", "q130_zipf_slope")
     // standalone verbs first — measured BEFORE the report's cache exists,
     // or Spark's cache manager would substitute it into these plans too
     val separateScans = censusQueries
       .map(n => scanCount(graft.SparkEntry.queries(n)(spark, sfDir))).sum
-    assert(separateScans >= 6, s"expected >=1 corpus scan per census, got $separateScans")
+    assert(separateScans >= 7, s"expected >=1 corpus scan per census, got $separateScans")
     val scope = new graft.operators.CacheScope
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val sections = graft.operators.CorpusReport.sections(docs, scope)
       assert(sections.map(_._1) === Seq("quality_funnel", "source_overlap",
-        "source_kl", "vocab_coverage", "padding_waste", "token_fertility"))
+        "source_kl", "vocab_coverage", "padding_waste", "token_fertility",
+        "zipf_slope"))
       val chainedScans = sections.map(s => scanCount(s._2)).sum
       assert(chainedScans < separateScans,
         s"report sections hit $chainedScans corpus scans vs $separateScans separate")
@@ -358,7 +359,7 @@ class MainSpec extends SparkSpec {
     assert(code === 0, out)
     val json = out.last
     Seq("quality_funnel", "source_overlap", "source_kl", "vocab_coverage",
-      "padding_waste", "token_fertility").foreach { s =>
+      "padding_waste", "token_fertility", "zipf_slope").foreach { s =>
       assert(json.contains("\"" + s + "\":[{"), s"section $s missing or empty: $json")
     }
   }

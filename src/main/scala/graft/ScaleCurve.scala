@@ -183,6 +183,12 @@ object ScaleCurve {
       // round 8: vocabulary-bounded count shuffles + broadcast totals
       "q131_pmi_collocations" -> { docs =>
         graft.operators.TextAnalysis.pmiCollocations(docs, "text")
+      },
+      // round 8: ngram-keyed min-aggregate + same-key join-back — the
+      // novelty share must stay flat as copies multiply, not the runtime
+      "q132_novelty_census" -> { docs =>
+        graft.operators.TextAnalysis.noveltyCensus(docs, "doc_id", "text",
+          "source", k = 8)
       })
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,

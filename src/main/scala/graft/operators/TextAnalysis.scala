@@ -642,6 +642,34 @@ object TextAnalysis {
           col("n")).as("intercept"))
   }
 
+  /** Corpus novelty census: for each source, the share of its documents'
+    * distinct word k-grams that are FIRST seen in that document (first
+    * carrier = min doc id over the corpus). The data-ordering /
+    * source-value statistic: a source whose novelty share is near zero
+    * adds almost nothing the corpus doesn't already contain — the
+    * incremental-value number a curation pass uses to decide which crawls
+    * to keep ingesting.
+    *
+    * Scale shape: the first-carrier table is one `min` aggregate over the
+    * ngram-keyed shuffle (map-side combined — a doc's internal repeats are
+    * already collapsed by the per-doc distinct shingles), and the join
+    * back is on the same key, so the exchange is reused; the rollup is a
+    * #sources-row aggregate. The novelty ratio is one double division of
+    * exact longs — identical in both engines. */
+  def noveltyCensus(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, k: Int = 8): DataFrame = {
+    val g = docs.select(col(idCol), col(sourceCol).as("source"),
+      explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+    val first = g.groupBy(col("ngram")).agg(min(col(idCol)).as("first_id"))
+    g.join(first, Seq("ngram"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("total_ngrams"),
+        sum(when(col("first_id") === col(idCol), 1L).otherwise(0L)).as("novel_ngrams"))
+      .withColumn("novelty_share",
+        col("novel_ngrams").cast("double") / col("total_ngrams").cast("double"))
+  }
+
   /** PMI collocation mining: pointwise mutual information of adjacent word
     * pairs — ln(P(ab) / (P(a)·P(b))) over corpus bigram/unigram counts —
     * for pairs seen at least `minCount` times; top `topN` by PMI. The

@@ -352,6 +352,15 @@ object TextQueries {
       graft.operators.TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text")
     },
 
+    // Per-source novelty census: share of each source's distinct 8-grams
+    // first seen in that source's documents (first carrier = min doc_id)
+    // — the incremental-value number behind "keep ingesting this crawl?".
+    "q132_novelty_census" -> { (s, dir) =>
+      graft.operators.TextAnalysis.noveltyCensus(
+        t(s, dir, "documents"), "doc_id", "text", "source", k = 8)
+        .orderBy(col("source"))
+    },
+
     // Tokenizer fertility — the cross-lingual fairness metric: subword
     // (BPE-ish) tokens per whitespace word and chars per subword token,
     // per language. A tokenizer that spends 3× the tokens per word on one
@@ -1155,6 +1164,25 @@ object TextQueries {
         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
         |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
         |FROM s ORDER BY lang""".stripMargin,
+
+    // Same unrolled concat_ws shingle formation as q80/q96; SUM(CASE) is
+    // HUGEINT in DuckDB, hence the BIGINT cast.
+    "q132_novelty_census" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4],
+        |      t[i.i + 5], t[i.i + 6], t[i.i + 7], t[i.i + 8]) AS ngram
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS i(i)),
+        |f AS (SELECT ngram, MIN(doc_id) AS first_id FROM g GROUP BY 1)
+        |SELECT g.source, COUNT(DISTINCT g.doc_id) AS n_docs,
+        |  COUNT(*) AS total_ngrams,
+        |  CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_ngrams,
+        |  CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
+        |FROM g JOIN f USING (ngram)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // PMI argument is a scalar double over exact integer counts; the lone
     // ln rounds to DECIMAL(30,6) before ordering (w1, w2 tie-break).

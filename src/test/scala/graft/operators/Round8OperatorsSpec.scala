@@ -48,6 +48,24 @@ class Round8OperatorsSpec extends SparkSpec {
       s"'new york' should carry the top PMI: $out")
   }
 
+  test("noveltyCensus: a source repeating earlier content scores zero novelty") {
+    import spark.implicits._
+    // doc 1 (src_a) introduces everything; doc 2 (src_b) repeats doc 1
+    // verbatim; doc 3 (src_b) is entirely new → src_b novelty = new/(old+new)
+    val docs = Seq(
+      (1L, "src_a", "a b c d"),
+      (2L, "src_b", "a b c d"),
+      (3L, "src_b", "p q r s")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.noveltyCensus(docs, "doc_id", "text", "source", k = 3)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // k=3 over 4 tokens → 2 distinct shingles per doc
+    assert(out.toSeq === Seq(
+      ("src_a", 1L, 2L, 2L, 1.0),
+      ("src_b", 2L, 4L, 2L, 0.5)))
+  }
+
   test("annRecall: recall is 1 exactly for truth neighbors sharing the query's bucket") {
     val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.annRecall(e, e.filter(col("vec_id") < 10), k = 5)

@@ -649,6 +649,58 @@ object SnowflakeDialect {
           require(args.length == 1, s"NULLIFZERO expects 1 arg, got ${args.length}")
           out.append(s"NULLIF(${rewriteFunctionCalls(args.head.trim)}, 0)")
           i = close + 1
+        } else if (hasParen && upper == "ARRAY_CONTAINS") {
+          // Snowflake is ARRAY_CONTAINS(value, array); Spark is
+          // ARRAY_CONTAINS(array, value) — same name, swapped args: a
+          // pass-through would type-check against the wrong operands or
+          // silently return the wrong answer on two array columns.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 2, s"ARRAY_CONTAINS expects 2 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          out.append(s"ARRAY_CONTAINS(${t(1)}, ${t(0)})")
+          i = close + 1
+        } else if (hasParen && upper == "EQUAL_NULL") {
+          // EQUAL_NULL(a, b) → (a <=> b): Spark's null-safe equality is
+          // exactly Snowflake's NULL-is-a-value comparison.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 2, s"EQUAL_NULL expects 2 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          out.append(s"(${t(0)} <=> ${t(1)})")
+          i = close + 1
+        } else if (hasParen && (upper == "BOOLOR_AGG" || upper == "BOOLAND_AGG")) {
+          // BOOLOR_AGG/BOOLAND_AGG(e) → BOOL_OR/BOOL_AND(e) (Spark ≥3.0).
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"$upper expects 1 arg, got ${args.length}")
+          val fn = if (upper == "BOOLOR_AGG") "BOOL_OR" else "BOOL_AND"
+          out.append(s"$fn(${rewriteFunctionCalls(args.head.trim)})")
+          i = close + 1
+        } else if (hasParen && (upper == "DAYNAME" || upper == "MONTHNAME")) {
+          // Snowflake returns the ABBREVIATED English name ('Mon', 'Jan');
+          // DATE_FORMAT's EEE/MMM masks produce exactly those under the
+          // suite's root locale.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"$upper expects 1 arg, got ${args.length}")
+          val mask = if (upper == "DAYNAME") "EEE" else "MMM"
+          out.append(s"DATE_FORMAT(${rewriteFunctionCalls(args.head.trim)}, '$mask')")
+          i = close + 1
+        } else if (hasParen && upper == "SQUARE") {
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"SQUARE expects 1 arg, got ${args.length}")
+          out.append(s"POWER(${rewriteFunctionCalls(args.head.trim)}, 2)")
+          i = close + 1
+        } else if (hasParen && upper == "GET") {
+          // GET(array, i) is 0-based; Spark ELEMENT_AT is 1-based → +1.
+          // The object form GET(obj, 'key') belongs to the VARIANT path
+          // family (`:`/GET_JSON_OBJECT) — fail loudly rather than emit an
+          // array lookup against an object.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 2, s"GET expects 2 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          if (isStringLiteral(t(1)))
+            throw new IllegalArgumentException(
+              "unsupported GET(obj, 'key') — use the ':' VARIANT path syntax instead")
+          out.append(s"ELEMENT_AT(${t(0)}, (${t(1)}) + 1)")
+          i = close + 1
         } else if (hasParen && (upper == "TRY_TO_DATE" || upper == "TRY_TO_TIMESTAMP" ||
             upper == "TRY_TO_TIMESTAMP_NTZ")) {
           // TRY_TO_TIMESTAMP is native in Spark ≥3.5 (NULL on parse failure,

@@ -233,6 +233,32 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Round-8 scalar batch end-to-end through the translate path:
+    // DAYNAME/MONTHNAME (abbreviated masks), SQUARE, EQUAL_NULL (<=>),
+    // ARRAY_CONTAINS arg swap, 0-based GET → 1-based ELEMENT_AT, and the
+    // BOOLOR_AGG/BOOLAND_AGG renames.
+    "q133_dialect_misc" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """WITH base AS (
+          |  SELECT o_orderkey,
+          |         DAYNAME(TO_DATE(o_orderdate)) AS dow,
+          |         MONTHNAME(TO_DATE(o_orderdate)) AS mon,
+          |         SQUARE(MOD(o_custkey, 5) + 1) AS prio_sq,
+          |         EQUAL_NULL(o_orderstatus, 'O') AS is_open,
+          |         ARRAY_CONTAINS('1', SPLIT(o_orderpriority, '-')) AS has_1,
+          |         GET(SPLIT(o_orderpriority, '-'), 0) AS prio_code
+          |  FROM TPCH.PUBLIC.ORDERS WHERE o_orderkey < 500)
+          |SELECT prio_code, dow,
+          |       COUNT(*) AS cnt,
+          |       BOOLOR_AGG(is_open) AS any_open,
+          |       BOOLAND_AGG(has_1) AS all_has_1,
+          |       SUM(prio_sq)::BIGINT AS sum_sq,
+          |       MIN(mon) AS first_mon
+          |FROM base GROUP BY 1, 2 ORDER BY prio_code, dow""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // Ordered-set and statistical aggregates through the translate path:
     // MEDIAN / PERCENTILE_CONT WITHIN GROUP pass through natively,
     // ARRAY_AGG [DISTINCT] WITHIN GROUP rewrites to sorted collect_set/
@@ -508,6 +534,26 @@ object CoreQueries {
         |  CAST(length(o_orderstatus) AS INT) AS st_len
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
+
+    // strftime %a/%b give the same C-locale abbreviated names as Spark's
+    // EEE/MMM under Locale.US; IS NOT DISTINCT FROM is DuckDB's <=>.
+    "q133_dialect_misc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    strftime(CAST(o_orderdate AS DATE), '%a') AS dow,
+        |    strftime(CAST(o_orderdate AS DATE), '%b') AS mon,
+        |    power(MOD(o_custkey, 5) + 1, 2) AS prio_sq,
+        |    (o_orderstatus IS NOT DISTINCT FROM 'O') AS is_open,
+        |    list_contains(string_split(o_orderpriority, '-'), '1') AS has_1,
+        |    string_split(o_orderpriority, '-')[1] AS prio_code
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT prio_code, dow,
+        |  COUNT(*) AS cnt,
+        |  bool_or(is_open) AS any_open,
+        |  bool_and(has_1) AS all_has_1,
+        |  CAST(SUM(prio_sq) AS BIGINT) AS sum_sq,
+        |  MIN(mon) AS first_mon
+        |FROM base GROUP BY 1, 2 ORDER BY prio_code, dow""".stripMargin,
 
     "q122_dialect_aggs" ->
       """SELECT o_orderpriority,

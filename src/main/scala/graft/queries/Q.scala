@@ -14,6 +14,17 @@ import graft.sources.Tables
   * round-to-nearest of the underlying double in both engines), summed
   * exactly, then cast back to double — bit-identical results regardless of
   * partitioning/accumulation order (SURVEY §7 "hard parts" #1).
+  *
+  * Transcendental caveat (accepted residual risk): queries using ln/log2/
+  * exp (q104/q111/q118/q119/q121/q130/q131) feed both engines the SAME
+  * double argument (integer-ratio or decimal-rounded), but JVM `Math.log`
+  * and DuckDB's libm may differ in the last ulp. Each such value is
+  * rounded to DECIMAL(30,6..9) immediately after the transcendental, so a
+  * hash flip requires a 1-ulp divergence to land EXACTLY on a 1e-6..1e-9
+  * rounding boundary — ~1 in 10^7 per value given ~1e-16 ulp spacing, and
+  * every round so far has hash-matched. If one ever flips, coarsen that
+  * query's rounding scale by one digit on BOTH sides; do not switch to
+  * tolerance-compare (the driver hashes exact bytes).
   */
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame

@@ -292,6 +292,37 @@ class SnowflakeDialectSpec extends AnyFunSuite {
       "SELECT COALESCE(x, 0), NULLIF(y, 0) FROM t")
   }
 
+  test("ARRAY_CONTAINS swaps to Spark's (array, value) order") {
+    assert(tr("SELECT ARRAY_CONTAINS(x, arr) FROM t") ===
+      "SELECT ARRAY_CONTAINS(arr, x) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT ARRAY_CONTAINS(arr) FROM t"))
+  }
+
+  test("EQUAL_NULL becomes the null-safe equality operator") {
+    assert(tr("SELECT EQUAL_NULL(a, b) FROM t") === "SELECT (a <=> b) FROM t")
+  }
+
+  test("BOOLOR_AGG/BOOLAND_AGG become BOOL_OR/BOOL_AND") {
+    assert(tr("SELECT BOOLOR_AGG(f), BOOLAND_AGG(g) FROM t") ===
+      "SELECT BOOL_OR(f), BOOL_AND(g) FROM t")
+  }
+
+  test("DAYNAME/MONTHNAME become abbreviated DATE_FORMAT masks") {
+    assert(tr("SELECT DAYNAME(d), MONTHNAME(d) FROM t") ===
+      "SELECT DATE_FORMAT(d, 'EEE'), DATE_FORMAT(d, 'MMM') FROM t")
+  }
+
+  test("SQUARE becomes POWER(x, 2)") {
+    assert(tr("SELECT SQUARE(x + 1) FROM t") === "SELECT POWER(x + 1, 2) FROM t")
+  }
+
+  test("GET(array, i) becomes 1-based ELEMENT_AT; object-key form fails") {
+    assert(tr("SELECT GET(arr, 0) FROM t") === "SELECT ELEMENT_AT(arr, (0) + 1) FROM t")
+    assert(tr("SELECT GET(arr, i + 1) FROM t") ===
+      "SELECT ELEMENT_AT(arr, (i + 1) + 1) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT GET(obj, 'k') FROM t"))
+  }
+
   test("TRY_TO_NUMBER becomes TRY_CAST to decimal; format form fails") {
     assert(tr("SELECT TRY_TO_NUMBER(x) FROM t") ===
       "SELECT TRY_CAST(x AS DECIMAL(38,0)) FROM t")

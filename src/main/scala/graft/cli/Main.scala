@@ -23,7 +23,15 @@ import graft.validate.Validator
   */
 object Main {
 
-  def main(args: Array[String]): Unit = sys.exit(run(args, newSession()))
+  def main(args: Array[String]): Unit = {
+    // the post-migration "Verify migration?" prompt needs a real console;
+    // piped/cron invocations keep the non-interactive default (no prompt)
+    val ask: Option[String => String] =
+      Option(System.console()).map(c => (q: String) => {
+        val a = c.readLine(q); if (a == null) "" else a
+      })
+    sys.exit(run(args, newSession(), prompt = ask))
+  }
 
   def newSession(): SparkSession = SparkSession.builder()
     .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -49,7 +57,8 @@ object Main {
     out.result()
   }
 
-  def run(args: Array[String], spark: SparkSession, sink: String => Unit = println): Int = {
+  def run(args: Array[String], spark: SparkSession, sink: String => Unit = println,
+          prompt: Option[String => String] = None): Int = {
     if (args.isEmpty) { sink(usage); return 2 }
     val action = args.head
     val opts = parseOpts(args.tail.toSeq)
@@ -288,7 +297,22 @@ object Main {
           // post-migration "Verify migration?" prompt (sf_migrate.py:
           // 940-952, which calls its verifier on yes). Only a readable
           // target can be validated: csv/copy shards have no read side.
-          if (opts.contains("verify") && transferCode == 0) {
+          // Interactive parity (C12): with a console attached and no
+          // --verify flag, a successful migrate asks the reference's
+          // "Verify migration?" question inline (sf_migrate.py:940-952);
+          // 'y'/'yes' runs the verifier, anything else (or no console)
+          // keeps the answer no. A readable-format check guards the
+          // prompted path the same way the flag path is pre-validated.
+          val wantsVerify = opts.contains("verify") ||
+            (action == "migrate" && transferCode == 0 && prompt.exists { ask =>
+              opts.get("format").forall(_ == "parquet") &&
+              opts.get("source-format").forall(_ == "parquet") &&
+              !opts.contains("where") && !opts.contains("limit") && {
+                val a = ask("Verify migration? [y/N]: ").trim.toLowerCase
+                a == "y" || a == "yes"
+              }
+            })
+          if (wantsVerify && transferCode == 0) {
             val nested = Seq("validate", "--source", src, "--target", dst,
               "--tables", tables.mkString(",")) ++
               opts.get("driver").toSeq.flatMap(d => Seq("--driver", d)) ++

@@ -133,6 +133,35 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dst)))
   }
 
+  test("migrate prompts 'Verify migration?' on a console; y runs the verifier, n skips") {
+    // the reference's interactive post-migration prompt (sf_migrate.py:
+    // 940-952) — exercised by injecting a console reader
+    def runWithAnswer(answer: String, dst: String): (Int, Seq[String], Seq[String]) = {
+      val asked = Seq.newBuilder[String]
+      val buf = Seq.newBuilder[String]
+      val code = Main.run(
+        Array("migrate", "--source", sfDir, "--target", dst, "--table", "nation"),
+        spark, s => buf += s, prompt = Some(q => { asked += q; answer }))
+      (code, buf.result(), asked.result())
+    }
+    val (yCode, yOut, yAsked) = runWithAnswer("y", Files.createTempDirectory("pv_y").toString)
+    assert(yCode === 0, yOut)
+    assert(yAsked.exists(_.contains("Verify migration?")))
+    assert(yOut.exists(_.startsWith("nation: PASS")), yOut)
+    val (nCode, nOut, nAsked) = runWithAnswer("n", Files.createTempDirectory("pv_n").toString)
+    assert(nCode === 0, nOut)
+    assert(nAsked.nonEmpty)
+    assert(!nOut.exists(_.startsWith("nation: PASS")), nOut)
+    // no console (prompt = None) → no prompt, no verification: the
+    // non-interactive default every scripted invocation relies on
+    val dst3 = Files.createTempDirectory("pv_none").toString
+    val buf = Seq.newBuilder[String]
+    val code = Main.run(Array("migrate", "--source", sfDir, "--target", dst3,
+      "--table", "nation"), spark, s => buf += s)
+    assert(code === 0)
+    assert(!buf.result().exists(_.startsWith("nation: PASS")))
+  }
+
   test("migrate --verify runs the validation suite inline after transfer") {
     // the reference's post-migration "Verify migration?" prompt
     // (sf_migrate.py:940-952), as a non-interactive flag

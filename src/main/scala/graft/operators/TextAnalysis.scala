@@ -650,22 +650,29 @@ object TextAnalysis {
     * incremental-value number a curation pass uses to decide which crawls
     * to keep ingesting.
     *
-    * Scale shape: the first-carrier table is one `min` aggregate over the
-    * ngram-keyed shuffle (map-side combined — a doc's internal repeats are
-    * already collapsed by the per-doc distinct shingles), and the join
-    * back is on the same key, so the exchange is reused; the rollup is a
-    * #sources-row aggregate. The novelty ratio is one double division of
-    * exact longs — identical in both engines. */
+    * Scale shape: NO row-preserving join — the first carrier's source
+    * rides the `min(struct(id, source))` argmin aggregate (ids are unique,
+    * so the lexicographic min picks the min-id row), making both passes
+    * over the ngram stream map-side-combined aggregates: per-source totals
+    * on the source key, first-carriers on the ngram key, then a
+    * #sources-row rollup of the (ngram-bounded) first-carrier table. An
+    * earlier join-back formulation measured CPU exponent 1.05 at x100 on
+    * the scale curve; this shape removes its second corpus-sized shuffle.
+    * The novelty ratio is one double division of exact longs — identical
+    * in both engines. */
   def noveltyCensus(docs: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, k: Int = 8): DataFrame = {
     val g = docs.select(col(idCol), col(sourceCol).as("source"),
       explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
-    val first = g.groupBy(col("ngram")).agg(min(col(idCol)).as("first_id"))
-    g.join(first, Seq("ngram"))
-      .groupBy(col("source"))
+    val per = g.groupBy(col("source"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("total_ngrams"),
-        sum(when(col("first_id") === col(idCol), 1L).otherwise(0L)).as("novel_ngrams"))
+        count(lit(1)).as("total_ngrams"))
+    val novel = g.groupBy(col("ngram"))
+      .agg(min(struct(col(idCol), col("source"))).as("f"))
+      .groupBy(col("f.source").as("source"))
+      .agg(count(lit(1)).as("novel_ngrams"))
+    per.join(novel, Seq("source"), "left")
+      .withColumn("novel_ngrams", coalesce(col("novel_ngrams"), lit(0L)))
       .withColumn("novelty_share",
         col("novel_ngrams").cast("double") / col("total_ngrams").cast("double"))
   }

@@ -664,9 +664,14 @@ object TextAnalysis {
                     sourceCol: String, k: Int = 8): DataFrame = {
     val g = docs.select(col(idCol), col(sourceCol).as("source"),
       explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+    // shingles are never empty (short docs carry one truncated window), so
+    // every doc surfaces in g — n_docs can count the un-exploded corpus,
+    // sparing the token stream a second (source, id)-keyed distinct pass
+    val nd = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
     val per = g.groupBy(col("source"))
-      .agg(countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("total_ngrams"))
+      .agg(count(lit(1)).as("total_ngrams"))
+      .join(nd, Seq("source"))
     val novel = g.groupBy(col("ngram"))
       .agg(min(struct(col(idCol), col("source"))).as("f"))
       .groupBy(col("f.source").as("source"))
@@ -675,6 +680,8 @@ object TextAnalysis {
       .withColumn("novel_ngrams", coalesce(col("novel_ngrams"), lit(0L)))
       .withColumn("novelty_share",
         col("novel_ngrams").cast("double") / col("total_ngrams").cast("double"))
+      .select(col("source"), col("n_docs"), col("total_ngrams"),
+        col("novel_ngrams"), col("novelty_share"))
   }
 
   /** PMI collocation mining: pointwise mutual information of adjacent word

@@ -80,6 +80,82 @@ object Ivf {
     cents
   }
 
+  /** Oracle-replayable k-means census — the corpus topic-clustering report
+    * (SemDeDup / domain-discovery both start from exactly this step): md5-
+    * ordered deterministic seeds, `iters` exact Lloyd iterations, then a
+    * per-cluster quality rollup (size, mean/min member cosine to the final
+    * centroid). Low mean cosine = a diffuse topic; tiny clusters = likely
+    * outlier pockets worth a curation look.
+    *
+    * Determinism (every step bit-replayable in DuckDB):
+    *  - seeds: smallest-md5 corpus rows ([[pickCentroids]]),
+    *  - assignment: argmin ‖v−c‖² as the biased scaled-integer max-dot
+    *    ([[graft.functions.GraftFunctions.ivfNearestEuclid]]; ties → lowest
+    *    centroid index = `ROW_NUMBER() OVER (ORDER BY score DESC, cidx)`),
+    *  - new centroids: per-(cluster, dim) DECIMAL(38,18)-exact means of the
+    *    float values, rounded to float BEFORE the next assignment so both
+    *    engines feed identical numbers to the same integer formula
+    *    (the [[Similarity.labelCentroidQuality]] discipline, iterated),
+    *  - empty clusters keep their previous centroid.
+    *
+    * Scale shape: each iteration is ONE corpus pass — the assignment is a
+    * codegen'd per-row expression (centroids ride as a reference object),
+    * and the per-dim mean shuffles k×dims rows regardless of corpus size.
+    * The k×dims driver round-trip per iteration is the same bounded state
+    * [[pickCentroids]] already pays; nothing corpus-sized leaves executors. */
+  def kmeansCensus(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val seeds = pickCentroids(corpus, idCol, vecCol, k)
+    var cents: Array[Array[Float]] = seeds.map(_._2.toArray)
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .withColumn("cluster", graft.functions.GraftFunctions.ivfNearestEuclid(
+          col(vecCol), cents, Similarity.ScaledShift))
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1))).as("c"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cIdx) =>
+        byCluster.get(cIdx) match {
+          case Some(rows) =>
+            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+            Array.tabulate(old.length)(d => dims.getOrElse(d, old(d).toDouble).toFloat)
+          case None => old
+        }
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i, seeds(i)._1, c.toSeq) }
+      .toDF("cluster", "seed_id", "centroid")
+    corpus
+      .withColumn("cluster", graft.functions.GraftFunctions.ivfNearestEuclid(
+        col(vecCol), cents, Similarity.ScaledShift))
+      .join(broadcast(centDf), Seq("cluster"))
+      .select(col("cluster"), col("seed_id"),
+        (Similarity.scaledDot(vecCol, "centroid").cast("double") /
+          (Similarity.scaledNorm(vecCol) * Similarity.scaledNorm("centroid"))).as("cosine"))
+      .groupBy(col("cluster"), col("seed_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cosine").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1))).as("mean_cosine"),
+        min(col("cosine")).as("min_cosine"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB fragment for the Euclidean-assignment score: scaled dot minus
+    * half the scaled centroid self-dot — the same longs
+    * [[graft.functions.GraftFunctions.ivfNearestEuclid]] compares (`//` is
+    * integer division; the self-dot is non-negative so trunc == floor ==
+    * the Scala `Long / 2`). */
+  def euclidScoreSql(vec: String, cent: String): String =
+    s"(${Similarity.scaledDotSql(vec, cent)} - ${Similarity.scaledDotSql(cent, cent)} // 2)"
+
   /** IVF top-k: probe the `nProbe` nearest lists per query, exact cosine
     * within candidates. Queries are broadcast with their probe sets. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,

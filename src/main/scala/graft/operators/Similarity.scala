@@ -226,6 +226,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor, the
+    * `k` most-similar vectors with a DIFFERENT label — the "confusable
+    * neighbor" set a retrieval/embedding trainer feeds back as negatives
+    * (random negatives stop teaching once the model separates easy pairs).
+    *
+    * Same banded-LSH candidate generation as [[knnGraph]] (bands ×
+    * bandBits signature, per-bucket cap, exact scaled-long rescoring) with
+    * the label carried through the join: the cross-label filter runs on
+    * candidate pairs BEFORE the per-anchor rank, so the result is the
+    * nearest cross-label candidate — not a cross-label survivor of a
+    * label-blind top-k. Anchors whose buckets hold no cross-label mate
+    * simply don't emit (the approximate trade the banding already makes).
+    *
+    * Scale shape: identical to [[knnGraph]] — the per-bucket cap bounds
+    * every reducer, the rank partitions by anchor, nothing corpus-sized
+    * is collected or broadcast. Deterministic end-to-end (md5 hyperplanes,
+    * exact integer dots, id tie-breaks) — bit-replayable in DuckDB. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                    k: Int = 1, bands: Int = 3, bandBits: Int = 8,
+                    cap: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val mask = (1L << bandBits) - 1
+    val sig = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"), col(labelCol).as("label"))
+      .withColumn("sig", lshSignature("embedding", bands * bandBits))
+      .withColumn("nrm", scaledNorm("embedding"))
+    val withBucket = sig.select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    val capped = withBucket.withColumn("rn",
+        row_number().over(Window.partitionBy(col("band"), col("bucket"))
+          .orderBy(col("vec_id"))))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    val a = capped.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"), col("label").as("a_label"), col("nrm").as("a_nrm"))
+    val b = capped.select(col("band"), col("bucket"), col("vec_id").as("neg_id"),
+      col("embedding").as("b_vec"), col("label").as("neg_label"), col("nrm").as("b_nrm"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_label") =!= col("neg_label"))
+      .withColumn("cosine",
+        scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
+      .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"), col("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("neg_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: only pairs sharing a signature bucket are scored —
     * the candidate join shuffles on the 16-bit bucket, never cross-joining
     * the corpus. Returns candidate pairs with exact cosine ≥ `threshold`. */

@@ -684,6 +684,95 @@ object TextAnalysis {
         col("novel_ngrams"), col("novelty_share"))
   }
 
+  /** Heaps'-law vocabulary-growth census — the tokenizer-sizing companion
+    * to the Zipf slope ([[zipfSlope]]): per language, total tokens N and
+    * distinct types V for the full slice and for a deterministic md5-half
+    * of the documents, plus the growth exponent estimate
+    * `β ≈ ln(V/V_half) / ln(N/N_half)` (Heaps: V ∝ N^β, natural text
+    * β ≈ 0.4–0.6). A language whose β stays high at corpus scale keeps
+    * minting new types — its vocabulary budget (and OOV risk, q115) grows
+    * with every ingest; β near 0 means the vocabulary has saturated.
+    *
+    * Determinism: the half-slice membership is a pure md5 function of the
+    * doc id (stable as the corpus grows — the [[Splits]] discipline); all
+    * four counts are exact integers; each ln rounds to DECIMAL(30,9)
+    * before the one double division (the q130 libm discipline).
+    *
+    * Scale shape: one token-stream shuffle keyed by (lang, word) with
+    * map-side combine — after it, state is vocabulary-bounded; the rollup
+    * is #languages rows. The half-slice rides the same pass as a flag, not
+    * a second scan. */
+  def heapsCensus(docs: DataFrame, langCol: String, textCol: String,
+                  idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def rln(c: Column): Column =
+      log(c.cast("double")).cast(DecimalType(30, 9)).cast("double")
+    val inHalf = substring(md5(col(idCol).cast("string")), 1, 1) < lit("8")
+    val perWord = docs
+      .select(col(langCol).as("lang"), inHalf.as("h"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("h"), 1L).otherwise(0L)).as("ch"))
+    perWord.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("ch")).as("n_tokens_half"),
+        sum(when(col("ch") > 0, 1L).otherwise(0L)).as("n_types_half"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("n_tokens_half"), col("n_types_half"),
+        ((rln(col("n_types")) - rln(col("n_types_half"))) /
+          when(rln(col("n_tokens")) - rln(col("n_tokens_half")) === 0.0, lit(null))
+            .otherwise(rln(col("n_tokens")) - rln(col("n_tokens_half"))))
+          .as("heaps_beta"))
+      .orderBy(col("lang"))
+  }
+
+  /** Boilerplate-line census (the report a CCNet/RefinedWeb-style line
+    * dedup pass runs FIRST): the corpus is cut into fixed-`lineTokens`
+    * token lines ([[LineDedup]]'s cutting), a line is boilerplate when it
+    * appears in at least `minDocs` distinct documents corpus-wide, and
+    * each source reports how much of its volume that boilerplate is —
+    * occurrences, affected docs, and the share a line-dedup pass would
+    * reclaim. Sources dominated by nav/footer-style repetition surface at
+    * the top of this table before anyone spends a dedup run on them.
+    *
+    * Scale shape: line cutting is per-row array arithmetic with a single
+    * explode; the doc-frequency aggregate is a (line, doc)-keyed distinct
+    * rewrite (partial dedup map-side, so a viral line spreads over the
+    * (line, doc) key space rather than one reducer); the occurrence join
+    * back is line-keyed on (line, doc, source)-level pre-aggregated rows —
+    * AQE's skew-join split handles the one-viral-line hot key. Per-source
+    * rollup state is bounded by the source vocabulary. */
+  def boilerplateCensus(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, lineTokens: Int = 10,
+                        minDocs: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nLines = ((size(toks) + lit(lineTokens - 1)) / lit(lineTokens)).cast("int")
+    val lines = transform(
+      sequence(lit(0), nLines - 1),
+      i => concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens))))
+    // (line, doc, source)-level pre-agg: the map-side combine collapses
+    // within-doc repeats before anything shuffles
+    val lineDoc = docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        explode(lines).as("line"))
+      .groupBy(col("line"), col("id"), col("source"))
+      .agg(count(lit(1)).as("occ"))
+    val docFreq = lineDoc.groupBy(col("line"))
+      .agg(count(lit(1)).as("docs")) // one row per (line, doc) upstream
+    lineDoc.join(docFreq, Seq("line"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("occ")).as("n_lines"),
+        sum(when(col("docs") >= minDocs, col("occ")).otherwise(0L)).as("n_boiler_lines"),
+        countDistinct(when(col("docs") >= minDocs, col("id"))).as("n_docs_affected"),
+        (sum(when(col("docs") >= minDocs, col("occ")).otherwise(0L)).cast("double") /
+          sum(col("occ")).cast("double")).as("boiler_share"))
+      .orderBy(col("source"))
+  }
+
   /** PMI collocation mining: pointwise mutual information of adjacent word
     * pairs — ln(P(ab) / (P(a)·P(b))) over corpus bigram/unigram counts —
     * for pairs seen at least `minCount` times; top `topN` by PMI. The

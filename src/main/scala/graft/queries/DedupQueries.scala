@@ -378,6 +378,25 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Hard-negative mining (Similarity.hardNegatives): per anchor, the
+    // most-similar vector with a DIFFERENT label among banded-LSH
+    // candidates — the confusable-neighbor set contrastive training
+    // feeds back as negatives once random negatives stop teaching.
+    "q135_hard_negatives" -> { (s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        k = 1)
+        .orderBy(col("a_id"))
+    },
+
+    // Deterministic k-means census (Ivf.kmeansCensus): md5-ordered seeds,
+    // 2 exact Lloyd iterations (decimal-exact per-dim means rounded to
+    // float between passes), per-cluster size + member-cosine quality —
+    // the corpus topic-discovery step SemDeDup/domain-mixing start from.
+    "q134_kmeans_census" -> { (s, dir) =>
+      graft.operators.Ivf.kmeansCensus(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+    },
+
     // Product quantization: 64-dim vectors → 8 sub-codes against md5-picked
     // codebooks; queries rank the whole corpus by ADC lookups over the
     // compressed codes (32x smaller index than raw floats). Codes and
@@ -478,6 +497,60 @@ object DedupQueries {
 
   private val dot = Similarity.scaledDotSql _
   private def nrm(a: String) = Similarity.scaledNormSql(a)
+
+  /** DuckDB replay of [[graft.operators.Ivf.kmeansCensus]]: cent0 = the k
+    * smallest-md5 rows; per iteration an argmin-Euclid assignment CTE (the
+    * same biased scaled longs, ties → lowest cidx) feeds a per-(cluster,
+    * dim) DECIMAL(38,18) mean rounded to REAL; COALESCE keeps the previous
+    * centroid for empty clusters. The tail is q110's exact cosine rollup
+    * against the final centroids, seed ids re-attached from cent0. */
+  private def kmeansCensusSql(k: Int, iters: Int): String = {
+    def asg(i: Int) =
+      s"""asg$i AS (
+         |  SELECT vec_id, embedding, cidx FROM (
+         |    SELECT e.vec_id, e.embedding, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${graft.operators.Ivf.euclidScoreSql("e.embedding", "c.cvec")} DESC,
+         |          c.cidx) AS rn
+         |    FROM embeddings e CROSS JOIN cent${i - 1} c) WHERE rn = 1)"""
+    def mean(i: Int) =
+      s"""m$i AS (
+         |  SELECT cidx, list(CAST(c AS REAL) ORDER BY pos) AS mvec FROM (
+         |    SELECT a.cidx, i.i AS pos,
+         |      CAST(SUM(CAST(CAST(a.embedding[i.i + 1] AS DOUBLE) AS DECIMAL(38,18)))
+         |        AS DOUBLE) / COUNT(*) AS c
+         |    FROM asg$i a, UNNEST(range(0, len(a.embedding))) AS i(i)
+         |    GROUP BY 1, 2) GROUP BY cidx)"""
+    def cent(i: Int) =
+      s"""cent$i AS (
+         |  SELECT s.cidx, COALESCE(m.mvec, s.cvec) AS cvec
+         |  FROM cent${i - 1} s LEFT JOIN m$i m ON m.cidx = s.cidx)"""
+    val iterCtes = (1 to iters).map(i => Seq(asg(i), mean(i), cent(i)).mkString(",\n"))
+    s"""WITH cent0 AS (
+       |  SELECT cidx, svid, cvec FROM (
+       |    SELECT vec_id AS svid, embedding AS cvec,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+       |    FROM embeddings) WHERE cidx < $k),
+       |${iterCtes.mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, cidx FROM (
+       |    SELECT e.vec_id, c.cidx,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${graft.operators.Ivf.euclidScoreSql("e.embedding", "c.cvec")} DESC,
+       |          c.cidx) AS rn
+       |    FROM embeddings e CROSS JOIN cent$iters c) WHERE rn = 1),
+       |cos AS (
+       |  SELECT f.cidx,
+       |    ${dot("e.embedding", "c.cvec")} / (${nrm("e.embedding")} * ${nrm("c.cvec")}) AS cosine
+       |  FROM fin f
+       |  JOIN embeddings e ON e.vec_id = f.vec_id
+       |  JOIN cent$iters c ON c.cidx = f.cidx)
+       |SELECT s.cidx AS cluster, s.svid AS seed_id, COUNT(*) AS n_members,
+       |  CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean_cosine,
+       |  MIN(cosine) AS min_cosine
+       |FROM cos JOIN cent0 s ON s.cidx = cos.cidx
+       |GROUP BY 1, 2 ORDER BY cluster""".stripMargin
+  }
 
   /** Shared DuckDB replay of the banded-LSH KNN graph (same constants as
     * [[Similarity.knnGraph]] with k = 5): 24-bit signature → 3×8-bit band
@@ -1005,6 +1078,43 @@ object DedupQueries {
          |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s)
          |SELECT cluster, COUNT(*) AS n_members
          |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // knnGraphCtes' banded pipeline with the label carried through: the
+    // cross-label filter lands on candidate pairs before the per-anchor
+    // rank, so rank 1 = nearest cross-label candidate.
+    "q135_hard_negatives" ->
+      s"""WITH sig AS (
+         |  SELECT e.vec_id, e.embedding, e.label,
+         |    CAST(${Similarity.lshBucketSql("e.embedding", 24)} AS BIGINT) AS sig,
+         |    ${nrm("e.embedding")} AS nrm
+         |  FROM embeddings e),
+         |banded AS (
+         |  SELECT vec_id, embedding, label, nrm, CAST(b AS INT) AS band,
+         |    (sig >> (8 * CAST(b AS INT))) & 255 AS bucket
+         |  FROM sig, UNNEST(range(3)) AS t(b)),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, label, nrm, band, bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM banded) WHERE rn <= 200),
+         |pairs AS (
+         |  SELECT DISTINCT l.vec_id AS a_id, l.label AS a_label,
+         |    r.vec_id AS neg_id, r.label AS neg_label,
+         |    ${dot("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cosine
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.label <> r.label),
+         |ranked AS (
+         |  SELECT a_id, a_label, neg_id, neg_label, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, neg_id) AS rank
+         |  FROM pairs)
+         |SELECT a_id, a_label, neg_id, neg_label, cosine, rank
+         |FROM ranked WHERE rank <= 1 ORDER BY a_id""".stripMargin,
+
+    // Full Lloyd replay: seeds = smallest-md5 rows, each iteration one
+    // Euclidean argmin assignment (Ivf.euclidScoreSql longs, ties → lowest
+    // cidx) + decimal-exact per-dim means rounded to REAL, empty clusters
+    // keeping the previous centroid; rollup = q110's cosine discipline.
+    "q134_kmeans_census" -> kmeansCensusSql(k = 8, iters = 2),
 
     // IVF replay: md5-ordered centroid sample, exact-decimal assignment
     // (ties → lowest centroid index), nProbe=4 probe lists, exact cosine

@@ -361,6 +361,23 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Heaps'-law vocabulary growth: per language, types-vs-tokens for the
+    // full corpus and a deterministic md5-half, plus the growth exponent
+    // beta = ln(V/V_half)/ln(N/N_half) — the tokenizer-sizing companion
+    // to q130's Zipf slope (does this language keep minting new types?).
+    "q137_heaps_census" -> { (s, dir) =>
+      graft.operators.TextAnalysis.heapsCensus(
+        t(s, dir, "documents"), "lang", "text", "doc_id")
+    },
+
+    // Boilerplate-line census: per source, how much volume sits in lines
+    // repeated across >= 2 docs corpus-wide — the report that decides
+    // which sources are worth a line-dedup pass (nav/footer repetition).
+    "q136_boilerplate_census" -> { (s, dir) =>
+      graft.operators.TextAnalysis.boilerplateCensus(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+    },
+
     // Tokenizer fertility — the cross-lingual fairness metric: subword
     // (BPE-ish) tokens per whitespace word and chars per subword token,
     // per language. A tokenizer that spends 3× the tokens per word on one
@@ -1182,6 +1199,60 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
         |FROM g JOIN f USING (ngram)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Same (lang, word)-keyed rollup; each ln rounds to DECIMAL(30,9)
+    // before the division (q130's libm discipline); SUMs cast off HUGEINT.
+    "q137_heaps_census" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS h,
+        |    u.w AS w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+        |  WHERE len(u.w) > 0),
+        |pw AS (
+        |  SELECT lang, w, COUNT(*) AS c,
+        |    CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS ch
+        |  FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(ch) AS BIGINT) AS n_tokens_half,
+        |    CAST(SUM(CASE WHEN ch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_half
+        |  FROM pw GROUP BY 1),
+        |r AS (
+        |  SELECT lang, n_tokens, n_types, n_tokens_half, n_types_half,
+        |    CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,9)) AS DOUBLE) AS ln_n,
+        |    CAST(CAST(ln(CAST(n_types AS DOUBLE)) AS DECIMAL(30,9)) AS DOUBLE) AS ln_v,
+        |    CAST(CAST(ln(CAST(n_tokens_half AS DOUBLE)) AS DECIMAL(30,9)) AS DOUBLE) AS ln_nh,
+        |    CAST(CAST(ln(CAST(n_types_half AS DOUBLE)) AS DECIMAL(30,9)) AS DOUBLE) AS ln_vh
+        |  FROM agg)
+        |SELECT lang, n_tokens, n_types, n_tokens_half, n_types_half,
+        |  (ln_v - ln_vh) / NULLIF(ln_n - ln_nh, 0) AS heaps_beta
+        |FROM r ORDER BY lang""".stripMargin,
+
+    // q93's line cutting, doc-freq over (line, doc)-level rows, per-source
+    // occurrence rollup; SUM over BIGINT is HUGEINT → BIGINT casts.
+    "q136_boilerplate_census" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+        |  FROM toks, UNNEST(range((len(w)+9)//10)) AS t(i)),
+        |ld AS (
+        |  SELECT line, doc_id, source, COUNT(*) AS occ
+        |  FROM lines GROUP BY 1, 2, 3),
+        |df AS (SELECT line, COUNT(*) AS docs FROM ld GROUP BY 1)
+        |SELECT ld.source,
+        |  CAST(SUM(occ) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN df.docs >= 2 THEN occ ELSE 0 END) AS BIGINT)
+        |    AS n_boiler_lines,
+        |  COUNT(DISTINCT CASE WHEN df.docs >= 2 THEN ld.doc_id END)
+        |    AS n_docs_affected,
+        |  CAST(SUM(CASE WHEN df.docs >= 2 THEN occ ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(occ) AS DOUBLE) AS boiler_share
+        |FROM ld JOIN df USING (line)
         |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // PMI argument is a scalar double over exact integer counts; the lone

@@ -85,4 +85,97 @@ class Round8OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"bucket joins not broadcast:\n$plan")
   }
+
+  test("kmeansCensus: every vector lands in exactly one cluster, rollup is consistent") {
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val out = Ivf.kmeansCensus(e, "vec_id", "embedding", k = 8, iters = 2).collect()
+    assert(out.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+    assert(out.map(_.getLong(2)).sum === e.count())
+    out.foreach { r =>
+      val (mean, min) = (r.getDouble(3), r.getDouble(4))
+      assert(min <= mean + 1e-12, s"cluster ${r.getInt(0)}: min $min > mean $mean")
+      assert(mean <= 1.0 + 1e-12 && min >= -1.0 - 1e-12)
+    }
+    // Lloyd pulls members toward their centroid: after 2 iterations every
+    // cluster's members should on average point the same way as it
+    assert(out.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("kmeansCensus is deterministic under repartitioning") {
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val a = Ivf.kmeansCensus(e, "vec_id", "embedding", k = 8, iters = 2).collect()
+    val b = Ivf.kmeansCensus(e.repartition(13), "vec_id", "embedding", k = 8, iters = 2)
+      .collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("boilerplateCensus: corpus-wide doc frequency, per-source occurrence shares") {
+    import spark.implicits._
+    // line cutting at 3 tokens; "a b c" appears in docs 1 (src_x) and 2
+    // (src_y) → boilerplate; doc 3's "g h i" is unique
+    val docs = Seq(
+      (1L, "src_x", "a b c d e f"), // lines: "a b c", "d e f"
+      (2L, "src_y", "a b c"),       // line:  "a b c" (boilerplate, df=2)
+      (3L, "src_y", "g h i")        // line:  "g h i" (unique)
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.boilerplateCensus(docs, "doc_id", "text", "source",
+      lineTokens = 3, minDocs = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("src_x", 2L, 1L, 1L, 0.5),
+      ("src_y", 2L, 1L, 1L, 0.5)))
+  }
+
+  test("heapsCensus: saturated vocabulary gives beta 0, fresh-type growth gives 1") {
+    import spark.implicits._
+    // ids chosen so md5 first hex digit splits them into half/full slices
+    val half = (1L to 200L).filter(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString.head < '8')
+    // saturated: every doc repeats the same 2 types → V == V_half → beta 0
+    val sat = (1L to 200L).map(id => (id, "sat", "tok alt"))
+    val df = sat.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.heapsCensus(df, "lang", "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5))).head
+    assert(out._1 === "sat")
+    assert(out._2 === 400L) // 2 tokens per doc
+    assert(out._3 === 2L)
+    assert(out._4 === 0.0) // ln(V/V_half) = ln(1) = 0
+    assert(half.nonEmpty && half.size < 200) // the md5 half is a strict subset
+  }
+
+  test("heapsCensus: every-token-new corpus estimates beta = 1") {
+    import spark.implicits._
+    // each doc carries one globally unique type → V = N at every slice
+    val docs = (1L to 100L).map(id => (id, "uniq", s"type_$id")).toDF("doc_id", "lang", "text")
+    val row = TextAnalysis.heapsCensus(docs, "lang", "text", "doc_id").collect().head
+    assert(row.getLong(1) === row.getLong(2))     // N == V
+    assert(row.getLong(3) === row.getLong(4))     // N_half == V_half
+    assert(math.abs(row.getDouble(5) - 1.0) < 1e-9)
+  }
+
+  test("hardNegatives: one cross-label neighbor per emitting anchor, exact cosine") {
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings").cache()
+    val out = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 1)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length) // one per anchor
+    rows.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(3), s"anchor ${r.getLong(0)}: same label")
+      assert(r.getInt(5) === 1)
+    }
+    // reported cosine must equal the independently computed exact cosine
+    graft.functions.GraftFunctions.register(spark)
+    val sample = rows.take(5).map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    val byId = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    import spark.implicits._
+    sample.foreach { case (aId, nId, cos) =>
+      val df = Seq((byId(aId), byId(nId))).toDF("a", "b")
+      val exact = df.select((Similarity.scaledDot("a", "b").cast("double") /
+        (Similarity.scaledNorm("a") * Similarity.scaledNorm("b"))).as("c"))
+        .collect().head.getDouble(0)
+      assert(math.abs(exact - cos) < 1e-12, s"pair ($aId, $nId)")
+    }
+  }
 }

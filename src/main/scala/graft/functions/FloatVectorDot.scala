@@ -71,6 +71,62 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: count of pairwise-equal slots of two
+  * `array<long>` MinHash signatures — the signature-agreement numerator of
+  * est_jaccard. The composed `size(filter(zip_with(a, b, (x,y) -> x = y),
+  * v -> v))` allocates two intermediate arrays per pair and evaluates its
+  * lambdas interpreted; this is one generated primitive loop. */
+case class SigAgreement(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression: ORDER-INDEPENDENT exact dot product of two
   * `array<float>` columns as a scaled long — slot i contributes
   * `floor(x_i * y_i * 2^shift)`. Each float product is exact in double
@@ -195,6 +251,23 @@ object GraftFunctions {
     (FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (children: Seq[Expression]) => SimHashText(children.head)),
+    (FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgreement].getName, "sig_agree"),
+      (children: Seq[Expression]) => SigAgreement(children(0), children(1))),
+    (FunctionIdentifier("word_lines"),
+      new ExpressionInfo(classOf[WordLines].getName, "word_lines"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(k: Int, _)) => WordLines(text, k)
+        case other => throw new IllegalArgumentException(
+          s"word_lines(text, k) — got ${other.length} args")
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(k: Int, _)) => WordNgrams(text, k)
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams(text, k) — got ${other.length} args")
+      }),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => children match {
@@ -220,6 +293,15 @@ object GraftFunctions {
     * the session-global function registry: two IVF queries with different
     * centroid sets compose in one session with no shared mutable state. */
   import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Word k-gram array Column ([[WordNgrams]]) — registry-free builder so
+    * operator helpers can use it without a session at hand. */
+  def wordNgrams(text: Column, k: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), k))
+
+  /** Non-overlapping k-token line array Column ([[WordLines]]). */
+  def wordLines(text: Column, k: Int): Column =
+    ColumnBridge.column(WordLines(ColumnBridge.expression(text), k))
 
   /** Index of the max-dot centroid — the IVF inverted-list assignment. */
   def ivfNearest(vec: Column, centroids: Array[Array[Float]], shift: Int): Column =

@@ -184,4 +184,57 @@ object HashUtils {
     }
     fp
   }
+
+  /** Word k-gram array of `s`, bit-identical to the composed
+    * `transform(sequence(0, greatest(size(split(s,' ')) - k, 0)),
+    *   i -> concat_ws(' ', slice(split(s,' '), i + 1, k)))`
+    * formulation (single-space split keeping empty tokens; one truncated
+    * window when the text is shorter than k tokens) — but evaluated in one
+    * generated-code call instead of Spark's interpreted higher-order
+    * lambdas, which measured ~10× slower per corpus scan. */
+  /** Non-overlapping k-token lines of `s` (ceil(n/k) lines, the last one
+    * truncated) — the [[graft.operators.LineDedup]] line cutting as one
+    * generated-code call; `split("")` yields one empty token, so every
+    * text carries at least one line, matching the composed formulation. */
+  def wordLines(s: UTF8String, k: Int): Array[UTF8String] = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length
+    val out = new Array[UTF8String]((n + k - 1) / k)
+    var i = 0
+    while (i < out.length) {
+      val start = i * k
+      val end = math.min(start + k, n)
+      val sb = new java.lang.StringBuilder
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  def wordNgrams(s: UTF8String, k: Int): Array[UTF8String] = {
+    val str = s.toString
+    val toks = str.split(" ", -1)
+    val n = toks.length
+    val out = new Array[UTF8String](math.max(n - k, 0) + 1)
+    var i = 0
+    while (i < out.length) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
 }

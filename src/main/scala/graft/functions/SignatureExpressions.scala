@@ -86,6 +86,54 @@ case class WinnowFingerprints(child: Expression, k: Int = 8, w: Int = 4)
     copy(child = newChild)
 }
 
+/** Word k-gram array straight from the document text ([[HashUtils
+  * .wordNgrams]]): one generated-code call replacing the interpreted
+  * higher-order chain `transform(sequence(...), i -> concat_ws(' ',
+  * slice(...)))`, which Spark cannot compile (HOF lambdas evaluate
+  * interpreted per element — measured ~10× slower per corpus scan).
+  * Bit-identical output, including the single truncated window for texts
+  * shorter than k tokens, so every DuckDB oracle replays unchanged. */
+case class WordNgrams(child: Expression, k: Int) extends TextExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashUtils.wordNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad(graft.functions.HashUtils.wordNgrams($s, $k));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Non-overlapping k-token lines ([[HashUtils.wordLines]]) — the
+  * [[graft.operators.LineDedup]] cutting as a native expression;
+  * `posexplode` over the result supplies the 0-based line number. */
+case class WordLines(child: Expression, k: Int) extends TextExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_lines"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashUtils.wordLines(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad(graft.functions.HashUtils.wordLines($s, $k));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordLines =
+    copy(child = newChild)
+}
+
 /** SimHash64 straight from the document text ([[HashUtils.simhashText]]) —
   * distinct-token votes without materializing the token array. */
 case class SimHashText(child: Expression) extends TextExpression {

@@ -31,16 +31,15 @@ object Dedup {
   def normalizeKey(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Word k-shingles of a text column, deduplicated. `greatest(..., 0)`
-    * guards texts shorter than k tokens (Spark `sequence` would otherwise
-    * count *down* and explode). The MinHash pipeline itself skips this
-    * materialization entirely (minhash_text_signature hashes shingles as
-    * byte ranges); this stays for exact shingle-set operators (q66). */
-  def shingles(textCol: String, k: Int = 3): Column = {
-    val toks = s"split($textCol, ' ')"
-    expr(s"array_distinct(transform(sequence(0, greatest(size($toks) - $k, 0)), " +
-      s"i -> concat_ws(' ', slice($toks, i + 1, $k))))")
-  }
+  /** Word k-shingles of a text column, deduplicated — the native codegen'd
+    * [[graft.functions.WordNgrams]] (texts shorter than k tokens carry one
+    * truncated window, matching the composed HOF formulation this
+    * replaced, which evaluated interpreted at ~10× the cost). The MinHash
+    * pipeline itself skips this materialization entirely
+    * (minhash_text_signature hashes shingles as byte ranges); this stays
+    * for exact shingle-set operators (q66). */
+  def shingles(textCol: String, k: Int = 3): Column =
+    array_distinct(graft.functions.GraftFunctions.wordNgrams(col(textCol), k))
 
   /** doc_id → MinHash signature (`sig` = array of [[NumHashes]] longs),
     * computed per-row by the native [[graft.functions.MinHashSignature]]
@@ -115,9 +114,10 @@ object Dedup {
     lshCandidatePairs(sigs, idCol, scope = scope)
       .join(sigs.select(col(idCol).as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      // native sig_agree: one generated loop per candidate pair (the
+      // zip_with/filter HOF chain allocated two arrays and ran interpreted)
       .withColumn("est_jaccard",
-        expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))")
-          .cast("double") / NumHashes)
+        expr("sig_agree(a_sig, b_sig)").cast("double") / NumHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
@@ -164,8 +164,7 @@ object Dedup {
       .join(sigs.select(col(idCol).as("v_id"), col("sig").as("v_sig")), Seq("v_id"))
       .join(sigs.select(col(idCol).as("p_id"), col("sig").as("p_sig")), Seq("p_id"))
       .withColumn("est_jaccard",
-        expr("size(filter(zip_with(v_sig, p_sig, (x, y) -> x = y), v -> v))")
-          .cast("double") / NumHashes)
+        expr("sig_agree(v_sig, p_sig)").cast("double") / NumHashes)
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("v_id"))
       .agg(min(struct(col("p_id"), col("est_jaccard"))).as("mk"),

@@ -47,13 +47,16 @@ object SubstringDedup {
                          k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"window of $k tokens is not a substring test")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("ts"))
-    // sequence(1, n-k+1) would DESCEND for n < k (Spark generates backward
-    // sequences), silently fabricating windows — guard the short docs out.
-    val wins = toks.filter(size(col("ts")) >= k)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(ts) - ${k - 1}), " +
-          s"i -> struct(i as pos, array_join(slice(ts, i, $k), ' ') as gram))")).as("w"))
-      .select(col(idCol), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    // native codegen'd window enumeration (WordNgrams) — the interpreted
+    // transform/struct HOF chain this replaced cost ~10× per scan;
+    // posexplode's 0-based index becomes the 1-based window position.
+    // Short docs are guarded out (WordNgrams would emit their one
+    // truncated window).
+    val wins = df.filter(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol), posexplode(
+        graft.functions.GraftFunctions.wordNgrams(col(textCol), k))
+        .as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("gram"))
     val firsts = wins
       .groupBy(col("gram"))
       .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("first"))

@@ -83,15 +83,14 @@ object TextAnalysis {
     * `1 - distinct_trigrams / total_trigrams` (0 when fewer than 2
     * trigrams, matching "nothing to repeat"). */
   def dupTrigramFraction(textCol: String): Column = {
-    val toks = s"split($textCol, ' ')"
-    val grams = s"transform(sequence(0, greatest(size($toks) - 3, 0)), " +
-      s"i -> concat_ws(' ', slice($toks, i + 1, 3)))"
-    // bind the gram array ONCE (single-element transform as a poor-man's
-    // LET): referencing $grams three times in the CASE re-evaluates the
-    // whole split+transform+concat chain per reference — 3x the dominant
-    // per-row allocation cost on a string-heavy corpus scan
-    expr(s"transform(array($grams), gs -> CASE WHEN size(gs) <= 1 THEN 0.0d " +
-      s"ELSE 1.0d - CAST(size(array_distinct(gs)) AS DOUBLE) / size(gs) END)[0]")
+    // native codegen'd gram array (graft.functions.WordNgrams) referenced
+    // three times — whole-stage codegen's common-subexpression elimination
+    // computes it once per row (the earlier interpreted-HOF formulation
+    // needed a transform-as-LET trick AND still evaluated ~10× slower)
+    val g = graft.functions.GraftFunctions.wordNgrams(col(textCol), 3)
+    when(size(g) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") /
+        size(g).cast("double"))
   }
 
   /** Matching DuckDB fragment for [[dupTrigramFraction]]. */
@@ -178,8 +177,7 @@ object TextAnalysis {
     docs
       .filter(expr(s"size($toks) >= $k"))
       .select(col(idCol),
-        explode(expr(s"transform(sequence(0, size($toks) - $k), " +
-          s"i -> concat_ws(' ', slice($toks, i + 1, $k)))")).as("ngram"))
+        explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col(idCol)).as("n_docs"),
@@ -208,8 +206,7 @@ object TextAnalysis {
     val grams = docs
       .filter(expr(s"size($toks) >= $k"))
       .select(col(sourceCol).as("source"),
-        explode(expr(s"transform(sequence(0, size($toks) - $k), " +
-          s"i -> concat_ws(' ', slice($toks, i + 1, $k)))")).as("ngram"))
+        explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("ngram"))
       .distinct()
     val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
     grams.as("a")
@@ -368,23 +365,28 @@ object TextAnalysis {
                           textCol: String,
                           scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // bigrams as single "w1 w2" gram strings (native codegen'd WordNgrams
+    // — the interpreted transform/struct HOF chain this replaced cost ~10×
+    // per corpus scan); w1 decodes as the prefix before the first space
+    // (tokens are space-free by construction), so the unigram backoff key
+    // never re-splits the corpus
     def bigrams(df: DataFrame, keep: Column*): DataFrame = {
       val t = split(col(textCol), " ")
       df.filter(size(t) >= 2)
-        .select(keep :+ explode(transform(sequence(lit(0), size(t) - 2),
-          i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
-          .as("bg"): _*)
-        .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+        .select(keep :+ explode(
+          graft.functions.GraftFunctions.wordNgrams(col(textCol), 2)).as("bg"): _*)
     }
     // cached: c1 derives from c2 and the scoring join reads c2 again — an
     // uncached plan would run the train bigram aggregate twice
     val c2 = scope.cached(
-      bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
-    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      bigrams(train).groupBy("bg").agg(count(lit(1)).as("c2")))
+    val c1 = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum("c2").as("c1"))
     val v = train.select(explode(split(col(textCol), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     bigrams(eval, col(idCol))
-      .join(c2, Seq("w1", "w2"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c2, Seq("bg"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .withColumn("nll",
@@ -748,16 +750,13 @@ object TextAnalysis {
   def boilerplateCensus(docs: DataFrame, idCol: String, textCol: String,
                         sourceCol: String, lineTokens: Int = 10,
                         minDocs: Int = 2): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nLines = ((size(toks) + lit(lineTokens - 1)) / lit(lineTokens)).cast("int")
-    val lines = transform(
-      sequence(lit(0), nLines - 1),
-      i => concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens))))
     // (line, doc, source)-level pre-agg: the map-side combine collapses
-    // within-doc repeats before anything shuffles
+    // within-doc repeats before anything shuffles; WordLines is the native
+    // codegen'd cutting shared with LineDedup
     val lineDoc = docs
       .select(col(idCol).as("id"), col(sourceCol).as("source"),
-        explode(lines).as("line"))
+        explode(graft.functions.GraftFunctions.wordLines(col(textCol), lineTokens))
+          .as("line"))
       .groupBy(col("line"), col("id"), col("source"))
       .agg(count(lit(1)).as("occ"))
     val docFreq = lineDoc.groupBy(col("line"))

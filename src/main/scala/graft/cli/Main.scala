@@ -397,6 +397,26 @@ object Main {
                 f"bucket=${r.getLong(0)}%5d docs=${r.getLong(1)}%6d " +
                   f"pad_tokens=${r.getLong(3)}%9d utilization=${r.getDouble(4)}%5.3f"))
           }
+          // --heaps: Heaps'-law vocabulary growth per language (full vs
+          // deterministic md5-half slice) — does this language keep
+          // minting new types as the corpus grows?
+          if (opts.contains("heaps")) {
+            val idCol = opts.getOrElse("id", "doc_id")
+            graft.operators.TextAnalysis.heapsCensus(df, langCol, textCol, idCol)
+              .collect().foreach(r => out(
+                f"${r.get(0)}%-8s tokens=${r.getLong(1)}%9d types=${r.getLong(2)}%7d " +
+                  f"half_types=${r.getLong(4)}%7d heaps_beta=${r.getDouble(5)}%6.3f"))
+          }
+          // --boilerplate: per-source share of volume in lines repeated
+          // across documents corpus-wide (is a line-dedup pass worth it?)
+          if (opts.contains("boilerplate")) {
+            val idCol = opts.getOrElse("id", "doc_id")
+            val srcCol = opts.getOrElse("source-col", "source")
+            graft.operators.TextAnalysis.boilerplateCensus(df, idCol, textCol, srcCol)
+              .collect().foreach(r => out(
+                f"${r.getString(0)}%-12s lines=${r.getLong(1)}%7d boiler=${r.getLong(2)}%6d " +
+                  f"docs_affected=${r.getLong(3)}%5d boiler_share=${r.getDouble(4)}%6.4f"))
+          }
           // --dsir LANG: DSIR importance-weight distribution of the corpus
           // against the given target language slice
           opts.get("dsir").foreach { targetLang =>
@@ -413,6 +433,37 @@ object Main {
                   f"max_log_w=${r.getDouble(2)}%8.3f"))
           }
           df.unpersist()
+          0
+        case "cluster" =>
+          // embedding-space topic discovery: deterministic Lloyd k-means
+          // census (per-cluster size + member-cosine quality), optionally
+          // the hard-negative mining report — the two vector-side curation
+          // passes next to `decontaminate --method semantic`
+          import org.apache.spark.sql.functions.col
+          val src = req("source")
+          val table = opts.getOrElse("table", "embeddings")
+          val idCol = opts.getOrElse("id", "vec_id")
+          val vecCol = opts.getOrElse("vec-col", "embedding")
+          val k = opts.getOrElse("k", "8").toInt
+          val iters = opts.getOrElse("iters", "2").toInt
+          val df = spark.read.parquet(s"$src/$table.parquet")
+          graft.operators.Ivf.kmeansCensus(df, idCol, vecCol, k, iters)
+            .collect().foreach(r => out(
+              f"cluster=${r.getInt(0)}%2d seed=${r.getLong(1)}%6d " +
+                f"members=${r.getLong(2)}%6d mean_cos=${r.getDouble(3)}%6.4f " +
+                f"min_cos=${r.getDouble(4)}%7.4f"))
+          if (opts.contains("hard-negatives")) {
+            val labelCol = opts.getOrElse("label-col", "label")
+            val negs = graft.operators.Similarity.hardNegatives(
+              df, idCol, vecCol, labelCol, k = 1)
+            val n = negs.count()
+            val top = negs.orderBy(col("cosine").desc, col("a_id")).limit(10).collect()
+            out(s"hard negatives mined for $n anchors; 10 most confusable:")
+            top.foreach(r => out(
+              f"  anchor=${r.getLong(0)}%6d(label ${r.getInt(1)}%2d) " +
+                f"neg=${r.getLong(2)}%6d(label ${r.getInt(3)}%2d) " +
+                f"cosine=${r.getDouble(4)}%6.4f"))
+          }
           0
         case "corpus-report" =>
           // the reference's `discover` report analogue for the text
@@ -783,6 +834,10 @@ object Main {
       |               utilization census)
       |              [--dsir LANG]  (DSIR importance-weight distribution
       |               against the LANG target slice)
+      |              [--heaps]  (Heaps'-law vocabulary growth per language
+      |               — full vs md5-half slice, growth exponent beta)
+      |              [--boilerplate]  (per-source share of volume in lines
+      |               repeated across docs corpus-wide)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|substring|incremental]
       |              [--id COL]
@@ -799,11 +854,17 @@ object Main {
       |               set — bloom prunes map-side, identical result)
       |              [--vec-col COL] [--threshold X]  (semantic: drop docs
       |               whose embedding cosine vs any eval row >= X)
+      |  cluster     --source DIR [--table T] [--id COL] [--vec-col COL]
+      |              [--k N] [--iters N]  (deterministic Lloyd k-means
+      |               census over the embedding table: per-cluster size +
+      |               member-cosine quality)
+      |              [--hard-negatives] [--label-col COL]  (per-anchor
+      |               nearest cross-label neighbor — contrastive negatives)
       |  corpus-report --source DIR [--table T] [--output FILE]
       |              (all census sections — quality funnel, source
       |               overlap, KL, vocab/OOV, padding, fertility, Zipf
-      |               slope — as one JSON over one cached corpus scan +
-      |               one token explode)
+      |               slope, Heaps growth, boilerplate — as one JSON over
+      |               one cached corpus scan + one token explode)
       |  validate    --source DIR|jdbc:URL --target DIR|jdbc:URL [--table T]
       |              [--pk a,b] [--row-sample true] [--driver CLASS]
       |              [--constraints-jdbc URL] [--constraints-schema NAME]

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * (sf_migrate.py's per-schema discovery summary): ONE verb that emits the
   * whole corpus health report — quality funnel, cross-source n-gram
   * overlap, per-source KL, vocabulary/OOV coverage, padding waste,
-  * tokenizer fertility and the Zipf rank-frequency slope — as a single
+  * tokenizer fertility, the Zipf rank-frequency slope, Heaps'-law
+  * vocabulary growth and the boilerplate-line census — as a single
   * JSON document.
   *
   * The point of chaining (vs running the six census verbs separately) is
@@ -34,10 +35,13 @@ object CorpusReport {
     * pairs, sources, langs, log2 buckets, top ranks) — safe to collect. */
   def sections(docs: DataFrame, scope: CacheScope,
                langCol: String = "lang", sourceCol: String = "source",
-               textCol: String = "text", topV: Int = 500,
-               overlapK: Int = 5): Seq[(String, DataFrame)] = {
+               textCol: String = "text", idCol: String = "doc_id",
+               topV: Int = 500, overlapK: Int = 5): Seq[(String, DataFrame)] = {
     val d = scope.cached(docs)
+    // the one token explode every unigram census aggregates from; `h` is
+    // the deterministic md5-half flag the Heaps census slices on
     val tokens = scope.cached(d.select(col(langCol), col(sourceCol),
+      (substring(md5(col(idCol).cast("string")), 1, 1) < lit("8")).as("h"),
       explode(split(col(textCol), " ")).as("w")))
     Seq(
       "quality_funnel" -> TextAnalysis.qualityFunnel(d, textCol),
@@ -50,7 +54,11 @@ object CorpusReport {
       "token_fertility" -> TextAnalysis.tokenFertility(d, langCol, textCol),
       "zipf_slope" -> TextAnalysis.zipfSlopeFromTokens(
         tokens.select(col(langCol).as("grp"), col("w")))
-        .withColumnRenamed("grp", langCol).orderBy(col(langCol)))
+        .withColumnRenamed("grp", langCol).orderBy(col(langCol)),
+      "heaps_vocab_growth" -> TextAnalysis.heapsCensusFromTokens(
+        tokens.select(col(langCol).as("lang"), col("h"), col("w")))
+        .withColumnRenamed("lang", langCol),
+      "boilerplate" -> TextAnalysis.boilerplateCensus(d, idCol, textCol, sourceCol))
   }
 
   /** Render the report as one JSON object `{section: [row, ...], ...}` —

@@ -706,13 +706,19 @@ object TextAnalysis {
     * a second scan. */
   def heapsCensus(docs: DataFrame, langCol: String, textCol: String,
                   idCol: String): DataFrame = {
+    val inHalf = substring(md5(col(idCol).cast("string")), 1, 1) < lit("8")
+    heapsCensusFromTokens(docs
+      .select(col(langCol).as("lang"), inHalf.as("h"),
+        explode(split(col(textCol), " ")).as("w")))
+  }
+
+  /** [[heapsCensus]] over a pre-exploded `(lang, h, w)` token stream —
+    * the corpus-report path reuses its one cached explode. */
+  def heapsCensusFromTokens(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def rln(c: Column): Column =
       log(c.cast("double")).cast(DecimalType(30, 9)).cast("double")
-    val inHalf = substring(md5(col(idCol).cast("string")), 1, 1) < lit("8")
-    val perWord = docs
-      .select(col(langCol).as("lang"), inHalf.as("h"),
-        explode(split(col(textCol), " ")).as("w"))
+    val perWord = tokens
       .filter(length(col("w")) > 0)
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("c"),
@@ -791,11 +797,13 @@ object TextAnalysis {
                       minCount: Long = 5, topN: Int = 30): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = split(col(textCol), " ")
+    // native codegen'd bigram stream (WordNgrams); the pair decodes around
+    // the single separator space since tokens are space-free
     val bg = docs.filter(size(t) >= 2)
-      .select(explode(transform(sequence(lit(0), size(t) - 2),
-        i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
+      .select(explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), 2))
         .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val uni = docs.select(explode(t).as("w")).groupBy(col("w"))
       .agg(count(lit(1)).as("c_w"))

@@ -373,7 +373,7 @@ class MainSpec extends SparkSpec {
       val sections = graft.operators.CorpusReport.sections(docs, scope)
       assert(sections.map(_._1) === Seq("quality_funnel", "source_overlap",
         "source_kl", "vocab_coverage", "padding_waste", "token_fertility",
-        "zipf_slope"))
+        "zipf_slope", "heaps_vocab_growth", "boilerplate"))
       val chainedScans = sections.map(s => scanCount(s._2)).sum
       assert(chainedScans < separateScans,
         s"report sections hit $chainedScans corpus scans vs $separateScans separate")
@@ -388,9 +388,28 @@ class MainSpec extends SparkSpec {
     assert(code === 0, out)
     val json = out.last
     Seq("quality_funnel", "source_overlap", "source_kl", "vocab_coverage",
-      "padding_waste", "token_fertility", "zipf_slope").foreach { s =>
+      "padding_waste", "token_fertility", "zipf_slope", "heaps_vocab_growth",
+      "boilerplate").foreach { s =>
       assert(json.contains("\"" + s + "\":[{"), s"section $s missing or empty: $json")
     }
+  }
+
+  test("analyze --heaps and --boilerplate append the round-8 censuses") {
+    val (code, out) = runCli("analyze", "--source", sfDir, "--heaps", "--boilerplate")
+    assert(code === 0, out)
+    assert(out.exists(_.contains("heaps_beta=")), out.mkString("\n"))
+    assert(out.exists(_.contains("boiler_share=")), out.mkString("\n"))
+  }
+
+  test("cluster verb reports the k-means census and mines hard negatives") {
+    val (code, out) = runCli("cluster", "--source", sfDir, "--k", "4",
+      "--iters", "1", "--hard-negatives")
+    assert(code === 0, out)
+    val clusterLines = out.filter(_.startsWith("cluster="))
+    assert(clusterLines.nonEmpty && clusterLines.size <= 4, out.mkString("\n"))
+    assert(clusterLines.forall(_.contains("mean_cos=")))
+    assert(out.exists(_.contains("hard negatives mined")), out.mkString("\n"))
+    assert(out.exists(_.trim.startsWith("anchor=")), out.mkString("\n"))
   }
 
   test("decontaminate verb drops training docs overlapping the eval set; bloom matches exact") {

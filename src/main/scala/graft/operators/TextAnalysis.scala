@@ -737,6 +737,77 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Token-budget mixture plan — the epoch table a pretraining run
+    * publishes: per source, its token count, natural share, α=0.5
+    * temperature weight (sqrt share, the q86 discipline applied to TOKENS),
+    * the tokens planned for it under a `budgetShare`-of-corpus training
+    * budget, and the resulting epoch count. `epochs > 1` flags the sources
+    * the plan would repeat (memorization risk ↑); `epochs ≪ 1` flags
+    * near-discarded ones. This is the decision artifact between q86
+    * (weights) and q112 (the materialized order).
+    *
+    * Determinism: token counts are exact integers; each sqrt is
+    * IEEE-correctly-rounded then DECIMAL(30,9)-rounded BEFORE the
+    * normalizing sum (the q130 libm/order discipline), and the remaining
+    * arithmetic is an identical double expression tree in both engines.
+    *
+    * Scale shape: one corpus scan → #sources-row aggregate; totals ride a
+    * 1-row broadcast crossJoin. */
+  def tokenBudgetPlan(docs: DataFrame, sourceCol: String, textCol: String,
+                      budgetShare: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("sw", sqrt(col("n_tokens").cast("double")).cast(DecimalType(30, 9)))
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum(col("n_tokens")).as("total_tokens"), sum(col("sw")).as("sum_sw"))))
+      .withColumn("natural_share",
+        col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("weight", col("sw").cast("double") / col("sum_sw").cast("double"))
+      .withColumn("planned_tokens",
+        col("total_tokens").cast("double") * lit(budgetShare) * col("weight"))
+      .withColumn("epochs", col("planned_tokens") / col("n_tokens").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("natural_share"),
+        col("weight"), col("planned_tokens"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** N-gram novelty saturation curve — the diminishing-returns report that
+    * answers "is more of this corpus still worth ingesting?" (the dedup
+    * literature's saturation argument made measurable): documents are
+    * binned into 16 deterministic md5 pseudo-ingestion batches, and each
+    * batch reports how many distinct word k-grams it touches vs how many
+    * it is the FIRST to carry. A novelty share collapsing toward zero
+    * batch-over-batch means the crawl has saturated.
+    *
+    * Scale shape: per-(batch, gram) distinct collapses map-side; the
+    * first-carrier pass is a gram-keyed min aggregate; the 16-row cumsum
+    * is a tiny triangular self-join (NOT an unpartitioned window — no
+    * single-partition stage, no WindowExec warning in the bench tail). */
+  def noveltySaturation(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val g = docs.select(
+        substring(md5(col(idCol).cast("string")), 1, 1).as("batch"),
+        explode(graft.operators.Dedup.shingles(textCol, k)).as("gram"))
+      .groupBy(col("batch"), col("gram")).agg(count(lit(1)).as("n_carriers"))
+    val totals = g.groupBy(col("batch")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("gram")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_novel"))
+    val per = totals.join(novel, Seq("batch"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+    per.as("a")
+      .join(per.as("b"), col("b.batch") <= col("a.batch"))
+      .groupBy(col("a.batch").as("batch"), col("a.n_grams").as("n_grams"),
+        col("a.n_novel").as("n_novel"))
+      .agg(sum(col("b.n_novel")).as("cum_novel"))
+      .withColumn("novelty_share",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .select(col("batch"), col("n_grams"), col("n_novel"), col("cum_novel"),
+        col("novelty_share"))
+      .orderBy(col("batch"))
+  }
+
   /** Boilerplate-line census (the report a CCNet/RefinedWeb-style line
     * dedup pass runs FIRST): the corpus is cut into fixed-`lineTokens`
     * token lines ([[LineDedup]]'s cutting), a line is boilerplate when it

@@ -361,6 +361,42 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Token-budget mixture plan: per-source epoch table under a half-corpus
+    // training budget with alpha=0.5 temperature weights over TOKENS —
+    // the decision artifact between q86 (weights) and q112 (the order).
+    "q138_token_budget_plan" -> { (s, dir) =>
+      graft.operators.TextAnalysis.tokenBudgetPlan(
+        t(s, dir, "documents"), "source", "text")
+    },
+
+    // N-gram novelty saturation: distinct/first-carrier 8-grams per md5
+    // pseudo-ingestion batch — the diminishing-returns curve that answers
+    // "is more of this crawl still worth ingesting?".
+    "q139_novelty_saturation" -> { (s, dir) =>
+      graft.operators.TextAnalysis.noveltySaturation(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+
+    // Per-source contamination matrix: which sources carry the eval-set
+    // overlap (q80's gate rolled up to the source level) — the corpus-card
+    // table that says where the leakage lives.
+    "q140_contamination_by_source" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val flagged = ngramOverlap(
+        train, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
+        .select(col("doc_id"))
+      val perSrc = train.groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
+      val cont = train.select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+      perSrc.join(cont, Seq("source"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast("double") / col("n_train_docs").cast("double"))
+        .orderBy(col("source"))
+    },
+
     // Heaps'-law vocabulary growth: per language, types-vs-tokens for the
     // full corpus and a deterministic md5-half, plus the growth exponent
     // beta = ln(V/V_half)/ln(N/N_half) — the tokenizer-sizing companion
@@ -1200,6 +1236,79 @@ object TextQueries {
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
         |FROM g JOIN f USING (ngram)
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // sqrt weights DECIMAL(30,9)-rounded before the normalizing sum; the
+    // remaining arithmetic is the identical double expression tree.
+    "q138_token_budget_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(${graft.operators.TextAnalysis.tokenCountSql("text")}) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,9)) AS sw
+         |  FROM c),
+         |t AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, SUM(sw) AS sum_sw
+         |  FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share,
+         |  CAST(sw AS DOUBLE) / CAST(sum_sw AS DOUBLE) AS weight,
+         |  CAST(total_tokens AS DOUBLE) * 0.5 *
+         |    (CAST(sw AS DOUBLE) / CAST(sum_sw AS DOUBLE)) AS planned_tokens,
+         |  CAST(total_tokens AS DOUBLE) * 0.5 *
+         |    (CAST(sw AS DOUBLE) / CAST(sum_sw AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+         |    AS epochs
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // q132's distinct-shingle formation (NULL-skipping concat_ws =
+    // truncated short-doc window) keyed by the md5 pseudo-batch; the
+    // 16-row cumsum is the same triangular join, not a window.
+    "q139_novelty_saturation" ->
+      """WITH tk AS (
+        |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS batch, doc_id,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT DISTINCT batch, doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4],
+        |      t[i.i + 5], t[i.i + 6], t[i.i + 7], t[i.i + 8]) AS gram
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS i(i)),
+        |g AS (SELECT batch, gram, COUNT(*) AS n_carriers FROM g0 GROUP BY 1, 2),
+        |totals AS (SELECT batch, COUNT(*) AS n_grams FROM g GROUP BY 1),
+        |novel AS (
+        |  SELECT batch, COUNT(*) AS n_novel FROM (
+        |    SELECT gram, MIN(batch) AS batch FROM g GROUP BY 1) GROUP BY 1),
+        |per AS (
+        |  SELECT t.batch, t.n_grams, COALESCE(n.n_novel, 0) AS n_novel
+        |  FROM totals t LEFT JOIN novel n ON n.batch = t.batch)
+        |SELECT a.batch, a.n_grams, CAST(a.n_novel AS BIGINT) AS n_novel,
+        |  CAST(SUM(b.n_novel) AS BIGINT) AS cum_novel,
+        |  CAST(a.n_novel AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS novelty_share
+        |FROM per a JOIN per b ON b.batch <= a.batch
+        |GROUP BY 1, 2, a.n_novel ORDER BY a.batch""".stripMargin,
+
+    // q80's split and 4-gram overlap rolled up per train source.
+    "q140_contamination_by_source" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3], t[i.i + 4]) AS ng
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 4, 0) + 1)) AS i(i)),
+        |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0),
+        |hit AS (
+        |  SELECT DISTINCT g.doc_id, g.source FROM g JOIN e USING (ng)
+        |  WHERE g.doc_id % 50 <> 0),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_train_docs FROM documents
+        |  WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |cont AS (SELECT source, COUNT(*) AS n_contaminated FROM hit GROUP BY 1)
+        |SELECT per.source, per.n_train_docs,
+        |  CAST(COALESCE(cont.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(COALESCE(cont.n_contaminated, 0) AS DOUBLE) /
+        |    CAST(per.n_train_docs AS DOUBLE) AS contamination_rate
+        |FROM per LEFT JOIN cont ON cont.source = per.source
+        |ORDER BY per.source""".stripMargin,
 
     // Same (lang, word)-keyed rollup; each ln rounds to DECIMAL(30,9)
     // before the division (q130's libm discipline); SUMs cast off HUGEINT.

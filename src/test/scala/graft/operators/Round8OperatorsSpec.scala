@@ -154,6 +154,41 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(5) - 1.0) < 1e-9)
   }
 
+  test("tokenBudgetPlan: sqrt temperature weights and epoch arithmetic are exact") {
+    import spark.implicits._
+    // 100 vs 400 tokens -> sqrt weights 10:20 -> 1/3 : 2/3 of a 250-token budget
+    val docs = Seq(
+      ("srcA", (1 to 100).map(i => s"a$i").mkString(" ")),
+      ("srcB", (1 to 400).map(i => s"b$i").mkString(" "))).toDF("source", "text")
+    val out = TextAnalysis.tokenBudgetPlan(docs, "source", "text").collect()
+    val a = out.find(_.getString(0) == "srcA").get
+    val b = out.find(_.getString(0) == "srcB").get
+    assert(a.getLong(2) === 100L && b.getLong(2) === 400L)
+    assert(math.abs(a.getDouble(4) - 1.0 / 3) < 1e-9)   // weight
+    assert(math.abs(b.getDouble(4) - 2.0 / 3) < 1e-9)
+    assert(math.abs(a.getDouble(5) - 250.0 / 3) < 1e-6) // planned tokens
+    assert(math.abs(a.getDouble(6) - 2.5 / 3) < 1e-9)   // epochs: 83.3/100
+    assert(math.abs(b.getDouble(6) - 250.0 / 600) < 1e-9)
+  }
+
+  test("noveltySaturation: first batch is all-novel, cumsum reaches the gram total") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val out = TextAnalysis.noveltySaturation(docs, "doc_id", "text", k = 8)
+      .orderBy(col("batch")).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getDouble(4) === 1.0, "earliest batch must be 100% novel")
+    val totalNovel = out.map(_.getLong(2)).sum
+    assert(out.last.getLong(3) === totalNovel, "cumsum must end at the novel total")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // novel <= grams seen in batch
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // cum_novel is nondecreasing in batch order
+    out.map(_.getLong(3)).sliding(2).foreach {
+      case Array(x, y) => assert(x <= y); case _ => ()
+    }
+  }
+
   test("hardNegatives: one cross-label neighbor per emitting anchor, exact cosine") {
     val e = graft.sources.Tables.load(spark, sfDir, "embeddings").cache()
     val out = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 1)

@@ -688,6 +688,99 @@ object SnowflakeDialect {
           require(args.length == 1, s"SQUARE expects 1 arg, got ${args.length}")
           out.append(s"POWER(${rewriteFunctionCalls(args.head.trim)}, 2)")
           i = close + 1
+        } else if (hasParen && (upper == "DIV0" || upper == "DIV0NULL")) {
+          // DIV0(a, b): 0 instead of a division-by-zero error; DIV0NULL
+          // additionally returns 0 for a NULL divisor.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 2, s"$upper expects 2 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val nullArm = if (upper == "DIV0NULL") s" OR (${t(1)}) IS NULL" else ""
+          out.append(s"(CASE WHEN (${t(1)}) = 0$nullArm THEN 0 ELSE (${t(0)}) / (${t(1)}) END)")
+          i = close + 1
+        } else if (hasParen && (upper == "TO_BOOLEAN" || upper == "TRY_TO_BOOLEAN")) {
+          // Spark's BOOLEAN cast accepts the same 'true'/'false'/'t'/'f'/
+          // 'yes'/'no'/'1'/'0' lexicon; TRY_ degrades to NULL on junk.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"$upper expects 1 arg, got ${args.length}")
+          val cast = if (upper == "TO_BOOLEAN") "CAST" else "TRY_CAST"
+          out.append(s"$cast(${rewriteFunctionCalls(args.head.trim)} AS BOOLEAN)")
+          i = close + 1
+        } else if (hasParen && upper == "ARRAY_SLICE") {
+          // ARRAY_SLICE(a, from, to): 0-based, `to` exclusive → SLICE's
+          // 1-based (start, length) form.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 3, s"ARRAY_SLICE expects 3 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          out.append(s"SLICE(${t(0)}, (${t(1)}) + 1, (${t(2)}) - (${t(1)}))")
+          i = close + 1
+        } else if (hasParen && upper == "ARRAY_CAT") {
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 2, s"ARRAY_CAT expects 2 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          out.append(s"CONCAT(${t(0)}, ${t(1)})")
+          i = close + 1
+        } else if (hasParen && upper == "ARRAY_COMPACT") {
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"ARRAY_COMPACT expects 1 arg, got ${args.length}")
+          out.append(s"FILTER(${rewriteFunctionCalls(args.head.trim)}, x -> x IS NOT NULL)")
+          i = close + 1
+        } else if (hasParen && upper == "OBJECT_KEYS") {
+          // VARIANT objects degrade to JSON text (the OBJECT_CONSTRUCT
+          // discipline) — key enumeration is JSON_OBJECT_KEYS over that.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"OBJECT_KEYS expects 1 arg, got ${args.length}")
+          out.append(s"JSON_OBJECT_KEYS(${rewriteFunctionCalls(args.head.trim)})")
+          i = close + 1
+        } else if (hasParen && upper == "PARSE_JSON") {
+          // VARIANT = its JSON text in this engine's degrade model, so
+          // PARSE_JSON is the identity — the ':' paths and OBJECT_KEYS
+          // rewrites consume the text directly.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"PARSE_JSON expects 1 arg, got ${args.length}")
+          out.append(s"(${rewriteFunctionCalls(args.head.trim)})")
+          i = close + 1
+        } else if (hasParen && upper == "STRTOK") {
+          // STRTOK(s[, delimCHARS[, part]]): every character of the
+          // delimiter is a separator, empty tokens collapse, out-of-range
+          // parts are NULL → split on the char class, drop empties,
+          // TRY_ELEMENT_AT. Literal delimiters only (the char-class
+          // escape needs the value at translation time).
+          val (args, close) = parseArgs(sql, k)
+          require(args.length >= 1 && args.length <= 3,
+            s"STRTOK expects 1-3 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val delim = if (t.length >= 2) t(1) else "' '"
+          if (!isStringLiteral(delim))
+            throw new IllegalArgumentException(
+              "unsupported STRTOK — delimiter must be a string literal")
+          val chars = delim.substring(1, delim.length - 1)
+            .flatMap(c => if ("\\^]-".contains(c)) s"\\\\$c" else c.toString)
+          val part = if (t.length == 3) t(2) else "1"
+          out.append(s"TRY_ELEMENT_AT(FILTER(SPLIT(${t(0)}, '[$chars]'), " +
+            s"x -> x != ''), $part)")
+          i = close + 1
+        } else if (hasParen && upper == "RATIO_TO_REPORT") {
+          // RATIO_TO_REPORT(x) OVER (w) → x / SUM(x) OVER (w), with both
+          // operands cast to DOUBLE so the quotient's type doesn't depend
+          // on engine-specific decimal-division scale rules (the inner
+          // SUM still aggregates at the operand's exact type).
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"RATIO_TO_REPORT expects 1 arg, got ${args.length}")
+          val x = rewriteFunctionCalls(args.head.trim)
+          var p = close + 1
+          while (p < sql.length && sql(p).isWhitespace) p += 1
+          val overKw = if (p + 4 <= sql.length) sql.substring(p, p + 4).toUpperCase else ""
+          if (overKw != "OVER")
+            throw new IllegalArgumentException(
+              "unsupported RATIO_TO_REPORT without an OVER clause")
+          var q = p + 4
+          while (q < sql.length && sql(q).isWhitespace) q += 1
+          require(q < sql.length && sql(q) == '(',
+            "unsupported RATIO_TO_REPORT — OVER must be followed by (...)")
+          val (overArgs, overClose) = parseArgs(sql, q)
+          val w = rewriteFunctionCalls(overArgs.mkString(",").trim)
+          out.append(s"(CAST(($x) AS DOUBLE) / CAST(SUM($x) OVER ($w) AS DOUBLE))")
+          i = overClose + 1
         } else if (hasParen && upper == "GET") {
           // GET(array, i) is 0-based; Spark ELEMENT_AT is 1-based → +1.
           // The object form GET(obj, 'key') belongs to the VARIANT path

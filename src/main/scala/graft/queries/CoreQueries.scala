@@ -237,6 +237,27 @@ object CoreQueries {
     // DAYNAME/MONTHNAME (abbreviated masks), SQUARE, EQUAL_NULL (<=>),
     // ARRAY_CONTAINS arg swap, 0-based GET → 1-based ELEMENT_AT, and the
     // BOOLOR_AGG/BOOLAND_AGG renames.
+    // Round-8 dialect widening: DIV0, TO_BOOLEAN, STRTOK (char-set
+    // delimiters, empty-token collapse, NULL out-of-range), ARRAY_SLICE
+    // (0-based, end-exclusive), RATIO_TO_REPORT (window share with
+    // engine-neutral double quotient) — all through translate.
+    "q141_dialect_ext" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT c_custkey,
+          |       DIV0(c_nationkey, MOD(c_custkey, 3)) AS d0,
+          |       TO_BOOLEAN(CASE WHEN c_nationkey > 12 THEN 'true' ELSE 'false' END) AS b1,
+          |       STRTOK(c_name, '#', 2) AS tok2,
+          |       STRTOK(c_name, '#', 9) AS tok_oob,
+          |       ARRAY_TO_STRING(ARRAY_SLICE(SPLIT(c_name, '0'), 1, 3), ':') AS mid,
+          |       RATIO_TO_REPORT(c_acctbal::DECIMAL(18,2))
+          |         OVER (PARTITION BY c_mktsegment) AS share
+          |FROM TPCH.PUBLIC.CUSTOMER
+          |WHERE c_custkey <= 200
+          |ORDER BY c_custkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     "q133_dialect_misc" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       val snowflakeSql =
@@ -534,6 +555,25 @@ object CoreQueries {
         |  CAST(length(o_orderstatus) AS INT) AS st_len
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Independent DuckDB formulations: % for MOD, list slicing for
+    // ARRAY_SLICE, plain list indexing for STRTOK (phones have no empty
+    // tokens; index 9 is past the 4 pieces → NULL in both engines), the
+    // same decimal-sum/double-quotient tree for the report share.
+    "q141_dialect_ext" ->
+      """SELECT c_custkey,
+        |  CASE WHEN (c_custkey % 3) = 0 THEN 0
+        |       ELSE c_nationkey / (c_custkey % 3) END AS d0,
+        |  (c_nationkey > 12) AS b1,
+        |  string_split(c_name, '#')[2] AS tok2,
+        |  string_split(c_name, '#')[9] AS tok_oob,
+        |  array_to_string(string_split(c_name, '0')[2:3], ':') AS mid,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) /
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS share
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
 
     // strftime %a/%b give the same C-locale abbreviated names as Spark's
     // EEE/MMM under Locale.US; IS NOT DISTINCT FROM is DuckDB's <=>.

@@ -365,6 +365,49 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("its own argument"), e.getMessage)
   }
 
+  test("DIV0/DIV0NULL become zero-guarded CASE divisions") {
+    assert(tr("SELECT DIV0(a, b) FROM t") ===
+      "SELECT (CASE WHEN (b) = 0 THEN 0 ELSE (a) / (b) END) FROM t")
+    assert(tr("SELECT DIV0NULL(a, b + 1) FROM t") ===
+      "SELECT (CASE WHEN (b + 1) = 0 OR (b + 1) IS NULL THEN 0 ELSE (a) / (b + 1) END) FROM t")
+  }
+
+  test("TO_BOOLEAN/TRY_TO_BOOLEAN become BOOLEAN casts") {
+    assert(tr("SELECT TO_BOOLEAN(f) FROM t") === "SELECT CAST(f AS BOOLEAN) FROM t")
+    assert(tr("SELECT TRY_TO_BOOLEAN(f) FROM t") === "SELECT TRY_CAST(f AS BOOLEAN) FROM t")
+  }
+
+  test("ARRAY_SLICE/ARRAY_CAT/ARRAY_COMPACT rewrite to SLICE/CONCAT/FILTER") {
+    assert(tr("SELECT ARRAY_SLICE(arr, 1, 3) FROM t") ===
+      "SELECT SLICE(arr, (1) + 1, (3) - (1)) FROM t")
+    assert(tr("SELECT ARRAY_CAT(a, b) FROM t") === "SELECT CONCAT(a, b) FROM t")
+    assert(tr("SELECT ARRAY_COMPACT(a) FROM t") ===
+      "SELECT FILTER(a, x -> x IS NOT NULL) FROM t")
+  }
+
+  test("STRTOK splits on a character set, collapses empties, NULLs out-of-range") {
+    assert(tr("SELECT STRTOK(s, '-', 2) FROM t") ===
+      "SELECT TRY_ELEMENT_AT(FILTER(SPLIT(s, '[\\\\-]'), x -> x != ''), 2) FROM t")
+    assert(tr("SELECT STRTOK(s) FROM t") ===
+      "SELECT TRY_ELEMENT_AT(FILTER(SPLIT(s, '[ ]'), x -> x != ''), 1) FROM t")
+    // regex metacharacters in the delimiter set are escaped
+    assert(tr("SELECT STRTOK(s, '.^', 1) FROM t")
+      .contains("SPLIT(s, '[.\\\\^]')"))
+    // non-literal delimiter cannot build the char class at translate time
+    assertThrows[IllegalArgumentException](tr("SELECT STRTOK(s, d, 1) FROM t"))
+  }
+
+  test("PARSE_JSON is identity; OBJECT_KEYS becomes JSON_OBJECT_KEYS") {
+    assert(tr("SELECT OBJECT_KEYS(PARSE_JSON(js)) FROM t") ===
+      "SELECT JSON_OBJECT_KEYS((js)) FROM t")
+  }
+
+  test("RATIO_TO_REPORT becomes a double-quotient window share") {
+    assert(tr("SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY g) FROM t") ===
+      "SELECT (CAST((x) AS DOUBLE) / CAST(SUM(x) OVER (PARTITION BY g) AS DOUBLE)) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT RATIO_TO_REPORT(x) FROM t"))
+  }
+
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
     assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
       "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")

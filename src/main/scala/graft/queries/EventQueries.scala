@@ -60,6 +60,61 @@ object EventQueries {
         .orderBy(col("h"), col("event_type"))
     },
 
+    // Retention cohort matrix — the product-analytics table every event
+    // warehouse serves: users grouped by first-active day, activity
+    // counted at each day offset. Day numbers are exact epoch-ms integer
+    // division (encoding-agnostic, no date/timezone types cross the
+    // engine boundary). Scale shape: (user, day) distinct collapses
+    // map-side; the cohort join shuffles on user_id; the matrix is
+    // #days² rows at most.
+    "q142_retention_cohorts" -> { (s, dir) =>
+      val act = t(s, dir, "events")
+        .select(col("user_id"), millisUtc(col("ts")).as("ms"))
+        .withColumn("day", expr("ms DIV 86400000"))
+        .select(col("user_id"), col("day"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      act.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // Ordered conversion funnel: per user the first view / click /
+    // purchase timestamps, rolled up into strict-progression stage
+    // counts — one (user)-keyed aggregate, 1-row output, no joins.
+    "q143_event_funnel" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ms", millisUtc(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ms"))).as("v"),
+          min(when(col("event_type") === "click", col("ms"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ms"))).as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("c") > col("v"), 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("p") > col("c") && col("c") > col("v"), 1L).otherwise(0L))
+            .as("n_full_funnel"))
+    },
+
+    // Shuffle-key skew census — the pre-flight diagnosis before keying a
+    // 100 TB shuffle on a column: the 5 hottest keys with their
+    // multiple-of-average load, next to the global key stats. Top-5 plans
+    // as a TakeOrdered heap over the per-key aggregate; totals ride a
+    // 1-row broadcast.
+    "q144_key_skew_census" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val tot = per.agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_keys"))
+      per.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("cnt"), col("n_events"), col("n_keys"),
+          ((col("cnt").cast("double") * col("n_keys").cast("double")) /
+            col("n_events").cast("double")).as("x_avg"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(5)
+    },
+
     "q21_json_extract" -> { (s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -219,6 +274,47 @@ object EventQueries {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
          |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    // Same epoch-ms integer day numbers; COUNT(DISTINCT) is BIGINT.
+    "q142_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+        |  FROM events),
+        |first AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN first f ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // NULL comparisons fall to the ELSE arm in both engines.
+    "q143_event_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |        THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS v,
+        |    MIN(CASE WHEN event_type = 'click'
+        |        THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS c,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+        |  CAST(SUM(CASE WHEN p > c AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM firsts""".stripMargin,
+
+    // Identical double tree for the multiple-of-average.
+    "q144_key_skew_census" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_events, COUNT(*) AS n_keys
+        |  FROM per)
+        |SELECT user_id, cnt, n_events, n_keys,
+        |  (CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)) / CAST(n_events AS DOUBLE)
+        |    AS x_avg
+        |FROM per CROSS JOIN tot
+        |ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin,
 
     "q21_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,

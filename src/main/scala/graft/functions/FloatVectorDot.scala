@@ -209,7 +209,7 @@ object GraftFunctions {
   import org.apache.spark.sql.functions.expr
   import org.apache.spark.sql.catalyst.expressions.Literal
 
-  private[functions] val descriptors
+  private[graft] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),

@@ -378,6 +378,31 @@ object DedupQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Dedup impact per source: how much of each source a global MinHash
+    // dedup pass would remove (q114's keep-longest rule rolled up to the
+    // ingest-decision level) — a source that is mostly kill-list is a
+    // mirror, not a corpus.
+    "q145_dedup_impact_by_source" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val labeled = Dedup.components(pairs)
+        .join(docs.select(col("doc_id").as("node"), col("n_chars"), col("source")),
+          Seq("node"))
+      val w = Window.partitionBy(col("label")).orderBy(col("n_chars").desc, col("node"))
+      val perCluster = labeled.withColumn("rk", row_number().over(w))
+      val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val dup = perCluster.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in_clusters"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_killed"))
+      perSrc.join(dup, Seq("source"), "left")
+        .withColumn("n_in_clusters", coalesce(col("n_in_clusters"), lit(0L)))
+        .withColumn("n_killed", coalesce(col("n_killed"), lit(0L)))
+        .withColumn("kill_rate",
+          col("n_killed").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    },
+
     // Hard-negative mining (Similarity.hardNegatives): per anchor, the
     // most-similar vector with a DIFFERENT label among banded-LSH
     // candidates — the confusable-neighbor set contrastive training
@@ -798,6 +823,36 @@ object DedupQueries {
 
     // q23's pair pipeline + recursive transitive closure: component id =
     // min over every reachable node (LEAST of self and reachable min).
+    // q70's recursive components + q114's keep rule, rolled up per source
+    // with the non-clustered majority re-attached via LEFT JOIN.
+    "q145_dedup_impact_by_source" ->
+      s"""WITH RECURSIVE $minhashEstCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT reach.s, e.d FROM reach JOIN edges e ON reach.d = e.s),
+         |lbl AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s),
+         |ranked AS (
+         |  SELECT d.source,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster
+         |      ORDER BY d.n_chars DESC, l.node) AS rk
+         |  FROM lbl l JOIN documents d ON d.doc_id = l.node),
+         |dup AS (
+         |  SELECT source, COUNT(*) AS n_in_clusters,
+         |    CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_killed
+         |  FROM ranked GROUP BY 1),
+         |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT base.source, base.n_docs,
+         |  CAST(COALESCE(dup.n_in_clusters, 0) AS BIGINT) AS n_in_clusters,
+         |  CAST(COALESCE(dup.n_killed, 0) AS BIGINT) AS n_killed,
+         |  CAST(COALESCE(dup.n_killed, 0) AS DOUBLE) / CAST(base.n_docs AS DOUBLE)
+         |    AS kill_rate
+         |FROM base LEFT JOIN dup ON dup.source = base.source
+         |ORDER BY base.source""".stripMargin,
+
     "q70_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashEstCtes,
          |pairs AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),

@@ -60,6 +60,35 @@ object EventQueries {
         .orderBy(col("h"), col("event_type"))
     },
 
+    // Temporal drift census: per ISO-week event-type mix and its KL
+    // divergence from the overall mix — q111's domain-shift discipline on
+    // the TIME axis (the monitoring signal that catches a logging change
+    // or a traffic-mix shift). Per-term DECIMAL(30,9) rounding before the
+    // exact sum; state bounded at #weeks × #event_types.
+    "q146_temporal_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wt = t(s, dir, "events")
+        .select(col("event_type"), millisUtc(col("ts")).as("ms"))
+        .withColumn("week", expr("ms DIV 604800000"))
+        .groupBy(col("week"), col("event_type")).agg(count(lit(1)).as("c"))
+      val weekTot = wt.groupBy(col("week")).agg(sum(col("c")).as("wn"))
+      val typeTot = wt.groupBy(col("event_type")).agg(sum(col("c")).as("tc"))
+      val grand = weekTot.agg(sum(col("wn")).as("total"))
+      val pW = col("c").cast("double") / col("wn")
+      val pT = col("tc").cast("double") / col("total")
+      wt.join(broadcast(weekTot), Seq("week"))
+        .join(broadcast(typeTot), Seq("event_type"))
+        .crossJoin(broadcast(grand))
+        .select(col("week"), col("wn"),
+          (pW * log(pW / pT)).cast(DecimalType(30, 9)).as("term"))
+        .groupBy(col("week"), col("wn"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("term")).cast("double").as("kl_vs_overall"))
+        .select(col("week"), col("wn").as("n_events"), col("n_types"),
+          col("kl_vs_overall"))
+        .orderBy(col("week"))
+    },
+
     // Retention cohort matrix — the product-analytics table every event
     // warehouse serves: users grouped by first-active day, activity
     // counted at each day offset. Day numbers are exact epoch-ms integer
@@ -274,6 +303,26 @@ object EventQueries {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
          |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    // q111's per-term decimal-rounded KL tree, keyed by epoch-ms week.
+    "q146_temporal_drift" ->
+      """WITH wt AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS week,
+        |    event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wk AS (SELECT week, CAST(SUM(c) AS BIGINT) AS wn FROM wt GROUP BY 1),
+        |ty AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tc FROM wt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(wn) AS BIGINT) AS total FROM wk),
+        |terms AS (
+        |  SELECT wt.week, wk.wn,
+        |    CAST((CAST(c AS DOUBLE) / wn) *
+        |      ln((CAST(c AS DOUBLE) / wn) /
+        |         (CAST(tc AS DOUBLE) / total)) AS DECIMAL(30,9)) AS term
+        |  FROM wt JOIN wk ON wk.week = wt.week
+        |  JOIN ty ON ty.event_type = wt.event_type CROSS JOIN tot)
+        |SELECT week, wn AS n_events, COUNT(*) AS n_types,
+        |  CAST(SUM(term) AS DOUBLE) AS kl_vs_overall
+        |FROM terms GROUP BY 1, 2 ORDER BY week""".stripMargin,
 
     // Same epoch-ms integer day numbers; COUNT(DISTINCT) is BIGINT.
     "q142_retention_cohorts" ->

@@ -94,9 +94,9 @@ object ScaleCurve {
 
   private def drain(df: DataFrame): Unit = Measure.drain(df)
 
-  private def session(): SparkSession = SparkSession.builder()
+  private def session(shufflePartitions: Int = 32): SparkSession = SparkSession.builder()
     .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -191,15 +191,26 @@ object ScaleCurve {
           "source", k = 8)
       })
 
+    // Local-iteration knobs (the canonical recording uses neither):
+    // SPARK_GRAFT_CURVE_ONLY=q107,q126 runs a pipeline subset;
+    // SPARK_GRAFT_CURVE_PARTS=scaled multiplies shuffle partitions by the
+    // corpus multiple — holding PER-PARTITION volume constant the way a
+    // cluster holds per-executor volume constant by adding executors,
+    // which isolates the single-host memory wall from true algorithmic
+    // superlinearity in the fixed-partition recording.
+    val only = sys.env.get("SPARK_GRAFT_CURVE_ONLY").map(_.split(',').toSeq)
+    val scaledParts = sys.env.get("SPARK_GRAFT_CURVE_PARTS").contains("scaled")
+
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,
                       calib: Double, outRows: Long)
     val samples = for {
       (name, p) <- pipelines
+      if only.forall(_.exists(name.startsWith))
       m <- scales
     } yield {
       // fresh context per measurement: no cross-measurement plan-cache
       // hits, no accumulated session state (see Scaladoc)
-      val spark = session()
+      val spark = session(if (scaledParts) 32 * m else 32)
       spark.sparkContext.setLogLevel("WARN")
       val cpu = new CpuMeter
       spark.sparkContext.addSparkListener(cpu)
@@ -230,7 +241,9 @@ object ScaleCurve {
     }
 
     val calibMed = samples.map(_.calib).sorted.apply(samples.size / 2)
-    val rows = pipelines.map { case (name, _) =>
+    val rows = pipelines
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, _) =>
       val byScale = samples.filter(_.pipeline == name).map(s => s.m -> s).toMap
       // exponent over the top decade (10x -> 100x): overheads amortized away
       val expTop = math.log(byScale(100).secs / byScale(10).secs) / math.log(10.0)

@@ -737,6 +737,78 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the actual
+    * tokenizer-training loop, not just its first-merge census (q129):
+    * starting from character tokens over the word-frequency table, each
+    * iteration counts adjacent token pairs weighted by word frequency
+    * (overlapping occurrences count, matching the reference get_stats),
+    * merges the most frequent pair (count desc, pair asc tie-break), and
+    * re-segments. Returns the merge table — rank, pair, new token, count —
+    * i.e. the model a BPE tokenizer ships.
+    *
+    * Merge application is leftmost-non-overlapping, expressed as row
+    * logic rather than string replace (replace() boundary-consumption
+    * differs from BPE semantics): a position matches when (tok, next) =
+    * (a, b), and for the self-pair a = b only even offsets within each
+    * equal-token run merge (gaps-and-islands run ids; for a ≠ b adjacent
+    * matches are impossible, so no match is ever consumed by another).
+    * Every step is engine-neutral — the DuckDB oracle replays all
+    * iterations with the same windows.
+    *
+    * Scale shape: ONE corpus scan builds the word-frequency table; every
+    * iteration after that works on vocabulary-bounded rows (the same
+    * shape production BPE trainers exploit by holding word counts in
+    * memory), with one driver round-trip per merge (the 1-row argmax —
+    * the model itself). localCheckpoint truncates the per-iteration plan
+    * like the components loop. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var seg = wc
+      .select(col("word"), col("cnt"), posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("pos", "tok")))
+      .select(col("word"), col("cnt"), col("pos").cast("long").as("pos"), col("tok"))
+      .localCheckpoint(true)
+    val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val merges = (0 until nMerges).flatMap { rank =>
+      val withNext = seg.withColumn("nxt", lead(col("tok"), 1).over(byPos))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(concat(col("tok"), lit("~"), col("nxt")).as("pair"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) None
+      else {
+        val pair = best.head.getString(0)
+        val pc = best.head.getLong(1)
+        val Array(a, b) = pair.split('~')
+        val runGrp = col("pos") -
+          row_number().over(Window.partitionBy(col("word"), col("tok")).orderBy(col("pos")))
+        val runStart = min(col("pos")).over(
+          Window.partitionBy(col("word"), col("tok"), col("grp")))
+        seg = withNext
+          .withColumn("grp", runGrp)
+          .withColumn("matched", col("tok") === lit(a) && col("nxt") <=> lit(b) &&
+            (lit(a != b) || (col("pos") - runStart) % 2 === 0))
+          .withColumn("consumed", coalesce(lag(col("matched"), 1).over(byPos), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("word"), col("cnt"),
+            (row_number().over(byPos) - 1).cast("long").as("pos"),
+            when(col("matched"), lit(a + b)).otherwise(col("tok")).as("tok"))
+          .localCheckpoint(true)
+        Some((rank.toLong, pair, a + b, pc))
+      }
+    }
+    merges.toDF("merge_rank", "pair", "new_token", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   /** Token-budget mixture plan — the epoch table a pretraining run
     * publishes: per source, its token count, natural share, α=0.5
     * temperature weight (sqrt share, the q86 discipline applied to TOKENS),

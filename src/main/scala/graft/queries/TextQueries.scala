@@ -361,6 +361,16 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Distributed BPE merge training (TextAnalysis.bpeTrainMerges): the
+    // real tokenizer-training loop — 8 merges over the word-frequency
+    // table, each one distributed pair count + 1-row argmax + row-logic
+    // re-segmentation. The output IS the model (rank, pair, new token,
+    // count); the oracle replays all 8 iterations with the same windows.
+    "q147_bpe_train" -> { (s, dir) =>
+      graft.operators.TextAnalysis.bpeTrainMerges(
+        t(s, dir, "documents"), "text", nMerges = 8)
+    },
+
     // Token-budget mixture plan: per-source epoch table under a half-corpus
     // training budget with alpha=0.5 temperature weights over TOKENS —
     // the decision artifact between q86 (weights) and q112 (the order).
@@ -643,6 +653,63 @@ object TextQueries {
     })
 
   private val padded = "(' ' || text || ' ')"
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeTrainMerges]]:
+    * s0 = character segmentation of the word-frequency table; each
+    * iteration's CTE block mirrors the operator's windows exactly —
+    * lead-pair weighted counts, (pc desc, pair asc) argmax, run-parity
+    * match for the a = b self-pair, consumed-row drop, position
+    * re-numbering. The final union reads the n 1-row merge CTEs. */
+  private def bpeTrainSql(n: Int): String = {
+    def iter(i: Int) =
+      s"""l$i AS (
+         |  SELECT word, cnt, pos, tok,
+         |    LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM s$i),
+         |p$i AS (
+         |  SELECT tok || '~' || nxt AS pair, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM l$i WHERE nxt IS NOT NULL GROUP BY 1),
+         |m$i AS (
+         |  SELECT pair, pc, string_split(pair, '~')[1] AS a,
+         |    string_split(pair, '~')[2] AS b
+         |  FROM p$i ORDER BY pc DESC, pair LIMIT 1),
+         |x$i AS (
+         |  SELECT l.word, l.cnt, l.pos, l.tok, l.nxt, m.a, m.b,
+         |    l.pos - ROW_NUMBER() OVER (PARTITION BY l.word, l.tok ORDER BY l.pos)
+         |      AS grp
+         |  FROM l$i l CROSS JOIN m$i m),
+         |y$i AS (
+         |  SELECT *, (tok = a AND nxt IS NOT DISTINCT FROM b AND
+         |    (a <> b OR (pos - MIN(pos) OVER (PARTITION BY word, tok, grp)) % 2 = 0))
+         |    AS matched
+         |  FROM x$i),
+         |z$i AS (
+         |  SELECT word, cnt, pos,
+         |    CASE WHEN matched THEN a || b ELSE tok END AS tok,
+         |    COALESCE(LAG(matched) OVER (PARTITION BY word ORDER BY pos), false)
+         |      AS consumed
+         |  FROM y$i),
+         |s${i + 1} AS (
+         |  SELECT word, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, tok
+         |  FROM z$i WHERE NOT consumed)"""
+    val union = (0 until n)
+      .map(i => s"SELECT $i AS merge_rank, pair, replace(pair, '~', '') AS new_token, " +
+        s"pc AS pair_count FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT u.w AS word, COUNT(*) AS cnt
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+       |  WHERE len(u.w) > 0 GROUP BY 1),
+       |s0 AS (
+       |  SELECT word, cnt, CAST(i.i AS BIGINT) AS pos,
+       |    word[CAST(i.i AS INT) + 1] AS tok
+       |  FROM wc, UNNEST(range(0, len(word))) AS i(i)),
+       |${(0 until n).map(iter).mkString(",\n")}
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY merge_rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q125_blocklist_filter" ->
@@ -1236,6 +1303,11 @@ object TextQueries {
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
         |FROM g JOIN f USING (ngram)
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // All 8 Lloyd-style iterations generated as CTE blocks: lead-pair
+    // counts, 1-row argmax (pc desc, pair asc), gaps-and-islands run
+    // parity for the self-pair case, consumed-row drop, re-numbering.
+    "q147_bpe_train" -> bpeTrainSql(8),
 
     // sqrt weights DECIMAL(30,9)-rounded before the normalizing sum; the
     // remaining arithmetic is the identical double expression tree.

@@ -154,6 +154,33 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(5) - 1.0) < 1e-9)
   }
 
+  test("bpeTrainMerges: merges follow frequency with greedy left-to-right apply") {
+    import spark.implicits._
+    // wc: aaab×2, ab×1.
+    // iter0: (a,a) weighted 4 beats (a,b) 3 → merge aa; greedy leftmost
+    //   in the aaa run merges pos0 only (pos1 consumed, pos2's next is b)
+    // iter1: aaab is now [aa, a, b] → (aa,a) 2 vs (a,b) 2+1=3 → merge ab
+    // iter2: aaab is [aa, ab] → merge aaab at weight 2
+    // iter3: no adjacent pairs remain → trainer stops emitting
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val out = TextAnalysis.bpeTrainMerges(docs, "text", nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, "a~a", "aa", 4L),
+      (1L, "a~b", "ab", 3L),
+      (2L, "aa~ab", "aaab", 2L)))
+  }
+
+  test("bpeTrainMerges: self-pair runs merge at even offsets only") {
+    import spark.implicits._
+    // "aaaa": run of four a's → greedy merges pos0 and pos2 → [aa, aa];
+    // the second merge is then (aa,aa) → aaaa
+    val docs = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeTrainMerges(docs, "text", nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a~a", "aa", 3L), ("aa~aa", "aaaa", 1L)))
+  }
+
   test("tokenBudgetPlan: sqrt temperature weights and epoch arithmetic are exact") {
     import spark.implicits._
     // 100 vs 400 tokens -> sqrt weights 10:20 -> 1/3 : 2/3 of a 250-token budget

@@ -237,6 +237,57 @@ object CoreQueries {
     // DAYNAME/MONTHNAME (abbreviated masks), SQUARE, EQUAL_NULL (<=>),
     // ARRAY_CONTAINS arg swap, 0-based GET → 1-based ELEMENT_AT, and the
     // BOOLOR_AGG/BOOLAND_AGG renames.
+    // FK orphan census — referential-integrity validation as one report:
+    // every FK edge of the schema with its child count and orphan count
+    // (a child key with no parent). Each edge is a left join against the
+    // distinct parent-key set (dims broadcast); one union of 1-row aggs.
+    "q148_fk_orphans" -> { (s, dir) =>
+      def edge(name: String, child: String, ckey: String,
+               parent: String, pkey: String) = {
+        val p = t(s, dir, parent)
+          .select(col(pkey).cast("long").as("k")).distinct()
+        t(s, dir, child)
+          .select(col(ckey).cast("long").as("k"))
+          .join(p.withColumn("hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+      }
+      Seq(
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("fk_edge"))
+    },
+
+    // Order-total consistency: o_totalprice vs the recomputed
+    // sum(extendedprice·(1-discount)·(1+tax)) per order — the cross-table
+    // arithmetic audit (validator L4's fingerprint discipline turned into
+    // a consistency CHECK). Per-line products are identical IEEE trees;
+    // per-order sums go through the exact-decimal dsum; the mismatch gate
+    // is a 1-cent tolerance.
+    "q149_order_consistency" -> { (s, dir) =>
+      val computed = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("computed"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .join(computed, Seq("o_orderkey"), "left")
+        .select(
+          // a NULL computed sum (order with no lines) is a mismatch too
+          when(abs(col("computed") - col("o_totalprice")) <= 0.01, lit(0L))
+            .otherwise(lit(1L)).as("mismatch"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("mismatch")).as("n_mismatch"),
+          (sum(col("mismatch")).cast("double") / count(lit(1)).cast("double"))
+            .as("mismatch_share"))
+    },
+
     // Round-8 dialect widening: DIV0, TO_BOOLEAN, STRTOK (char-set
     // delimiters, empty-token collapse, NULL out-of-range), ARRAY_SLICE
     // (0-based, end-exclusive), RATIO_TO_REPORT (window share with
@@ -555,6 +606,45 @@ object CoreQueries {
         |  CAST(length(o_orderstatus) AS INT) AS st_len
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
+
+    // One SELECT per FK edge, unioned; orphans via LEFT JOIN NULL probe.
+    "q148_fk_orphans" -> {
+      def edge(name: String, child: String, ckey: String,
+               parent: String, pkey: String) =
+        s"""SELECT '$name' AS fk_edge, COUNT(*) AS n_child,
+           |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans
+           |FROM $child c
+           |LEFT JOIN (SELECT DISTINCT CAST($pkey AS BIGINT) AS k FROM $parent) p
+           |  ON p.k = CAST(c.$ckey AS BIGINT)""".stripMargin
+      Seq(
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_edge")
+    },
+
+    // Identical IEEE product tree per line, dsum per order, same 1-cent
+    // gate; NULL computed (no lines) falls to the mismatch arm.
+    "q149_order_consistency" ->
+      s"""WITH comp AS (
+         |  SELECT l_orderkey AS o_orderkey,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+         |      AS computed
+         |  FROM lineitem GROUP BY 1),
+         |m AS (
+         |  SELECT CASE WHEN abs(comp.computed - o.o_totalprice) <= 0.01
+         |              THEN 0 ELSE 1 END AS mismatch
+         |  FROM orders o LEFT JOIN comp ON comp.o_orderkey = o.o_orderkey)
+         |SELECT COUNT(*) AS n_orders,
+         |  CAST(SUM(mismatch) AS BIGINT) AS n_mismatch,
+         |  CAST(SUM(mismatch) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mismatch_share
+         |FROM m""".stripMargin,
 
     // Independent DuckDB formulations: % for MOD, list slicing for
     // ARRAY_SLICE, plain list indexing for STRTOK (phones have no empty

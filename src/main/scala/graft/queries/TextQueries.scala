@@ -361,6 +361,24 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Per-source token-length quantile table — the corpus-card length
+    // section (truncation/padding planning reads p90/p99, not the mean):
+    // exact interpolated percentiles over integer token counts (the q43
+    // cross-engine parity discipline), one group-aggregate per source.
+    "q150_length_quantiles" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tok, 0.1)").as("p10"),
+          expr("percentile(n_tok, 0.5)").as("p50"),
+          expr("percentile(n_tok, 0.9)").as("p90"),
+          expr("percentile(n_tok, 0.99)").as("p99"),
+          max(col("n_tok")).as("max_tok"))
+        .orderBy(col("source"))
+    },
+
     // Distributed BPE merge training (TextAnalysis.bpeTrainMerges): the
     // real tokenizer-training loop — 8 merges over the word-frequency
     // table, each one distributed pair count + 1-row argmax + row-logic
@@ -1303,6 +1321,17 @@ object TextQueries {
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
         |FROM g JOIN f USING (ngram)
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // quantile_cont interpolates exactly like Spark's percentile on
+    // integer inputs (q43 discipline).
+    "q150_length_quantiles" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  quantile_cont(${graft.operators.TextAnalysis.tokenCountSql("text")}, 0.1) AS p10,
+         |  quantile_cont(${graft.operators.TextAnalysis.tokenCountSql("text")}, 0.5) AS p50,
+         |  quantile_cont(${graft.operators.TextAnalysis.tokenCountSql("text")}, 0.9) AS p90,
+         |  quantile_cont(${graft.operators.TextAnalysis.tokenCountSql("text")}, 0.99) AS p99,
+         |  MAX(${graft.operators.TextAnalysis.tokenCountSql("text")}) AS max_tok
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     // All 8 Lloyd-style iterations generated as CTE blocks: lead-pair
     // counts, 1-row argmax (pc desc, pair asc), gaps-and-islands run

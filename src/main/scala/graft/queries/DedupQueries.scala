@@ -518,6 +518,31 @@ object DedupQueries {
           sum(ceil(col("meta.n_bytes").cast("double") / graft.operators.Multimodal.FrameBytes)
             .cast("long")).as("total_frames"))
         .orderBy(col("media_type"))
+    },
+
+    // Embedding L2-norm census per label — the embedding-space health
+    // check run before any cosine pipeline (un-normalized vectors make
+    // cosine ≠ dot and IVF cell radii meaningless; a norm-collapsed label
+    // flags a degenerate encoder). Norms go through the codegen'd
+    // fvec_scaled_dot (2^36 fixed-point self-dot, q27 discipline): the
+    // true norm is the scaled norm / 2^18 — an exact power-of-two
+    // division — rounded DECIMAL(30,9) per row, then exact-decimal
+    // averaged. One narrow scan + one 10-group aggregate; no shuffle of
+    // vector payloads, only (label, norm) pairs.
+    "q152_embedding_norms" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .withColumn("nrm",
+          (graft.operators.Similarity.scaledNorm("embedding") / lit(262144.0d))
+            .cast(DecimalType(30, 9)).cast("double"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("nrm").cast(DecimalType(30, 9))).cast("double") /
+            count(lit(1))).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy(col("label"))
     })
 
   private val dot = Similarity.scaledDotSql _
@@ -642,6 +667,19 @@ object DedupQueries {
       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q152_embedding_norms" -> {
+      val sd = graft.operators.Similarity.scaledDotSql("embedding", "embedding")
+      s"""WITH n AS (
+         |  SELECT label,
+         |    CAST(CAST(sqrt(CAST($sd AS DOUBLE)) / 262144.0 AS DECIMAL(30,9))
+         |      AS DOUBLE) AS nrm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CAST(nrm AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS avg_norm,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM n GROUP BY 1 ORDER BY label""".stripMargin
+    },
+
     // union length via COUNT(DISTINCT killed position) — deliberately NOT
     // the Spark side's sorted-interval merge (independent algorithms)
     "q126_substring_dedup" ->

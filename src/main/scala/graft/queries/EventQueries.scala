@@ -267,9 +267,72 @@ object EventQueries {
       graft.operators.Sketch.histogramQuantiles(
         t(s, dir, "events"), "event_type", "value", width = 1.0)
         .orderBy(col("event_type"))
+    },
+
+    // Distribution-rank window functions — percent_rank / cume_dist /
+    // nth_value over a (value desc, event_id) total order, reported for
+    // the top 20 events per type. The compound ORDER BY has no ties, so
+    // percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are exact
+    // small-integer ratios (one double division, identical both engines)
+    // and nth_value's default running frame is unambiguous. One sort per
+    // type partition; the rnk filter prunes before anything else moves.
+    "q155_rank_windows" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("third_value", nth_value(col("value"), 3).over(w))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("event_type"), col("rnk"))
+    },
+
+    // Burst detection via a RANGE-interval frame: each event's trailing
+    // 1-hour event count per user (rangeBetween on epoch millis — a time
+    // window, not a row window, so simultaneous events co-frame
+    // regardless of sort position), reduced to max-burst per user, then a
+    // burst-size histogram. The per-user window sorts within user
+    // partitions only; the two following aggregates are map-side-combine
+    // counts, so nothing global ever sorts.
+    "q156_burst_windows" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), millisUtc(col("ts")).as("ms"))
+        .withColumn("burst", count(lit(1)).over(w))
+        .groupBy(col("user_id")).agg(max(col("burst")).as("max_burst"))
+        .groupBy(col("max_burst")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("max_burst"))
     })
 
   val oracles: Map[String, String] = Map(
+    "q155_rank_windows" ->
+      """SELECT event_type, event_id, value, rnk, pct_rank, cume, third_value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER w AS rnk,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume,
+        |    nth_value(value, 3) OVER w AS third_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+        |WHERE rnk <= 20 ORDER BY event_type, rnk""".stripMargin,
+
+    "q156_burst_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |b AS (
+        |  SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS burst
+        |  FROM e),
+        |m AS (SELECT user_id, MAX(burst) AS max_burst FROM b GROUP BY 1)
+        |SELECT max_burst, COUNT(*) AS n_users
+        |FROM m GROUP BY 1 ORDER BY max_burst""".stripMargin,
+
     "q17_window_first_order" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
         |FROM (

@@ -130,6 +130,36 @@ object ParityQueries {
           (when(col("l_returnflag").isNull, 2).otherwise(0) +
             when(col("l_linestatus").isNull, 1).otherwise(0)).cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q21-shape double-correlated join: suppliers who alone shipped
+    // last on a finished multi-supplier order (EXISTS another supplier on
+    // the order + NOT EXISTS one who shipped strictly later). The Spark
+    // plan is the decorrelated form the optimizer would derive: a
+    // left-semi on (orderkey, suppkey≠) for the EXISTS and a left-anti
+    // with the shipdate inequality riding the equi-key for NOT EXISTS —
+    // both shuffle-hash on l_orderkey (bounded per-order fanout), then a
+    // broadcast of supplier for the name. numwait ties break on unique
+    // s_name, so the LIMIT 10 cut is a total order.
+    "q153_late_suppliers" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val fOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val l1 = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      val withOther = l1.join(l2,
+        l1("l_orderkey") === l2("k2") && l1("l_suppkey") =!= l2("s2"), "left_semi")
+      val sole = withOther.join(l3,
+        withOther("l_orderkey") === l3("k3") && withOther("l_suppkey") =!= l3("s3") &&
+          l3("d3") > withOther("l_shipdate"), "left_anti")
+      sole.join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
     }) ++ sqlDefs
 
   private def registered(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
@@ -265,6 +295,18 @@ object ParityQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q153_late_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
     "q74_cdc_diff" ->
       """WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
         |newv AS (

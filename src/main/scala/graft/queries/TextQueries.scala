@@ -379,6 +379,58 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // TF-IDF heavy terms per source — the corpus-card "distinctive
+    // vocabulary" section (q50 ranks raw counts; this discounts words
+    // every source shares, so ubiquitous terms score 0 and per-source
+    // jargon surfaces). idf = ln(n_sources / doc_freq) over exact integer
+    // counts, rounded DECIMAL(30,9) straight after the transcendental
+    // (q104 discipline); score = tf · idf is then one double product.
+    // Scale shape: both count shuffles are vocabulary-bounded with
+    // map-side combine; the source count rides as a 1-row broadcast; the
+    // per-source top-5 is a rank window over vocabulary-sized groups.
+    "q151_tfidf_terms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val nSrc = docs.agg(countDistinct(col("source")).as("n_src"))
+      val dfS = tf.groupBy(col("word")).agg(count(lit(1)).as("df_s"))
+      val scored = tf.join(dfS, Seq("word")).crossJoin(broadcast(nSrc))
+        .withColumn("idf",
+          log(col("n_src").cast("double") / col("df_s").cast("double"))
+            .cast(DecimalType(30, 9)).cast("double"))
+        .withColumn("score", col("tf").cast("double") * col("idf"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("word"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("word"), col("tf"), col("score"), col("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    },
+
+    // n-gram diversity census: distinct trigrams / trigram occurrences per
+    // source — the content-repetitiveness analogue of q81's token-level
+    // TTR (a templated source scores low even when its token TTR looks
+    // healthy). Native codegen'd WordNgrams cutting (truncated window for
+    // short docs), mirrored in the oracle by the q66 greatest(len-k,0)+1
+    // window. One vocabulary-bounded shuffle; distincts are partial-agg
+    // friendly; no joins.
+    "q154_ngram_diversity" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 3)).as("g"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          countDistinct(col("g")).as("n_types"))
+        .withColumn("diversity",
+          col("n_types").cast("double") / col("n_occ").cast("double"))
+        .orderBy(col("source"))
+    },
+
     // Distributed BPE merge training (TextAnalysis.bpeTrainMerges): the
     // real tokenizer-training loop — 8 merges over the word-frequency
     // table, each one distributed pair count + 1-row argmax + row-logic
@@ -1332,6 +1384,35 @@ object TextQueries {
          |  quantile_cont(${graft.operators.TextAnalysis.tokenCountSql("text")}, 0.99) AS p99,
          |  MAX(${graft.operators.TextAnalysis.tokenCountSql("text")}) AS max_tok
          |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q151_tfidf_terms" ->
+      """WITH w AS (
+        |  SELECT source, u.word AS word
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(word)),
+        |tf AS (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM documents),
+        |dfs AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df_s FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.source, tf.word, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      CAST(CAST(ln(ns.n_src / dfs.df_s) AS DECIMAL(30,9)) AS DOUBLE) AS score
+        |  FROM tf JOIN dfs USING (word) CROSS JOIN ns)
+        |SELECT source, word, tf, score, rnk FROM (
+        |  SELECT source, word, tf, score,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, word) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "q154_ngram_diversity" ->
+      """WITH tk AS (SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT source, doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS g
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i))
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+        |  COUNT(DISTINCT g) AS n_types,
+        |  CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
 
     // All 8 Lloyd-style iterations generated as CTE blocks: lead-pair
     // counts, 1-row argmax (pc desc, pair asc), gaps-and-islands run

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * whole corpus health report — quality funnel, cross-source n-gram
   * overlap, per-source KL, vocabulary/OOV coverage, padding waste,
   * tokenizer fertility, the Zipf rank-frequency slope, Heaps'-law
-  * vocabulary growth and the boilerplate-line census — as a single
-  * JSON document.
+  * vocabulary growth, the boilerplate-line census, token-length
+  * quantiles, TF-IDF distinctive terms and the n-gram diversity census —
+  * as a single JSON document.
   *
   * The point of chaining (vs running the six census verbs separately) is
   * scan reuse: run independently, each census starts with its own parquet
@@ -58,7 +59,11 @@ object CorpusReport {
       "heaps_vocab_growth" -> TextAnalysis.heapsCensusFromTokens(
         tokens.select(col(langCol).as("lang"), col("h"), col("w")))
         .withColumnRenamed("lang", langCol),
-      "boilerplate" -> TextAnalysis.boilerplateCensus(d, idCol, textCol, sourceCol))
+      "boilerplate" -> TextAnalysis.boilerplateCensus(d, idCol, textCol, sourceCol),
+      "length_quantiles" -> TextAnalysis.lengthQuantiles(d, sourceCol, textCol),
+      "tfidf_terms" -> TextAnalysis.tfidfTermsFromTokens(
+        tokens.select(col(sourceCol).as("source"), col("w").as("word"))),
+      "ngram_diversity" -> TextAnalysis.ngramDiversity(d, sourceCol, idCol, textCol))
   }
 
   /** Render the report as one JSON object `{section: [row, ...], ...}` —

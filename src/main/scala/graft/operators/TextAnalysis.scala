@@ -965,4 +965,68 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Per-source token-length quantile table — the corpus-card length
+    * section (truncation/padding planning reads p90/p99, not the mean):
+    * exact interpolated percentiles over integer token counts, one
+    * group-aggregate per source (percentile state is a per-group sorted
+    * buffer of COUNTS by distinct length — bounded by the length range,
+    * not the doc count). Oracle twin: q150. */
+  def lengthQuantiles(docs: DataFrame, sourceCol: String = "source",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"), tokenCount(col(textCol)).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_tok, 0.1)").as("p10"),
+        expr("percentile(n_tok, 0.5)").as("p50"),
+        expr("percentile(n_tok, 0.9)").as("p90"),
+        expr("percentile(n_tok, 0.99)").as("p99"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"))
+
+  /** TF-IDF heavy terms per source from a pre-exploded `(source, word)`
+    * token stream — the corpus-card "distinctive vocabulary" section.
+    * idf = ln(n_sources / source_freq) over exact integer counts, rounded
+    * DECIMAL(30,9) straight after the transcendental; score = tf · idf is
+    * one double product. Both count shuffles are vocabulary-bounded with
+    * map-side combine; the source count rides as a 1-row broadcast; the
+    * per-source top-k is a rank window over vocabulary-sized groups.
+    * Oracle twin: q151. */
+  def tfidfTermsFromTokens(tokens: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tf = tokens.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val nSrc = tokens.agg(countDistinct(col("source")).as("n_src"))
+    val dfS = tf.groupBy(col("word")).agg(count(lit(1)).as("df_s"))
+    tf.join(dfS, Seq("word")).crossJoin(broadcast(nSrc))
+      .withColumn("idf",
+        log(col("n_src").cast("double") / col("df_s").cast("double"))
+          .cast(DecimalType(30, 9)).cast("double"))
+      .withColumn("score", col("tf").cast("double") * col("idf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score").desc, col("word"))))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("word"), col("tf"), col("score"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** n-gram diversity census: distinct k-grams / k-gram occurrences per
+    * source — the content-repetitiveness analogue of token-level TTR (a
+    * templated source scores low even when its token TTR looks healthy).
+    * Native codegen'd WordNgrams cutting (truncated window for short
+    * docs); one vocabulary-bounded shuffle, distincts partial-agg
+    * friendly, no joins. Oracle twin: q154. */
+  def ngramDiversity(docs: DataFrame, sourceCol: String = "source",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 3): DataFrame =
+    docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("g"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("g")).as("n_types"))
+      .withColumn("diversity",
+        col("n_types").cast("double") / col("n_occ").cast("double"))
+      .orderBy(col("source"))
 }

@@ -307,6 +307,32 @@ object EventQueries {
         .groupBy(col("user_id")).agg(max(col("burst")).as("max_burst"))
         .groupBy(col("max_burst")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("max_burst"))
+    },
+
+    // First-order Markov transition matrix of event types per user
+    // stream: lead() over the (ms, event_id) total order within each
+    // user, pair counts, and row-normalized transition probabilities
+    // (exact integer ratio, one double division) — the behavioral
+    // sequence-model statistic session-prediction pipelines start from.
+    // The window sorts within user partitions only; both aggregates are
+    // type²-bounded with map-side combine.
+    "q159_event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), millisUtc(col("ts")).as("ms"),
+          col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("cnt")).as("total"))
+      trans.join(totals, Seq("from_type"))
+        .withColumn("prob", col("cnt").cast("double") / col("total").cast("double"))
+        .select(col("from_type"), col("to_type"), col("cnt"), col("prob"))
+        .orderBy(col("from_type"), col("to_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +358,22 @@ object EventQueries {
         |m AS (SELECT user_id, MAX(burst) AS max_burst FROM b GROUP BY 1)
         |SELECT max_burst, COUNT(*) AS n_users
         |FROM m GROUP BY 1 ORDER BY max_burst""".stripMargin,
+
+    "q159_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS cnt FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(cnt) AS total FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS prob
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
 
     "q17_window_first_order" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date

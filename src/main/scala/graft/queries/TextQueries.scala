@@ -366,17 +366,7 @@ object TextQueries {
     // exact interpolated percentiles over integer token counts (the q43
     // cross-engine parity discipline), one group-aggregate per source.
     "q150_length_quantiles" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("source"),
-          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          expr("percentile(n_tok, 0.1)").as("p10"),
-          expr("percentile(n_tok, 0.5)").as("p50"),
-          expr("percentile(n_tok, 0.9)").as("p90"),
-          expr("percentile(n_tok, 0.99)").as("p99"),
-          max(col("n_tok")).as("max_tok"))
-        .orderBy(col("source"))
+      graft.operators.TextAnalysis.lengthQuantiles(t(s, dir, "documents"))
     },
 
     // TF-IDF heavy terms per source — the corpus-card "distinctive
@@ -389,26 +379,9 @@ object TextQueries {
     // map-side combine; the source count rides as a 1-row broadcast; the
     // per-source top-5 is a rank window over vocabulary-sized groups.
     "q151_tfidf_terms" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("source"), col("word"))
-        .agg(count(lit(1)).as("tf"))
-      val nSrc = docs.agg(countDistinct(col("source")).as("n_src"))
-      val dfS = tf.groupBy(col("word")).agg(count(lit(1)).as("df_s"))
-      val scored = tf.join(dfS, Seq("word")).crossJoin(broadcast(nSrc))
-        .withColumn("idf",
-          log(col("n_src").cast("double") / col("df_s").cast("double"))
-            .cast(DecimalType(30, 9)).cast("double"))
-        .withColumn("score", col("tf").cast("double") * col("idf"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("score").desc, col("word"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("source"), col("word"), col("tf"), col("score"), col("rnk"))
-        .orderBy(col("source"), col("rnk"))
+      graft.operators.TextAnalysis.tfidfTermsFromTokens(
+        t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("word")))
     },
 
     // n-gram diversity census: distinct trigrams / trigram occurrences per
@@ -419,16 +392,76 @@ object TextQueries {
     // window. One vocabulary-bounded shuffle; distincts are partial-agg
     // friendly; no joins.
     "q154_ngram_diversity" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-          explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 3)).as("g"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"),
-          countDistinct(col("g")).as("n_types"))
-        .withColumn("diversity",
-          col("n_types").cast("double") / col("n_occ").cast("double"))
-        .orderBy(col("source"))
+      graft.operators.TextAnalysis.ngramDiversity(t(s, dir, "documents"))
+    },
+
+    // Curriculum phases: documents ranked easy→hard by rare-word ratio
+    // (corpus frequency ≤ 2), cut into 4 equal-count phases, with a
+    // per-phase census — the data-ordering plan curriculum-learning
+    // schedules train from. Difficulty is an exact small-integer ratio;
+    // the phase cut orders by (difficulty, doc_id), a total order, so
+    // boundaries are deterministic. Scale shape: the corpus frequency
+    // table is vocabulary-bounded and broadcast back onto the exploded
+    // tokens (no shuffle of the token stream by word); the global rank
+    // comes from GlobalIndex (range exchange + per-partition sort +
+    // zipWithIndex) — NOT an unpartitioned ntile window, which would
+    // funnel every per-doc row through one task — and the NTILE bucket
+    // rule is replayed exactly in integer arithmetic: the first n%4
+    // buckets take ceil(n/4) rows, the rest floor(n/4).
+    "q157_curriculum_phases" -> { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val wf = words.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      val perDoc = words.join(broadcast(wf), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("wf") <= 2L, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("difficulty",
+          col("n_rare").cast("double") / col("n_tok").cast("double"))
+      val ranked = graft.operators.GlobalIndex.withRowNumbers(
+        perDoc, Seq("difficulty", "doc_id"), "rn")
+      val n = perDoc.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("qsz", expr("n div 4")).withColumn("rmd", pmod(col("n"), lit(4)))
+        .withColumn("boundary", col("rmd") * (col("qsz") + 1L))
+        .withColumn("phase",
+          when(col("rn") - 1L < col("boundary"),
+            expr("(rn - 1) div (qsz + 1) + 1"))
+          .otherwise(expr("rmd + (rn - 1 - boundary) div greatest(qsz, 1) + 1"))
+          .cast("long"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          dsum(col("difficulty"), 30, 9).as("sum_difficulty"))
+        .orderBy(col("phase"))
+    },
+
+    // Skip-gram co-occurrence pairs (window ±2): the word2vec-style
+    // context statistic, counting unordered word pairs at distance 1 and
+    // 2 from each full trigram window's anchor — complements q131's
+    // adjacent-only PMI. Docs shorter than 3 tokens are excluded on both
+    // sides (q107 discipline), so every window is full-width and the
+    // anchor-forward pair decomposition is exact. One native codegen'd
+    // WordNgrams cut, one vocabulary²-bounded count shuffle with map-side
+    // combine, and a TakeOrdered top-30 on the (cnt desc, pair) total
+    // order — no self-join of the token stream.
+    "q158_skipgram_cooc" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 3))
+          .as("g"))
+        .select(substring_index(col("g"), " ", 1).as("w1"),
+          expr("substring_index(substring_index(g, ' ', 2), ' ', -1)").as("w2"),
+          substring_index(col("g"), " ", -1).as("w3"))
+      g.select(explode(array(
+          struct(least(col("w1"), col("w2")).as("pa"),
+            greatest(col("w1"), col("w2")).as("pb")),
+          struct(least(col("w1"), col("w3")).as("pa"),
+            greatest(col("w1"), col("w3")).as("pb")))).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(30)
     },
 
     // Distributed BPE merge training (TextAnalysis.bpeTrainMerges): the
@@ -1413,6 +1446,42 @@ object TextQueries {
         |  COUNT(DISTINCT g) AS n_types,
         |  CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q157_curriculum_phases" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, u.word AS word
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS u(word)),
+         |wf AS (SELECT word, COUNT(*) AS wf FROM words GROUP BY 1),
+         |pd AS (
+         |  SELECT w.doc_id, COUNT(*) AS n_tok,
+         |    SUM(CASE WHEN f.wf <= 2 THEN 1 ELSE 0 END) AS n_rare
+         |  FROM words w JOIN wf f USING (word) GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(n_rare AS DOUBLE) / CAST(n_tok AS DOUBLE) AS difficulty
+         |  FROM pd),
+         |p AS (
+         |  SELECT doc_id, n_tok, difficulty,
+         |    NTILE(4) OVER (ORDER BY difficulty, doc_id) AS phase
+         |  FROM d)
+         |SELECT CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         |  ${Q.dsumSql("difficulty", 30, 9)} AS sum_difficulty
+         |FROM p GROUP BY 1 ORDER BY phase""".stripMargin,
+
+    "q158_skipgram_cooc" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |p AS (
+        |  SELECT least(t[i.i + 1], t[i.i + 2]) AS pa,
+        |    greatest(t[i.i + 1], t[i.i + 2]) AS pb
+        |  FROM tk, UNNEST(range(0, len(t) - 3 + 1)) AS i(i)
+        |  UNION ALL
+        |  SELECT least(t[i.i + 1], t[i.i + 3]), greatest(t[i.i + 1], t[i.i + 3])
+        |  FROM tk, UNNEST(range(0, len(t) - 3 + 1)) AS i(i))
+        |SELECT pa, pb, COUNT(*) AS cnt FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, pa, pb LIMIT 30""".stripMargin,
 
     // All 8 Lloyd-style iterations generated as CTE blocks: lead-pair
     // counts, 1-row argmax (pc desc, pair asc), gaps-and-islands run

@@ -361,7 +361,8 @@ class MainSpec extends SparkSpec {
       }.size
     val censusQueries = Seq("q106_quality_funnel", "q109_source_overlap",
       "q111_source_kl", "q115_vocab_coverage", "q117_padding_waste",
-      "q123_token_fertility", "q130_zipf_slope")
+      "q123_token_fertility", "q130_zipf_slope", "q150_length_quantiles",
+      "q151_tfidf_terms", "q154_ngram_diversity")
     // standalone verbs first — measured BEFORE the report's cache exists,
     // or Spark's cache manager would substitute it into these plans too
     val separateScans = censusQueries
@@ -373,7 +374,8 @@ class MainSpec extends SparkSpec {
       val sections = graft.operators.CorpusReport.sections(docs, scope)
       assert(sections.map(_._1) === Seq("quality_funnel", "source_overlap",
         "source_kl", "vocab_coverage", "padding_waste", "token_fertility",
-        "zipf_slope", "heaps_vocab_growth", "boilerplate"))
+        "zipf_slope", "heaps_vocab_growth", "boilerplate",
+        "length_quantiles", "tfidf_terms", "ngram_diversity"))
       val chainedScans = sections.map(s => scanCount(s._2)).sum
       assert(chainedScans < separateScans,
         s"report sections hit $chainedScans corpus scans vs $separateScans separate")
@@ -389,9 +391,10 @@ class MainSpec extends SparkSpec {
     val json = out.last
     Seq("quality_funnel", "source_overlap", "source_kl", "vocab_coverage",
       "padding_waste", "token_fertility", "zipf_slope", "heaps_vocab_growth",
-      "boilerplate").foreach { s =>
-      assert(json.contains("\"" + s + "\":[{"), s"section $s missing or empty: $json")
-    }
+      "boilerplate", "length_quantiles", "tfidf_terms", "ngram_diversity")
+      .foreach { s =>
+        assert(json.contains("\"" + s + "\":[{"), s"section $s missing or empty: $json")
+      }
   }
 
   test("analyze --heaps and --boilerplate append the round-8 censuses") {

@@ -130,6 +130,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) in the LM gate")
   }
 
+  test("q153: EXISTS/NOT-EXISTS decorrelate to equi-keyed semi/anti joins; supplier broadcasts") {
+    val plan = planOf("q153_late_suppliers")
+    assert(plan.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
+    assert(plan.contains("BroadcastHashJoin"), "supplier lookup not broadcast")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q157: curriculum rank has NO unpartitioned window — phases come from the range-partitioned index") {
+    val df = graft.SparkEntry.queries("q157_curriculum_phases")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // an ntile()/row_number() over an empty PARTITION BY would appear as a
+    // Window node over SinglePartition — the one-task funnel GlobalIndex
+    // exists to avoid
+    assert(!plan.contains("Window"), s"unexpected window operator:\n${plan.take(800)}")
+  }
+
+  test("q151: tf-idf joins stay vocabulary-keyed; the source-count rides a 1-row broadcast") {
+    val plan = planOf("q151_tfidf_terms")
+    val bnl = distinctNodes(plan, "BroadcastNestedLoopJoin")
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) in tf-idf")
+    assert(plan.contains("HashAggregate"), "tf counts not hash-aggregated")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

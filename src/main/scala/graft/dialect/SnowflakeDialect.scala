@@ -490,11 +490,15 @@ object SnowflakeDialect {
           val t = args.map(a => rewriteFunctionCalls(a.trim))
           out.append(s"CASE WHEN ${t(0)} THEN ${t(1)} ELSE ${t(2)} END")
           i = close + 1
-        } else if (hasParen && upper == "DATEDIFF") {
+        } else if (hasParen && (upper == "DATEDIFF" || upper == "TIMEDIFF" ||
+            upper == "TIMESTAMPDIFF")) {
           // Snowflake 3-arg DATEDIFF('day', a, b) → Spark TIMESTAMPDIFF(DAY, a, b)
           // (the reference flags its PG DATE_PART rewrite "may need manual
           // adjustment", view_procedure_translator.py:304 — Spark's
           // timestampdiff expresses it exactly); 2-arg passes through.
+          // TIMEDIFF/TIMESTAMPDIFF are Snowflake synonyms of the 3-arg
+          // form (quoted unit aliases normalized the same way — Spark's
+          // own TIMESTAMPDIFF only accepts bare canonical units).
           val (args, close) = parseArgs(sql, k)
           if (args.length == 3) {
             val unit = normalizeDateUnit(
@@ -622,8 +626,11 @@ object SnowflakeDialect {
               s"unsupported OBJECT_CONSTRUCT form — need literal key/value pairs, got ${t.length} args")
           out.append(s"TO_JSON(NAMED_STRUCT(${t.mkString(", ")}))")
           i = close + 1
-        } else if (hasParen && upper == "DATEADD") {
+        } else if (hasParen && (upper == "DATEADD" || upper == "TIMEADD" ||
+            upper == "TIMESTAMPADD")) {
           // DATEADD('unit', n, expr) → TIMESTAMPADD(UNIT, n, expr), with
+          // TIMEADD/TIMESTAMPADD as Snowflake synonyms (quoted unit
+          // aliases normalized — Spark's TIMESTAMPADD rejects them), and
           // Snowflake unit aliases ('dd', 'mins', …) normalized — Spark
           // rejects them at analysis time with an error pointing at SQL
           // the user never wrote. 2-arg DATEADD (PG form) passes through.
@@ -832,6 +839,33 @@ object SnowflakeDialect {
             case pp :: ss :: _  => (pp.toInt, ss.toInt)
           }
           out.append(s"TRY_CAST(${t.head} AS DECIMAL($p,$sc))")
+          i = close + 1
+        } else if (hasParen && (upper == "TO_NUMBER" || upper == "TO_DECIMAL" ||
+            upper == "TO_NUMERIC")) {
+          // TO_NUMBER(x[, p, s]) → CAST(x AS DECIMAL(p,s)) — the erroring
+          // twin of TRY_TO_NUMBER; format-string variants fail loudly for
+          // the same reason.
+          val (args, close) = parseArgs(sql, k)
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          val ps = t.drop(1)
+          if (ps.exists(a => !a.forall(_.isDigit)))
+            throw new IllegalArgumentException(
+              s"unsupported $upper format-string form — only (expr[, precision, scale]) translates")
+          val (p, sc) = ps match {
+            case Nil            => (38, 0)
+            case pp :: Nil      => (pp.toInt, 0)
+            case pp :: ss :: _  => (pp.toInt, ss.toInt)
+          }
+          out.append(s"CAST(${t.head} AS DECIMAL($p,$sc))")
+          i = close + 1
+        } else if (hasParen && (upper == "TO_DOUBLE" || upper == "TRY_TO_DOUBLE")) {
+          // TO_DOUBLE(x) → CAST(x AS DOUBLE); TRY_ form → TRY_CAST. The
+          // format-string variant changes parse semantics — fail loudly.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1,
+            s"unsupported $upper form — only the 1-arg (expr) shape translates")
+          val castFn = if (upper.startsWith("TRY_")) "TRY_CAST" else "CAST"
+          out.append(s"$castFn(${rewriteFunctionCalls(args.head.trim)} AS DOUBLE)")
           i = close + 1
         } else if (hasParen && upper == "CHARINDEX") {
           // CHARINDEX(needle, hay[, start]) → LOCATE — same arg order, same

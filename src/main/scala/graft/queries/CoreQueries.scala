@@ -309,6 +309,31 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Round-8b dialect widening: TIMEADD/TIMESTAMPADD/TIMEDIFF/
+    // TIMESTAMPDIFF synonyms with Snowflake quoted unit aliases ('mon',
+    // 'hh'), and the erroring numeric casts TO_NUMBER/TO_DECIMAL/
+    // TO_DOUBLE. Units restricted to day/hour on DATE-aligned inputs,
+    // where Spark's complete-unit count and DuckDB's boundary-crossing
+    // count provably agree; week/month DIFFS are excluded by design
+    // (the two engines define them differently).
+    "q160_dialect_datetime" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderkey,
+          |       TIMEADD('day', 30, TO_DATE(o_orderdate))::DATE AS due_date,
+          |       TIMESTAMPADD('hh', 12, TO_DATE(o_orderdate)) AS half_day,
+          |       TIMESTAMPDIFF('day', TO_DATE(o_orderdate),
+          |                     TIMEADD('mon', 1, TO_DATE(o_orderdate))) AS days_in_window,
+          |       TIMEDIFF('hour', TO_DATE('1995-01-01'), TO_DATE(o_orderdate)) AS hours_since,
+          |       TO_NUMBER(TO_CHAR(o_orderkey))::BIGINT AS key_num,
+          |       TO_DECIMAL(TO_CHAR(o_custkey), 18, 2)::DOUBLE AS cust_dec,
+          |       TO_DOUBLE(TO_VARCHAR(o_orderkey)) AS key_dbl
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 300
+          |ORDER BY o_orderkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     "q133_dialect_misc" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       val snowflakeSql =
@@ -645,6 +670,28 @@ object CoreQueries {
          |  CAST(SUM(mismatch) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    AS mismatch_share
          |FROM m""".stripMargin,
+
+    // Interval arithmetic instead of TIMESTAMPADD; date_diff boundary
+    // counts agree with Spark's complete-unit counts only because every
+    // operand is DATE-aligned (the query restricts itself to that case).
+    // due_date uses DATE + 30 (integer days), NOT `+ INTERVAL 30 DAY`:
+    // DuckDB compares intervals calendar-normalized (30 DAY == 1 MONTH),
+    // so its subexpression elimination would merge this addition with the
+    // `+ INTERVAL 1 MONTH` below and silently corrupt whichever is
+    // listed second.
+    "q160_dialect_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 12 HOUR AS half_day,
+        |  date_diff('day', CAST(o_orderdate AS DATE),
+        |            CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS days_in_window,
+        |  date_diff('hour', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS hours_since,
+        |  CAST(CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS BIGINT) AS key_num,
+        |  CAST(CAST(CAST(o_custkey AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS cust_dec,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) AS key_dbl
+        |FROM orders
+        |WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Independent DuckDB formulations: % for MOD, list slicing for
     // ARRAY_SLICE, plain list indexing for STRTOK (phones have no empty

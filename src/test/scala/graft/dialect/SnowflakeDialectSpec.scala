@@ -408,6 +408,35 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](tr("SELECT RATIO_TO_REPORT(x) FROM t"))
   }
 
+  test("TIMEADD/TIMESTAMPADD/TIMEDIFF/TIMESTAMPDIFF synonyms normalize quoted units") {
+    assert(tr("SELECT TIMEADD('day', 30, d) FROM t") ===
+      "SELECT TIMESTAMPADD(DAY, 30, d) FROM t")
+    assert(tr("SELECT TIMESTAMPADD('hh', 12, d) FROM t") ===
+      "SELECT TIMESTAMPADD(HOUR, 12, d) FROM t")
+    assert(tr("SELECT TIMEDIFF('mins', a, b) FROM t") ===
+      "SELECT TIMESTAMPDIFF(MINUTE, a, b) FROM t")
+    // already-Spark bare unit passes through the same normalization
+    assert(tr("SELECT TIMESTAMPDIFF('mon', a, b) FROM t") ===
+      "SELECT TIMESTAMPDIFF(MONTH, a, b) FROM t")
+    // nested calls translate inside the argument list
+    assert(tr("SELECT TIMESTAMPDIFF('day', d, TIMEADD('mon', 1, d)) FROM t") ===
+      "SELECT TIMESTAMPDIFF(DAY, d, TIMESTAMPADD(MONTH, 1, d)) FROM t")
+  }
+
+  test("TO_NUMBER/TO_DECIMAL/TO_DOUBLE become erroring casts; format strings fail loudly") {
+    assert(tr("SELECT TO_NUMBER(x) FROM t") ===
+      "SELECT CAST(x AS DECIMAL(38,0)) FROM t")
+    assert(tr("SELECT TO_DECIMAL(x, 18, 2) FROM t") ===
+      "SELECT CAST(x AS DECIMAL(18,2)) FROM t")
+    assert(tr("SELECT TO_NUMERIC(x, 10) FROM t") ===
+      "SELECT CAST(x AS DECIMAL(10,0)) FROM t")
+    assert(tr("SELECT TO_DOUBLE(x) FROM t") === "SELECT CAST(x AS DOUBLE) FROM t")
+    assert(tr("SELECT TRY_TO_DOUBLE(x) FROM t") ===
+      "SELECT TRY_CAST(x AS DOUBLE) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT TO_NUMBER(x, '$99.99') FROM t"))
+    assertThrows[IllegalArgumentException](tr("SELECT TO_DOUBLE(x, 'fmt') FROM t"))
+  }
+
   test("LATERAL FLATTEN becomes LATERAL VIEW POSEXPLODE") {
     assert(tr("SELECT f.value FROM t, LATERAL FLATTEN(input => split(tags, ',')) f") ===
       "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(split(tags, ',')) f AS index, value")

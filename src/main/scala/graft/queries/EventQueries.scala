@@ -333,6 +333,27 @@ object EventQueries {
         .withColumn("prob", col("cnt").cast("double") / col("total").cast("double"))
         .select(col("from_type"), col("to_type"), col("cnt"), col("prob"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Longest consecutive-day activity streak per user, reduced to a
+    // streak-length histogram — the gaps-and-islands idiom (day − rank is
+    // constant within an island) over distinct active days. The distinct
+    // collapses map-side before the one per-user window sort; everything
+    // after is a bounded count aggregate.
+    "q162_activity_streaks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select(col("user_id"), millisUtc(col("ts")).as("ms"))
+        .select(col("user_id"), expr("ms div 86400000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("best_streak"))
+      streaks.groupBy(col("best_streak")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("best_streak"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +395,20 @@ object EventQueries {
         |SELECT c.from_type, c.to_type, c.cnt,
         |  CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS prob
         |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+
+    "q162_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+        |best AS (SELECT user_id, MAX(len) AS best_streak FROM st GROUP BY 1)
+        |SELECT best_streak, COUNT(*) AS n_users
+        |FROM best GROUP BY 1 ORDER BY best_streak""".stripMargin,
 
     "q17_window_first_order" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date

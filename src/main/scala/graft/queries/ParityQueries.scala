@@ -160,6 +160,29 @@ object ParityQueries {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    },
+
+    // TPC-H Q11 shape: HAVING against a scalar subquery of the global
+    // total — parts whose revenue exceeds 1.5x the mean part revenue
+    // (mean-relative, so the cut is scale-invariant and non-empty at any
+    // fixture SF, unlike Q11's absolute fraction). The Spark
+    // plan is the decorrelated form: the 1-row global aggregate rides a
+    // broadcast nested-loop into the per-part aggregate's filter, so the
+    // "subquery" costs one extra reduction, not a rescan per group. Both
+    // revenue trees are exact decimal sums (q01 discipline) and the
+    // threshold is one double product — identical on both engines.
+    "q161_important_parts" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val rev = dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val perPart = li.groupBy(col("l_partkey")).agg(rev.as("part_value"))
+      val total = li.agg(
+        (rev / countDistinct(col("l_partkey")).cast("double") * lit(1.5d))
+          .as("threshold"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > col("threshold"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+        .limit(20)
     }) ++ sqlDefs
 
   private def registered(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
@@ -306,6 +329,16 @@ object ParityQueries {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > l1.l_shipdate)
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q161_important_parts" ->
+      s"""SELECT l_partkey,
+         |  ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} AS part_value
+         |FROM lineitem GROUP BY 1
+         |HAVING ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} >
+         |  (SELECT ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} /
+         |     CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) * 1.5
+         |   FROM lineitem)
+         |ORDER BY part_value DESC, l_partkey LIMIT 20""".stripMargin,
 
     "q74_cdc_diff" ->
       """WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),

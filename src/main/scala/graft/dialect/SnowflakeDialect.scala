@@ -801,6 +801,41 @@ object SnowflakeDialect {
               "unsupported GET(obj, 'key') — use the ':' VARIANT path syntax instead")
           out.append(s"ELEMENT_AT(${t(0)}, (${t(1)}) + 1)")
           i = close + 1
+        } else if (hasParen && upper == "INSERT") {
+          // String INSERT(base, pos, len, repl): 1-based pos, replaces len
+          // chars — exactly ANSI OVERLAY's contract, which Spark ships.
+          // (Statement-position INSERT never reaches here: translate only
+          // rewrites SELECT-context expression text.)
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 4, s"INSERT expects 4 args, got ${args.length}")
+          val t = args.map(a => rewriteFunctionCalls(a.trim))
+          out.append(s"OVERLAY(${t(0)} PLACING ${t(3)} FROM ${t(1)} FOR ${t(2)})")
+          i = close + 1
+        } else if (hasParen && upper == "CONDITIONAL_TRUE_EVENT") {
+          // CONDITIONAL_TRUE_EVENT(e) OVER (w) → running count of rows
+          // where e held, current row included: SUM(CASE WHEN e THEN 1
+          // ELSE 0 END) with an explicit ROWS frame — the default RANGE
+          // frame would lump ORDER-BY peers together, Snowflake's function
+          // numbers them row-by-row.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1,
+            s"CONDITIONAL_TRUE_EVENT expects 1 arg, got ${args.length}")
+          val e = rewriteFunctionCalls(args.head.trim)
+          var p = close + 1
+          while (p < sql.length && sql(p).isWhitespace) p += 1
+          val overKw = if (p + 4 <= sql.length) sql.substring(p, p + 4).toUpperCase else ""
+          if (overKw != "OVER")
+            throw new IllegalArgumentException(
+              "unsupported CONDITIONAL_TRUE_EVENT without an OVER clause")
+          var q = p + 4
+          while (q < sql.length && sql(q).isWhitespace) q += 1
+          require(q < sql.length && sql(q) == '(',
+            "unsupported CONDITIONAL_TRUE_EVENT — OVER must be followed by (...)")
+          val (overArgs, overClose) = parseArgs(sql, q)
+          val w = rewriteFunctionCalls(overArgs.mkString(",").trim)
+          out.append(s"SUM(CASE WHEN ($e) THEN 1 ELSE 0 END) OVER ($w " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+          i = overClose + 1
         } else if (hasParen && (upper == "TRY_TO_DATE" || upper == "TRY_TO_TIMESTAMP" ||
             upper == "TRY_TO_TIMESTAMP_NTZ")) {
           // TRY_TO_TIMESTAMP is native in Spark ≥3.5 (NULL on parse failure,

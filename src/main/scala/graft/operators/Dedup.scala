@@ -299,4 +299,56 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .distinct()
   }
+
+  /** Asymmetric containment census (Broder 1997's second resemblance
+    * measure): containment(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|,|sh(B)|).
+    * Catches doc-in-doc duplication — a short document quoted wholesale
+    * inside a long one has near-1 containment but low Jaccard, so the
+    * MinHash pipeline (which estimates Jaccard) never surfaces the pair.
+    *
+    * Candidate generation is rare-shingle blocking (the prefix-filter idea
+    * from set-similarity joins): only shingles shared by 2..`maxDf`
+    * documents produce candidate pairs, so a stop-shingle ("in the") never
+    * drives a quadratic self-join — at corpus scale the candidate count is
+    * bounded by Σ_rare C(df,2) ≤ maxDf·|rare shingles|, and a contained
+    * pair is surfaced as long as it shares ONE rare shingle (for real
+    * corpora, any non-boilerplate sentence). Verification joins each
+    * candidate pair back to the shingle table twice (equi-joins on id and
+    * on (id, shingle)) — fanout per pair is |sh(A)|, never corpus².
+    *
+    * Output: (a_id, b_id, inter_cnt, a_n, b_n, containment, jaccard) for
+    * pairs with containment ≥ `minContainment`, a_id < b_id. The ratios
+    * are single double divisions of exact longs — bit-identical across
+    * engines. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, maxDf: Int = 20,
+                       minContainment: Double = 0.8,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("sh"))
+    scope.cached(sh)
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("sh"))
+    val blocked = sh.join(rare, Seq("sh"))
+    val cand = blocked.select(col("sh"), col("id").as("a_id"))
+      .join(blocked.select(col("sh"), col("id").as("b_id")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sz.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(sz.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .withColumn("containment",
+        col("inter_cnt").cast("double") / least(col("a_n"), col("b_n")))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / (col("a_n") + col("b_n") - col("inter_cnt")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("inter_cnt"),
+        col("a_n"), col("b_n"), col("containment"), col("jaccard"))
+  }
 }

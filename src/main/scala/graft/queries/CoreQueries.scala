@@ -334,6 +334,67 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Round-8c dialect widening — string surface: SPLIT_PART/STARTSWITH/
+    // ENDSWITH/CONTAINS/REGEXP_COUNT/TRANSLATE/REPEAT pass through to
+    // Spark's native (codegen'd) functions; INSERT(base,pos,len,repl)
+    // rewrites to ANSI OVERLAY; LAST_DAY/ADD_MONTHS cover the month-end
+    // date arithmetic Snowflake reports lean on.
+    "q165_dialect_strings" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT c_custkey,
+          |       SPLIT_PART(c_name, '#', 2) AS cust_num,
+          |       STARTSWITH(c_name, 'Customer') AS is_cust,
+          |       ENDSWITH(c_name, '1') AS ends1,
+          |       CONTAINS(c_mktsegment, 'MACH') AS seg_mach,
+          |       REGEXP_COUNT(c_name, '0') AS n_zeros,
+          |       INSERT(c_name, 9, 0, '/') AS name_slash,
+          |       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+          |       REPEAT(SUBSTR(c_mktsegment, 1, 2), 2) AS seg2x,
+          |       LAST_DAY(TO_DATE('1995-03-17')) AS eom,
+          |       ADD_MONTHS(TO_DATE('1995-03-01'), 2)::DATE AS plus2m
+          |FROM TPCH.PUBLIC.CUSTOMER
+          |WHERE c_custkey <= 150
+          |ORDER BY c_custkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
+    // CONDITIONAL_TRUE_EVENT through the translate path: Snowflake's
+    // event-numbering window function → SUM(CASE…) with an explicit ROWS
+    // frame (the default RANGE frame would lump ORDER-BY peers).
+    "q166_conditional_events" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT user_id, event_id,
+          |       CONDITIONAL_TRUE_EVENT(event_type = 'purchase')
+          |         OVER (PARTITION BY user_id ORDER BY event_id) AS purchase_epoch,
+          |       CONDITIONAL_TRUE_EVENT(value > 100)
+          |         OVER (PARTITION BY user_id ORDER BY event_id) AS big_epoch
+          |FROM EVENTS
+          |WHERE user_id < 50
+          |ORDER BY user_id, event_id""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
+    // TPC-H Q2 shape: correlated scalar subquery in WHERE (min unit price
+    // per part) — exercises Catalyst's RewriteCorrelatedScalarSubquery
+    // into a left-join-on-groupBy plan; the min aggregate pre-shrinks to
+    // one row per part before the equality join, so no fact×fact blowup.
+    "q167_min_price_supplier" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT DISTINCT p.p_partkey, l.l_suppkey, s2.s_name,
+          |       l.l_extendedprice / l.l_quantity AS unit_price
+          |FROM part p
+          |JOIN lineitem l ON l.l_partkey = p.p_partkey
+          |JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+          |WHERE p.p_size <= 10
+          |  AND l.l_extendedprice / l.l_quantity =
+          |    (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          |     FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+          |ORDER BY p_partkey, l_suppkey""".stripMargin)
+    },
+
     "q133_dialect_misc" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       val snowflakeSql =
@@ -692,6 +753,56 @@ object CoreQueries {
         |FROM orders
         |WHERE o_orderkey < 300
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB's own string surface: starts_with/ends_with/contains are
+    // native; REGEXP_COUNT via len(regexp_extract_all); OVERLAY replayed
+    // as substr splice; ADD_MONTHS as INTERVAL arithmetic (day-1 anchor,
+    // so no month-end clamping divergence).
+    "q165_dialect_strings" ->
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', 2) AS cust_num,
+        |  starts_with(c_name, 'Customer') AS is_cust,
+        |  ends_with(c_name, '1') AS ends1,
+        |  contains(c_mktsegment, 'MACH') AS seg_mach,
+        |  len(regexp_extract_all(c_name, '0')) AS n_zeros,
+        |  substr(c_name, 1, 8) || '/' || substr(c_name, 9) AS name_slash,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  repeat(substr(c_mktsegment, 1, 2), 2) AS seg2x,
+        |  last_day(DATE '1995-03-17') AS eom,
+        |  CAST(DATE '1995-03-01' + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |FROM customer
+        |WHERE c_custkey <= 150
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Same correlated form — DuckDB decorrelates it itself; the unit
+    // price is a single double division, bit-identical in both engines.
+    "q167_min_price_supplier" ->
+      """SELECT DISTINCT p.p_partkey, l.l_suppkey, s2.s_name,
+        |  l.l_extendedprice / l.l_quantity AS unit_price
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+        |WHERE p.p_size <= 10
+        |  AND l.l_extendedprice / l.l_quantity =
+        |    (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |     FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
+
+    // Event numbering as an explicit ROWS-framed running sum; CAST to
+    // BIGINT keeps DuckDB's HUGEINT window sum off the float path.
+    "q166_conditional_events" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS purchase_epoch,
+        |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS big_epoch
+        |FROM events
+        |WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // Independent DuckDB formulations: % for MOD, list slicing for
     // ARRAY_SLICE, plain list indexing for STRTOK (phones have no empty

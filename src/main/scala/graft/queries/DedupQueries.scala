@@ -466,6 +466,27 @@ object DedupQueries {
         .limit(20)
     },
 
+    // Asymmetric containment census (Dedup.containmentPairs): doc-in-doc
+    // duplication that Jaccard-targeted MinHash misses — |A∩B|/min(|A|,|B|)
+    // over exact trigram shingle sets, candidates from rare-shingle
+    // blocking (df 2..20), verified by exact intersection joins.
+    "q163_containment_dedup" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxDf = 20, minContainment = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Triangle / clustering-coefficient census over the near-dup graph
+    // (Graph.triangleCensus on q23's pair set at threshold 0.3): nodes
+    // whose neighborhoods close into triangles sit in genuine dup cliques;
+    // high-degree zero-triangle nodes are boilerplate collision hubs.
+    "q164_dup_triangles" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.3)
+      graft.operators.Graph.triangleCensus(pairs)
+        .orderBy(col("node"))
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -858,6 +879,56 @@ object DedupQueries {
          |  arg_min(est_jaccard, killer) AS est_jaccard,
          |  COUNT(*) AS n_matches
          |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Same shingle CTEs as q66, then rare-shingle blocking (df 2..20) and
+    // exact intersection verification — an independent containment replay.
+    "q163_containment_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN rare r ON r.s = a.s
+        |            JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, COUNT(*) AS inter_cnt
+        |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+        |              JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id, i.inter_cnt, sa.n AS a_n, sb.n AS b_n,
+        |  CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) AS containment,
+        |  CAST(i.inter_cnt AS DOUBLE) / (sa.n + sb.n - i.inter_cnt) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+        |             JOIN sz sb ON sb.doc_id = i.b_id
+        |WHERE CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q23's est pipeline at threshold 0.3, then compact-forward triangle
+    // closure on the id-oriented edge list and the 2T/d(d-1) coefficient.
+    "q164_dup_triangles" ->
+      s"""WITH $minhashEstCtes,
+         |e AS (SELECT a_id AS a, b_id AS b FROM est WHERE est_jaccard >= 0.3),
+         |deg AS (SELECT node, COUNT(*) AS degree FROM (
+         |        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |        GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (SELECT node, COUNT(*) AS n_triangles FROM (
+         |       SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri)
+         |       GROUP BY 1)
+         |SELECT d.node, d.degree, COALESCE(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |       THEN (2.0 * COALESCE(pn.n_triangles, 0)) /
+         |            (d.degree * (d.degree - 1))
+         |       ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN pn ON pn.node = d.node
+         |ORDER BY d.node""".stripMargin,
 
     // q23's pair pipeline + recursive transitive closure: component id =
     // min over every reachable node (LEAST of self and reachable min).

@@ -451,4 +451,20 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(two.contains("POSEXPLODE(x) a AS index, value") &&
       two.contains("POSEXPLODE(y) b AS index, value"), two)
   }
+
+  test("string INSERT becomes ANSI OVERLAY; statement INSERT INTO is untouched") {
+    assert(tr("SELECT INSERT(s, 9, 0, '/') FROM t") ===
+      "SELECT OVERLAY(s PLACING '/' FROM 9 FOR 0) FROM t")
+    assertThrows[IllegalArgumentException](tr("SELECT INSERT(s, 1) FROM t"))
+    // no parenthesis after INSERT → the identifier passes through untouched
+    assert(tr("INSERT INTO tgt SELECT * FROM t") === "INSERT INTO tgt SELECT * FROM t")
+  }
+
+  test("CONDITIONAL_TRUE_EVENT becomes a ROWS-framed running CASE sum") {
+    assert(tr("SELECT CONDITIONAL_TRUE_EVENT(x > 1) OVER (PARTITION BY g ORDER BY o) FROM t") ===
+      "SELECT SUM(CASE WHEN (x > 1) THEN 1 ELSE 0 END) OVER (PARTITION BY g ORDER BY o " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assertThrows[IllegalArgumentException](
+      tr("SELECT CONDITIONAL_TRUE_EVENT(x > 1) FROM t"))
+  }
 }

@@ -240,4 +240,44 @@ class Round8OperatorsSpec extends SparkSpec {
       assert(math.abs(exact - cos) < 1e-12, s"pair ($aId, $nId)")
     }
   }
+
+  test("containmentPairs: doc-in-doc pair surfaces with high containment, low jaccard") {
+    import spark.implicits._
+    val small = "quick brown foxes vault over lazy sleeping dogs tonight"
+    val big = small + " " + (1 to 60).map(i => s"filler$i token$i").mkString(" ")
+    val other = "completely different content about maritime navigation charts"
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, maxDf = 20, minContainment = 0.8).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(5) === 1.0, "small doc fully contained")
+    assert(r.getDouble(6) < 0.5, s"jaccard ${r.getDouble(6)} must stay low — " +
+      "this is exactly the pair MinHash-on-Jaccard misses")
+  }
+
+  test("containmentPairs: ubiquitous shingles alone never form candidates") {
+    import spark.implicits._
+    // the shared trigram appears in every doc → df above maxDf → blocked
+    val docs = (1L to 30L).map(i => (i, s"common shared trigram unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, maxDf = 20, minContainment = 0.1).collect()
+    assert(out.isEmpty, "stop-shingle must not drive a quadratic candidate set")
+  }
+
+  test("triangleCensus: closed triangle counts once per node; open wedge counts zero") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a pendant 3-4 and an open wedge 5-6, 6-7
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("a_id", "b_id")
+    val got = Graph.triangleCensus(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 1.0 / 3.0))) // 2·1/(3·2)
+    assert(got(4L) === ((1L, 0L, 0.0)))
+    assert(got(6L) === ((2L, 0L, 0.0)), "open wedge closes no triangle")
+  }
 }

@@ -189,6 +189,14 @@ object ScaleCurve {
       "q132_novelty_census" -> { docs =>
         graft.operators.TextAnalysis.noveltyCensus(docs, "doc_id", "text",
           "source", k = 8)
+      },
+      // round 8b: containment census — rare-shingle blocking must keep the
+      // candidate set linear in the corpus: each synthesized copy's
+      // shingles are alphabet-permuted, so blocking shingles stay rare
+      // within a copy and never collide across copies
+      "q163_containment" -> { docs =>
+        graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+          k = 3, maxDf = 20, minContainment = 0.8)
       })
 
     // Local-iteration knobs (the canonical recording uses neither):

@@ -490,7 +490,7 @@ object Main {
           // training-data surface: exact or near-dup (MinHash→components)
           // dedup of one table; keeps the minimum-id representative per
           // duplicate group and writes the deduplicated table
-          import org.apache.spark.sql.functions.{col, md5, min => fmin, row_number}
+          import org.apache.spark.sql.functions.{col, md5, min => fmin, row_number, when}
           val src = req("source")
           val table = opts.getOrElse("table", "documents")
           val dst = req("target")
@@ -564,6 +564,17 @@ object Main {
                   existing, df, idCol, textCol, thr, scope = scope)
                   .select(col(idCol))
                 df.join(kills, Seq(idCol), "left_anti")
+              case "containment" =>
+                // doc-in-doc pass (Broder containment): the contained doc
+                // (smaller shingle set) is the redundant one; equal sizes
+                // kill the larger id so the rule is deterministic
+                val thr = opts.getOrElse("threshold", "0.8").toDouble
+                val pairs = graft.operators.Dedup.containmentPairs(
+                  df, idCol, textCol, minContainment = thr)
+                val victims = pairs.select(
+                  when(col("a_n") < col("b_n"), col("a_id"))
+                    .otherwise(col("b_id")).as(idCol)).distinct()
+                df.join(victims, Seq(idCol), "left_anti")
               case other => throw new IllegalArgumentException(s"unknown method: $other")
             }
             new ParquetSink(dst).write(kept, table)
@@ -839,7 +850,7 @@ object Main {
       |              [--boilerplate]  (per-source share of volume in lines
       |               repeated across docs corpus-wide)
       |  dedup       --source DIR --target DIR [--table T]
-      |              [--method exact|minhash|lines|substring|incremental]
+      |              [--method exact|minhash|lines|substring|incremental|containment]
       |              [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]
       |              [--ngram K]  (substring: remove repeated >=K-token

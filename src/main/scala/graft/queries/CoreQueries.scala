@@ -376,6 +376,44 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // TPC-H Q13 shape (custdist): order-count distribution per customer.
+    // Spark-first formulation: pre-aggregate the fact table to one row per
+    // customer BEFORE joining the dimension — the map-side combine shrinks
+    // the shuffle to |customers| rows, where the naive left-join-then-
+    // group shape shuffles every order row against the customer key.
+    "q168_custdist" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val counts = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      cust.join(counts, cust("c_custkey") === counts("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q22 shape: uncorrelated scalar AVG subquery + NOT EXISTS anti
+    // join (no urgent orders). The average rides the exact-decimal discipline so the filter
+    // threshold is bit-identical cross-engine; the anti join broadcasts
+    // the distinct custkey set of orders when small, hash-shuffles at
+    // scale — either way no fact row survives past the semi-structure.
+    "q169_idle_customers" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_nationkey, COUNT(*) AS numcust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+          |FROM customer c
+          |WHERE c_acctbal > (
+          |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+          |             / COUNT(c_acctbal)
+          |    FROM customer WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+    },
+
     // TPC-H Q2 shape: correlated scalar subquery in WHERE (min unit price
     // per part) — exercises Catalyst's RewriteCorrelatedScalarSubquery
     // into a left-join-on-groupBy plan; the min aggregate pre-shrinks to
@@ -773,6 +811,35 @@ object CoreQueries {
         |FROM customer
         |WHERE c_custkey <= 150
         |ORDER BY c_custkey""".stripMargin,
+
+    // Pre-aggregated replay of the same distribution; COUNT casts keep
+    // DuckDB off the HUGEINT path.
+    "q168_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey,
+        |    CAST(COALESCE(n, 0) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN (
+        |    SELECT o_custkey, COUNT(*) AS n FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT' GROUP BY 1) t
+        |    ON t.o_custkey = c.c_custkey) s
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Identical text modulo dialect: the decimal-sum average makes the
+    // comparison threshold bit-identical before the anti join.
+    "q169_idle_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |             / COUNT(c_acctbal)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     // Same correlated form — DuckDB decorrelates it itself; the unit
     // price is a single double division, bit-identical in both engines.

@@ -487,6 +487,16 @@ object DedupQueries {
         .orderBy(col("node"))
     },
 
+    // MOSS-style winnowing (Winnow.sharedFingerprintPairs): window-min
+    // k-gram fingerprints guarantee any shared k+w-1-token run selects a
+    // common fingerprint — local plagiarism detection, a third regime
+    // beside global Jaccard (q23) and containment (q163).
+    "q170_winnow_pairs" -> { (s, dir) =>
+      graft.operators.Winnow.sharedFingerprintPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, w = 4, maxDf = 20, minShared = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -929,6 +939,31 @@ object DedupQueries {
          |       ELSE 0.0 END AS clustering
          |FROM deg d LEFT JOIN pn ON pn.node = d.node
          |ORDER BY d.node""".stripMargin,
+
+    // Winnowing replay: same md5-prefix hex hashes, same ROWS-framed
+    // window min, same df cap — lexicographic MIN over hex is engine-safe.
+    "q170_winnow_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i.i AS pos,
+        |    substr(md5(concat_ws(' ', t[i.i+1], t[i.i+2], t[i.i+3], t[i.i+4])),
+        |           1, 8) AS h
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 4, 0) + 1)) AS i(i)),
+        |sel AS (
+        |  SELECT doc_id, pos,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, winmin AS fp FROM sel
+        |       WHERE pos <= n_grams - 4),
+        |ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20),
+        |b AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok ON ok.fp = f.fp),
+        |p AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id, COUNT(*) AS n_shared
+        |      FROM b a JOIN b b2 ON b2.fp = a.fp AND a.doc_id < b2.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 3 ORDER BY a_id, b_id""".stripMargin,
 
     // q23's pair pipeline + recursive transitive closure: component id =
     // min over every reachable node (LEAST of self and reachable min).

@@ -267,6 +267,29 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(out.isEmpty, "stop-shingle must not drive a quadratic candidate set")
   }
 
+  test("winnowing guarantee: a shared k+w-1-token run yields a common fingerprint") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = k+w-1
+    val a = s"one two three four five six seven eight nine ten $run"
+    val b = s"$run red orange yellow green blue indigo violet umber"
+    val c = "completely unrelated maritime navigation charts for coastal sailors tonight"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "the full window inside the shared run must select the same min in both docs")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing: short documents contribute no fingerprints") {
+    import spark.implicits._
+    val docs = Seq((1L, "just five words right here"), (2L, "tiny")).toDF("doc_id", "text")
+    // 5 tokens → 2 four-grams → no full 4-hash window; 1 token → truncated gram
+    assert(Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 4).count() === 0)
+  }
+
   test("triangleCensus: closed triangle counts once per node; open wedge counts zero") {
     import spark.implicits._
     // triangle 1-2-3 plus a pendant 3-4 and an open wedge 5-6, 6-7

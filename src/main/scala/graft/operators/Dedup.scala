@@ -307,14 +307,21 @@ object Dedup {
     * MinHash pipeline (which estimates Jaccard) never surfaces the pair.
     *
     * Candidate generation is rare-shingle blocking (the prefix-filter idea
-    * from set-similarity joins): only shingles shared by 2..`maxDf`
-    * documents produce candidate pairs, so a stop-shingle ("in the") never
-    * drives a quadratic self-join — at corpus scale the candidate count is
-    * bounded by Σ_rare C(df,2) ≤ maxDf·|rare shingles|, and a contained
-    * pair is surfaced as long as it shares ONE rare shingle (for real
-    * corpora, any non-boilerplate sentence). Verification joins each
-    * candidate pair back to the shingle table twice (equi-joins on id and
-    * on (id, shingle)) — fanout per pair is |sh(A)|, never corpus².
+    * from set-similarity joins): a pair is surfaced only if it shares at
+    * least one shingle with document frequency 2..`maxDf` (for real
+    * corpora, any non-boilerplate sentence qualifies), so a stop-shingle
+    * ("in the") never drives a quadratic self-join. Intersections count
+    * every shared shingle up to df ≤ `heavyCap` — ONE df-bounded
+    * self-equi-join with the rare-flag folded into the aggregate, total
+    * fanout Σ_{df≤heavyCap} C(df,2). (The first formulation materialized
+    * the candidate set and re-joined it to the shingle table twice —
+    * |pairs|·|sh(A)| ≈ 58M rows at sf0.1, 16-24s; this one is ~1.5M rows,
+    * and shingles collapse to 60-bit md5-prefix longs before the shuffle
+    * so the exchange keys are 8 bytes. The DuckDB twin replays the same
+    * hash, so a ≈n²/2⁶¹ collision perturbs both engines identically.)
+    * Shingles above heavyCap are invisible: at 100 TB a df-10⁶ boilerplate
+    * line neither blocks nor counts — the pigeonhole argument says a
+    * genuinely contained doc still shares plenty of sub-cap shingles.
     *
     * Output: (a_id, b_id, inter_cnt, a_n, b_n, containment, jaccard) for
     * pairs with containment ≥ `minContainment`, a_id < b_id. The ratios
@@ -322,24 +329,24 @@ object Dedup {
     * engines. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, maxDf: Int = 20,
-                       minContainment: Double = 0.8,
+                       minContainment: Double = 0.8, heavyCap: Int = 1000,
                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("sh"))
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
+      .select(col("id"),
+        expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
     scope.cached(sh)
     val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("sh"))
-    val blocked = sh.join(rare, Seq("sh"))
-    val cand = blocked.select(col("sh"), col("id").as("a_id"))
-      .join(blocked.select(col("sh"), col("id").as("b_id")), Seq("sh"))
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= heavyCap)
+    val shd = sh.join(dfs, Seq("sh"))
+    val inter = shd.select(col("sh"), col("id").as("a_id"), col("df"))
+      .join(shd.select(col("sh"), col("id").as("b_id")), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val inter = cand
-      .join(sh.select(col("id").as("a_id"), col("sh")), Seq("a_id"))
-      .join(sh.select(col("id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter_cnt"))
+      .agg(count(lit(1)).as("inter_cnt"),
+        max(when(col("df") <= maxDf, 1).otherwise(0)).as("has_rare"))
+      .filter(col("has_rare") === 1)
+      .drop("has_rare")
     inter
       .join(sz.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sz.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))

@@ -890,31 +890,34 @@ object DedupQueries {
          |  COUNT(*) AS n_matches
          |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    // Same shingle CTEs as q66, then rare-shingle blocking (df 2..20) and
-    // exact intersection verification — an independent containment replay.
+    // Same shingle CTEs as q66 but collapsed to the operator's 60-bit
+    // md5-prefix longs, then rare-shingle blocking (df 2..20) and exact
+    // intersection verification — an independent containment replay.
     "q163_containment_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
+        |shs AS (
         |  SELECT DISTINCT doc_id,
-        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s0
         |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |sh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s0), 1, 15))::BIGINT AS s
+        |  FROM shs),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 20),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN rare r ON r.s = a.s
-        |            JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        |        HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |shd AS (SELECT sh.doc_id, sh.s, dfs.df FROM sh JOIN dfs ON dfs.s = sh.s),
         |inter AS (
-        |  SELECT c.a_id, c.b_id, COUNT(*) AS inter_cnt
-        |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
-        |              JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt,
+        |         MAX(CASE WHEN a.df <= 20 THEN 1 ELSE 0 END) AS has_rare
+        |  FROM shd a JOIN shd b ON b.s = a.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT i.a_id, i.b_id, i.inter_cnt, sa.n AS a_n, sb.n AS b_n,
         |  CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) AS containment,
         |  CAST(i.inter_cnt AS DOUBLE) / (sa.n + sb.n - i.inter_cnt) AS jaccard
         |FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
         |             JOIN sz sb ON sb.doc_id = i.b_id
-        |WHERE CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |WHERE i.has_rare = 1
+        |  AND CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
 
     // q23's est pipeline at threshold 0.3, then compact-forward triangle

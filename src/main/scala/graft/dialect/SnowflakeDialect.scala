@@ -811,6 +811,32 @@ object SnowflakeDialect {
           val t = args.map(a => rewriteFunctionCalls(a.trim))
           out.append(s"OVERLAY(${t(0)} PLACING ${t(3)} FROM ${t(1)} FOR ${t(2)})")
           i = close + 1
+        } else if (hasParen && upper == "PIVOT") {
+          // Snowflake PIVOT (agg FOR col IN ('v1', 'v2')) → Spark's
+          // aliased IN list. Spark names unaliased pivot columns by the
+          // literal's string form; Snowflake wraps them in quoted
+          // identifiers ('AUTOMOBILE'). The translation contract: output
+          // columns are the unquoted literal text sanitized to an
+          // identifier ([^A-Za-z0-9_] → _), emitted as explicit aliases.
+          val (args, close) = parseArgs(sql, k)
+          require(args.length == 1, s"PIVOT expects one clause, got ${args.length}")
+          val inner = args.head
+          val mo = "(?i)\\bIN\\s*\\(".r.findAllMatchIn(inner).toSeq.lastOption
+            .getOrElse(throw new IllegalArgumentException(
+              "unsupported PIVOT — no IN value list"))
+          val (vals, inClose) = parseArgs(inner, mo.end - 1)
+          require(inner.substring(inClose + 1).trim.isEmpty,
+            "unsupported PIVOT — trailing text after the IN list")
+          val aliased = vals.map(_.trim).map { v =>
+            if (!isStringLiteral(v))
+              throw new IllegalArgumentException(
+                "unsupported PIVOT — IN values must be string literals")
+            val name = v.substring(1, v.length - 1).replaceAll("[^A-Za-z0-9_]", "_")
+            s"$v AS $name"
+          }.mkString(", ")
+          val prefix = rewriteFunctionCalls(inner.substring(0, mo.start).trim)
+          out.append(s"PIVOT ($prefix IN ($aliased))")
+          i = close + 1
         } else if (hasParen && upper == "CONDITIONAL_TRUE_EVENT") {
           // CONDITIONAL_TRUE_EVENT(e) OVER (w) → running count of rows
           // where e held, current row included: SUM(CASE WHEN e THEN 1

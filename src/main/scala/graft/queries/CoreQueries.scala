@@ -376,6 +376,37 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Snowflake PIVOT through the translate path: the dialect aliases each
+    // IN literal so Spark's pivot column names match the contract
+    // (unquoted literal text). MIN is the null-consistent pivot aggregate:
+    // an absent (nation, segment) combo is NULL in Spark's pivot AND in
+    // the oracle's CASE-aggregation replay (COUNT would read 0 there).
+    "q172_dialect_pivot" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT * FROM (
+          |  SELECT c_nationkey, c_mktsegment, c_custkey
+          |  FROM TPCH.PUBLIC.CUSTOMER)
+          |PIVOT (MIN(c_custkey) FOR c_mktsegment
+          |       IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+          |ORDER BY c_nationkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
+    // Snowflake UNPIVOT passes through verbatim (the syntaxes coincide);
+    // the key column carries the value-column name as written. Value
+    // columns pre-cast to one type — both engines require it.
+    "q173_dialect_unpivot" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT p_partkey, metric, val FROM (
+          |  SELECT p_partkey, p_size::DOUBLE AS p_size, p_retailprice
+          |  FROM TPCH.PUBLIC.PART WHERE p_partkey < 100)
+          |UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+          |ORDER BY p_partkey, metric""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // TPC-H Q13 shape (custdist): order-count distribution per customer.
     // Spark-first formulation: pre-aggregate the fact table to one row per
     // customer BEFORE joining the dimension — the map-side combine shrinks
@@ -811,6 +842,30 @@ object CoreQueries {
         |FROM customer
         |WHERE c_custkey <= 150
         |ORDER BY c_custkey""".stripMargin,
+
+    // CASE-aggregation replay of the pivot; MIN keeps absent combos NULL
+    // on both engines.
+    "q172_dialect_pivot" ->
+      """SELECT c_nationkey,
+        |  MIN(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_custkey END)
+        |    AS "AUTOMOBILE",
+        |  MIN(CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END)
+        |    AS "BUILDING",
+        |  MIN(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_custkey END)
+        |    AS "MACHINERY"
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // UNION ALL replay of the unpivot, key = column name as written.
+    "q173_dialect_unpivot" ->
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |  FROM part WHERE p_partkey < 100
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', p_retailprice
+        |  FROM part WHERE p_partkey < 100) u
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     // Pre-aggregated replay of the same distribution; COUNT casts keep
     // DuckDB off the HUGEINT path.

@@ -487,6 +487,24 @@ object DedupQueries {
         .orderBy(col("node"))
     },
 
+    // Edit-distance verification of the LSH candidate set: exact
+    // Levenshtein + normalized similarity per surfaced pair — the
+    // character-level ground truth layered over MinHash's token-level
+    // estimate (catches shuffled-token false positives Jaccard can't see).
+    // Cost is |pairs|·O(len²), never corpus²: candidates are LSH-bounded.
+    "q171_editdist_verify" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val ta = docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("b_id"), col("text").as("tb"))
+      pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb")))).as("edit_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // MOSS-style winnowing (Winnow.sharedFingerprintPairs): window-min
     // k-gram fingerprints guarantee any shared k+w-1-token run selects a
     // common fingerprint — local plagiarism detection, a third regime
@@ -942,6 +960,19 @@ object DedupQueries {
          |       ELSE 0.0 END AS clustering
          |FROM deg d LEFT JOIN pn ON pn.node = d.node
          |ORDER BY d.node""".stripMargin,
+
+    // q23's pair set re-scored by DuckDB's own Levenshtein — both engines
+    // implement the classic DP, so the integer distances agree exactly.
+    "q171_editdist_verify" ->
+      s"""WITH $minhashEstCtes,
+         |p AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |    greatest(len(a.text), len(b.text)) AS edit_sim
+         |FROM p JOIN documents a ON a.doc_id = p.a_id
+         |       JOIN documents b ON b.doc_id = p.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // Winnowing replay: same md5-prefix hex hashes, same ROWS-framed
     // window min, same df cap — lexicographic MIN over hex is engine-safe.

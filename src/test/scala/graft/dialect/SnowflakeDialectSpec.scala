@@ -460,6 +460,16 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("INSERT INTO tgt SELECT * FROM t") === "INSERT INTO tgt SELECT * FROM t")
   }
 
+  test("PIVOT aliases each IN literal; non-literal values fail loudly") {
+    assert(tr("SELECT * FROM t PIVOT (MIN(v) FOR seg IN ('A-B', 'C'))") ===
+      "SELECT * FROM t PIVOT (MIN(v) FOR seg IN ('A-B' AS A_B, 'C' AS C))")
+    assertThrows[IllegalArgumentException](
+      tr("SELECT * FROM t PIVOT (MIN(v) FOR seg IN (x))"))
+    // UNPIVOT passes through untouched (the syntaxes coincide)
+    assert(tr("SELECT * FROM t UNPIVOT (val FOR k IN (a, b))") ===
+      "SELECT * FROM t UNPIVOT (val FOR k IN (a, b))")
+  }
+
   test("CONDITIONAL_TRUE_EVENT becomes a ROWS-framed running CASE sum") {
     assert(tr("SELECT CONDITIONAL_TRUE_EVENT(x > 1) OVER (PARTITION BY g ORDER BY o) FROM t") ===
       "SELECT SUM(CASE WHEN (x > 1) THEN 1 ELSE 0 END) OVER (PARTITION BY g ORDER BY o " +

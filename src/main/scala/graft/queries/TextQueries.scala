@@ -92,6 +92,49 @@ object TextQueries {
         .crossJoin(docs.agg(countDistinct(col("text")).as("exact_distinct")))
     },
 
+    // Pairwise source-overlap estimate WITHOUT touching row data twice:
+    // inclusion-exclusion over mergeable HLL registers — est(A) + est(B) −
+    // est(A∪B) per source pair, union registers formed by bucket-wise MAX
+    // of the per-source register files (the ship-one-file-per-datacenter
+    // property q120 proves). Register state is |sources|·m rows; the exact
+    // shared-text audit column is the only corpus-scale pass and rides the
+    // same distinct (source, text) projection a dup census already needs.
+    "q174_hll_intersect" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val regs = graft.operators.Sketch.hllRegistersBy(docs, "source", "text", p = 6)
+      val ests = graft.operators.Sketch.hllEstimateBy(regs, "source", p = 6)
+      val srcs = docs.select(col("source")).distinct()
+      val prs = srcs.select(col("source").as("src_a"))
+        .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+      val uregs = prs
+        .join(regs, col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy(col("src_a"), col("src_b"), col("bucket"))
+        .agg(max(col("max_rho")).cast("long").as("max_rho"))
+      val uest = graft.operators.Sketch.hllEstimateBy(
+        uregs.select(concat_ws("|", col("src_a"), col("src_b")).as("pair"),
+          col("bucket"), col("max_rho")), "pair", p = 6)
+        .select(split(col("pair"), "\\|").getItem(0).as("src_a"),
+          split(col("pair"), "\\|").getItem(1).as("src_b"),
+          col("hll_est").as("union_est"))
+      val ts = docs.select(col("source"), col("text")).distinct()
+      val exact = ts.select(col("source").as("src_a"), col("text"))
+        .join(ts.select(col("source").as("src_b"), col("text")), Seq("text"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_shared"))
+      uest
+        .join(ests.select(col("source").as("src_a"), col("hll_est").as("est_a")),
+          Seq("src_a"))
+        .join(ests.select(col("source").as("src_b"), col("hll_est").as("est_b")),
+          Seq("src_b"))
+        .join(exact, Seq("src_a", "src_b"), "left_outer")
+        .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+          col("union_est"),
+          ((col("est_a") + col("est_b")) - col("union_est")).as("inter_est"),
+          coalesce(col("exact_shared"), lit(0L)).as("exact_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Model-based quality scoring (the fastText-classifier analogue of
     // q30's hand features): fixed published-style weights over stopword
     // ratio, token shape and repetition, squashed by a logistic. The
@@ -875,6 +918,50 @@ object TextQueries {
         |  0.709::DOUBLE * 64 * 64 * 134217728 / d_s_scaled AS direct_est,
         |  (SELECT COUNT(DISTINCT text) FROM documents) AS exact_distinct
         |FROM us CROSS JOIN ds""".stripMargin,
+
+    // Same registers, same harmonic-sum arithmetic, inclusion-exclusion in
+    // the identical (a+b)-union association.
+    "q174_hll_intersect" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |regs AS (
+        |  SELECT source, h % 64 AS bucket,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END) AS max_rho
+        |  FROM h GROUP BY 1, 2),
+        |ests AS (
+        |  SELECT source,
+        |    0.709::DOUBLE * 64 * 64 * 134217728 /
+        |      CAST(SUM(1::BIGINT << (27 - max_rho))
+        |           + (64 - COUNT(*)) * 134217728 AS BIGINT) AS est
+        |  FROM regs GROUP BY source),
+        |prs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM (SELECT DISTINCT source FROM documents) a
+        |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+        |uregs AS (
+        |  SELECT p.src_a, p.src_b, r.bucket, MAX(r.max_rho) AS max_rho
+        |  FROM prs p JOIN regs r ON r.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |uest AS (
+        |  SELECT src_a, src_b,
+        |    0.709::DOUBLE * 64 * 64 * 134217728 /
+        |      CAST(SUM(1::BIGINT << (27 - max_rho))
+        |           + (64 - COUNT(*)) * 134217728 AS BIGINT) AS union_est
+        |  FROM uregs GROUP BY 1, 2),
+        |ts AS (SELECT DISTINCT source, text FROM documents),
+        |exact AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS exact_shared
+        |  FROM ts a JOIN ts b ON b.text = a.text AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT u.src_a, u.src_b, ea.est AS est_a, eb.est AS est_b, u.union_est,
+        |  (ea.est + eb.est) - u.union_est AS inter_est,
+        |  COALESCE(e.exact_shared, 0) AS exact_shared
+        |FROM uest u JOIN ests ea ON ea.source = u.src_a
+        |            JOIN ests eb ON eb.source = u.src_b
+        |LEFT JOIN exact e ON e.src_a = u.src_a AND e.src_b = u.src_b
+        |ORDER BY u.src_a, u.src_b""".stripMargin,
 
     "q121_quality_classifier" ->
       s"""WITH f AS (

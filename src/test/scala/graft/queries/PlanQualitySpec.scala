@@ -155,6 +155,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "tf counts not hash-aggregated")
   }
 
+  test("q167: correlated min-price subquery decorrelates to an aggregate join") {
+    val plan = planOf("q167_min_price_supplier")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the per-part MIN must plan as its own aggregate joined back on
+    // l_partkey (RewriteCorrelatedScalarSubquery), with map-side combine
+    assert(plan.matches("(?s).*partial_min.*"), "subquery side lost partial aggregation")
+    val scans = distinctNodes(plan, "Scan parquet")
+    assert(scans <= 4, s"expected ≤4 scans (part, supplier, lineitem ×2), got $scans")
+  }
+
+  test("q168: orders pre-aggregate before the customer join — no fact-side re-shuffle") {
+    val plan = planOf("q168_custdist")
+    // the count must combine map-side on o_custkey BEFORE the join: the
+    // shuffle after the scan carries one row per (custkey, partial count)
+    assert(plan.matches("(?s).*partial_count.*"), plan.take(2000))
+    assert(distinctNodes(plan, "Scan parquet") == 2, "each table scans once")
+  }
+
+  test("q163: containment is one shingle self-join — no candidate re-join stages") {
+    val plan = planOf("q163_containment_dedup")
+    // the rewrite removed the cand→shingle double re-join: the plan joins
+    // the df-bounded shingle table to itself once, then aggregates; a
+    // third join over the shingle explode means the 58M-row shape is back
+    val joins = distinctNodes(plan, "SortMergeJoin") +
+      distinctNodes(plan, "BroadcastHashJoin") + distinctNodes(plan, "ShuffledHashJoin")
+    assert(joins <= 5, s"containment plan regrew to $joins joins")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

@@ -376,6 +376,42 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // ROLLUP hierarchy totals: region → nation → grand total in ONE pass
+    // (Catalyst expands grouping sets inside the aggregate, no re-scan per
+    // level). GROUPING() flags disambiguate NULL-as-total from NULL data.
+    "q175_rollup_totals" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT r_name, n_name,
+          |  GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+          |  COUNT(*) AS n_custs,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+          |FROM customer
+          |JOIN nation ON n_nationkey = c_nationkey
+          |JOIN region ON r_regionkey = n_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY g_region, g_nation,
+          |  COALESCE(r_name, ''), COALESCE(n_name, '')""".stripMargin)
+    },
+
+    // Rolling 7-day revenue per customer: a NUMERIC RANGE frame over the
+    // epoch-day order key — the frame bound is data-valued, so Spark's
+    // window reader walks a sliding aggregate, never a per-row re-scan.
+    "q176_rolling_revenue" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+          |    PARTITION BY o_custkey
+          |    ORDER BY DATEDIFF(CAST(o_orderdate AS DATE), DATE '1992-01-01')
+          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS rev_7d,
+          |  o_orderkey
+          |FROM orders
+          |WHERE o_custkey < 100
+          |ORDER BY o_custkey, od, o_orderkey""".stripMargin)
+    },
+
     // Snowflake PIVOT through the translate path: the dialect aliases each
     // IN literal so Spark's pivot column names match the contract
     // (unquoted literal text). MIN is the null-consistent pivot aggregate:
@@ -842,6 +878,33 @@ object CoreQueries {
         |FROM customer
         |WHERE c_custkey <= 150
         |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB's own ROLLUP + GROUPING; null-free sort keys (Spark default
+    // is NULLS FIRST, DuckDB's NULLS LAST — coalesce dodges the disagreement).
+    "q175_rollup_totals" ->
+      """SELECT r_name, n_name,
+        |  GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+        |  COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation,
+        |  COALESCE(r_name, ''), COALESCE(n_name, '')""".stripMargin,
+
+    // Same numeric RANGE frame; date_diff spells Spark's DATEDIFF.
+    "q176_rolling_revenue" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev_7d,
+        |  o_orderkey
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, od, o_orderkey""".stripMargin,
 
     // CASE-aggregation replay of the pivot; MIN keeps absent combos NULL
     // on both engines.

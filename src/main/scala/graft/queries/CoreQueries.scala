@@ -376,6 +376,41 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Order-independent replica checksum: per-table exact-decimal SUM of a
+    // 60-bit per-row hash over a canonical string rendering — compare two
+    // replicas (or engines) with ONE number each, no sort, no row
+    // transfer; at 100 TB this is a map-side-combined aggregate per
+    // replica and a 1-row exchange. Doubles render through DECIMAL(18,2)
+    // so both engines print identical digits; the checksum surfaces as a
+    // digit string (a DECIMAL(38,0) output column would hit the
+    // cross-engine decimal-vs-float dtype trap).
+    "q177_replica_checksum" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      def sumHash(expr: String) =
+        s"""CAST(SUM(CAST(CONV(SUBSTRING(MD5($expr), 1, 15), 16, 10)
+           |  AS DECIMAL(38,0))) AS STRING)""".stripMargin
+      s.sql(
+        s"""SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+           |  ${sumHash("CONCAT_WS('|', c_custkey, c_name, c_nationkey, " +
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING), c_mktsegment)")}
+           |  AS checksum
+           |FROM customer
+           |UNION ALL
+           |SELECT 'orders', COUNT(*),
+           |  ${sumHash("CONCAT_WS('|', o_orderkey, o_custkey, o_orderstatus, " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), " +
+            "CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)")}
+           |FROM orders
+           |UNION ALL
+           |SELECT 'lineitem', COUNT(*),
+           |  ${sumHash("CONCAT_WS('|', l_orderkey, l_linenumber, l_partkey, " +
+            "l_suppkey, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING), " +
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING), " +
+            "l_returnflag, l_linestatus)")}
+           |FROM lineitem
+           |ORDER BY tbl""".stripMargin)
+    },
+
     // ROLLUP hierarchy totals: region → nation → grand total in ONE pass
     // (Catalyst expands grouping sets inside the aggregate, no re-scan per
     // level). GROUPING() flags disambiguate NULL-as-total from NULL data.
@@ -878,6 +913,33 @@ object CoreQueries {
         |FROM customer
         |WHERE c_custkey <= 150
         |ORDER BY c_custkey""".stripMargin,
+
+    // Same canonical rendering, DuckDB's '0x' hex parse; the exact-decimal
+    // sum makes the checksum accumulation-order-proof on both engines.
+    "q177_replica_checksum" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CONCAT_WS('|', c_custkey, c_name,
+        |    c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+        |    c_mktsegment)), 1, 15))::BIGINT AS DECIMAL(38,0))) AS VARCHAR)
+        |    AS checksum
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', COUNT(*),
+        |  CAST(SUM(CAST(('0x' || substr(md5(CONCAT_WS('|', o_orderkey, o_custkey,
+        |    o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)),
+        |    1, 15))::BIGINT AS DECIMAL(38,0))) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', COUNT(*),
+        |  CAST(SUM(CAST(('0x' || substr(md5(CONCAT_WS('|', l_orderkey,
+        |    l_linenumber, l_partkey, l_suppkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    l_returnflag, l_linestatus)), 1, 15))::BIGINT AS DECIMAL(38,0)))
+        |    AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY tbl""".stripMargin,
 
     // DuckDB's own ROLLUP + GROUPING; null-free sort keys (Spark default
     // is NULLS FIRST, DuckDB's NULLS LAST — coalesce dodges the disagreement).

@@ -334,13 +334,24 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
-    scope.cached(sh)
-    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc set size is an in-row expression — no shuffle, no explode
+    val sz = docs.select(col(idCol).as("id"),
+      size(shingles(textCol, k)).cast("long").as("n"))
+    // ONE shingle-keyed shuffle builds the (≤heavyCap) inverted list per
+    // shingle; pairs expand IN-ROW from the sorted id list (C(df,2) per
+    // group — output-proportional), so the second 26M-row exchange+sort of
+    // a shd⋈shd self-join never happens. Multiset expansion matches join
+    // semantics exactly: a duplicated (id, shingle) row yields the same
+    // doubled pair count either way.
+    val byShingle = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= heavyCap)
-    val shd = sh.join(dfs, Seq("sh"))
-    val inter = shd.select(col("sh"), col("id").as("a_id"), col("df"))
-      .join(shd.select(col("sh"), col("id").as("b_id")), Seq("sh"))
+    val inter = byShingle
+      .select(col("df"), explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS a_id, y AS b_id))))")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("df"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),

@@ -314,6 +314,9 @@ class MainSpec extends SparkSpec {
   }
 
   test("analyze --perplexity appends per-language LM cross-entropy") {
+    // other suites share this session and may mark plans cached without
+    // releasing (plan-only pins); the assertion below is about THIS verb
+    spark.catalog.clearCache()
     val (code, out) = runCli("analyze", "--source", sfDir, "--perplexity")
     assert(code === 0, out)
     val xentLines = out.filter(_.contains("avg_xent="))
@@ -422,6 +425,7 @@ class MainSpec extends SparkSpec {
     graft.sources.Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") % 40 === 0)
       .write.parquet(s"$evalDir/documents.parquet")
+    spark.catalog.clearCache() // see analyze --perplexity note
     val (code, out) = runCli("decontaminate", "--source", sfDir,
       "--eval", evalDir, "--target", dst, "--method", "ngram")
     assert(code === 0, out)

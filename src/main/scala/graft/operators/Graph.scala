@@ -64,6 +64,49 @@ object Graph {
         coalesce(col("outdeg"), lit(0L)).as("n_out"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
+    * iteration count and deterministic tie-break: each round every node
+    * adopts its neighbors' most frequent label, ties to the SMALLEST
+    * label, isolated nodes keep their own. Detects dense communities the
+    * connected-components view can't separate (components merge through
+    * any single bridge edge; LPA keeps weakly-bridged cliques apart) —
+    * the finer-grained SemDeDup neighborhood structure.
+    *
+    * Determinism: frequency + min-label argmax via one row_number window
+    * per round — no randomized update order (the classic async variant is
+    * run-dependent; this synchronous form replays bit-for-bit in DuckDB).
+    * Scale shape per round: one dst-keyed join (label attach), one
+    * (node, label) aggregate, one node-partitioned window — all
+    * hash-partitioned by node id, state one row per node.
+    *
+    * @param nodes one column `id`
+    * @param edges columns `src`, `dst` (made undirected internally)
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var i = 0
+    while (i < iters) {
+      val gathered = und
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+      val newLabels = gathered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label"))
+      labels = nodes.select(col("id"))
+        .join(newLabels, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      i += 1
+    }
+    labels
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected edge list (`aCol` < `bCol`, already deduplicated — the
     * shape [[Dedup.minhashNearDups]] and [[graft.operators.Similarity]]'s

@@ -515,6 +515,21 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Label-propagation communities over the q95 KNN graph
+    // (Graph.labelPropagation): 3 synchronous rounds, most-frequent
+    // neighbor label with min-label ties — the finer community structure
+    // connected components can't see (a single bridge edge merges
+    // components; LPA keeps weakly-bridged dense neighborhoods apart).
+    "q178_knn_communities" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val edges = graft.operators.Similarity.knnGraph(emb, k = 5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      graft.operators.Graph.labelPropagation(
+        emb.select(col("vec_id").as("id")), edges, iters = 3)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy(col("vec_id"))
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -1289,6 +1304,34 @@ object DedupQueries {
          |  CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS n_out
          |FROM r3 LEFT JOIN odeg o ON o.src = r3.id
          |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin
+    },
+
+    // 3 unrolled synchronous LPA rounds over q95's edges made undirected;
+    // the same frequency-then-min-label window decides every adoption.
+    "q178_knn_communities" -> {
+      def iter(prev: String, g: String, n: String, out: String): String =
+        s"""$g AS (
+           |  SELECT u.src, l.label, COUNT(*) AS cnt
+           |  FROM und u JOIN $prev l ON l.id = u.dst GROUP BY 1, 2),
+           |$n AS (
+           |  SELECT src AS id, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src
+           |        ORDER BY cnt DESC, label) AS rn
+           |    FROM $g) WHERE rn = 1),
+           |$out AS (
+           |  SELECT e.vec_id AS id, COALESCE(n.label, e.vec_id) AS label
+           |  FROM embeddings e LEFT JOIN $n n ON n.id = e.vec_id)""".stripMargin
+      s"""WITH $knnGraphCtes,
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a_id AS src, b_id AS dst FROM knn
+         |  UNION ALL SELECT b_id, a_id FROM knn)),
+         |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+         |${iter("l0", "g1", "n1", "l1")},
+         |${iter("l1", "g2", "n2", "l2")},
+         |${iter("l2", "g3", "n3", "l3")}
+         |SELECT id AS vec_id, label AS community FROM l3
+         |ORDER BY vec_id""".stripMargin
     },
 
     "q77_embed_cluster_dedup" ->

@@ -290,6 +290,20 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 4).count() === 0)
   }
 
+  test("labelPropagation separates bridged triangles that components would merge") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge 3-4: connected components
+    // sees ONE component; LPA keeps the two dense neighborhoods apart
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val got = Graph.labelPropagation(nodes, edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L), s"bridge must not merge communities: $got")
+  }
+
   test("triangleCensus: closed triangle counts once per node; open wedge counts zero") {
     import spark.implicits._
     // triangle 1-2-3 plus a pendant 3-4 and an open wedge 5-6, 6-7

@@ -530,6 +530,43 @@ object DedupQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Per-source semantic redundancy matrix: the embedding-space companion
+    // to q174's lexical overlap — exact decimal per-source centroids
+    // (cross-modal join on vec_id = doc_id), pairwise centroid cosine.
+    // Two sources can share zero 13-grams yet sit on top of each other
+    // semantically (translations, paraphrase mirrors); this is the
+    // ingest-dedup signal for that case. Centroid state is |sources|·dims.
+    "q179_source_semantics" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val j = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      // means ride the scaled-long discipline, NOT double→DECIMAL(38,18):
+      // DuckDB converts double→scale-18 decimal by multiplying in double
+      // space (v·1e18 overflows 2^53), so those casts drift in the last
+      // two digits per element and the drift survives into the refloated
+      // centroid. FLOOR(v·2^36) is exact and identical in both engines;
+      // the mean is then one double division of exact integers.
+      val cents = j
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("source"), col("pos"),
+          floor(col("v").cast("double") * lit(68719476736.0d)).cast("long").as("sl"))
+        .groupBy(col("source"), col("pos"))
+        .agg((sum(col("sl")).cast("double") /
+          (count(lit(1)).cast("double") * lit(68719476736.0d))).as("c"))
+        .groupBy(col("source"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, " +
+          "CAST(c AS FLOAT)))), x -> x.col2)").as("centroid"))
+      val a = cents.select(col("source").as("src_a"), col("centroid").as("ca"))
+      val b = cents.select(col("source").as("src_b"), col("centroid").as("cb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          (graft.operators.Similarity.scaledDot("ca", "cb").cast("double") /
+            (graft.operators.Similarity.scaledNorm("ca") *
+              graft.operators.Similarity.scaledNorm("cb"))).as("centroid_cosine"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Multimodal frame sampling: binary payload → 256-byte frames → keep
     // every 4th (the video-pipeline explode fanout), census per media type.
     "q61_frame_sample" -> { (s, dir) =>
@@ -1305,6 +1342,28 @@ object DedupQueries {
          |FROM r3 LEFT JOIN odeg o ON o.src = r3.id
          |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin
     },
+
+    // Same decimal-exact per-dim means refloated to REAL, same scaled-long
+    // cosine tree as every embedding oracle.
+    "q179_source_semantics" ->
+      s"""WITH j AS (
+         |  SELECT d.source, e.embedding
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |dims AS (
+         |  SELECT source, i.i AS pos,
+         |    CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE)
+         |        * 68719476736.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 68719476736.0) AS c
+         |  FROM j, UNNEST(range(0, len(embedding))) AS i(i)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT source, list(CAST(c AS REAL) ORDER BY pos) AS centroid
+         |  FROM dims GROUP BY 1)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  ${dot("a.centroid", "b.centroid")} /
+         |    (${nrm("a.centroid")} * ${nrm("b.centroid")}) AS centroid_cosine
+         |FROM cent a JOIN cent b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // 3 unrolled synchronous LPA rounds over q95's edges made undirected;
     // the same frequency-then-min-label window decides every adoption.

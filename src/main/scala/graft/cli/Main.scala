@@ -464,6 +464,30 @@ object Main {
                 f"neg=${r.getLong(2)}%6d(label ${r.getInt(3)}%2d) " +
                 f"cosine=${r.getDouble(4)}%6.4f"))
           }
+          // --graph: similarity-graph structure report — LPA communities,
+          // triangle/clustering census, top PageRank — the neighborhood
+          // view of the same vectors the k-means census partitions
+          if (opts.contains("graph")) {
+            import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum, max => fmax, avg}
+            val edges = graft.operators.Similarity.knnGraph(df, k = 5)
+              .select(col("a_id").as("src"), col("b_id").as("dst"))
+            val nodes = df.select(col(idCol).as("id"))
+            val comms = graft.operators.Graph.labelPropagation(nodes, edges, iters = 3)
+              .groupBy(col("label")).agg(fcount(lit(1)).as("n"))
+            val cs = comms.agg(fcount(lit(1)), fmax(col("n")), avg(col("n"))).head
+            out(f"communities=${cs.getLong(0)}%d largest=${cs.getLong(1)}%d " +
+              f"mean_size=${cs.getDouble(2)}%.1f")
+            val tri = graft.operators.Graph.triangleCensus(
+              edges.select(col("src").as("a_id"), col("dst").as("b_id")))
+            val ts = tri.agg(fsum(col("n_triangles")), avg(col("clustering"))).head
+            out(f"triangles(node-sum)=${ts.getLong(0)}%d " +
+              f"mean_clustering=${ts.getDouble(1)}%.4f")
+            graft.operators.Graph.pageRank(nodes, edges, iters = 3)
+              .orderBy(col("pagerank").desc, col("id")).limit(5)
+              .collect().foreach(r => out(
+                f"  pagerank id=${r.getLong(0)}%6d pr=${r.getDouble(1)}%.6f " +
+                  f"out=${r.getLong(2)}%d"))
+          }
           0
         case "corpus-report" =>
           // the reference's `discover` report analogue for the text
@@ -871,6 +895,8 @@ object Main {
       |               member-cosine quality)
       |              [--hard-negatives] [--label-col COL]  (per-anchor
       |               nearest cross-label neighbor — contrastive negatives)
+      |              [--graph]  (KNN-graph structure: LPA communities,
+      |               triangle/clustering census, top PageRank)
       |  corpus-report --source DIR [--table T] [--output FILE]
       |              (all census sections — quality funnel, source
       |               overlap, KL, vocab/OOV, padding, fertility, Zipf

@@ -411,6 +411,31 @@ object CoreQueries {
            |ORDER BY tbl""".stripMargin)
     },
 
+    // IGNORE NULLS window family through the translate path (Snowflake's
+    // and Spark's trailing `IGNORE NULLS` coincide, so this is a
+    // pass-through parity claim): LOCF carry-forward (last purchase so
+    // far), first/second purchase via full-frame FIRST/NTH_VALUE. Values
+    // pass through untouched — no arithmetic to drift.
+    "q180_window_ignore_nulls" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT user_id, event_id,
+          |       LAST_VALUE(pval) IGNORE NULLS OVER (
+          |         PARTITION BY user_id ORDER BY event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+          |       FIRST_VALUE(pval) IGNORE NULLS OVER (
+          |         PARTITION BY user_id ORDER BY event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_purchase,
+          |       NTH_VALUE(pval, 2) IGNORE NULLS OVER (
+          |         PARTITION BY user_id ORDER BY event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_purchase
+          |FROM (SELECT user_id, event_id,
+          |        IFF(event_type = 'purchase', value, NULL) AS pval
+          |      FROM EVENTS WHERE user_id < 40) e
+          |ORDER BY user_id, event_id""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // ROLLUP hierarchy totals: region → nation → grand total in ONE pass
     // (Catalyst expands grouping sets inside the aggregate, no re-scan per
     // level). GROUPING() flags disambiguate NULL-as-total from NULL data.
@@ -940,6 +965,23 @@ object CoreQueries {
         |    AS VARCHAR)
         |FROM lineitem
         |ORDER BY tbl""".stripMargin,
+
+    // DuckDB spells IGNORE NULLS inside the call parens; same frames.
+    "q180_window_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        |  last_value(pval IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+        |  first_value(pval IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_purchase,
+        |  nth_value(pval, 2 IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_purchase
+        |FROM (SELECT user_id, event_id,
+        |        CASE WHEN event_type = 'purchase' THEN value END AS pval
+        |      FROM events WHERE user_id < 40) e
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // DuckDB's own ROLLUP + GROUPING; null-free sort keys (Spark default
     // is NULLS FIRST, DuckDB's NULLS LAST — coalesce dodges the disagreement).

@@ -418,6 +418,17 @@ class MainSpec extends SparkSpec {
     assert(out.exists(_.trim.startsWith("anchor=")), out.mkString("\n"))
   }
 
+  test("cluster --graph reports communities, triangles, and top PageRank") {
+    val (code, out) = runCli("cluster", "--source", sfDir, "--k", "4",
+      "--iters", "1", "--graph")
+    assert(code === 0, out)
+    val comm = out.find(_.startsWith("communities=")).getOrElse(fail(out.mkString("\n")))
+    assert("communities=(\\d+) largest=(\\d+) .*".r.findFirstMatchIn(comm)
+      .exists(m => m.group(1).toInt >= 1 && m.group(2).toInt >= 1), comm)
+    assert(out.exists(_.startsWith("triangles(node-sum)=")), out.mkString("\n"))
+    assert(out.count(_.trim.startsWith("pagerank id=")) === 5, out.mkString("\n"))
+  }
+
   test("decontaminate verb drops training docs overlapping the eval set; bloom matches exact") {
     import org.apache.spark.sql.functions.col
     val evalDir = Files.createTempDirectory("decon_eval").toString

@@ -541,6 +541,24 @@ object CoreQueries {
           |ORDER BY c_nationkey""".stripMargin)
     },
 
+    // Correlated AVG subquery (TPC-H Q17's shape): orders 1.5× above
+    // their OWN customer's average — decorrelates to one per-customer
+    // aggregate joined back, the third decorrelation variant beside
+    // q167's correlated MIN and q161's scalar HAVING. The average rides
+    // the exact-decimal discipline so the 1.5× gate replays bit-for-bit.
+    "q181_above_own_average" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+          |FROM orders o
+          |WHERE o.o_custkey < 200
+          |  AND o.o_totalprice > 1.5 * (
+          |    SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+          |             / COUNT(*)
+          |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)
+    },
+
     // TPC-H Q2 shape: correlated scalar subquery in WHERE (min unit price
     // per part) — exercises Catalyst's RewriteCorrelatedScalarSubquery
     // into a left-join-on-groupBy plan; the min aggregate pre-shrinks to
@@ -1062,6 +1080,18 @@ object CoreQueries {
         |      AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    // Identical correlated text — DuckDB decorrelates on its own; same
+    // decimal-exact average, same single 1.5× double product.
+    "q181_above_own_average" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_custkey < 200
+        |  AND o.o_totalprice > 1.5 * (
+        |    SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |             / COUNT(*)
+        |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin,
 
     // Same correlated form — DuckDB decorrelates it itself; the unit
     // price is a single double division, bit-identical in both engines.

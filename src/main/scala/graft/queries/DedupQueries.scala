@@ -559,7 +559,9 @@ object DedupQueries {
           "CAST(c AS FLOAT)))), x -> x.col2)").as("centroid"))
       val a = cents.select(col("source").as("src_a"), col("centroid").as("ca"))
       val b = cents.select(col("source").as("src_b"), col("centroid").as("cb"))
-      a.join(b, col("src_a") < col("src_b"))
+      // |sources| rows per side — broadcast pins the non-equi pair join to
+      // a nested-loop over a broadcast table, never a CartesianProduct
+      a.join(broadcast(b), col("src_a") < col("src_b"))
         .select(col("src_a"), col("src_b"),
           (graft.operators.Similarity.scaledDot("ca", "cb").cast("double") /
             (graft.operators.Similarity.scaledNorm("ca") *

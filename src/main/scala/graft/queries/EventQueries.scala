@@ -126,6 +126,24 @@ object EventQueries {
             .as("n_full_funnel"))
     },
 
+    // Conversion LATENCY distribution (q143 counts the funnel; this times
+    // it): per-user first-view→first-purchase delta, exact sort-based
+    // median/p90 (the q43 percentile parity) — the product-health metric
+    // next to the stage counts. One user-keyed aggregate + one 1-row
+    // percentile sort over the converted subset.
+    "q182_time_to_convert" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ms", millisUtc(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ms"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ms"))).as("fp"))
+        .filter(col("fp") > col("fv"))
+        .select(((col("fp") - col("fv")) / lit(1000.0d)).as("delta_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(delta_s, 0.5)").as("p50_s"),
+          expr("percentile(delta_s, 0.9)").as("p90_s"))
+    },
+
     // Shuffle-key skew census — the pre-flight diagnosis before keying a
     // 100 TB shuffle on a column: the 5 hottest keys with their
     // multiple-of-average load, next to the global key stats. Top-5 plans
@@ -492,6 +510,22 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
         |  CAST(SUM(CASE WHEN p > c AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM firsts""".stripMargin,
+
+    // Same ms-epoch firsts, same single /1000 division, quantile_cont ≡
+    // Spark's sort-based percentile (the q43-proven pairing).
+    "q182_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |        THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS fv,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS fp
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT (fp - fv) / 1000.0 AS delta_s FROM f WHERE fp > fv)
+        |SELECT COUNT(*) AS n_converted,
+        |  quantile_cont(delta_s, 0.5) AS p50_s,
+        |  quantile_cont(delta_s, 0.9) AS p90_s
+        |FROM d""".stripMargin,
 
     // Identical double tree for the multiple-of-average.
     "q144_key_skew_census" ->

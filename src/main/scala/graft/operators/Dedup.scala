@@ -329,8 +329,8 @@ object Dedup {
     * engines. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, maxDf: Int = 20,
-                       minContainment: Double = 0.8, heavyCap: Int = 1000,
-                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                       minContainment: Double = 0.8,
+                       heavyCap: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))

@@ -477,8 +477,16 @@ object Main {
             val cs = comms.agg(fcount(lit(1)), fmax(col("n")), avg(col("n"))).head
             out(f"communities=${cs.getLong(0)}%d largest=${cs.getLong(1)}%d " +
               f"mean_size=${cs.getDouble(2)}%.1f")
+            // triangleCensus requires a deduplicated a_id<b_id undirected
+            // edge list; knnGraph emits DIRECTED per-node top-k edges
+            // (possibly both orientations of a pair, possibly one), so
+            // canonicalize first — mixed orientations never close a
+            // directed 3-cycle under the compact-forward join and
+            // reciprocal edges double-count degree.
+            import org.apache.spark.sql.functions.{least, greatest}
             val tri = graft.operators.Graph.triangleCensus(
-              edges.select(col("src").as("a_id"), col("dst").as("b_id")))
+              edges.select(least(col("src"), col("dst")).as("a_id"),
+                greatest(col("src"), col("dst")).as("b_id")).distinct())
             val ts = tri.agg(fsum(col("n_triangles")), avg(col("clustering"))).head
             out(f"triangles(node-sum)=${ts.getLong(0)}%d " +
               f"mean_clustering=${ts.getDouble(1)}%.4f")

@@ -827,13 +827,23 @@ object SnowflakeDialect {
           val (vals, inClose) = parseArgs(inner, mo.end - 1)
           require(inner.substring(inClose + 1).trim.isEmpty,
             "unsupported PIVOT — trailing text after the IN list")
-          val aliased = vals.map(_.trim).map { v =>
+          val names = vals.map(_.trim).map { v =>
             if (!isStringLiteral(v))
               throw new IllegalArgumentException(
                 "unsupported PIVOT — IN values must be string literals")
-            val name = v.substring(1, v.length - 1).replaceAll("[^A-Za-z0-9_]", "_")
-            s"$v AS $name"
-          }.mkString(", ")
+            v -> v.substring(1, v.length - 1).replaceAll("[^A-Za-z0-9_]", "_")
+          }
+          // sanitization is lossy ('A-B' and 'A_B' both become A_B) — two
+          // IN values colliding into one output column name would produce
+          // duplicate pivot columns with no error at translate time, so
+          // fail loudly here like the other unsupported shapes
+          val dups = names.groupBy(_._2).filter(_._2.size > 1).keys
+          if (dups.nonEmpty)
+            throw new IllegalArgumentException(
+              "unsupported PIVOT — IN values collide after sanitization: " +
+                dups.mkString(", "))
+          val aliased = names.map { case (v, name) => s"$v AS $name" }
+            .mkString(", ")
           val prefix = rewriteFunctionCalls(inner.substring(0, mo.start).trim)
           out.append(s"PIVOT ($prefix IN ($aliased))")
           i = close + 1

@@ -311,14 +311,19 @@ object Dedup {
     * least one shingle with document frequency 2..`maxDf` (for real
     * corpora, any non-boilerplate sentence qualifies), so a stop-shingle
     * ("in the") never drives a quadratic self-join. Intersections count
-    * every shared shingle up to df ≤ `heavyCap` — ONE df-bounded
-    * self-equi-join with the rare-flag folded into the aggregate, total
-    * fanout Σ_{df≤heavyCap} C(df,2). (The first formulation materialized
-    * the candidate set and re-joined it to the shingle table twice —
-    * |pairs|·|sh(A)| ≈ 58M rows at sf0.1, 16-24s; this one is ~1.5M rows,
-    * and shingles collapse to 60-bit md5-prefix longs before the shuffle
-    * so the exchange keys are 8 bytes. The DuckDB twin replays the same
-    * hash, so a ≈n²/2⁶¹ collision perturbs both engines identically.)
+    * every shared shingle up to df ≤ `heavyCap`, expanded in-row from
+    * sorted inverted lists (fanout Σ_{df≤heavyCap} C(df,2)) and
+    * SEMI-JOINED against the rare-shingle candidate pair set before the
+    * global pair aggregate, so aggregate state is candidate-proportional
+    * — a dense-boilerplate corpus inflates the streamed pair count
+    * (linear work) but never the grouped state. (The first formulation
+    * materialized the candidate set and re-joined it to the shingle table
+    * twice — |pairs|·|sh(A)| ≈ 58M rows at sf0.1, 16-24s; the second
+    * aggregated ALL pairs before filtering — ~113M nearly-unique groups
+    * in one hash aggregate at 100× scale. Shingles collapse to 60-bit
+    * md5-prefix longs before the shuffle so the exchange keys are 8
+    * bytes; the DuckDB twin replays the same hash, so a ≈n²/2⁶¹ collision
+    * perturbs both engines identically.)
     * Shingles above heavyCap are invisible: at 100 TB a df-10⁶ boilerplate
     * line neither blocks nor counts — the pigeonhole argument says a
     * genuinely contained doc still shares plenty of sub-cap shingles.
@@ -338,26 +343,43 @@ object Dedup {
     val sz = docs.select(col(idCol).as("id"),
       size(shingles(textCol, k)).cast("long").as("n"))
     // ONE shingle-keyed shuffle builds the (≤heavyCap) inverted list per
-    // shingle; pairs expand IN-ROW from the sorted id list (C(df,2) per
-    // group — output-proportional), so the second 26M-row exchange+sort of
-    // a shd⋈shd self-join never happens. Multiset expansion matches join
-    // semantics exactly: a duplicated (id, shingle) row yields the same
-    // doubled pair count either way.
+    // shingle; pairs expand from the sorted id list in TWO bounded steps
+    // (posexplode each element, then one ≤df-struct slice per row) so the
+    // per-row materialization is O(df) — never the C(df,2) ≈ 500k structs
+    // a near-cap group would otherwise build inside a single row. The two
+    // Generates fuse into one codegen stage, so the O(df²) pair stream
+    // flows without ever materializing per-group. Multiset expansion
+    // matches join semantics exactly: a duplicated (id, shingle) row
+    // yields the same doubled pair count either way.
+    def expand(groups: DataFrame): DataFrame = groups
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(explode(expr(
+        "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS a_id, y AS b_id))")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .filter(col("a_id") < col("b_id"))
     val byShingle = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= heavyCap)
-    val inter = byShingle
-      .select(col("df"), explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> struct(x AS a_id, y AS b_id))))")).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("df"))
-      .filter(col("a_id") < col("b_id"))
+    // Candidate set FIRST: a pair survives the final filter only if it
+    // shares a rare (df ≤ maxDf) shingle, and that set is small —
+    // Σ_{df≤maxDf} C(df,2), proportional to genuine near-dup content. The
+    // full occurrence stream (everything up to heavyCap) is then SEMI-
+    // JOINED against it before the global pair aggregate, so the
+    // aggregate's group count is candidate-proportional instead of the
+    // boilerplate-pair blowup that previously put ~113M nearly-unique
+    // groups through one hash aggregate at 100× scale (wall exponent
+    // 1.34). When the candidate set is broadcast-small — the common case —
+    // the semi-join is a map-side filter and the heavy stream never
+    // shuffles at all; otherwise it degrades to a spillable shuffle join,
+    // still never a corpus-scale hash-agg state. byShingle is recomputed
+    // for the candidate pass (one extra linear shingle shuffle) — the
+    // deliberate trade for removing the quadratic aggregate state.
+    val rare = expand(byShingle.filter(col("df") <= maxDf)).distinct()
+    val inter = expand(byShingle)
+      .join(rare, Seq("a_id", "b_id"), "left_semi")
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter_cnt"),
-        max(when(col("df") <= maxDf, 1).otherwise(0)).as("has_rare"))
-      .filter(col("has_rare") === 1)
-      .drop("has_rare")
+      .agg(count(lit(1)).as("inter_cnt"))
     inter
       .join(sz.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sz.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))

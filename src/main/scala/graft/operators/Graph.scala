@@ -109,8 +109,10 @@ object Graph {
 
   /** Per-node triangle count + local clustering coefficient over an
     * undirected edge list (`aCol` < `bCol`, already deduplicated — the
-    * shape [[Dedup.minhashNearDups]] and [[graft.operators.Similarity]]'s
-    * KNN graph emit). For a near-dup graph this is the cluster-density
+    * shape [[Dedup.minhashNearDups]] emits; NOTE
+    * [[graft.operators.Similarity]]'s KNN graph does NOT — it is directed
+    * per-node top-k, so canonicalize with least/greatest + distinct
+    * before calling). For a near-dup graph this is the cluster-density
     * audit: a node whose neighborhood closes into triangles sits inside a
     * genuine dup clique; a high-degree node with NO triangles is a hub of
     * coincidental collisions (template boilerplate) and a candidate for

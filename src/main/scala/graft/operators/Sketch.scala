@@ -106,19 +106,26 @@ object Sketch {
   /** Per-group raw HLL estimates from [[hllRegistersBy]] output. Empty
     * buckets enter the harmonic sum arithmetically (m - occupied rows at
     * 2^0 each, scaled) — no bucket-spine join needed. */
-  def hllEstimateBy(registers: DataFrame, groupCol: String, p: Int = 6): DataFrame = {
+  def hllEstimateBy(registers: DataFrame, groupCol: String, p: Int = 6): DataFrame =
+    hllEstimateBy(registers, Seq(groupCol), p)
+
+  /** Multi-column grouping variant: composite keys (e.g. a source PAIR)
+    * group on the real columns rather than a delimiter-packed string — a
+    * group value containing the delimiter can never mis-split. */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(groupCols.nonEmpty, "hllEstimateBy needs at least one group column")
     val m = 1 << p
     val maxRho = (32 - p) + 1
     val alpha = hllAlpha(m)
-    registers.groupBy(col(groupCol))
+    registers.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("occupied"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - CAST(max_rho AS INT))")).as("s_occ"))
       .select(
-        col(groupCol),
-        col("occupied"),
-        (col("s_occ") + (lit(m.toLong) - col("occupied")) * (1L << maxRho))
-          .cast("long").as("s_scaled"))
+        groupCols.map(col) ++ Seq(
+          col("occupied"),
+          (col("s_occ") + (lit(m.toLong) - col("occupied")) * (1L << maxRho))
+            .cast("long").as("s_scaled")): _*)
       .withColumn("hll_est",
         lit(alpha) * m * m * math.pow(2.0, maxRho).toLong / col("s_scaled"))
   }

@@ -110,12 +110,12 @@ object TextQueries {
         .join(regs, col("source") === col("src_a") || col("source") === col("src_b"))
         .groupBy(col("src_a"), col("src_b"), col("bucket"))
         .agg(max(col("max_rho")).cast("long").as("max_rho"))
+      // group on the real pair columns (multi-col hllEstimateBy) — the
+      // earlier concat_ws("|")/split round-trip mis-split any source value
+      // containing '|' and silently misattributed union estimates
       val uest = graft.operators.Sketch.hllEstimateBy(
-        uregs.select(concat_ws("|", col("src_a"), col("src_b")).as("pair"),
-          col("bucket"), col("max_rho")), "pair", p = 6)
-        .select(split(col("pair"), "\\|").getItem(0).as("src_a"),
-          split(col("pair"), "\\|").getItem(1).as("src_b"),
-          col("hll_est").as("union_est"))
+        uregs, Seq("src_a", "src_b"), p = 6)
+        .select(col("src_a"), col("src_b"), col("hll_est").as("union_est"))
       val ts = docs.select(col("source"), col("text")).distinct()
       val exact = ts.select(col("source").as("src_a"), col("text"))
         .join(ts.select(col("source").as("src_b"), col("text")), Seq("text"))

@@ -268,6 +268,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"word_ngrams(text, k) — got ${other.length} args")
       }),
+    (FunctionIdentifier("nfc_normalize_key"),
+      new ExpressionInfo(classOf[NfcNormalizeKey].getName, "nfc_normalize_key"),
+      (children: Seq[Expression]) => NfcNormalizeKey(children.head)),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => children match {
@@ -302,6 +305,11 @@ object GraftFunctions {
   /** Non-overlapping k-token line array Column ([[WordLines]]). */
   def wordLines(text: Column, k: Int): Column =
     ColumnBridge.column(WordLines(ColumnBridge.expression(text), k))
+
+  /** Full-Unicode dedup-key normalization ([[NfcNormalizeKey]]: NFC +
+    * Root-locale casefold + whitespace collapse) — registry-free builder. */
+  def nfcNormalizeKey(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeKey(ColumnBridge.expression(text)))
 
   /** Index of the max-dot centroid — the IVF inverted-list assignment. */
   def ivfNearest(vec: Column, centroids: Array[Array[Float]], shift: Int): Column =

@@ -31,6 +31,17 @@ object Dedup {
   def normalizeKey(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Full-Unicode variant of [[normalizeKey]]: NFC canonical composition
+    * (precomposed vs combining-mark spellings of the same text collapse)
+    * + Root-locale casefold + whitespace collapse, via the native
+    * [[graft.functions.NfcNormalizeKey]] expression. Agrees exactly with
+    * [[normalizeKey]] on ASCII input (the q127 oracle-checked core);
+    * documented JVM-side extension beyond the cross-engine subset — NFC
+    * is not expressible in the DuckDB differential oracle's SQL dialect
+    * surface we replay (NfcNormalizeSpec pins the Unicode behavior). */
+  def normalizeKeyUnicode(c: Column): Column =
+    graft.functions.GraftFunctions.nfcNormalizeKey(c)
+
   /** Word k-shingles of a text column, deduplicated — the native codegen'd
     * [[graft.functions.WordNgrams]] (texts shorter than k tokens carry one
     * truncated window, matching the composed HOF formulation this

@@ -89,6 +89,24 @@ object Main {
     }
     def req(k: String): String =
       opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k"))
+    // --sample RATE (dedup/decontaminate): sampled-audit mode — apply a
+    // deterministic content-hash Bernoulli sample to the source table
+    // before the operators run. Membership is a pure hash threshold
+    // (Sampling.qualityWeighted at a constant rate), so the same rows are
+    // sampled under any partitioning/run and the audit replays.
+    def sampled(df: org.apache.spark.sql.DataFrame, idCol: String)
+        : org.apache.spark.sql.DataFrame =
+      opts.get("sample").map { r =>
+        val rate = r.toDouble
+        require(rate > 0.0 && rate <= 1.0, s"--sample must be in (0,1], got $r")
+        out(s"sampled audit: deterministic content-hash sample at rate $rate")
+        // hash membership needs a string key (ANSI forbids BIGINT→BINARY):
+        // sample on the id's canonical string form, then drop the helper
+        import org.apache.spark.sql.functions.{col, lit}
+        graft.operators.Sampling.qualityWeighted(
+          df.withColumn("_sample_key", col(idCol).cast("string")),
+          "_sample_key", lit(rate)).drop("_sample_key")
+      }.getOrElse(df)
     try Try {
       action match {
         case "discover" =>
@@ -528,7 +546,13 @@ object Main {
           val dst = req("target")
           val idCol = opts.getOrElse("id", "doc_id")
           val textCol = opts.getOrElse("text-col", "text")
-          val df = spark.read.parquet(s"$src/$table.parquet")
+          // --sample RATE: sampled-audit mode — a deterministic content-
+          // hash Bernoulli sample (Sampling.qualityWeighted at a constant
+          // rate: replayable, partition-independent) feeds the SAME
+          // operators, so an exact-intersection-class audit (the q124
+          // calibration shape, 52 CPU-s at sf0.1) has a stated production
+          // story at corpus scale: run it on the sample, read the rate.
+          val df = sampled(spark.read.parquet(s"$src/$table.parquet"), idCol)
           val total = df.count()
           // pipeline caches live exactly as long as this verb: released
           // after the terminal write, so a long-lived session (or repeated
@@ -633,7 +657,7 @@ object Main {
               case "ngram" | "bloom" =>
                 val textCol = opts.getOrElse("text-col", "text")
                 val k = opts.getOrElse("ngram", "4").toInt
-                val train = spark.read.parquet(s"$src/$table.parquet")
+                val train = sampled(spark.read.parquet(s"$src/$table.parquet"), idCol)
                 val eval = spark.read.parquet(s"$evalDir/$table.parquet")
                 val hits =
                   if (method == "ngram")
@@ -645,7 +669,7 @@ object Main {
               case "semantic" =>
                 val vecCol = opts.getOrElse("vec-col", "embedding")
                 val thr = opts.getOrElse("threshold", "0.9").toDouble
-                val train = spark.read.parquet(s"$src/$table.parquet")
+                val train = sampled(spark.read.parquet(s"$src/$table.parquet"), idCol)
                 val eval = spark.read.parquet(s"$evalDir/$table.parquet")
                 // --eval is user-supplied: an arbitrarily large eval set must
                 // degrade to a partition-wise join, not a broadcast OOM. The
@@ -890,6 +914,10 @@ object Main {
       |              [--existing DIR]  (incremental: drop incoming docs
       |               near-duplicating the standing corpus at DIR or an
       |               earlier doc of their own batch)
+      |              [--sample R]  (sampled-audit mode: run the same
+      |               operators on a deterministic content-hash sample at
+      |               rate R in (0,1] — the production story for exact-
+      |               intersection-class audits at corpus scale)
       |  decontaminate --source DIR --eval DIR --target DIR [--table T]
       |              [--method ngram|bloom|semantic] [--id COL]
       |              [--text-col COL] [--ngram K]  (ngram/bloom: drop
@@ -897,6 +925,7 @@ object Main {
       |               set — bloom prunes map-side, identical result)
       |              [--vec-col COL] [--threshold X]  (semantic: drop docs
       |               whose embedding cosine vs any eval row >= X)
+      |              [--sample R]  (sampled audit, as in dedup)
       |  cluster     --source DIR [--table T] [--id COL] [--vec-col COL]
       |              [--k N] [--iters N]  (deterministic Lloyd k-means
       |               census over the embedding table: per-cluster size +

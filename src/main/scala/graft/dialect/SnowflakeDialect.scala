@@ -401,6 +401,60 @@ object SnowflakeDialect {
     out.toString
   }
 
+  /** Numeric TO_CHAR/TO_VARCHAR masks — the `[FM][$]` + 9/0 digit-slot
+    * family (`9,999`, `0000`, `$9,999,999.99`, `FM…`), translated to a
+    * FORMAT_NUMBER / LPAD / CONCAT composition (reference rewrite class:
+    * `view_procedure_translator.py`'s function-replacement table).
+    * Semantics follow the Oracle/Snowflake convention: output width =
+    * mask width + 1 (the sign column), blank-padded on the left, `FM`
+    * suppresses the blank padding, a leading-`0` integer mask zero-pads,
+    * `,` groups thousands, and the fractional digit count fixes the
+    * printed decimals. Rounding is HALF_UP via a DECIMAL(38, d) cast of
+    * the ABSOLUTE value (sign re-attached after formatting), so the
+    * DuckDB twin (`round(abs(x), d)`, half-away-from-zero — identical on
+    * the positive operand) replays bit-for-bit. Documented divergences
+    * from Oracle, chosen for a total translation: no `#` overflow fill
+    * (a value wider than the mask prints at full width — the pads use
+    * `LPAD(s, GREATEST(LENGTH(s), n))`, never the truncating plain LPAD),
+    * and `FM` does not strip trailing fractional zeros. Masks outside the
+    * family (`S`, `MI`, `E`, `X`, `B`, zero-pad + grouping combined)
+    * return None and the caller fails loudly as before. */
+  private val NumericMaskRe = "(?i)^(FM)?(\\$)?([09][09,]*)(\\.([09]+))?$".r
+
+  private[dialect] def translateNumericMask(e: String, fmt: String): Option[String] =
+    fmt match {
+      case NumericMaskRe(fm, dollar, intPart, _, fracPart)
+          if !intPart.endsWith(",") && !intPart.contains(",,") =>
+        val ex = s"($e)"
+        val d = Option(fracPart).map(_.length).getOrElse(0)
+        val grouping = intPart.contains(',')
+        val intDigits = intPart.filterNot(_ == ',')
+        val firstZero = intDigits.indexOf('0')
+        val padDigits = if (firstZero >= 0) intDigits.length - firstZero else 0
+        if (grouping && padDigits > 0) None // '0,000': pad-through-separator
+        else {
+          val w = fmt.length - (if (fm != null) 2 else 0)
+          // non-truncating pad: plain LPAD CUTS a string longer than the
+          // target, which would silently corrupt any value wider than its
+          // mask — pad to max(length, n) instead (overflow prints whole)
+          def pad(s: String, n: Int, ch: String) =
+            s"LPAD($s, GREATEST(LENGTH($s), $n), '$ch')"
+          val absDec = s"CAST(ABS$ex AS DECIMAL(38,$d))"
+          val digits =
+            if (grouping) s"FORMAT_NUMBER($absDec, $d)"
+            else s"CAST($absDec AS STRING)"
+          val padded =
+            if (padDigits > 0)
+              pad(digits, padDigits + (if (d > 0) d + 1 else 0), "0")
+            else digits
+          val dollarSql = if (dollar != null) "'$', " else ""
+          val signed =
+            s"CONCAT(CASE WHEN $ex < 0 THEN '-' ELSE '' END, $dollarSql$padded)"
+          Some(if (fm != null) signed else pad(signed, w + 1, " "))
+        }
+      case _ => None
+    }
+
   /** True when a TO_CHAR/TO_VARCHAR format literal is a datetime mask —
     * it carries at least one recognized Snowflake datetime token (or is
     * already a Java pattern, which only datetime formats are here). A
@@ -520,14 +574,17 @@ object SnowflakeDialect {
           val call = upper match {
             case "TO_CHAR" | "TO_VARCHAR" =>
               // 2-arg TO_CHAR is only a datetime format when the literal
-              // carries datetime tokens; a numeric mask ('$999.99') must
-              // fail loudly — rewriting it to DATE_FORMAT would silently
-              // return a formatted *date* for an amount column
+              // carries datetime tokens; a numeric 9/0-family mask
+              // ('$9,999.99') becomes the translateNumericMask composition,
+              // and anything else must fail loudly — rewriting it to
+              // DATE_FORMAT would silently return a formatted *date* for
+              // an amount column
               if (translated.length == 2 && isStringLiteral(t(1)) &&
                   !isDatetimeFormat(t(1).substring(1, t(1).length - 1)))
-                throw new IllegalArgumentException(
-                  s"unsupported $upper numeric/text format ${t(1)} — only unambiguous datetime " +
-                    "formats (two-plus elements, or one element plus a separator) translate")
+                translateNumericMask(t(0), t(1).substring(1, t(1).length - 1))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"unsupported $upper format ${t(1)} — only unambiguous datetime " +
+                      "formats and [FM][$] 9/0 numeric masks translate"))
               else if (translated.length == 2) s"DATE_FORMAT(${translated.mkString(", ")})"
               else s"CAST(${translated.head} AS STRING)"
             case "TO_TIMESTAMP_NTZ" => s"TO_TIMESTAMP(${translated.mkString(", ")})"

@@ -682,6 +682,23 @@ object CoreQueries {
         .orderBy(col("rn"))
     },
 
+    // Numeric TO_CHAR masks (round-9): the [FM][$] 9/0 digit-slot family
+    // through translate — grouped currency, FM (no blank pad), zero-pad,
+    // and plain grouping, each a different branch of translateNumericMask.
+    "q183_dialect_tochar_masks" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderkey,
+          |       TO_CHAR(o_totalprice, '$9,999,999.99') AS price_usd,
+          |       TO_CHAR(o_totalprice, 'FM9,999,999.99') AS price_fm,
+          |       TO_CHAR(o_orderkey, '00000000') AS key_padded,
+          |       TO_CHAR(o_custkey, '99,999') AS cust_grouped
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1211,6 +1228,23 @@ object CoreQueries {
       """SELECT o_orderkey, o_custkey,
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
         |FROM orders ORDER BY rn""".stripMargin,
+
+    "q183_dialect_tochar_masks" ->
+      """SELECT o_orderkey,
+        |  lpad(concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END, '$',
+        |    format('{:,}', floor(abs(o_totalprice))::BIGINT), '.',
+        |    lpad(((abs(o_totalprice)*100)::DECIMAL(38,0)::BIGINT % 100)::VARCHAR, 2, '0')),
+        |    14, ' ') AS price_usd,
+        |  concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END,
+        |    format('{:,}', floor(abs(o_totalprice))::BIGINT), '.',
+        |    lpad(((abs(o_totalprice)*100)::DECIMAL(38,0)::BIGINT % 100)::VARCHAR, 2, '0'))
+        |    AS price_fm,
+        |  lpad(concat(CASE WHEN o_orderkey < 0 THEN '-' ELSE '' END,
+        |    lpad((abs(o_orderkey)::DECIMAL(38,0))::VARCHAR, 8, '0')), 9, ' ') AS key_padded,
+        |  lpad(concat(CASE WHEN o_custkey < 0 THEN '-' ELSE '' END,
+        |    format('{:,}', abs(o_custkey)::DECIMAL(38,0)::BIGINT)), 7, ' ') AS cust_grouped
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q84_dialect_decode" ->
       """SELECT p_partkey,

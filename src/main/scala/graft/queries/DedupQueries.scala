@@ -125,6 +125,38 @@ object DedupQueries {
         .orderBy(col("mode"))
     },
 
+    // Full-Unicode NFC dedup census (round 9, the implemented COVERAGE
+    // gap): plant TWO spellings of the same prefix — decomposed
+    // E+COMBINING-ACUTE over uppercased text vs precomposed É over the
+    // original with doubled spacing — and census raw vs
+    // Dedup.normalizeKeyUnicode keys. Raw keys keep all plants distinct;
+    // NFC+casefold+collapse keys collide them pairwise, which only a
+    // canonical-composition normalizer can do (the q127 ASCII core cannot
+    // — byte-distinct combining marks survive lower/trim). Oracle replays
+    // via DuckDB's nfc_normalize + chr() so both engines build identical
+    // UTF-8 plants.
+    "q184_nfc_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val decomposed = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("E\u0301cole "), upper(col("text"))).as("text"))
+      val precomposed = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("\u00c9cole  "), col("text")).as("text"))
+      d.unionByName(decomposed).unionByName(precomposed)
+        .select(explode(array(
+          struct(lit("raw").as("mode"), col("text").as("k")),
+          struct(lit("nfc").as("mode"),
+            Dedup.normalizeKeyUnicode(col("text")).as("k")))).as("mk"))
+        .select(col("mk.mode").as("mode"), col("mk.k").as("k"))
+        .groupBy(col("mode"), col("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("mode"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))).as("dup_groups"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L))).as("dup_docs"))
+        .orderBy(col("mode"))
+    },
+
     // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
     "q23_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -862,6 +894,26 @@ object DedupQueries {
         |  SELECT 'raw' AS mode, text AS k FROM corpus
         |  UNION ALL
         |  SELECT 'normalized', trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |  FROM corpus),
+        |grp AS (SELECT mode, k, COUNT(*) AS c FROM keyed GROUP BY 1, 2)
+        |SELECT mode, COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM grp GROUP BY mode ORDER BY mode""".stripMargin,
+
+    "q184_nfc_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'E' || chr(769) || 'cole ' || upper(text)
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, chr(201) || 'cole  ' || text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |keyed AS (
+        |  SELECT 'raw' AS mode, text AS k FROM corpus
+        |  UNION ALL
+        |  SELECT 'nfc', trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
         |  FROM corpus),
         |grp AS (SELECT mode, k, COUNT(*) AS c FROM keyed GROUP BY 1, 2)
         |SELECT mode, COUNT(*) AS n_keys,

@@ -494,6 +494,31 @@ class MainSpec extends SparkSpec {
         .dropDuplicates("text").count())
   }
 
+  test("dedup --sample runs the audit on a deterministic content-hash subset") {
+    val dst = Files.createTempDirectory("clisample").toString
+    val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--table", "documents", "--method", "exact", "--sample", "0.25")
+    assert(code === 0, out)
+    assert(out.exists(_.contains("sampled audit")), out)
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val kept = spark.read.parquet(s"$dst/documents.parquet").count()
+    // ~25% Bernoulli of the corpus (binomial bounds, wide)
+    assert(kept > total / 8 && kept < total / 2, s"$kept of $total")
+    // deterministic: the same invocation selects the same rows
+    val dst2 = Files.createTempDirectory("clisample2").toString
+    runCli("dedup", "--source", sfDir, "--target", dst2,
+      "--table", "documents", "--method", "exact", "--sample", "0.25")
+    val a = spark.read.parquet(s"$dst/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(s"$dst2/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // out-of-range rate fails loudly
+    val (codeBad, outBad) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--table", "documents", "--sample", "1.5")
+    assert(codeBad === 1, outBad)
+  }
+
   test("dedup --method incremental drops batch docs that near-dup the standing corpus") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

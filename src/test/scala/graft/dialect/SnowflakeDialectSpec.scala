@@ -132,13 +132,33 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT TO_VARCHAR(ts, 'HH24:MI')") === "SELECT DATE_FORMAT(ts, 'HH:mm')")
   }
 
-  test("TO_CHAR: a numeric mask fails loudly instead of becoming DATE_FORMAT") {
-    // TO_CHAR(amount, '$999.99') run through DATE_FORMAT would silently
-    // render a datetime for a money column — unsupported must throw, the
-    // same contract as unsupported FLATTEN options
-    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '$999.99')"))
-    intercept[IllegalArgumentException](tr("SELECT TO_VARCHAR(amount, 'FM9,990.00')"))
-    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0.00')"))
+  test("TO_CHAR: 9/0 numeric masks translate to the format composition") {
+    // FM: no blank padding — the exact-string pin for the whole shape
+    assert(tr("SELECT TO_CHAR(amount, 'FM9,999.99')") ===
+      "SELECT CONCAT(CASE WHEN (amount) < 0 THEN '-' ELSE '' END, " +
+        "FORMAT_NUMBER(CAST(ABS(amount) AS DECIMAL(38,2)), 2))")
+    // grouped currency: '$' between sign and digits; sign-slot blank pad
+    // is the non-truncating GREATEST(LENGTH, w+1) form
+    val cur = tr("SELECT TO_CHAR(amount, '$9,999.99')")
+    assert(cur.contains("'$', FORMAT_NUMBER(CAST(ABS(amount) AS DECIMAL(38,2)), 2)"))
+    assert(cur.contains("), 10), ' ')") && cur.contains("GREATEST(LENGTH("))
+    // leading-zero mask: zero-pad the 4 digit slots, then the sign slot
+    val zp = tr("SELECT TO_CHAR(k, '0000')")
+    assert(zp.contains("CAST(CAST(ABS(k) AS DECIMAL(38,0)) AS STRING)"))
+    assert(zp.contains("), 4), '0')") && zp.contains("), 5), ' ')"))
+    // mid-mask zero ('9990'): pad only from the first 0 slot (1 digit —
+    // a no-op pad, but MUST not truncate wider values)
+    assert(tr("SELECT TO_CHAR(k, '990')").contains("), 1), '0')"))
+  }
+
+  test("TO_CHAR: masks outside the 9/0 family still fail loudly") {
+    // zero-pad through a group separator is ambiguous — unsupported
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0,000')"))
+    // sign/exponent/hex elements are not translated
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9999MI')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9.99EEEE')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'XXXX')"))
     // numeric elements built from datetime-lookalike letters: 'MI' is
     // Snowflake's trailing-minus sign, 'D' the decimal point, 'S' the
     // leading sign — a bare one must not silently become DATE_FORMAT

@@ -1,0 +1,137 @@
+package graft.transfer
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import scala.sys.process._
+
+import graft.SparkSpec
+
+/** Real-PostgreSQL COPY integration (round-9): pushes the bytes
+  * [[CsvBulkSink]] writes through an ACTUAL PostgreSQL server's
+  * `\copy … WITH (FORMAT csv, NULL '\N')` — the exact load command the
+  * sink documents — and asserts the wire NULL discipline the reference
+  * implements in `data_transfer.py:277-357`:
+  *
+  *   - SQL NULL arrives as DB NULL (unquoted `\N`)
+  *   - empty string stays an empty string, NOT NULL
+  *   - a LITERAL `\N` value survives as text (the sink quotes it; the
+  *     reference's QUOTE_MINIMAL writer silently collapses it to NULL)
+  *   - commas / quotes / embedded newlines round-trip through minimal
+  *     RFC-4180 quoting; `\x00` bytes are stripped (invalid in PG text)
+  *
+  * The offline mirror carries no org.postgresql JDBC artifact, so the
+  * CopyManager path stays spec'd against a recording fake
+  * (CopyManagerSinkSpec) — but this image DOES ship the PostgreSQL 15
+  * server binaries, which lets the CSV shard bytes be validated against
+  * the genuine COPY parser rather than a reimplementation of it. The spec
+  * is environment-conditional (`assume`): it initdbs a throwaway cluster
+  * on a unix socket as the `postgres` system user (the server refuses
+  * root) and tears it down in afterAll; absent binaries cancel, never
+  * fail, so the suite stays green on images without PostgreSQL.
+  */
+class PgCopyIntegrationSpec extends SparkSpec {
+
+  private val initdb = "/usr/local/bin/initdb"
+  private val pgCtl = "/usr/local/bin/pg_ctl"
+  private def pgAvailable: Boolean =
+    new File(initdb).exists && new File(pgCtl).exists &&
+      (Process(Seq("id", "-u", "postgres")).!(ProcessLogger(_ => ())) == 0)
+
+  private val base = Files.createTempDirectory("graft_pg").toFile
+  private val dataDir = new File(base, "data")
+  private val sockDir = new File(base, "sock")
+  private var serverUp = false
+
+  /** Run a shell command as the postgres system user, cwd somewhere it
+    * can read (su from /root/repo warns "could not change directory"). */
+  private def asPostgres(cmd: String): Int =
+    Process(Seq("su", "-s", "/bin/bash", "postgres", "-c", cmd),
+      cwd = new File("/tmp")).!(ProcessLogger(_ => (), _ => ()))
+
+  private def psql(sql: String): String = {
+    val out = new StringBuilder
+    val code = Process(Seq("psql", "-h", sockDir.getAbsolutePath, "-U", "postgres",
+      "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-A", "-t", "-c", sql),
+      cwd = new File("/tmp"))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(code == 0, s"psql failed ($code): $sql\n$out")
+    out.toString
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (pgAvailable) {
+      dataDir.mkdirs(); sockDir.mkdirs()
+      Process(Seq("chown", "-R", "postgres:postgres", base.getAbsolutePath)).!
+      assert(asPostgres(s"$initdb -D ${dataDir.getAbsolutePath} -A trust") == 0,
+        "initdb failed")
+      val opts = s"-c listen_addresses='' -k ${sockDir.getAbsolutePath}"
+      serverUp = asPostgres(s"""$pgCtl -D ${dataDir.getAbsolutePath} -o "$opts" """ +
+        s"-w -l ${base.getAbsolutePath}/pg.log start") == 0
+      assert(serverUp, "postgres failed to start")
+    }
+  }
+
+  override def afterAll(): Unit = {
+    if (serverUp)
+      asPostgres(s"$pgCtl -D ${dataDir.getAbsolutePath} -m immediate stop")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    super.afterAll()
+  }
+
+  test("CsvBulkSink shards load through real COPY with exact NULL discipline") {
+    assume(pgAvailable, "PostgreSQL server binaries not present")
+    import spark.implicits._
+
+    val rows = Seq(
+      (1L, Option("plain"), BigDecimal("10.50")),
+      (2L, None, BigDecimal("20.00")),               // SQL NULL
+      (3L, Option(""), BigDecimal("30.25")),          // empty, NOT NULL
+      (4L, Option("\\N"), BigDecimal("1.00")),        // literal backslash-N
+      (5L, Option("has,comma"), BigDecimal("2.00")),
+      (6L, Option("has\"quote"), BigDecimal("3.00")),
+      (7L, Option("line1\nline2"), BigDecimal("4.00")),
+      (8L, Option("nul\u0000byte"), BigDecimal("5.00"))) // \x00 stripped
+    val df = rows.toDF("id", "txt", "amt")
+      .select($"id", $"txt", $"amt".cast("decimal(12,2)").as("amt"))
+
+    val outDir = Files.createTempDirectory("graft_pg_csv").toString
+    val sink = new CsvBulkSink(outDir)
+    sink.write(df, "copytest")
+    assert(sink.countRows(spark, "copytest") === Some(rows.size.toLong))
+
+    psql("DROP TABLE IF EXISTS copytest")
+    psql("CREATE TABLE copytest (id bigint, txt text, amt numeric(12,2))")
+    val shards = new File(sink.path("copytest")).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(shards.nonEmpty, "no CSV shards written")
+    shards.foreach { shard =>
+      psql(s"\\copy copytest FROM '${shard.getAbsolutePath}' " +
+        "WITH (FORMAT csv, NULL '\\N')")
+    }
+
+    // read back: (id, is-null flag, md5 of the text PG stored) — md5
+    // sidesteps psql's own output escaping for newlines/delimiters
+    val got = psql(
+      """SELECT id, (txt IS NULL)::int, md5(coalesce(txt, '')), amt
+        |FROM copytest ORDER BY id""".stripMargin)
+      .trim.split('\n').filter(_.nonEmpty).map { l =>
+        val Array(id, isNull, m, amt) = l.split('|')
+        (id.toLong, isNull == "1", m, amt)
+      }
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Seq(
+      (1L, false, md5Hex("plain"), "10.50"),
+      (2L, true, md5Hex(""), "20.00"),
+      (3L, false, md5Hex(""), "30.25"),
+      (4L, false, md5Hex("\\N"), "1.00"),             // survived as text
+      (5L, false, md5Hex("has,comma"), "2.00"),
+      (6L, false, md5Hex("has\"quote"), "3.00"),
+      (7L, false, md5Hex("line1\nline2"), "4.00"),
+      (8L, false, md5Hex("nulbyte"), "5.00"))          // \x00 gone, rest kept
+    assert(got.toSeq === expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(outDir))
+  }
+}

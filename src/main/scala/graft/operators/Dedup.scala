@@ -323,18 +323,23 @@ object Dedup {
     * corpora, any non-boilerplate sentence qualifies), so a stop-shingle
     * ("in the") never drives a quadratic self-join. Intersections count
     * every shared shingle up to df ≤ `heavyCap`, expanded in-row from
-    * sorted inverted lists (fanout Σ_{df≤heavyCap} C(df,2)) and
-    * SEMI-JOINED against the rare-shingle candidate pair set before the
-    * global pair aggregate, so aggregate state is candidate-proportional
-    * — a dense-boilerplate corpus inflates the streamed pair count
-    * (linear work) but never the grouped state. (The first formulation
-    * materialized the candidate set and re-joined it to the shingle table
-    * twice — |pairs|·|sh(A)| ≈ 58M rows at sf0.1, 16-24s; the second
-    * aggregated ALL pairs before filtering — ~113M nearly-unique groups
-    * in one hash aggregate at 100× scale. Shingles collapse to 60-bit
-    * md5-prefix longs before the shuffle so the exchange keys are 8
-    * bytes; the DuckDB twin replays the same hash, so a ≈n²/2⁶¹ collision
-    * perturbs both engines identically.)
+    * sorted inverted lists (fanout Σ_{df≤heavyCap} C(df,2)), exchanged
+    * once on the pair key at 8× parallelism, and aggregated with the
+    * rare-block flag folded in. The wide explicit repartition is the
+    * scale mechanism: pair groups barely collapse (state ≈ one group per
+    * streamed pair), so what kills a narrow plan is spill churn in
+    * corpus-wide partial-aggregation maps, not the linear exchange —
+    * moving the exchange before any aggregation and widening it keeps
+    * every reducer's map in memory. (Rejected formulations, all measured
+    * at the 100× probe: candidate re-join — |pairs|·|sh(A)| ≈ 58M rows at
+    * sf0.1, 16-24s; candidate semi-joins — corpus-scale sort (90s) or
+    * re-shuffle (124s); Bloom-pruning the stream — 204s, because
+    * rare-shingle blocking is non-selective on a dense corpus (99% of
+    * pair occurrences here come from df≤20 shingles), so the "candidate
+    * set" IS the stream. Shingles collapse to 60-bit md5-prefix longs
+    * before the shuffle so the exchange keys are 8 bytes; the DuckDB twin
+    * replays the same hash, so a ≈n²/2⁶¹ collision perturbs both engines
+    * identically.)
     * Shingles above heavyCap are invisible: at 100 TB a df-10⁶ boilerplate
     * line neither blocks nor counts — the pigeonhole argument says a
     * genuinely contained doc still shares plenty of sub-cap shingles.
@@ -362,35 +367,46 @@ object Dedup {
     // flows without ever materializing per-group. Multiset expansion
     // matches join semantics exactly: a duplicated (id, shingle) row
     // yields the same doubled pair count either way.
-    def expand(groups: DataFrame): DataFrame = groups
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
-      .select(explode(expr(
-        "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> struct(x AS a_id, y AS b_id))")).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-      .filter(col("a_id") < col("b_id"))
+    def expand(groups: DataFrame, keepDf: Boolean = false): DataFrame = {
+      val cols = if (keepDf) Seq(col("p.a_id"), col("p.b_id"), col("df"))
+                 else Seq(col("p.a_id"), col("p.b_id"))
+      groups
+        .select(col("ids"), col("df"), posexplode(col("ids")).as(Seq("i", "x")))
+        .select(col("df"), explode(expr(
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+            "y -> struct(x AS a_id, y AS b_id))")).as("p"))
+        .select(cols: _*)
+        .filter(col("a_id") < col("b_id"))
+    }
     val byShingle = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= heavyCap)
-    // Candidate set FIRST: a pair survives the final filter only if it
-    // shares a rare (df ≤ maxDf) shingle, and that set is small —
-    // Σ_{df≤maxDf} C(df,2), proportional to genuine near-dup content. The
-    // full occurrence stream (everything up to heavyCap) is then SEMI-
-    // JOINED against it before the global pair aggregate, so the
-    // aggregate's group count is candidate-proportional instead of the
-    // boilerplate-pair blowup that previously put ~113M nearly-unique
-    // groups through one hash aggregate at 100× scale (wall exponent
-    // 1.34). When the candidate set is broadcast-small — the common case —
-    // the semi-join is a map-side filter and the heavy stream never
-    // shuffles at all; otherwise it degrades to a spillable shuffle join,
-    // still never a corpus-scale hash-agg state. byShingle is recomputed
-    // for the candidate pass (one extra linear shingle shuffle) — the
-    // deliberate trade for removing the quadratic aggregate state.
-    val rare = expand(byShingle.filter(col("df") <= maxDf)).distinct()
-    val inter = expand(byShingle)
-      .join(rare, Seq("a_id", "b_id"), "left_semi")
+    // The pair aggregate's state is nearly one group per streamed pair
+    // (dup pairs share few shingles), so the scale limiter is SPILL
+    // GRANULARITY, not data volume: under the session's 32 shuffle
+    // partitions each partial-aggregation map holds millions of
+    // never-collapsing groups and thrashes through spill-sort-merge (the
+    // measured x100 wall exponent read 1.34). The explicit repartition on
+    // the grouping keys moves the (unavoidable, linear) exchange BEFORE
+    // any aggregation — no more corpus-wide pre-exchange partial maps —
+    // and widens it to 8× parallelism so each reducer's hash map stays
+    // comfortably in memory; on a cluster the same factor tracks executor
+    // count. Candidate-set alternatives were all measured WORSE at the
+    // 100× probe, because rare-shingle blocking is non-selective on a
+    // dense corpus (measured: 99% of pair occurrences come from df≤20
+    // shingles here): sort-merge semi-join 90s (sorts the stream),
+    // shuffled-hash semi-join 124s, Bloom-prune 204s (building bits over
+    // a candidate set that IS the stream) — vs 44s for aggregate-then-
+    // filter at 32 partitions, and the repartitioned form below beats
+    // that by removing the spill churn rather than the groups.
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
+    val inter = expand(byShingle, keepDf = true)
+      .repartition(numParts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter_cnt"))
+      .agg(count(lit(1)).as("inter_cnt"),
+        max(when(col("df") <= maxDf, 1).otherwise(0)).as("has_rare"))
+      .filter(col("has_rare") === 1)
+      .drop("has_rare")
     inter
       .join(sz.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sz.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))

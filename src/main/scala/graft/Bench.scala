@@ -227,6 +227,7 @@ object Bench {
       .filter { case (name, _) => Only.forall(_.exists(name.startsWith)) }
     val results = roster.map { case (name, fn) =>
       val calib = calibSecs()
+      val calibPar = Measure.calibParallelSecs()
       val samples = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuSamples = scala.collection.mutable.ArrayBuffer[Double]()
       var failSecs = Option.empty[Double]
@@ -252,7 +253,7 @@ object Bench {
       val ok = failSecs.isEmpty
       val secs = failSecs.getOrElse(median(cleanReps(samples.toSeq)))
       (name, if (ok) secs else -secs, ok, samples.toSeq, calib,
-        median(cpuSamples.toSeq))
+        median(cpuSamples.toSeq), calibPar)
     }
     // The driver keeps only a bounded ~2000-char TAIL of stdout and parses
     // the JSON line out of it. Rounds 2-6 emitted one giant line (per-run
@@ -266,19 +267,30 @@ object Bench {
     // Failed queries are listed in `errors` only — a broken query must never
     // read as a (possibly negative) timing. Round-6 advice flagged the old
     // negated-wall sentinel (-0.066s) as noise.
-    val okMedians = results.collect { case (k, v, true, _, _, _) => (k, v) }
-    val errorNames = results.collect { case (k, _, false, _, _, _) => k }
+    val okMedians = results.collect { case (k, v, true, _, _, _, _) => (k, v) }
+    val errorNames = results.collect { case (k, _, false, _, _, _, _) => k }
     val errors = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
-    val cpuTotal = results.collect { case (_, _, true, _, _, cpu) => cpu }.sum
+    val total = results.collect { case (_, v, true, _, _, _, _) => v }.sum
+    val cpuTotal = results.collect { case (_, _, true, _, _, cpu, _) => cpu }.sum
     // Throttle self-adjudication (round-5 verdict item 1): each query's
     // calibration sample vs the run-wide calibration median. A query whose
     // probe ran >3x the median executed inside a host-throttle window — its
     // wall time is environment, not plan. `throttled` lists exactly those
     // windows machine-readably; `throttled_count` rides in the headline.
     val calibMed = median(results.map(_._5))
+    // Parallel-throughput degradation (round-9): a window where serial
+    // probes stay healthy but every core's share of the machine halves
+    // (observed: all queries ~2x with serial calib at 0.103s throughout).
+    // The parallel probe inflates with exactly that mode, so flag queries
+    // whose parallel probe ran >3x the run-wide parallel median, and emit
+    // the parallel median itself — a reader comparing calib_par_median
+    // against a healthy recording sees whole-run degradation even when
+    // nothing is flagged relative to the (already-degraded) run median.
+    val calibParMed = median(results.map(_._7))
     val throttled = results.collect {
-      case (k, _, _, _, c, _) if calibMed > 0 && c > 3 * calibMed => k
+      case (k, _, _, _, c, _, p)
+        if (calibMed > 0 && c > 3 * calibMed) ||
+           (calibParMed > 0 && p > 3 * calibParMed) => k
     }
     // Per-query outlier flag (round-7 verdict item 4): the calibration probe
     // samples only the instant BEFORE each repetition block, so a host stall
@@ -288,7 +300,7 @@ object Bench {
     // headline absorbs it, but the flag tells a reader the spread is
     // environment, not plan nondeterminism.
     val outliers = results.collect {
-      case (k, _, true, ss, _, _)
+      case (k, _, true, ss, _, _, _)
         if ss.nonEmpty && median(ss) > 0 && ss.max / median(ss) > 5 => k
     }
     val headline = s""""metric":"total","value":${fmt(total)},"unit":"sec",""" +
@@ -298,21 +310,25 @@ object Bench {
       s""""csv_transfer_rows_per_sec":${csvRps.round},""" +
       s""""throttled_count":${throttled.size},""" +
       s""""cpu_total_secs":${fmt(cpuTotal)},""" +
-      s""""calib_median":${fmt(calibMed)}"""
+      s""""calib_median":${fmt(calibMed)},""" +
+      s""""calib_par_median":${fmt(calibParMed)}"""
 
     // Detail file: full names, per-run wall samples, per-run-block cpu
     // seconds, calibration probes, transfer samples.
-    val runsJson = results.map { case (k, _, _, ss, _, _) =>
+    val runsJson = results.map { case (k, _, _, ss, _, _, _) =>
       s""""$k":[${ss.map(fmt).mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (k, _, _, _, _, cpu) =>
+    val cpuJson = results.map { case (k, _, _, _, _, cpu, _) =>
       s""""$k":${fmt(cpu)}"""
     }.mkString("{", ",", "}")
-    val calibJson = results.map { case (k, _, _, _, c, _) =>
+    val calibJson = results.map { case (k, _, _, _, c, _, _) =>
       s""""$k":${fmt(c)}"""
     }.mkString("{", ",", "}")
+    val calibParJson = results.map { case (k, _, _, _, _, _, p) =>
+      s""""$k":${fmt(p)}"""
+    }.mkString("{", ",", "}")
     // failed queries keep the negated-wall sentinel HERE (detail only)
-    val fullQs = results.map { case (k, v, _, _, _, _) => s""""$k":${fmt(v)}""" }
+    val fullQs = results.map { case (k, v, _, _, _, _, _) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val transferRuns =
       s""""transfer":[${transferSamples.map(_.round).mkString(",")}],""" +
@@ -321,7 +337,7 @@ object Bench {
       s""""calib":[${Seq(calibTransfer, calibSchema, calibCsv).map(fmt).mkString(",")}]"""
     val detail = s"""{$headline,"queries":$fullQs,"errors":$errors,""" +
       s""""transfer_runs":{$transferRuns},"runs":$runsJson,"cpu":$cpuJson,""" +
-      s""""calib":$calibJson,""" +
+      s""""calib":$calibJson,"calib_par":$calibParJson,""" +
       s""""throttled":[${throttled.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""outliers":[${outliers.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sf":"$sfDir"}"""

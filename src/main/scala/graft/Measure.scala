@@ -29,6 +29,34 @@ object Measure {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Parallel fixed-CPU probe: the SAME xorshift loop run simultaneously
+    * on every core (half iterations each, ~35ms healthy). The failure
+    * mode this catches and the serial probe cannot: a host window where
+    * single-thread speed is NORMAL but parallel throughput is degraded
+    * (cores stolen by a co-tenant) — observed in a round-9 recording
+    * where every Spark query ran ~2× slow with 32 threads while the
+    * serial probes read a healthy 0.103s throughout, and consistent with
+    * the round-8 official bench reporting `throttled_count: 0` while
+    * running 2.2× over its clean twin. Healthy hosts read parallel ≈
+    * serial/2 (half work per thread, independent cores); a parallel
+    * probe far above that ratio marks the window as
+    * parallel-throughput-degraded. */
+  def calibParallelSecs(threads: Int =
+      Runtime.getRuntime.availableProcessors): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 25000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        calibSink = x
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Locale-independent 3-decimal formatting: f"%.3f" uses the JVM default
     * locale and emits `0,519` under comma-decimal locales — invalid JSON. */
   def fmt(v: Double): String =

@@ -20,7 +20,8 @@ class BenchLineSpec extends AnyFunSuite {
       """"stat":"median_of_3","transfer_rows_per_sec":9999999,""" +
       """"schema_transfer_rows_per_sec":9999999,""" +
       """"csv_transfer_rows_per_sec":9999999,"throttled_count":99,""" +
-      """"cpu_total_secs":99999.999,"calib_median":9.999"""
+      """"cpu_total_secs":99999.999,"calib_median":9.999,""" +
+      """"calib_par_median":9.999"""
 
   test("stdout line stays under the budget with every query slow") {
     val line = Bench.stdoutLine(names.map(_ -> 99.999), Nil, headline,

@@ -75,6 +75,29 @@ object DedupQueries {
 
     // Exact dedup via content-hash groupBy: per-lang doc/unique/dup-group
     // counts, both full-text and 50-char-prefix normalized.
+    // Sampled-audit census (round 9, the queries()-level twin of the
+    // `dedup --sample` CLI verb): the SAME exact-dup census over the full
+    // corpus and over a 25% deterministic content-hash Bernoulli sample
+    // (Sampling.qualityWeighted at constant rate — membership is a pure
+    // md5-threshold on the id, so DuckDB replays the identical sample),
+    // side by side. At 100 TB the sample row is what an exact-
+    // intersection-class audit (q124) actually runs on; the full row here
+    // is the ground truth the sample's extrapolation is judged against.
+    "q185_sampled_dedup_audit" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val sampled = graft.operators.Sampling.qualityWeighted(
+        d.withColumn("_k", col("doc_id").cast("string")), "_k", lit(0.25))
+        .drop("_k")
+      def census(df: org.apache.spark.sql.DataFrame, mode: String) = df
+        .groupBy(md5(col("text").cast("binary")).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(lit(mode).as("mode"), sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L))).as("dup_docs"))
+      census(d, "full").unionByName(census(sampled, "sample"))
+        .orderBy(col("mode"))
+    },
+
     "q22_dedup_exact" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val prefixDups = d
@@ -900,6 +923,23 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
         |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_docs
         |FROM grp GROUP BY mode ORDER BY mode""".stripMargin,
+
+    "q185_sampled_dedup_audit" ->
+      """WITH sampled AS (
+        |  SELECT * FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        < CAST(floor(0.25 * 4294967296.0) AS BIGINT)),
+        |cf AS (SELECT md5(text) AS k, COUNT(*) AS c FROM documents GROUP BY 1),
+        |cs AS (SELECT md5(text) AS k, COUNT(*) AS c FROM sampled GROUP BY 1),
+        |f AS (SELECT 'full' AS mode, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |        COUNT(*) AS n_keys,
+        |        CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |      FROM cf),
+        |sm AS (SELECT 'sample' AS mode, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |        COUNT(*) AS n_keys,
+        |        CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |      FROM cs)
+        |SELECT * FROM f UNION ALL SELECT * FROM sm ORDER BY mode""".stripMargin,
 
     "q184_nfc_dedup" ->
       """WITH corpus AS (

@@ -43,8 +43,24 @@ object Bench {
   /** Spread ratio that triggers a rerun: max/min within one query's reps.
     * 4x sits well above genuine plan nondeterminism (AQE re-plans measured
     * ≤2x) and well below the 5-25x inflation recorded throttle windows
-    * produce. */
+    * produce. Reruns ALSO trigger whenever the clean subset has fewer than
+    * [[MinCleanReps]] members (round-9 advice): reps like [1.0, 3.5, 3.6]
+    * sit under the 4x spread yet leave a single-rep "median" — a genuine
+    * bimodal 3-4x regression would otherwise be reported at its fastest
+    * rep with no extra evidence gathered. */
   val RerunSpread = 4.0
+
+  /** Minimum members the clean subset must have before the reported median
+    * is accepted without gathering more reps (bounded by [[MaxExtraRuns]]). */
+  val MinCleanReps = 2
+
+  /** True when a query's rep block needs another repetition: either the
+    * raw spread says a throttle window landed inside it, or the clean
+    * subset is too small to median over. */
+  def needsRerun(samples: Seq[Double]): Boolean =
+    samples.nonEmpty &&
+      (samples.max / samples.min > RerunSpread ||
+       cleanReps(samples).size < MinCleanReps)
 
   /** Clean-subset rule for the reported median: reps ≤3x the query's own
     * best rep. A throttled rep is 5-25x the clean ones, so it falls out;
@@ -247,9 +263,13 @@ object Bench {
       // enough members to median over, then report the median of the reps
       // within 3x of the query's own best (cleanReps). All reps, including
       // the discarded throttled ones, stay in BENCH_DETAIL.json `runs`.
+      // Round-9 advice: also rerun while the clean subset is a singleton
+      // (e.g. [1.0, 3.5, 3.6] — under the 4x spread, but the median would
+      // rest on one rep), so every reported median has >=MinCleanReps
+      // members behind it or exhausted the extra-run budget trying.
       var extra = 0
-      while (failSecs.isEmpty && samples.nonEmpty && extra < MaxExtraRuns &&
-             samples.max / samples.min > RerunSpread) { rep(); extra += 1 }
+      while (failSecs.isEmpty && extra < MaxExtraRuns &&
+             needsRerun(samples.toSeq)) { rep(); extra += 1 }
       val ok = failSecs.isEmpty
       val secs = failSecs.getOrElse(median(cleanReps(samples.toSeq)))
       (name, if (ok) secs else -secs, ok, samples.toSeq, calib,

@@ -421,10 +421,19 @@ object SnowflakeDialect {
     * return None and the caller fails loudly as before. */
   private val NumericMaskRe = "(?i)^(FM)?(\\$)?([09][09,]*)(\\.([09]+))?$".r
 
+  /** Grouped int masks must place separators at standard thousands
+    * positions ('9,999,999') — FORMAT_NUMBER can only emit 3-digit
+    * grouping, so a non-standard mask like '99,99' or '9,9,9' would
+    * silently translate to DIFFERENT output than Snowflake/Oracle
+    * produce. Reject those into the fail-loudly path instead
+    * (round-9 advice). Ungrouped masks are unconstrained. */
+  private val StdGroupingRe = "^[09]{1,3}(,[09]{3})*$".r
+
   private[dialect] def translateNumericMask(e: String, fmt: String): Option[String] =
     fmt match {
       case NumericMaskRe(fm, dollar, intPart, _, fracPart)
-          if !intPart.endsWith(",") && !intPart.contains(",,") =>
+          if !intPart.contains(',') ||
+             StdGroupingRe.pattern.matcher(intPart).matches() =>
         val ex = s"($e)"
         val d = Option(fracPart).map(_.length).getOrElse(0)
         val grouping = intPart.contains(',')

@@ -1229,15 +1229,21 @@ object CoreQueries {
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
         |FROM orders ORDER BY rn""".stripMargin,
 
+    // The twin rounds ONCE (abs::DECIMAL(38,2), matching Spark's
+    // CAST(ABS(x) AS DECIMAL(38,2))) and derives BOTH the integer digits
+    // and the cents from that same value — round-9 advice: splitting
+    // floor(abs) and round(abs*100)%100 disagrees at a carry boundary
+    // (99.996 -> Spark '100.00' vs split-twin '99.00'); safe on 2-decimal
+    // fixtures only by accident.
     "q183_dialect_tochar_masks" ->
       """SELECT o_orderkey,
         |  lpad(concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END, '$',
-        |    format('{:,}', floor(abs(o_totalprice))::BIGINT), '.',
-        |    lpad(((abs(o_totalprice)*100)::DECIMAL(38,0)::BIGINT % 100)::VARCHAR, 2, '0')),
+        |    format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |    lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
         |    14, ' ') AS price_usd,
         |  concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END,
-        |    format('{:,}', floor(abs(o_totalprice))::BIGINT), '.',
-        |    lpad(((abs(o_totalprice)*100)::DECIMAL(38,0)::BIGINT % 100)::VARCHAR, 2, '0'))
+        |    format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |    lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'))
         |    AS price_fm,
         |  lpad(concat(CASE WHEN o_orderkey < 0 THEN '-' ELSE '' END,
         |    lpad((abs(o_orderkey)::DECIMAL(38,0))::VARCHAR, 8, '0')), 9, ' ') AS key_padded,

@@ -65,4 +65,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(keys.values.toSet.size === names.size,
       "short-key collision would silently merge two queries' timings")
   }
+
+  test("rerun triggers on a singleton clean subset, not just raw spread") {
+    // round-9 advice: [1.0, 3.5, 3.6] sits under the 4x spread threshold,
+    // yet cleanReps keeps only [1.0] — the median would rest on one rep.
+    val bimodal = Seq(1.0, 3.5, 3.6)
+    assert(Bench.cleanReps(bimodal) === Seq(1.0))
+    assert(Bench.needsRerun(bimodal), "singleton clean subset must rerun")
+    // raw-spread trigger unchanged
+    assert(Bench.needsRerun(Seq(1.0, 1.1, 20.0)))
+    // a healthy block reruns nothing
+    assert(!Bench.needsRerun(Seq(1.0, 1.2, 1.1)))
+    // two clean members suffice even with one discarded throttle rep
+    assert(!Bench.needsRerun(Seq(1.0, 1.2, 3.9)))
+    assert(!Bench.needsRerun(Nil))
+  }
 }

@@ -154,6 +154,14 @@ class SnowflakeDialectSpec extends AnyFunSuite {
   test("TO_CHAR: masks outside the 9/0 family still fail loudly") {
     // zero-pad through a group separator is ambiguous — unsupported
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0,000')"))
+    // non-standard separator positions (round-9 advice): FORMAT_NUMBER can
+    // only emit 3-digit grouping, so '99,99' / '9,9,9' would silently
+    // produce DIFFERENT output than Snowflake — they must fail loudly too,
+    // along with the malformed trailing/double-comma shapes
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '99,99')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9,9,9')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9999,')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9,,999')"))
     // sign/exponent/hex elements are not translated
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9999MI')"))

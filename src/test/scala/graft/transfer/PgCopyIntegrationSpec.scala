@@ -33,9 +33,14 @@ class PgCopyIntegrationSpec extends SparkSpec {
 
   private val initdb = "/usr/local/bin/initdb"
   private val pgCtl = "/usr/local/bin/pg_ctl"
+  /** Requires effective uid 0 as well as the binaries + postgres user:
+    * beforeAll needs chown and `su postgres`, so an image that ships the
+    * PG binaries but runs the suite unprivileged must CANCEL (assume),
+    * never fail (round-9 advice). */
   private def pgAvailable: Boolean =
     new File(initdb).exists && new File(pgCtl).exists &&
-      (Process(Seq("id", "-u", "postgres")).!(ProcessLogger(_ => ())) == 0)
+      (Process(Seq("id", "-u", "postgres")).!(ProcessLogger(_ => ())) == 0) &&
+      scala.util.Try(Process(Seq("id", "-u")).!!.trim).toOption.contains("0")
 
   private val base = Files.createTempDirectory("graft_pg").toFile
   private val dataDir = new File(base, "data")

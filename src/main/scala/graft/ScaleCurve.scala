@@ -197,6 +197,14 @@ object ScaleCurve {
       "q163_containment" -> { docs =>
         graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
           k = 3, maxDf = 20, minContainment = 0.8)
+      },
+      // round 10: the state-bounded census — the capped inverted lists
+      // must flatten q163's 1.49 wall exponent toward linear, because the
+      // pair stream is <= #shingles * C(cap,2) regardless of duplication
+      // density
+      "q186_containment_capped" -> { docs =>
+        graft.operators.Dedup.containmentPairsCapped(docs, "doc_id", "text",
+          k = 3, listCap = 64, maxDf = 20, minContainment = 0.8)
       })
 
     // Local-iteration knobs (the canonical recording uses neither):

@@ -311,6 +311,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Pair expansion from per-shingle inverted lists: pairs expand from the
+    * sorted id list in TWO bounded steps (posexplode each element, then one
+    * ≤df-struct slice per row) so the per-row materialization is O(df) —
+    * never the C(df,2) ≈ 500k structs a near-cap group would otherwise
+    * build inside a single row. The two Generates fuse into one codegen
+    * stage, so the O(df²) pair stream flows without ever materializing
+    * per-group. Multiset expansion matches join semantics exactly: a
+    * duplicated (id, shingle) row yields the same doubled pair count
+    * either way. Expects columns `ids` (id-ascending array) and `df`. */
+  private def expandPairs(groups: DataFrame, keepDf: Boolean = false): DataFrame = {
+    val cols = if (keepDf) Seq(col("p.a_id"), col("p.b_id"), col("df"))
+               else Seq(col("p.a_id"), col("p.b_id"))
+    groups
+      .select(col("ids"), col("df"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(col("df"), explode(expr(
+        "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS a_id, y AS b_id))")).as("p"))
+      .select(cols: _*)
+      .filter(col("a_id") < col("b_id"))
+  }
+
   /** Asymmetric containment census (Broder 1997's second resemblance
     * measure): containment(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|,|sh(B)|).
     * Catches doc-in-doc duplication — a short document quoted wholesale
@@ -358,26 +379,6 @@ object Dedup {
     // per-doc set size is an in-row expression — no shuffle, no explode
     val sz = docs.select(col(idCol).as("id"),
       size(shingles(textCol, k)).cast("long").as("n"))
-    // ONE shingle-keyed shuffle builds the (≤heavyCap) inverted list per
-    // shingle; pairs expand from the sorted id list in TWO bounded steps
-    // (posexplode each element, then one ≤df-struct slice per row) so the
-    // per-row materialization is O(df) — never the C(df,2) ≈ 500k structs
-    // a near-cap group would otherwise build inside a single row. The two
-    // Generates fuse into one codegen stage, so the O(df²) pair stream
-    // flows without ever materializing per-group. Multiset expansion
-    // matches join semantics exactly: a duplicated (id, shingle) row
-    // yields the same doubled pair count either way.
-    def expand(groups: DataFrame, keepDf: Boolean = false): DataFrame = {
-      val cols = if (keepDf) Seq(col("p.a_id"), col("p.b_id"), col("df"))
-                 else Seq(col("p.a_id"), col("p.b_id"))
-      groups
-        .select(col("ids"), col("df"), posexplode(col("ids")).as(Seq("i", "x")))
-        .select(col("df"), explode(expr(
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-            "y -> struct(x AS a_id, y AS b_id))")).as("p"))
-        .select(cols: _*)
-        .filter(col("a_id") < col("b_id"))
-    }
     val byShingle = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= heavyCap)
@@ -400,7 +401,7 @@ object Dedup {
     // filter at 32 partitions, and the repartitioned form below beats
     // that by removing the spill churn rather than the groups.
     val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val inter = expand(byShingle, keepDf = true)
+    val inter = expandPairs(byShingle, keepDf = true)
       .repartition(numParts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
@@ -410,6 +411,104 @@ object Dedup {
     inter
       .join(sz.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sz.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .withColumn("containment",
+        col("inter_cnt").cast("double") / least(col("a_n"), col("b_n")))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / (col("a_n") + col("b_n") - col("inter_cnt")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("inter_cnt"),
+        col("a_n"), col("b_n"), col("containment"), col("jaccard"))
+  }
+
+  /** State-bounded ("capped") containment census — the 100-TB-scale mode
+    * beside the exact [[containmentPairs]], whose pair stream is
+    * Σ_sh C(df,2) and therefore grows ~quadratically when duplication
+    * density holds as the corpus grows (measured 1.49 wall exponent at
+    * the 100× probe; every candidate-set alternative measured worse —
+    * see the Scaladoc above). This mode bounds the census at the STATE
+    * level instead: each shingle's inverted list is truncated to the
+    * `listCap` documents with the smallest salt-hash rank
+    * (md5(shingle:id) — deterministic, uniform, id-independent), via the
+    * bounded [[graft.functions.BottomKIdsAggregator]] whose partial
+    * buffers never exceed 2·cap entries. The pair stream is then
+    * ≤ #shingles · C(listCap,2) — LINEAR in the corpus — and no
+    * aggregation map ever holds an unbounded group.
+    *
+    * Semantics (documented approximation, exactly replayable by the
+    * oracle): the census is the EXACT containment census over the
+    * cap-retained (shingle, doc) relation — truncation removes the same
+    * occurrences from intersections and from the per-doc set sizes, so
+    * containment/jaccard stay internally consistent. A shingle with
+    * df ≤ listCap is untouched, so any pair whose shared shingles are all
+    * sub-cap (every genuinely contained doc pair in a non-boilerplate
+    * corpus: rare shingles dominate the intersection) gets its EXACT
+    * inter_cnt; only ubiquitous boilerplate lists are sampled down.
+    * `listCap ≥ maxDf` is required so the rare-blocking flag (df ≤ maxDf)
+    * is identical on the retained relation — rare lists are never
+    * truncated.
+    *
+    * Output matches [[containmentPairs]]: (a_id, b_id, inter_cnt, a_n,
+    * b_n, containment, jaccard), a_id < b_id, containment ≥
+    * `minContainment` — with a_n/b_n the RETAINED set sizes. Ids must be
+    * numeric (the bounded aggregator is typed on long). */
+  def containmentPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 3, listCap: Int = 64, maxDf: Int = 20,
+                             minContainment: Double = 0.8): DataFrame = {
+    require(listCap >= maxDf,
+      s"listCap ($listCap) must be >= maxDf ($maxDf) so rare lists never truncate")
+    // salt rank: a modular integer mix of (shingle-hash, id) — uniform
+    // enough to make retention id-independent, exactly replayable in any
+    // engine with BIGINT arithmetic, and ~free next to the md5 the
+    // shingle hash itself costs (an md5-of-concat rank measured +870 CPU
+    // seconds at the 100x probe — one extra digest per occurrence).
+    // P = 4294967291 (largest 32-bit prime) keeps every intermediate
+    // below 2^52, so the arithmetic never overflows in either engine.
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+        explode(shingles(textCol, k)).as("s"))
+      .select(col("id"),
+        expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+      .withColumn("rk", expr(
+        "((sh % 4294967291L) * 1000003L + (id % 4294967291L) * 999983L) " +
+          "% 4294967291L"))
+    // ONE shingle-keyed exchange; the cap is a window row_number over
+    // (rk, id) — WindowExec external-sorts, so per-group state is O(cap)
+    // and a df-10⁶ boilerplate list spills instead of ballooning a hash
+    // map. The groupBy(sh) right after REUSES the window's partitioning
+    // (no second exchange) and its collect_list is ≤ listCap by
+    // construction. (A typed bounded aggregator — see
+    // graft.functions.BottomKIdsAggregator — does this in one hash pass
+    // with 2·cap buffers, but its object-encoded buffers measured ~2x
+    // the CPU of the sort-based window at the 100x probe; it remains the
+    // right shape when the downstream doesn't need the lists grouped.)
+    // The cap applies before the df>=2 filter, so df-1 shingles pass
+    // through untouched and the retained relation is well-defined for
+    // every document.
+    import org.apache.spark.sql.expressions.Window
+    val lists = sh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sh")).orderBy(col("rk"), col("id"))))
+      .filter(col("rn") <= listCap)
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // retained per-doc set sizes: the capped relation's denominators
+    // (exact n minus the occurrences truncation removed)
+    val nret = lists.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val byShingle = lists.filter(size(col("ids")) >= 2)
+      .withColumn("df", size(col("ids")).cast("long"))
+    // same wide pre-aggregation exchange as the exact census (see the
+    // spill-granularity analysis in containmentPairs)
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
+    val inter = expandPairs(byShingle, keepDf = true)
+      .repartition(numParts, col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter_cnt"),
+        max(when(col("df") <= maxDf, 1).otherwise(0)).as("has_rare"))
+      .filter(col("has_rare") === 1)
+      .drop("has_rare")
+    inter
+      .join(nret.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(nret.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
       .withColumn("containment",
         col("inter_cnt").cast("double") / least(col("a_n"), col("b_n")))
       .withColumn("jaccard",

@@ -531,6 +531,19 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // State-bounded containment census (Dedup.containmentPairsCapped):
+    // the 100-TB-scale mode of q163 — every shingle's inverted list is
+    // truncated to the 64 docs with the smallest deterministic salt-hash
+    // rank, so the pair stream is ≤ #shingles·C(64,2), LINEAR in the
+    // corpus, and no aggregation state is ever unbounded. Exact census
+    // over the retained relation; the oracle replays the identical
+    // ranking, so the approximation itself is hash-checked.
+    "q186_containment_capped" -> { (s, dir) =>
+      Dedup.containmentPairsCapped(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, listCap = 64, maxDf = 20, minContainment = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Triangle / clustering-coefficient census over the near-dup graph
     // (Graph.triangleCensus on q23's pair set at threshold 0.3): nodes
     // whose neighborhoods close into triangles sit in genuine dup cliques;
@@ -1080,6 +1093,46 @@ object DedupQueries {
         |  CAST(i.inter_cnt AS DOUBLE) / (sa.n + sb.n - i.inter_cnt) AS jaccard
         |FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
         |             JOIN sz sb ON sb.doc_id = i.b_id
+        |WHERE i.has_rare = 1
+        |  AND CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q163's CTEs with the cap inserted: a deterministic salt-hash rank
+    // per (shingle, doc) and QUALIFY row_number <= 64 replay the bounded
+    // aggregator's retention exactly; sizes/df/intersections all come
+    // from the retained relation, so the twin checks the approximation
+    // semantics themselves, not just the happy path.
+    "q186_containment_capped" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shs AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s0
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |sh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s0), 1, 15))::BIGINT AS s
+        |  FROM shs),
+        |kept AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ((s % 4294967291) * 1000003
+        |        + (doc_id % 4294967291) * 999983) % 4294967291 AS rk
+        |    FROM sh)
+        |  QUALIFY row_number() OVER (PARTITION BY s ORDER BY rk, doc_id) <= 64),
+        |nret AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+        |dfs AS (SELECT s, COUNT(*) AS df FROM kept GROUP BY s
+        |        HAVING COUNT(*) >= 2),
+        |shd AS (SELECT kept.doc_id, kept.s, dfs.df
+        |        FROM kept JOIN dfs ON dfs.s = kept.s),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt,
+        |         MAX(CASE WHEN a.df <= 20 THEN 1 ELSE 0 END) AS has_rare
+        |  FROM shd a JOIN shd b ON b.s = a.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id, i.inter_cnt, sa.n AS a_n, sb.n AS b_n,
+        |  CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) AS containment,
+        |  CAST(i.inter_cnt AS DOUBLE) / (sa.n + sb.n - i.inter_cnt) AS jaccard
+        |FROM inter i JOIN nret sa ON sa.doc_id = i.a_id
+        |             JOIN nret sb ON sb.doc_id = i.b_id
         |WHERE i.has_rare = 1
         |  AND CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,

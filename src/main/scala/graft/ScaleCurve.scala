@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   * of a session vs 3.2-3.9s steady-state fresh). Per-measurement contexts
   * cost ~3s each and make the samples order-independent.
   *
-  * Throttle guard: the same fixed-work calibration loop as [[Bench]] runs
-  * before every timed sample; a sample whose calibration is >3x the run
-  * median executed inside a host-throttle window and is flagged. Each
+  * Throttle guard: the same fixed-work SERIAL calibration loop as
+  * [[Bench]] runs before every timed sample, PLUS the parallel probe
+  * (Measure.calibParallelSecs) — round 10 recorded a full-curve session
+  * whose q107/q126 samples ran 3-4x inflated with clean serial probes
+  * (core-stealing by a concurrent multi-core process, invisible to a
+  * single-threaded probe). A sample with EITHER probe >3x its run median
+  * is flagged in `throttled_scales`. Each
   * measurement is one untimed warmup (codegen + page cache) then two timed
   * runs, reporting the MIN — under intermittent throttling the faster run
   * is the honest one. The 0.08s probe cannot see a throttle that begins
@@ -218,7 +222,7 @@ object ScaleCurve {
     val scaledParts = sys.env.get("SPARK_GRAFT_CURVE_PARTS").contains("scaled")
 
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,
-                      calib: Double, outRows: Long)
+                      calib: Double, calibPar: Double, outRows: Long)
     val samples = for {
       (name, p) <- pipelines
       if only.forall(_.exists(name.startsWith))
@@ -238,7 +242,13 @@ object ScaleCurve {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val runs = (1 to 2).map { _ =>
+        // serial AND parallel probes: round 10 recorded a full-curve
+        // session whose q107/q126 samples ran 3-4x inflated with CLEAN
+        // serial probes — the contention was core-stealing (another
+        // multi-core process), which only a parallel probe can see
+        // (same lesson as Bench's calib_par, round 9)
         val c = calibSecs()
+        val cp = Measure.calibParallelSecs()
         cpu.reset()
         val t0 = System.nanoTime()
         drain(p(docs))
@@ -246,17 +256,18 @@ object ScaleCurve {
         val cs = cpu.quiesce()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        (s, cs, c)
+        (s, cs, c, cp)
       }
       spark.stop()
       // wall and CPU each take their own min: under a mid-run throttle the
       // two runs' CPU agree while wall diverges, and the faster of each is
       // the honest sample
-      val (s, _, c) = runs.minBy(_._1)
-      Sample(name, m, s, runs.map(_._2).min, c, outRows)
+      val (s, _, c, cp) = runs.minBy(_._1)
+      Sample(name, m, s, runs.map(_._2).min, c, cp, outRows)
     }
 
     val calibMed = samples.map(_.calib).sorted.apply(samples.size / 2)
+    val calibParMed = samples.map(_.calibPar).sorted.apply(samples.size / 2)
     val rows = pipelines
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, _) =>
@@ -265,7 +276,11 @@ object ScaleCurve {
       val expTop = math.log(byScale(100).secs / byScale(10).secs) / math.log(10.0)
       val expCpu =
         math.log(byScale(100).cpuSecs / byScale(10).cpuSecs) / math.log(10.0)
-      val flagged = byScale.values.filter(s => calibMed > 0 && s.calib > 3 * calibMed)
+      // a sample is suspect when EITHER probe degraded: serial catches
+      // CPU-frequency throttling, parallel catches core-stealing
+      val flagged = byScale.values.filter(s =>
+          (calibMed > 0 && s.calib > 3 * calibMed) ||
+          (calibParMed > 0 && s.calibPar > 3 * calibParMed))
         .map(_.m).toSeq.sorted
       (name, byScale, expTop, expCpu, flagged)
     }
@@ -274,12 +289,16 @@ object ScaleCurve {
       val secsJson = scales.map(m => s""""x$m":${fmt(byScale(m).secs)}""").mkString(",")
       val cpuJson = scales.map(m => s""""x$m":${fmt(byScale(m).cpuSecs)}""").mkString(",")
       val calJson = scales.map(m => s""""x$m":${fmt(byScale(m).calib)}""").mkString(",")
+      val calParJson =
+        scales.map(m => s""""x$m":${fmt(byScale(m).calibPar)}""").mkString(",")
       val rowsJson = scales.map(m => s""""x$m":${byScale(m).outRows}""").mkString(",")
       s""""$name":{"secs":{$secsJson},"exponent_10x_to_100x":${fmt(expTop)},""" +
         s""""cpu_secs":{$cpuJson},"exponent_cpu_10x_to_100x":${fmt(expCpu)},""" +
         s""""out_rows":{$rowsJson},""" +
-        s""""calib":{$calJson},"throttled_scales":[${flagged.mkString(",")}]}"""
-    }.mkString(",") + s""","calib_median":${fmt(calibMed)},"base_rows":$baseRows}"""
+        s""""calib":{$calJson},"calib_par":{$calParJson},""" +
+        s""""throttled_scales":[${flagged.mkString(",")}]}"""
+    }.mkString(",") + s""","calib_median":${fmt(calibMed)},""" +
+      s""""calib_par_median":${fmt(calibParMed)},"base_rows":$baseRows}"""
     println(json)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

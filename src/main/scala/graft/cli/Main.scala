@@ -631,6 +631,17 @@ object Main {
                   when(col("a_n") < col("b_n"), col("a_id"))
                     .otherwise(col("b_id")).as(idCol)).distinct()
                 df.join(victims, Seq(idCol), "left_anti")
+              case "capped-containment" =>
+                // same doc-in-doc rule over the state-bounded census
+                // (containmentPairsCapped): the corpus-scale default —
+                // inverted lists capped at 64, pair stream linear
+                val thr = opts.getOrElse("threshold", "0.8").toDouble
+                val pairs = graft.operators.Dedup.containmentPairsCapped(
+                  df, idCol, textCol, minContainment = thr, scope = scope)
+                val victims = pairs.select(
+                  when(col("a_n") < col("b_n"), col("a_id"))
+                    .otherwise(col("b_id")).as(idCol)).distinct()
+                df.join(victims, Seq(idCol), "left_anti")
               case other => throw new IllegalArgumentException(s"unknown method: $other")
             }
             new ParquetSink(dst).write(kept, table)
@@ -906,7 +917,8 @@ object Main {
       |              [--boilerplate]  (per-source share of volume in lines
       |               repeated across docs corpus-wide)
       |  dedup       --source DIR --target DIR [--table T]
-      |              [--method exact|minhash|lines|substring|incremental|containment]
+      |              [--method exact|minhash|lines|substring|incremental|
+      |               containment|capped-containment]
       |              [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]
       |              [--ngram K]  (substring: remove repeated >=K-token

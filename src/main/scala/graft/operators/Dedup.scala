@@ -453,7 +453,8 @@ object Dedup {
     * numeric (the bounded aggregator is typed on long). */
   def containmentPairsCapped(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 3, listCap: Int = 64, maxDf: Int = 20,
-                             minContainment: Double = 0.8): DataFrame = {
+                             minContainment: Double = 0.8,
+                             scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(listCap >= maxDf,
       s"listCap ($listCap) must be >= maxDf ($maxDf) so rare lists never truncate")
     // salt rank: a modular integer mix of (shingle-hash, id) — uniform
@@ -484,16 +485,22 @@ object Dedup {
     // through untouched and the retained relation is well-defined for
     // every document.
     import org.apache.spark.sql.expressions.Window
-    val lists = sh
+    // cached: `lists` feeds BOTH the pair expansion and the retained-size
+    // branch, and `nret` joins twice (a-side, b-side) — without the cache
+    // the plan re-shingles and re-shuffles the corpus once per consumer
+    // (measured: 5 shingle exchanges in the uncached plan, 1 cached).
+    // Both frames are linear and narrow: lists ≤ one row per distinct
+    // shingle with a ≤cap id array, nret one row per doc.
+    val lists = scope.cached(sh
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("sh")).orderBy(col("rk"), col("id"))))
       .filter(col("rn") <= listCap)
       .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids")))
     // retained per-doc set sizes: the capped relation's denominators
     // (exact n minus the occurrences truncation removed)
-    val nret = lists.select(explode(col("ids")).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val nret = scope.cached(lists.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n")))
     val byShingle = lists.filter(size(col("ids")) >= 2)
       .withColumn("df", size(col("ids")).cast("long"))
     // same wide pre-aggregation exchange as the exact census (see the

@@ -184,6 +184,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q186: ONE shingle exchange feeds the cap window, list aggregate, and size branch") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.SparkEntry.queries("q186_containment_capped")(spark, sfDir)
+    df.collect()
+    // retention is row_number over (partition by sh); the groupBy(sh)
+    // right after reuses that exchange, and the retained-size branch plus
+    // the twice-joined nret read the CACHED lists instead of re-shingling
+    // the corpus — so the executed plan holds exactly one live
+    // shingle-keyed shuffle (the uncached shape measured FIVE: one per
+    // consumer subtree). InMemoryTableScan is a leaf here, which is the
+    // point: work behind the cache ran once.
+    def countShingleExchanges(p: SparkPlan): Int = {
+      val self = p match {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("sh#") => 1
+        case _ => 0
+      }
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      self + (p.children ++ extra).map(countShingleExchanges).sum
+    }
+    val n = countShingleExchanges(df.queryExecution.executedPlan)
+    assert(n <= 1, s"$n live shingle exchanges (want 1 — cache lost?)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "capped lists must come from the scoped cache")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

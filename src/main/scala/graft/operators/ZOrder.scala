@@ -26,10 +26,16 @@ object ZOrder {
     require(n >= 2, "z-order needs at least 2 columns")
     require(bits * n < 63, s"bits=$bits over $n columns overflows a long")
     val mask = (1L << bits) - 1
-    val terms = cols.zipWithIndex.map { case (c, ci) =>
-      s"shiftleft(shiftright(cast($c AS BIGINT) & ${mask}L, i) & 1L, i * $n + $ci)"
-    }.mkString(" + ")
-    expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + ($terms))")
+    // UNROLLED straight-line bit arithmetic (bits × n shift-and-add
+    // terms), not aggregate(sequence(...)): the higher-order form runs an
+    // interpreted lambda per (row × bit) and measured ~12µs/row serial —
+    // wall ≈ CPU ≈ 1.9s on 150k rows in the round-9 bench; the unrolled
+    // form whole-stage-codegens into one flat expression.
+    val terms = for {
+      i <- 0 until bits
+      (c, ci) <- cols.zipWithIndex
+    } yield s"shiftleft(shiftright(cast($c AS BIGINT) & ${mask}L, $i) & 1L, ${i * n + ci})"
+    expr(terms.mkString("(", " + ", ")"))
   }
 
   /** Matching DuckDB fragment for [[zValue]]. */

@@ -85,15 +85,31 @@ object ScaleCurve {
   /** m text-disjoint copies of the corpus, ids offset per copy. The
     * `source` column (when present) rides along unchanged, so per-source
     * structure — and with it the q109 overlap-matrix workload — scales
-    * with the corpus instead of collapsing to one label. */
-  def synthesize(docs: DataFrame, m: Int): DataFrame = {
+    * with the corpus instead of collapsing to one label.
+    *
+    * `boilerplate` (SPARK_GRAFT_CURVE_BOILERPLATE=1) appends a df-800
+    * template sentence to every document: 8 tokens keyed by
+    * floor(doc_id/800), so each sentence is shared by exactly 800
+    * docs — the mid-frequency band real corpora grow into (under the
+    * exact containment census's heavyCap=1000 drop, over its maxDf=20
+    * rare-blocking), where each boilerplate shingle streams C(800,2)
+    * candidate pairs through the exact census while the capped census
+    * streams C(64,2). Sentence count scales linearly (copy id offsets
+    * make keys copy-disjoint), so duplicate DENSITY stays constant —
+    * the synthesis invariant the curve depends on. */
+  def synthesize(docs: DataFrame, m: Int, boilerplate: Boolean = false): DataFrame = {
     val extra = docs.columns.filter(_ == "source").toSeq.map(col)
-    (0 until m).map { j =>
+    val base = (0 until m).map { j =>
       if (j == 0) docs.select(col("doc_id") +: col("text") +: extra: _*)
       else docs.select(
         (col("doc_id") + lit(j * 100000000L)).as("doc_id") +:
           translate(col("text"), Alpha, permutation(j)).as("text") +: extra: _*)
     }.reduce(_ unionByName _)
+    if (!boilerplate) base
+    else base.withColumn("text", expr(
+      "concat(text, ' ', concat_ws(' ', transform(sequence(1, 8), " +
+        "j -> concat('bp', cast(cast(floor(doc_id / 800) AS bigint) AS string), " +
+        "'x', cast(j AS string)))))"))
   }
 
   private def drain(df: DataFrame): Unit = Measure.drain(df)
@@ -111,14 +127,24 @@ object ScaleCurve {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outJson = args.lift(1)
 
-    val scales = Seq(1, 10, 100)
+    // SPARK_GRAFT_CURVE_SCALES=1,10 subsets the corpus multiples (the
+    // exponent is computed over the two largest present) — needed for
+    // the boilerplate stressor, where the exact census's x100 cost is
+    // deliberately quadratic-band and a full run would take tens of
+    // minutes; SPARK_GRAFT_CURVE_BOILERPLATE=1 switches the synthesis
+    // to the df-800 template corpus (see synthesize).
+    val scales = sys.env.get("SPARK_GRAFT_CURVE_SCALES")
+      .map(_.split(',').map(_.trim.toInt).toSeq.sorted)
+      .getOrElse(Seq(1, 10, 100))
+    require(scales.size >= 2, "need at least two scales for an exponent")
+    val boiler = sys.env.get("SPARK_GRAFT_CURVE_BOILERPLATE").contains("1")
     val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val baseRows = {
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val base = graft.sources.Tables.load(spark, sfDir, "documents")
       scales.foreach { m =>
-        synthesize(base, m).repartition(32)
+        synthesize(base, m, boiler).repartition(32)
           .write.mode("overwrite").parquet(s"$work/docs_x$m")
       }
       val n = base.count()
@@ -272,10 +298,13 @@ object ScaleCurve {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, _) =>
       val byScale = samples.filter(_.pipeline == name).map(s => s.m -> s).toMap
-      // exponent over the top decade (10x -> 100x): overheads amortized away
-      val expTop = math.log(byScale(100).secs / byScale(10).secs) / math.log(10.0)
+      // exponent over the top decade (the two largest scales present —
+      // x10 -> x100 in the canonical recording): overheads amortized away
+      val Seq(mid, top) = scales.takeRight(2)
+      val logRatio = math.log(top.toDouble / mid)
+      val expTop = math.log(byScale(top).secs / byScale(mid).secs) / logRatio
       val expCpu =
-        math.log(byScale(100).cpuSecs / byScale(10).cpuSecs) / math.log(10.0)
+        math.log(byScale(top).cpuSecs / byScale(mid).cpuSecs) / logRatio
       // a sample is suspect when EITHER probe degraded: serial catches
       // CPU-frequency throttling, parallel catches core-stealing
       val flagged = byScale.values.filter(s =>
@@ -292,8 +321,9 @@ object ScaleCurve {
       val calParJson =
         scales.map(m => s""""x$m":${fmt(byScale(m).calibPar)}""").mkString(",")
       val rowsJson = scales.map(m => s""""x$m":${byScale(m).outRows}""").mkString(",")
-      s""""$name":{"secs":{$secsJson},"exponent_10x_to_100x":${fmt(expTop)},""" +
-        s""""cpu_secs":{$cpuJson},"exponent_cpu_10x_to_100x":${fmt(expCpu)},""" +
+      val Seq(mid, top) = scales.takeRight(2)
+      s""""$name":{"secs":{$secsJson},"exponent_${mid}x_to_${top}x":${fmt(expTop)},""" +
+        s""""cpu_secs":{$cpuJson},"exponent_cpu_${mid}x_to_${top}x":${fmt(expCpu)},""" +
         s""""out_rows":{$rowsJson},""" +
         s""""calib":{$calJson},"calib_par":{$calParJson},""" +
         s""""throttled_scales":[${flagged.mkString(",")}]}"""

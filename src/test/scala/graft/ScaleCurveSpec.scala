@@ -47,4 +47,27 @@ class ScaleCurveSpec extends SparkSpec {
     val f3 = dupFrac(big)
     assert(math.abs(f1 - f3) < 1e-9, s"density drifted: $f1 vs $f3")
   }
+
+  test("boilerplate synthesis: 8 template tokens per doc, df<=800 per sentence, copy-disjoint keys") {
+    import org.apache.spark.sql.functions._
+    val out = ScaleCurve.synthesize(docs, 2, boilerplate = true)
+    // every doc gains exactly 8 'bp<key>x<j>' tokens
+    val bad = out.filter(
+      size(filter(split(col("text"), " "), t => t.startsWith("bp"))) =!= 8)
+      .count()
+    assert(bad === 0, "every doc must carry exactly 8 boilerplate tokens")
+    // sentence membership: each bp key groups <=800 docs, and keys from
+    // different copies never collide (id offsets make them disjoint)
+    val byKey = out
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").startsWith("bp") && col("t").endsWith("x1"))
+      .groupBy("t").agg(countDistinct("doc_id").as("n"),
+        countDistinct(floor(col("doc_id") / 100000000L)).as("copies"))
+      .collect()
+    assert(byKey.nonEmpty)
+    byKey.foreach { r =>
+      assert(r.getLong(1) <= 800, s"${r.getString(0)} df ${r.getLong(1)} > 800")
+      assert(r.getLong(2) === 1L, s"${r.getString(0)} spans copies")
+    }
+  }
 }

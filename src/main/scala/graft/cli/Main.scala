@@ -642,6 +642,16 @@ object Main {
                   when(col("a_n") < col("b_n"), col("a_id"))
                     .otherwise(col("b_id")).as(idCol)).distinct()
                 df.join(victims, Seq(idCol), "left_anti")
+              case "rare-containment" =>
+                // rare-shingle containment (df<=20 both sides):
+                // boilerplate-robust and the cheapest at corpus scale
+                val thr = opts.getOrElse("threshold", "0.8").toDouble
+                val pairs = graft.operators.Dedup.containmentPairsRare(
+                  df, idCol, textCol, minContainment = thr, scope = scope)
+                val victims = pairs.select(
+                  when(col("a_n") < col("b_n"), col("a_id"))
+                    .otherwise(col("b_id")).as(idCol)).distinct()
+                df.join(victims, Seq(idCol), "left_anti")
               case other => throw new IllegalArgumentException(s"unknown method: $other")
             }
             new ParquetSink(dst).write(kept, table)
@@ -918,7 +928,7 @@ object Main {
       |               repeated across docs corpus-wide)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|substring|incremental|
-      |               containment|capped-containment]
+      |               containment|capped-containment|rare-containment]
       |              [--id COL]
       |              [--text-col COL] [--threshold X] [--line-tokens N]
       |              [--ngram K]  (substring: remove repeated >=K-token

@@ -524,4 +524,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter_cnt"),
         col("a_n"), col("b_n"), col("containment"), col("jaccard"))
   }
+
+  /** Rare-shingle containment census — the third containment regime and
+    * the cheapest at corpus scale: both intersections AND set sizes are
+    * computed over ONLY the shingles with document frequency ≤ `maxDf`.
+    * The round-10 boilerplate stressor showed WHY this is the better
+    * signal, not just the cheaper one: template shingles inflate the
+    * exact census's full-set denominators and drag genuine doc-in-doc
+    * pairs below threshold (it lost 62 of 253 planted pairs on a df-800
+    * template corpus), while rare-shingle intersections carry ~99% of
+    * true pair evidence (measured via DuckDB replay, SCALE.md). Pair
+    * stream ≤ #shingles·C(maxDf,2) — with maxDf=20 that is ≤190 pairs
+    * per shingle, two orders below the capped census's bound and four
+    * below the exact census's heavyCap band.
+    *
+    * Shape: a bounded df count (partial-agg, one long per key), a
+    * same-key join back (reuses the exchange), then a collect_list that
+    * is ≤ maxDf by construction — no unbounded aggregation state
+    * anywhere, no window sort. df-1 shingles count in the denominators
+    * (they are maximal evidence of NON-containment) but expand no
+    * pairs. Output matches [[containmentPairs]] minus jaccard semantics
+    * (jaccard here is over rare shingle sets). */
+  def containmentPairsRare(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, maxDf: Int = 20,
+                           minContainment: Double = 0.8,
+                           scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
+      .select(col("id"),
+        expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+    val dfBy = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // kept feeds both the per-doc rare-set sizes and the pair lists —
+    // cached so the corpus is shingled and exchanged once
+    val kept = scope.cached(sh.join(dfBy, Seq("sh")))
+    val nrare = scope.cached(
+      kept.groupBy(col("id")).agg(count(lit(1)).as("n")))
+    val byShingle = kept.filter(col("df") >= 2)
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"), first(col("df")).as("df"))
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
+    val inter = expandPairs(byShingle)
+      .repartition(numParts, col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(nrare.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(nrare.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .withColumn("containment",
+        col("inter_cnt").cast("double") / least(col("a_n"), col("b_n")))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / (col("a_n") + col("b_n") - col("inter_cnt")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("inter_cnt"),
+        col("a_n"), col("b_n"), col("containment"), col("jaccard"))
+  }
 }

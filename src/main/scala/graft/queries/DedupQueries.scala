@@ -544,6 +544,18 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Rare-shingle containment (Dedup.containmentPairsRare): the third
+    // containment regime — intersections AND denominators over df<=20
+    // shingles only. Boilerplate-robust by construction (the round-10
+    // stressor showed template shingles drag the full-denominator census
+    // below threshold) and the cheapest at scale: <=C(20,2) pairs per
+    // shingle, no unbounded aggregation state, no window sort.
+    "q187_containment_rare" -> { (s, dir) =>
+      Dedup.containmentPairsRare(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxDf = 20, minContainment = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Triangle / clustering-coefficient census over the near-dup graph
     // (Graph.triangleCensus on q23's pair set at threshold 0.3): nodes
     // whose neighborhoods close into triangles sit in genuine dup cliques;
@@ -1135,6 +1147,34 @@ object DedupQueries {
         |             JOIN nret sb ON sb.doc_id = i.b_id
         |WHERE i.has_rare = 1
         |  AND CAST(i.inter_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Rare-only replay: same shingle CTEs, df capped at 20 BEFORE any
+    // pairing, denominators from the kept relation (df-1 shingles count
+    // in sizes, expand no pairs via the a<b self-join).
+    "q187_containment_rare" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shs AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', t[i.i + 1], t[i.i + 2], t[i.i + 3]) AS s0
+        |  FROM tk, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS i(i)),
+        |sh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s0), 1, 15))::BIGINT AS s
+        |  FROM shs),
+        |dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        |        HAVING COUNT(*) <= 20),
+        |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs ON dfs.s = sh.s),
+        |nr AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt
+        |  FROM kept a JOIN kept b ON b.s = a.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id, i.inter_cnt, na.n AS a_n, nb.n AS b_n,
+        |  CAST(i.inter_cnt AS DOUBLE) / least(na.n, nb.n) AS containment,
+        |  CAST(i.inter_cnt AS DOUBLE) / (na.n + nb.n - i.inter_cnt) AS jaccard
+        |FROM inter i JOIN nr na ON na.doc_id = i.a_id
+        |             JOIN nr nb ON nb.doc_id = i.b_id
+        |WHERE CAST(i.inter_cnt AS DOUBLE) / least(na.n, nb.n) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
 
     // q23's est pipeline at threshold 0.3, then compact-forward triangle

@@ -607,6 +607,23 @@ class MainSpec extends SparkSpec {
     assert(kept === before.count() - victims)
   }
 
+  test("dedup --method rare-containment matches the rare-shingle census") {
+    import org.apache.spark.sql.functions.{col, when}
+    val dst = Files.createTempDirectory("clicontainrare").toString
+    val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
+      "--method", "rare-containment")
+    assert(code === 0, out)
+    val before = spark.read.parquet(s"$sfDir/documents.parquet")
+    val victims = graft.operators.Dedup.containmentPairsRare(
+        before, "doc_id", "text")
+      .select(when(col("a_n") < col("b_n"), col("a_id"))
+        .otherwise(col("b_id")).as("doc_id"))
+      .distinct().count()
+    assert(victims > 0, "fixture should plant contained near-dups")
+    val kept = spark.read.parquet(s"$dst/documents.parquet").count()
+    assert(kept === before.count() - victims)
+  }
+
   test("dedup verb releases its pipeline caches (empty cache manager after the run)") {
     // round-5 verdict: minhashNearDups/lshCandidatePairs cached signatures
     // and bucket frames for the session lifetime — repeated CLI invocations

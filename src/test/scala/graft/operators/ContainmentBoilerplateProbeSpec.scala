@@ -55,14 +55,21 @@ class ContainmentBoilerplateProbeSpec extends SparkSpec {
       .filter($"df" >= 2)
     val streams = dfDist.agg(
       sum(when($"df" <= 1000, $"df" * ($"df" - 1)).otherwise(0L)).as("exact2"),
-      sum(expr("least(df, 64L) * (least(df, 64L) - 1)")).as("capped2")
-    ).select(($"exact2" / 2).cast("long"), ($"capped2" / 2).cast("long"))
+      sum(expr("least(df, 64L) * (least(df, 64L) - 1)")).as("capped2"),
+      sum(when($"df" <= 20, $"df" * ($"df" - 1)).otherwise(0L)).as("rare2")
+    ).select(($"exact2" / 2).cast("long"), ($"capped2" / 2).cast("long"),
+        ($"rare2" / 2).cast("long"))
       .collect().head
-    val (exactStream, cappedStream) = (streams.getLong(0), streams.getLong(1))
+    val (exactStream, cappedStream, rareStream) =
+      (streams.getLong(0), streams.getLong(1), streams.getLong(2))
     assert(exactStream > 5000000L,
       s"probe corpus must actually stress the exact stream (got $exactStream)")
     assert(cappedStream * 50 < exactStream,
       s"capped stream ($cappedStream) must be far below exact ($exactStream)")
+    // the rare-only census excludes the df-800 band entirely: its stream
+    // is just the planted pairs' df-2 shingles — orders below even capped
+    assert(rareStream < cappedStream,
+      s"rare stream ($rareStream) must be below capped ($cappedStream)")
 
     val expected = (0 until 20).map(i => (i.toLong, 8000L + i)).toSet
 
@@ -80,5 +87,18 @@ class ContainmentBoilerplateProbeSpec extends SparkSpec {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact === expected, "recall parity: both modes find the planted pairs")
+
+    // third regime: rare-only containment drops the boilerplate band from
+    // BOTH numerator and denominator — full recall at the smallest stream,
+    // and the contained doc's rare-only containment here is exactly 1.0
+    // (every rare shingle it has is shared with its container)
+    val rare = Dedup.containmentPairsRare(docs, "doc_id", "text",
+      k = 3, maxDf = 20, minContainment = 0.8)
+    val rarePairs = rare.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rarePairs === expected, "rare-only census must find the planted pairs")
+    val minCont = rare.agg(min($"containment")).collect().head.getDouble(0)
+    assert(minCont >= 38.0 / 42.0,
+      s"rare-only containment should be near 1 for planted pairs (got $minCont)")
   }
 }

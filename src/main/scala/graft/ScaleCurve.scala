@@ -235,6 +235,13 @@ object ScaleCurve {
       "q186_containment_capped" -> { docs =>
         graft.operators.Dedup.containmentPairsCapped(docs, "doc_id", "text",
           k = 3, listCap = 64, maxDf = 20, minContainment = 0.8)
+      },
+      // round 10: the rare-only regime — df<=20 both sides, so the
+      // boilerplate band vanishes from the stream entirely; expected to
+      // track the corpus scan
+      "q187_containment_rare" -> { docs =>
+        graft.operators.Dedup.containmentPairsRare(docs, "doc_id", "text",
+          k = 3, maxDf = 20, minContainment = 0.8)
       })
 
     // Local-iteration knobs (the canonical recording uses neither):

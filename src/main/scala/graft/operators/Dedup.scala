@@ -538,10 +538,13 @@ object Dedup {
     * per shingle, two orders below the capped census's bound and four
     * below the exact census's heavyCap band.
     *
-    * Shape: a bounded df count (partial-agg, one long per key), a
-    * same-key join back (reuses the exchange), then a collect_list that
-    * is ≤ maxDf by construction — no unbounded aggregation state
-    * anywhere, no window sort. df-1 shingles count in the denominators
+    * Shape: ONE shingle-keyed exchange — the df count is a window
+    * aggregate over the shingle partitioning, NOT a count-then-join-back
+    * (the join formulation recomputed the shingle stream for both sides
+    * and sort-merge-joined 3M rows: measured 5.6s of an 11.6s total at
+    * the x10 boilerplate probe, vs 0.5s for each aggregation) — then a
+    * collect_list that is ≤ maxDf by construction. No unbounded
+    * aggregation state anywhere. df-1 shingles count in the denominators
     * (they are maximal evidence of NON-containment) but expand no
     * pairs. Output matches [[containmentPairs]] minus jaccard semantics
     * (jaccard here is over rare shingle sets). */
@@ -549,14 +552,15 @@ object Dedup {
                            k: Int = 3, maxDf: Int = 20,
                            minContainment: Double = 0.8,
                            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
-    val dfBy = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
     // kept feeds both the per-doc rare-set sizes and the pair lists —
     // cached so the corpus is shingled and exchanged once
-    val kept = scope.cached(sh.join(dfBy, Seq("sh")))
+    val kept = scope.cached(sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf))
     val nrare = scope.cached(
       kept.groupBy(col("id")).agg(count(lit(1)).as("n")))
     val byShingle = kept.filter(col("df") >= 2)

@@ -216,6 +216,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"),
       "capped lists must come from the scoped cache")
     assert(!plan.contains("CartesianProduct"))
+
+    // q187 rare-only: same claim — its df filter is a window count over
+    // the one shingle exchange, NOT a count-then-join-back (which
+    // recomputed and sort-merge-joined the shingle stream; measured
+    // 5.6s of an 11.6s x10 total before the rewrite)
+    val df187 = graft.SparkEntry.queries("q187_containment_rare")(spark, sfDir)
+    df187.collect()
+    val n187 = countShingleExchanges(df187.queryExecution.executedPlan)
+    assert(n187 <= 1, s"q187: $n187 live shingle exchanges (want 1)")
+    assert(df187.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "q187 kept relation must come from the scoped cache")
   }
 
   test("no query in the suite plans a CartesianProduct") {

@@ -487,10 +487,16 @@ object Main {
           // view of the same vectors the k-means census partitions
           if (opts.contains("graph")) {
             import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum, max => fmax, avg}
+            // scoped: the graph operators cache their edge frames (round
+            // 10); released after the report so repeated CLI invocations
+            // never accumulate session-lifetime entries (round-5 lesson)
+            val gscope = new graft.operators.CacheScope
+            try {
             val edges = graft.operators.Similarity.knnGraph(df, k = 5)
               .select(col("a_id").as("src"), col("b_id").as("dst"))
             val nodes = df.select(col(idCol).as("id"))
-            val comms = graft.operators.Graph.labelPropagation(nodes, edges, iters = 3)
+            val comms = graft.operators.Graph.labelPropagation(nodes, edges,
+                iters = 3, scope = gscope)
               .groupBy(col("label")).agg(fcount(lit(1)).as("n"))
             val cs = comms.agg(fcount(lit(1)), fmax(col("n")), avg(col("n"))).head
             out(f"communities=${cs.getLong(0)}%d largest=${cs.getLong(1)}%d " +
@@ -504,15 +510,18 @@ object Main {
             import org.apache.spark.sql.functions.{least, greatest}
             val tri = graft.operators.Graph.triangleCensus(
               edges.select(least(col("src"), col("dst")).as("a_id"),
-                greatest(col("src"), col("dst")).as("b_id")).distinct())
+                greatest(col("src"), col("dst")).as("b_id")).distinct(),
+              scope = gscope)
             val ts = tri.agg(fsum(col("n_triangles")), avg(col("clustering"))).head
             out(f"triangles(node-sum)=${ts.getLong(0)}%d " +
               f"mean_clustering=${ts.getDouble(1)}%.4f")
-            graft.operators.Graph.pageRank(nodes, edges, iters = 3)
+            graft.operators.Graph.pageRank(nodes, edges, iters = 3,
+                scope = gscope)
               .orderBy(col("pagerank").desc, col("id")).limit(5)
               .collect().foreach(r => out(
                 f"  pagerank id=${r.getLong(0)}%6d pr=${r.getDouble(1)}%.6f " +
                   f"out=${r.getLong(2)}%d"))
+            } finally gscope.release()
           }
           0
         case "corpus-report" =>

@@ -36,15 +36,21 @@ object Graph {
     * @param edges columns `src`, `dst` (directed)
     */
   def pageRank(nodes: DataFrame, edges: DataFrame,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // the edge frame is consumed once per iteration plus the final
+    // degree join — when it is an LSH/KNN pipeline output (q113), the
+    // uncached plan re-runs that whole pipeline iters+2 times
+    val e = scope.cached(edges)
     val n1 = nodes.agg(count(lit(1)).as("n_total"))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = scope.cached(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val base = nodes.crossJoin(broadcast(n1))
     var ranks = base.select(col("id"), col("n_total"),
       (lit(1.0) / col("n_total")).as("pr"))
     var i = 0
     while (i < iters) {
-      val contrib = edges
+      val contrib = e
         .join(outdeg, Seq("src"))
         .join(ranks.select(col("id").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("id"),
@@ -83,11 +89,14 @@ object Graph {
     * @param edges columns `src`, `dst` (made undirected internally)
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = edges.select(col("src"), col("dst"))
+    // cached: the undirected edge list is re-joined every round, and the
+    // incoming edges frame is often an LSH/KNN pipeline (q178)
+    val und = scope.cached(edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct())
     var labels = nodes.select(col("id"), col("id").as("label"))
     var i = 0
     while (i < iters) {
@@ -129,8 +138,13 @@ object Graph {
     * clustering = 2·triangles / (degree·(degree−1)) — one double division
     * of exact longs, bit-identical cross-engine. */
   def triangleCensus(pairs: DataFrame, aCol: String = "a_id",
-                     bCol: String = "b_id"): DataFrame = {
-    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+                     bCol: String = "b_id",
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // cached: the oriented edge list feeds the degree count plus all
+    // three wedge-join legs — when pairs is a MinHash pipeline output
+    // (q164), the uncached plan re-runs it four times
+    val e = scope.cached(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct())
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

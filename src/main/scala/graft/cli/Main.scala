@@ -257,7 +257,17 @@ object Main {
             case Some("copy") => // executed COPY FROM STDIN, per-partition
               if (!dst.startsWith("jdbc:"))
                 throw new IllegalArgumentException("--format copy requires a jdbc: target")
-              new CopyManagerSink(new PgCopySessionFactory(dst, jdbcOpts))
+              // two transports for the same CopySession contract: `jdbc`
+              // drives pgjdbc's CopyManager (needs the jar on the task
+              // classpath), `wire` speaks the v3 COPY-IN protocol directly
+              // (zero dependencies, unix-socket capable)
+              val copyFactory: CopySessionFactory = opts.get("copy-transport") match {
+                case Some("wire")        => PgWireCopySessionFactory.fromJdbcUrl(dst, jdbcOpts)
+                case Some("jdbc") | None => new PgCopySessionFactory(dst, jdbcOpts)
+                case Some(other) =>
+                  throw new IllegalArgumentException(s"unsupported --copy-transport $other (wire|jdbc)")
+              }
+              new CopyManagerSink(copyFactory)
             case Some("orc") => new OrcSink(dst,
               partitionColumns = opts.get("partition-by")
                 .map(_.split(',').toSeq).getOrElse(Nil),
@@ -915,7 +925,10 @@ object Main {
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |              [--compression snappy|zstd|gzip]
       |              (--format copy executes COPY FROM STDIN per partition
-      |               against a jdbc: target via pgjdbc on the classpath)
+      |               against a jdbc: target; --copy-transport jdbc uses
+      |               pgjdbc's CopyManager from the classpath [default],
+      |               --copy-transport wire speaks the v3 protocol directly
+      |               with zero extra jars, ?socketDir=/path for unix sockets)
       |  migrate     (build + transfer) same options, plus [--verify]
       |              (run the validation suite inline after transfer)
       |  analyze     --source DIR [--table T] [--text-col COL] [--lang-col COL]

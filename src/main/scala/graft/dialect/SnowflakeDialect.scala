@@ -416,10 +416,18 @@ object SnowflakeDialect {
     * from Oracle, chosen for a total translation: no `#` overflow fill
     * (a value wider than the mask prints at full width — the pads use
     * `LPAD(s, GREATEST(LENGTH(s), n))`, never the truncating plain LPAD),
-    * and `FM` does not strip trailing fractional zeros. Masks outside the
-    * family (`S`, `MI`, `E`, `X`, `B`, zero-pad + grouping combined)
-    * return None and the caller fails loudly as before. */
-  private val NumericMaskRe = "(?i)^(FM)?(\\$)?([09][09,]*)(\\.([09]+))?$".r
+    * and `FM` does not strip trailing fractional zeros.
+    *
+    * Sign-mask elements (round-10, common in financial exports):
+    * leading `S` prints an explicit sign ALWAYS (`+` / `-`) in the sign
+    * column; trailing `S` prints it after the digits; trailing `MI`
+    * prints `-` for negatives and a SPACE for non-negatives (`FM…MI`
+    * suppresses that space) — the Oracle/Snowflake conventions. A mask
+    * with both a leading and a trailing sign element stays unsupported.
+    * Masks outside the family (`E`, `X`, `B`, zero-pad + grouping
+    * combined) return None and the caller fails loudly as before. */
+  private val NumericMaskRe =
+    "(?i)^(FM)?(S)?(\\$)?([09][09,]*)(\\.([09]+))?(S|MI)?$".r
 
   /** Grouped int masks must place separators at standard thousands
     * positions ('9,999,999') — FORMAT_NUMBER can only emit 3-digit
@@ -431,9 +439,10 @@ object SnowflakeDialect {
 
   private[dialect] def translateNumericMask(e: String, fmt: String): Option[String] =
     fmt match {
-      case NumericMaskRe(fm, dollar, intPart, _, fracPart)
-          if !intPart.contains(',') ||
-             StdGroupingRe.pattern.matcher(intPart).matches() =>
+      case NumericMaskRe(fm, sLead, dollar, intPart, _, fracPart, signTrail)
+          if (!intPart.contains(',') ||
+             StdGroupingRe.pattern.matcher(intPart).matches()) &&
+             !(sLead != null && signTrail != null) => // 'S999MI': two sign columns
         val ex = s"($e)"
         val d = Option(fracPart).map(_.length).getOrElse(0)
         val grouping = intPart.contains(',')
@@ -442,7 +451,11 @@ object SnowflakeDialect {
         val padDigits = if (firstZero >= 0) intDigits.length - firstZero else 0
         if (grouping && padDigits > 0) None // '0,000': pad-through-separator
         else {
-          val w = fmt.length - (if (fm != null) 2 else 0)
+          // printed width of the UNSIGNED body: $ + int digits/commas + .frac
+          // (sign handling adds its own column below — fmt.length would
+          // count S/MI letters as body characters)
+          val w = (if (dollar != null) 1 else 0) + intPart.length +
+            (if (d > 0) d + 1 else 0)
           // non-truncating pad: plain LPAD CUTS a string longer than the
           // target, which would silently corrupt any value wider than its
           // mask — pad to max(length, n) instead (overflow prints whole)
@@ -457,9 +470,27 @@ object SnowflakeDialect {
               pad(digits, padDigits + (if (d > 0) d + 1 else 0), "0")
             else digits
           val dollarSql = if (dollar != null) "'$', " else ""
-          val signed =
-            s"CONCAT(CASE WHEN $ex < 0 THEN '-' ELSE '' END, $dollarSql$padded)"
-          Some(if (fm != null) signed else pad(signed, w + 1, " "))
+          if (signTrail == null) {
+            // leading sign column: '-'/'' for the plain family, always
+            // explicit '+'/'-' under a leading S
+            val signCase =
+              if (sLead != null) s"CASE WHEN $ex < 0 THEN '-' ELSE '+' END"
+              else s"CASE WHEN $ex < 0 THEN '-' ELSE '' END"
+            val signed = s"CONCAT($signCase, $dollarSql$padded)"
+            Some(if (fm != null) signed else pad(signed, w + 1, " "))
+          } else {
+            // trailing sign column: body first (blank-padded to its own
+            // width unless FM), then the sign character — MI prints a
+            // space for non-negatives (suppressed by FM), S always prints
+            val body = s"CONCAT($dollarSql$padded)"
+            val lead = if (fm != null) body else pad(body, w, " ")
+            val suffix =
+              if (signTrail.equalsIgnoreCase("S"))
+                s"CASE WHEN $ex < 0 THEN '-' ELSE '+' END"
+              else if (fm != null) s"CASE WHEN $ex < 0 THEN '-' ELSE '' END"
+              else s"CASE WHEN $ex < 0 THEN '-' ELSE ' ' END"
+            Some(s"CONCAT($lead, $suffix)")
+          }
         }
       case _ => None
     }

@@ -699,6 +699,26 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Numeric TO_CHAR sign masks (round-10): the S/MI family financial
+    // exports lean on — leading S (explicit +/-), trailing MI (minus or
+    // space), FM…MI (minus or nothing), trailing S, and S composed with
+    // $-and-grouping. The negated-price column exercises every negative
+    // branch on a fixture whose amounts are all positive.
+    "q188_dialect_tochar_signs" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderkey,
+          |       TO_CHAR(o_totalprice, 'S9,999,999.99') AS price_signed,
+          |       TO_CHAR(o_totalprice, '9,999,999.99MI') AS price_mi,
+          |       TO_CHAR(0 - o_totalprice, 'FM9,999,999.99MI') AS neg_fm_mi,
+          |       TO_CHAR(0 - o_totalprice, 'S$9,999,999.99') AS neg_usd_signed,
+          |       TO_CHAR(o_custkey, '999999S') AS cust_trailing
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1249,6 +1269,33 @@ object CoreQueries {
         |    lpad((abs(o_orderkey)::DECIMAL(38,0))::VARCHAR, 8, '0')), 9, ' ') AS key_padded,
         |  lpad(concat(CASE WHEN o_custkey < 0 THEN '-' ELSE '' END,
         |    format('{:,}', abs(o_custkey)::DECIMAL(38,0)::BIGINT)), 7, ' ') AS cust_grouped
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Same one-rounding discipline as q183's twin; sign columns follow the
+    // translated composition exactly — leading S pads sign+body to
+    // mask-width+1, trailing MI pads the body alone then appends '-'/' ',
+    // FM…MI appends '-'/'' unpadded, trailing S appends '+'/'-'.
+    "q188_dialect_tochar_signs" ->
+      """SELECT o_orderkey,
+        |  lpad(concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '+' END,
+        |    format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |    lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
+        |    13, ' ') AS price_signed,
+        |  concat(lpad(concat(
+        |    format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |    lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
+        |    12, ' '), CASE WHEN o_totalprice < 0 THEN '-' ELSE ' ' END) AS price_mi,
+        |  concat(
+        |    format('{:,}', floor(abs(0 - o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |    lpad(((abs(0 - o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'),
+        |    CASE WHEN (0 - o_totalprice) < 0 THEN '-' ELSE '' END) AS neg_fm_mi,
+        |  lpad(concat(CASE WHEN (0 - o_totalprice) < 0 THEN '-' ELSE '+' END, '$',
+        |    format('{:,}', floor(abs(0 - o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |    lpad(((abs(0 - o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
+        |    14, ' ') AS neg_usd_signed,
+        |  concat(lpad((abs(o_custkey)::DECIMAL(38,0))::VARCHAR, 6, ' '),
+        |    CASE WHEN o_custkey < 0 THEN '-' ELSE '+' END) AS cust_trailing
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
 

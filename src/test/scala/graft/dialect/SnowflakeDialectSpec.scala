@@ -151,6 +151,29 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(tr("SELECT TO_CHAR(k, '990')").contains("), 1), '0')"))
   }
 
+  test("TO_CHAR: S/MI sign masks translate with the Oracle/Snowflake sign columns") {
+    // leading S: explicit '+'/'-' always, blank-padded to digits+sign width
+    val sLead = tr("SELECT TO_CHAR(amount, 'S9999')")
+    assert(sLead.contains("CASE WHEN (amount) < 0 THEN '-' ELSE '+' END"))
+    assert(sLead.contains("), 5), ' ')"), sLead) // 4 digit slots + sign column
+    // trailing MI: '-' for negatives, SPACE for non-negatives, sign at END
+    val mi = tr("SELECT TO_CHAR(amount, '9999MI')")
+    assert(mi.contains("CASE WHEN (amount) < 0 THEN '-' ELSE ' ' END"))
+    assert(mi.matches("(?s).*CONCAT\\(LPAD.*CASE WHEN \\(amount\\) < 0 THEN '-' ELSE ' ' END\\)$"),
+      mi)
+    // FM…MI: body unpadded and the non-negative space suppressed
+    val fmMi = tr("SELECT TO_CHAR(amount, 'FM9,999.99MI')")
+    assert(fmMi.contains("CASE WHEN (amount) < 0 THEN '-' ELSE '' END"))
+    assert(!fmMi.contains("' ')"), fmMi)
+    // trailing S: explicit sign at the end, always printed
+    val sTrail = tr("SELECT TO_CHAR(amount, '9999S')")
+    assert(sTrail.contains("CASE WHEN (amount) < 0 THEN '-' ELSE '+' END"))
+    // S composes with $ and grouping
+    val curS = tr("SELECT TO_CHAR(amount, 'S$9,999.99')")
+    assert(curS.contains("'$', FORMAT_NUMBER(CAST(ABS(amount) AS DECIMAL(38,2)), 2)"))
+    assert(curS.contains("CASE WHEN (amount) < 0 THEN '-' ELSE '+' END"))
+  }
+
   test("TO_CHAR: masks outside the 9/0 family still fail loudly") {
     // zero-pad through a group separator is ambiguous — unsupported
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0,000')"))
@@ -162,9 +185,10 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9,9,9')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9999,')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9,,999')"))
-    // sign/exponent/hex elements are not translated
-    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999')"))
-    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9999MI')"))
+    // exponent/hex elements are not translated; S/MI are (round 10) but a
+    // mask with TWO sign columns stays unsupported
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999MI')"))
+    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999S')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9.99EEEE')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'XXXX')"))
     // numeric elements built from datetime-lookalike letters: 'MI' is

@@ -424,10 +424,21 @@ object SnowflakeDialect {
     * prints `-` for negatives and a SPACE for non-negatives (`FM…MI`
     * suppresses that space) — the Oracle/Snowflake conventions. A mask
     * with both a leading and a trailing sign element stays unsupported.
-    * Masks outside the family (`E`, `X`, `B`, zero-pad + grouping
-    * combined) return None and the caller fails loudly as before. */
+    *
+    * Hex masks (round-10): `[FM][0…]X…` print the value rounded to an
+    * integer in uppercase hex — Spark `HEX(BIGINT)` and DuckDB
+    * `to_hex(BIGINT)` agree exactly (uppercase, no leading zeros), so the
+    * translation is bit-replayable; leading `0` slots zero-pad to the
+    * digit count, negatives print the Oracle `#` overflow fill (hex has
+    * no sign rendering). `EEEE` stays unsupported BY CHOICE: scientific
+    * notation needs correctly-rounded mantissa digits and Java's
+    * Formatter (HALF_UP) and C printf (round-to-nearest-even) disagree on
+    * ties, so a translation could not be oracle-exact — it fails loudly
+    * instead of drifting. `B` and zero-pad + grouping combined also
+    * return None and the caller fails loudly as before. */
   private val NumericMaskRe =
     "(?i)^(FM)?(S)?(\\$)?([09][09,]*)(\\.([09]+))?(S|MI)?$".r
+  private val HexMaskRe = "(?i)^(FM)?(0*)(X+)$".r
 
   /** Grouped int masks must place separators at standard thousands
     * positions ('9,999,999') — FORMAT_NUMBER can only emit 3-digit
@@ -439,6 +450,18 @@ object SnowflakeDialect {
 
   private[dialect] def translateNumericMask(e: String, fmt: String): Option[String] =
     fmt match {
+      case HexMaskRe(fm, zeros, xs) =>
+        val ex = s"($e)"
+        val digits = zeros.length + xs.length
+        val body0 = s"UPPER(HEX(CAST(ROUND$ex AS BIGINT)))"
+        val body =
+          if (zeros.nonEmpty)
+            s"LPAD($body0, GREATEST(LENGTH($body0), $digits), '0')"
+          else body0
+        val res =
+          if (fm != null) body
+          else s"LPAD($body, GREATEST(LENGTH($body), ${digits + 1}), ' ')"
+        Some(s"CASE WHEN $ex < 0 THEN REPEAT('#', ${digits + 1}) ELSE $res END")
       case NumericMaskRe(fm, sLead, dollar, intPart, _, fracPart, signTrail)
           if (!intPart.contains(',') ||
              StdGroupingRe.pattern.matcher(intPart).matches()) &&

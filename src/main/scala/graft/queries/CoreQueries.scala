@@ -719,6 +719,24 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Hex TO_CHAR masks (round-10): X-family — plain (blank-padded),
+    // FM (bare), leading-zero-padded, and the Oracle '#' fill a negative
+    // value forces (hex has no sign rendering). Spark HEX(BIGINT) and
+    // DuckDB to_hex(BIGINT) agree exactly, so every branch hash-replays.
+    "q189_dialect_tochar_hex" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val snowflakeSql =
+        """SELECT o_orderkey,
+          |       TO_CHAR(o_orderkey, 'XXXXXX') AS key_hex,
+          |       TO_CHAR(o_orderkey, 'FMXXXX') AS key_hex_fm,
+          |       TO_CHAR(o_orderkey, '0XXXXX') AS key_hex_zp,
+          |       TO_CHAR(0 - o_orderkey, 'XXXX') AS neg_hex
+          |FROM TPCH.PUBLIC.ORDERS
+          |WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin
+      s.sql(SnowflakeDialect.translate(snowflakeSql))
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1296,6 +1314,21 @@ object CoreQueries {
         |    14, ' ') AS neg_usd_signed,
         |  concat(lpad((abs(o_custkey)::DECIMAL(38,0))::VARCHAR, 6, ' '),
         |    CASE WHEN o_custkey < 0 THEN '-' ELSE '+' END) AS cust_trailing
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB to_hex already prints uppercase without leading zeros —
+    // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask
+    // width so the plain lpads never truncate.
+    "q189_dialect_tochar_hex" ->
+      """SELECT o_orderkey,
+        |  lpad(upper(to_hex(round(o_orderkey)::BIGINT)), 7, ' ') AS key_hex,
+        |  upper(to_hex(round(o_orderkey)::BIGINT)) AS key_hex_fm,
+        |  lpad(lpad(upper(to_hex(round(o_orderkey)::BIGINT)), 6, '0'), 7, ' ')
+        |    AS key_hex_zp,
+        |  CASE WHEN (0 - o_orderkey) < 0 THEN repeat('#', 5)
+        |       ELSE lpad(upper(to_hex(round(0 - o_orderkey)::BIGINT)), 5, ' ')
+        |  END AS neg_hex
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
 

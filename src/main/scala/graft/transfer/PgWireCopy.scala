@@ -259,8 +259,12 @@ private[transfer] final class PgWireSession(
       }
     } catch {
       case e: Throwable => // local failure: tell the server, restore protocol state
-        send('f', ("graft reader failed: " + e.getMessage).getBytes(UTF_8) ++ Array[Byte](0))
-        drainToReady()
+        // best-effort — if the connection itself died, the ORIGINAL cause
+        // must surface, not the secondary send/drain failure
+        try {
+          send('f', ("graft reader failed: " + e.getMessage).getBytes(UTF_8) ++ Array[Byte](0))
+          drainToReady()
+        } catch { case _: Throwable => () }
         throw e
     }
     send('c', Array.emptyByteArray) // CopyDone

@@ -174,6 +174,19 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     assert(curS.contains("CASE WHEN (amount) < 0 THEN '-' ELSE '+' END"))
   }
 
+  test("TO_CHAR: X hex masks translate to the HEX composition") {
+    // plain: uppercase hex, blank-padded to digits+sign width
+    val hx = tr("SELECT TO_CHAR(k, 'XXXX')")
+    assert(hx.contains("UPPER(HEX(CAST(ROUND(k) AS BIGINT)))"), hx)
+    assert(hx.contains("), 5), ' ')"), hx)
+    // negatives print the Oracle '#' overflow fill — hex has no sign
+    assert(hx.contains("REPEAT('#', 5)"), hx)
+    // FM: no blank pad; leading 0 slots zero-pad the digit count
+    assert(!tr("SELECT TO_CHAR(k, 'FMXX')").contains("' ')"))
+    val zp = tr("SELECT TO_CHAR(k, '0XXX')")
+    assert(zp.contains("), 4), '0')"), zp)
+  }
+
   test("TO_CHAR: masks outside the 9/0 family still fail loudly") {
     // zero-pad through a group separator is ambiguous — unsupported
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '0,000')"))
@@ -189,8 +202,10 @@ class SnowflakeDialectSpec extends AnyFunSuite {
     // mask with TWO sign columns stays unsupported
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999MI')"))
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'S9999S')"))
+    // EEEE stays unsupported BY CHOICE: Java Formatter (HALF_UP) and C
+    // printf (half-even) disagree on mantissa rounding ties, so a
+    // translation could not be oracle-exact
     intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, '9.99EEEE')"))
-    intercept[IllegalArgumentException](tr("SELECT TO_CHAR(amount, 'XXXX')"))
     // numeric elements built from datetime-lookalike letters: 'MI' is
     // Snowflake's trailing-minus sign, 'D' the decimal point, 'S' the
     // leading sign — a bare one must not silently become DATE_FORMAT

@@ -29,17 +29,19 @@ final class PgWireException(val severity: String, val sqlState: String, message:
   * the host is an absolute path (libpq convention), a unix domain socket
   * (`<dir>/.s.PGSQL.<port>`, JDK 17 `StandardProtocolFamily.UNIX`).
   *
-  * Auth: trust, cleartext password, and md5 are implemented; SCRAM-SHA-256
-  * and the rest fail loudly with the mechanism code so a misconfigured
-  * target is a clear error, not a hang. (Reference parity note: psycopg2
-  * links libpq which negotiates SCRAM; a cluster that requires SCRAM should
-  * use `--copy-transport jdbc` with pgjdbc on the classpath instead.)
+  * Auth: trust, cleartext password, md5, and SCRAM-SHA-256 (RFC 5802/7677
+  * over JDK `javax.crypto` — see [[Scram]]) are implemented; PostgreSQL ≥14
+  * defaults `password_encryption = scram-sha-256`, so SCRAM is the one a
+  * stock modern server actually requires (psycopg2 gets it from libpq,
+  * `connections.py:92-163`). Anything else — GSS, SSPI, channel-binding-only
+  * SCRAM-SHA-256-PLUS — fails loudly with the mechanism code so a
+  * misconfigured target is a clear error, not a hang.
   */
 final class PgWireCopySessionFactory(
-    host: String,
-    port: Int,
-    database: String,
-    user: String,
+    val host: String,
+    val port: Int,
+    val database: String,
+    val user: String,
     password: Option[String] = None)
   extends CopySessionFactory {
 
@@ -75,10 +77,23 @@ object PgWireCopySessionFactory {
       case -1 => (hostPortDb, "")
       case i  => (hostPortDb.take(i), hostPortDb.drop(i + 1))
     }
-    val (host, port) = hostPort.lastIndexOf(':') match {
-      case -1 => (hostPort, 5432)
-      case i  => (hostPort.take(i), hostPort.drop(i + 1).toInt)
-    }
+    // IPv6 literals: bracketed `[::1]:5432` strips the brackets and only a
+    // trailing `:NNNN` AFTER the bracket is a port; a bare multi-colon host
+    // (`::1`) is all host — lastIndexOf(':') would misread it as host '::'
+    // port 1 (round-10 advice).
+    val (host, port) =
+      if (hostPort.startsWith("[")) {
+        val close = hostPort.indexOf(']')
+        require(close > 0, s"unterminated IPv6 literal in $url")
+        val h = hostPort.substring(1, close)
+        val tail = hostPort.drop(close + 1)
+        if (tail.startsWith(":")) (h, tail.drop(1).toInt)
+        else { require(tail.isEmpty, s"garbage after IPv6 literal in $url"); (h, 5432) }
+      } else if (hostPort.count(_ == ':') > 1) (hostPort, 5432)
+      else hostPort.lastIndexOf(':') match {
+        case -1 => (hostPort, 5432)
+        case i  => (hostPort.take(i), hostPort.drop(i + 1).toInt)
+      }
     val user = params.getOrElse("user",
       throw new IllegalArgumentException(s"no user in $url (add ?user=… or pass it via props)"))
     new PgWireCopySessionFactory(
@@ -87,6 +102,75 @@ object PgWireCopySessionFactory {
       database = if (db.isEmpty) user else db,
       user = user,
       password = params.get("password"))
+  }
+}
+
+/** SCRAM-SHA-256 client primitives (RFC 5802 mechanics, RFC 7677 hash) —
+  * pure functions over JDK `javax.crypto`, no dependencies, shared with the
+  * scripted-backend spec so both sides compute from the same math.
+  *
+  * PostgreSQL specifics baked in: the SASL username is empty (`n=,`) because
+  * the server takes the user from the StartupMessage; channel binding is
+  * declined with the `n,,` GS2 header (base64 `biws`), which a non-SSL
+  * socket is always allowed to do. Password normalization: the password's
+  * UTF-8 bytes are used as-is (exact for ASCII passwords; a password that
+  * NEEDS SASLprep mapping — non-ASCII spaces etc. — may require the jdbc
+  * transport's full saslprep).
+  */
+private[transfer] object Scram {
+  import java.util.Base64
+  import javax.crypto.{Mac, SecretKeyFactory}
+  import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** Hi(password, salt, i) = PBKDF2-HMAC-SHA-256 (RFC 5802 §2.2). */
+  def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] =
+    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new PBEKeySpec(password.toCharArray, salt, iterations, 256))
+      .getEncoded
+
+  /** 24-char base64 nonce (no ',' in the base64 alphabet, so attr-safe). */
+  def nonce(): String = {
+    val b = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(b)
+    Base64.getEncoder.encodeToString(b)
+  }
+
+  /** `k1=v1,k2=v2` attr list → map. Base64/nonce/int values never contain
+    * ',' so a plain split is exact. */
+  def parseAttrs(msg: String): Map[Char, String] =
+    msg.split(",").iterator.filter(p => p.length >= 2 && p.charAt(1) == '=')
+      .map(p => p.charAt(0) -> p.drop(2)).toMap
+
+  final case class ClientFinal(message: String, serverSignature: Array[Byte])
+
+  /** Compute client-final-message and the expected ServerSignature from the
+    * password, the client-first-message-bare, the server-first-message, and
+    * the full (client+server) nonce. */
+  def clientFinal(password: String, clientFirstBare: String,
+                  serverFirst: String, fullNonce: String): ClientFinal = {
+    val attrs = parseAttrs(serverFirst)
+    val salt = Base64.getDecoder.decode(attrs.getOrElse('s',
+      throw new IOException(s"SCRAM server-first lacks s= salt: $serverFirst")))
+    val iter = attrs.getOrElse('i',
+      throw new IOException(s"SCRAM server-first lacks i= iterations: $serverFirst")).toInt
+    val salted = hi(password, salt, iter)
+    val clientKey = hmac(salted, "Client Key")
+    val withoutProof = s"c=biws,r=$fullNonce"
+    val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val clientSig = hmac(sha256(clientKey), authMessage)
+    val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    ClientFinal(
+      s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}",
+      hmac(hmac(salted, "Server Key"), authMessage))
   }
 }
 
@@ -176,6 +260,17 @@ private[transfer] final class PgWireSession(
     val buf = ByteBuffer.allocate(8 + body.length)
     buf.putInt(8 + body.length).putInt(196608).put(body).flip() // protocol 3.0
     writeFully(buf)
+    def requirePassword(): String = password.getOrElse(throw new IOException(
+      s"server requires a password for $user and none was provided"))
+    def rest(p: ByteBuffer): String = {
+      val a = new Array[Byte](p.remaining()); p.get(a); new String(a, UTF_8)
+    }
+    // SCRAM exchange state, alive only between the SASL messages of one
+    // handshake (client-first bare + nonce feed the proof; the expected
+    // ServerSignature is checked when AuthenticationSASLFinal arrives)
+    var scramFirstBare: String = null
+    var scramNonce: String = null
+    var scramServerSig: Array[Byte] = null
     var ready = false
     while (!ready) {
       val (tpe, payload) = readMessage()
@@ -184,12 +279,9 @@ private[transfer] final class PgWireSession(
           payload.getInt() match {
             case 0 => () // AuthenticationOk
             case 3 => // cleartext password
-              val pw = password.getOrElse(throw new IOException(
-                s"server requires a password for $user and none was provided"))
-              send('p', pw.getBytes(UTF_8) ++ Array[Byte](0))
+              send('p', requirePassword().getBytes(UTF_8) ++ Array[Byte](0))
             case 5 => // md5: md5(md5(password + user) + salt), hex, "md5" prefix
-              val pw = password.getOrElse(throw new IOException(
-                s"server requires a password for $user and none was provided"))
+              val pw = requirePassword()
               val salt = new Array[Byte](4); payload.get(salt)
               def md5hex(b: Array[Byte]): String =
                 java.security.MessageDigest.getInstance("MD5").digest(b)
@@ -197,9 +289,42 @@ private[transfer] final class PgWireSession(
               val inner = md5hex(pw.getBytes(UTF_8) ++ user.getBytes(UTF_8))
               val outer = "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
               send('p', outer.getBytes(UTF_8) ++ Array[Byte](0))
+            case 10 => // AuthenticationSASL: NUL-terminated mechanism list
+              val mechs = scala.collection.mutable.ArrayBuffer.empty[String]
+              while (payload.remaining() > 1) mechs += cstring(payload)
+              if (!mechs.contains("SCRAM-SHA-256")) throw new IOException(
+                s"server offers SASL mechanisms [${mechs.mkString(", ")}]; " +
+                  "only SCRAM-SHA-256 is implemented")
+              requirePassword()
+              scramNonce = Scram.nonce()
+              scramFirstBare = s"n=,r=$scramNonce" // PG reads the user from StartupMessage
+              val initial = ("n,," + scramFirstBare).getBytes(UTF_8)
+              send('p', "SCRAM-SHA-256".getBytes(UTF_8) ++ Array[Byte](0) ++
+                ByteBuffer.allocate(4).putInt(initial.length).array() ++ initial)
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              if (scramFirstBare == null)
+                throw new IOException("SASLContinue before SASL mechanism negotiation")
+              val serverFirst = rest(payload)
+              val fullNonce = Scram.parseAttrs(serverFirst).getOrElse('r',
+                throw new IOException(s"SCRAM server-first lacks r= nonce: $serverFirst"))
+              if (!fullNonce.startsWith(scramNonce)) throw new IOException(
+                "SCRAM server nonce does not extend the client nonce (possible MITM); aborting")
+              val cf = Scram.clientFinal(requirePassword(), scramFirstBare, serverFirst, fullNonce)
+              scramServerSig = cf.serverSignature
+              send('p', cf.message.getBytes(UTF_8))
+            case 12 => // AuthenticationSASLFinal: v=<base64 ServerSignature>
+              if (scramServerSig == null)
+                throw new IOException("SASLFinal before the SCRAM client-final message")
+              val fin = rest(payload)
+              val v = Scram.parseAttrs(fin).getOrElse('v',
+                throw new IOException(s"SCRAM server-final lacks v= signature: $fin"))
+              if (!java.security.MessageDigest.isEqual(
+                    java.util.Base64.getDecoder.decode(v), scramServerSig))
+                throw new IOException("SCRAM server signature mismatch — the server could not " +
+                  "prove it knows the password (possible MITM); aborting")
             case mech => throw new IOException(
-              s"unsupported authentication mechanism $mech (trust/cleartext/md5 are implemented; " +
-                "for SCRAM use --copy-transport jdbc with pgjdbc on the classpath)")
+              s"unsupported authentication mechanism $mech " +
+                "(trust/cleartext/md5/SCRAM-SHA-256 are implemented)")
           }
         case 'S' | 'K' | 'N' => () // ParameterStatus / BackendKeyData / Notice
         case 'Z'             => ready = true // ReadyForQuery
@@ -239,7 +364,10 @@ private[transfer] final class PgWireSession(
       val (tpe, payload) = readMessage()
       tpe match {
         case 'G' => inCopy = true // CopyInResponse: format+column formats, irrelevant for CSV text
-        case 'N' => ()
+        // a real server may interleave asynchronous ParameterStatus ('S') /
+        // NotificationResponse ('A') / Notice ('N') before CopyInResponse —
+        // tolerate them exactly as startup() does (round-10 advice)
+        case 'N' | 'S' | 'A' => ()
         case 'E' =>
           val e = parseError(payload)
           drainToReady()
@@ -249,14 +377,30 @@ private[transfer] final class PgWireSession(
     }
     // stream the reader as CopyData chunks — bounded memory: one 64 KiB char
     // buffer, encoded per chunk (the reader yields complete CSV lines, but
-    // COPY imposes no alignment so splitting anywhere is fine)
+    // COPY imposes no alignment so splitting anywhere is fine). One
+    // alignment DOES matter: each chunk is UTF-8-encoded independently, so
+    // a surrogate PAIR (non-BMP char, e.g. an emoji in document text) must
+    // never straddle two chunks — an unpaired surrogate encodes as '?'
+    // silently (round-10 advice). If the last char read is a high
+    // surrogate, hold it back and prepend it to the next read.
     val chars = new Array[Char](64 * 1024)
     try {
-      var n = from.read(chars)
+      var held = 0 // 0 or 1 high-surrogate chars carried at chars(0)
+      var n = from.read(chars, held, chars.length - held)
       while (n >= 0) {
-        if (n > 0) send('d', new String(chars, 0, n).getBytes(UTF_8))
-        n = from.read(chars)
+        var avail = held + n
+        held = 0
+        if (avail > 0 && Character.isHighSurrogate(chars(avail - 1))) {
+          avail -= 1
+          held = 1
+        }
+        if (avail > 0) send('d', new String(chars, 0, avail).getBytes(UTF_8))
+        if (held == 1) chars(0) = chars(avail)
+        n = from.read(chars, held, chars.length - held)
       }
+      // EOF with a lone trailing high surrogate: malformed input — encode it
+      // anyway ('?') rather than silently dropping a char the reader produced
+      if (held == 1) send('d', new String(chars, 0, 1).getBytes(UTF_8))
     } catch {
       case e: Throwable => // local failure: tell the server, restore protocol state
         // best-effort — if the connection itself died, the ORIGINAL cause

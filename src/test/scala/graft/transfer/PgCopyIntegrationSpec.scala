@@ -177,4 +177,43 @@ class PgCopyIntegrationSpec extends SparkSpec {
       .select("r_name").collect().map(_.getString(0)).sorted.toSeq
     assert(pgNames === srcNames)
   }
+
+  /** Round-10 directive: PG ≥14 defaults `password_encryption =
+    * scram-sha-256`, so the dependency-free wire transport must negotiate
+    * SCRAM against a REAL server, not just the scripted backend. A dedicated
+    * role is forced onto scram by a prepended pg_hba rule (the cluster-wide
+    * socket rule stays trust for the orchestration psql). */
+  test("wire transport negotiates SCRAM-SHA-256 against a real server") {
+    assume(pgAvailable, "PostgreSQL server binaries not present")
+    psql("SET password_encryption = 'scram-sha-256'; " +
+      "DROP ROLE IF EXISTS scramuser; " +
+      "CREATE ROLE scramuser LOGIN PASSWORD 'scr4m-pw'")
+    // verify the server actually stored a SCRAM verifier, so this test can't
+    // silently pass through an md5 path
+    assert(psql("SELECT rolpassword FROM pg_authid WHERE rolname='scramuser'")
+      .contains("SCRAM-SHA-256"))
+    val hba = s"${dataDir.getAbsolutePath}/pg_hba.conf"
+    assert(asPostgres(
+      s"sed -i '1i local all scramuser scram-sha-256' $hba") == 0)
+    assert(asPostgres(s"$pgCtl -D ${dataDir.getAbsolutePath} reload") == 0)
+    psql("DROP TABLE IF EXISTS scramcopy; CREATE TABLE scramcopy (id int, txt text); " +
+      "GRANT ALL ON scramcopy TO scramuser")
+
+    val factory = new PgWireCopySessionFactory(
+      sockDir.getAbsolutePath, 5432, "postgres", "scramuser", Some("scr4m-pw"))
+    val s = factory.open()
+    try {
+      val n = s.copyIn("COPY scramcopy FROM STDIN WITH CSV NULL '\\N'",
+        new java.io.StringReader("1,uno\n2,dos\n3,tres\n"))
+      assert(n === 3L)
+    } finally s.close()
+    assert(psql("SELECT count(*) FROM scramcopy").trim.toLong === 3L)
+    assert(psql("SELECT txt FROM scramcopy WHERE id=2").trim === "dos")
+
+    // wrong password: the server rejects the proof loudly (28P01), no hang
+    val bad = new PgWireCopySessionFactory(
+      sockDir.getAbsolutePath, 5432, "postgres", "scramuser", Some("not-the-password"))
+    val e = intercept[PgWireException](bad.open())
+    assert(e.sqlState === "28P01")
+  }
 }

@@ -29,6 +29,7 @@ final class FakePgBackend(authMode: String, password: String = "sekret") {
   @volatile var sawCopyDone = false
   @volatile var sawCopyFail: Option[String] = None
   @volatile var failNextQuery: Option[(String, String)] = None // (sqlstate, message)
+  @volatile var scramVerified = false // backend-side proof check passed
 
   private def msg(ch: SocketChannel, tpe: Char, payload: Array[Byte]): Unit = {
     val buf = ByteBuffer.allocate(5 + payload.length)
@@ -86,13 +87,62 @@ final class FakePgBackend(authMode: String, password: String = "sekret") {
           val (t, p) = readFrontend(ch); assert(t == 'p'.toByte)
           receivedPassword = Some(cstr(p))
           msg(ch, 'R', ByteBuffer.allocate(4).putInt(0).array())
-        case "scram" =>
+        case "sasl-unknown" => // only a mechanism the client can't do
+          msg(ch, 'R', ByteBuffer.allocate(4).putInt(10).array() ++
+            "SCRAM-SHA-256-PLUS".getBytes(UTF_8) ++ Array[Byte](0, 0))
+          ch.close()
+        case "scram" | "scram-tamper" =>
+          // full scripted RFC 7677 verifier: the backend checks the client's
+          // proof from first principles (same Scram math, server side), so a
+          // wrong password is REJECTED like a real server would
           msg(ch, 'R', ByteBuffer.allocate(4).putInt(10).array() ++
             "SCRAM-SHA-256".getBytes(UTF_8) ++ Array[Byte](0, 0))
+          val (t1, p1) = readFrontend(ch); assert(t1 == 'p'.toByte)
+          val mech = cstr(p1)
+          assert(mech == "SCRAM-SHA-256", s"client picked $mech")
+          val ilen = p1.getInt()
+          val ibytes = new Array[Byte](ilen); p1.get(ibytes)
+          val clientFirst = new String(ibytes, UTF_8)
+          assert(clientFirst.startsWith("n,,"), s"bad GS2 header in $clientFirst")
+          val bare = clientFirst.drop(3)
+          val cnonce = Scram.parseAttrs(bare)('r')
+          val snonce = cnonce + "srvNONCE/fixed+suffix"
+          val salt = "pepper&salt8bytes".getBytes(UTF_8)
+          val b64 = java.util.Base64.getEncoder
+          val serverFirst = s"r=$snonce,s=${b64.encodeToString(salt)},i=4096"
+          msg(ch, 'R', ByteBuffer.allocate(4).putInt(11).array() ++
+            serverFirst.getBytes(UTF_8))
+          val (t2, p2) = readFrontend(ch); assert(t2 == 'p'.toByte)
+          val fbytes = new Array[Byte](p2.remaining()); p2.get(fbytes)
+          val clientFinal = new String(fbytes, UTF_8)
+          val fattrs = Scram.parseAttrs(clientFinal)
+          assert(fattrs('c') == "biws" && fattrs('r') == snonce,
+            s"bad client-final $clientFinal")
+          val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+          val authMessage = s"$bare,$serverFirst,$withoutProof"
+          val salted = Scram.hi(password, salt, 4096)
+          val clientKey = Scram.hmac(salted, "Client Key")
+          val storedKey = Scram.sha256(clientKey)
+          val clientSig = Scram.hmac(storedKey, authMessage)
+          val proof = java.util.Base64.getDecoder.decode(fattrs('p'))
+          val recovered = proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+          if (!java.util.Arrays.equals(Scram.sha256(recovered), storedKey)) {
+            msg(ch, 'E', errorResponse("28P01",
+              s"password authentication failed for user \"${params("user")}\""))
+            ch.close()
+          } else {
+            scramVerified = true
+            var serverSig = Scram.hmac(Scram.hmac(salted, "Server Key"), authMessage)
+            if (authMode == "scram-tamper") serverSig = serverSig.map(b => (b ^ 0x5a).toByte)
+            msg(ch, 'R', ByteBuffer.allocate(4).putInt(12).array() ++
+              s"v=${b64.encodeToString(serverSig)}".getBytes(UTF_8))
+            msg(ch, 'R', ByteBuffer.allocate(4).putInt(0).array())
+            serveQueries(ch)
+          }
       }
-      if (authMode == "scram") ch.close()
-      else serveQueries(ch)
-    } catch { case _: java.io.EOFException => () }
+      if (authMode == "trust" || authMode == "cleartext" || authMode == "md5")
+        serveQueries(ch)
+    } catch { case _: java.io.IOException => () } // client hung up (EOF/reset): scripted scenario over
   })
 
   private def serveQueries(ch: SocketChannel): Unit = {
@@ -138,7 +188,7 @@ final class FakePgBackend(authMode: String, password: String = "sekret") {
           case other => throw new AssertionError(s"unexpected frontend message $other")
         }
       }
-    } catch { case _: java.io.EOFException => () }
+    } catch { case _: java.io.IOException => () } // client hung up: scenario over
   }
 
   thread.setDaemon(true)
@@ -211,10 +261,60 @@ class PgWireCopySpec extends AnyFunSuite {
     }
   }
 
-  test("SCRAM is rejected loudly with the mechanism code, not a hang") {
-    withBackend("scram") { (_, factory) =>
+  test("SCRAM-SHA-256: full RFC 7677 exchange authenticates and COPY runs") {
+    withBackend("scram") { (be, factory) =>
+      val s = factory.open()
+      try {
+        val n = s.copyIn("COPY t FROM STDIN WITH CSV NULL '\\N'",
+          new java.io.StringReader("1,a\n2,b\n3,c\n"))
+        assert(n === 3L)
+      } finally s.close()
+      assert(be.scramVerified, "backend did not verify the client proof")
+    }
+  }
+
+  test("SCRAM-SHA-256: wrong password is rejected by the proof check with 28P01") {
+    val be = new FakePgBackend("scram") // backend knows 'sekret'
+    try {
+      val factory = new PgWireCopySessionFactory(
+        be.dir.getAbsolutePath, 5432, "graftdb", "graft", password = Some("wrong"))
+      val e = intercept[PgWireException](factory.open())
+      assert(e.sqlState === "28P01")
+      assert(!be.scramVerified)
+    } finally be.close()
+  }
+
+  test("SCRAM-SHA-256: a tampered server signature is rejected as possible MITM") {
+    withBackend("scram-tamper") { (_, factory) =>
       val e = intercept[java.io.IOException](factory.open())
-      assert(e.getMessage.contains("unsupported authentication mechanism 10"))
+      assert(e.getMessage.contains("server signature mismatch"))
+    }
+  }
+
+  test("a SASL list without SCRAM-SHA-256 fails loudly with the offered mechanisms") {
+    withBackend("sasl-unknown") { (_, factory) =>
+      val e = intercept[java.io.IOException](factory.open())
+      assert(e.getMessage.contains("SCRAM-SHA-256-PLUS"))
+      assert(e.getMessage.contains("only SCRAM-SHA-256 is implemented"))
+    }
+  }
+
+  test("a surrogate pair straddling the 64 KiB chunk boundary encodes intact") {
+    withBackend("trust") { (be, factory) =>
+      // 64 Ki chars fill one read exactly; position the HIGH surrogate as the
+      // last char of the first read so naive per-chunk encoding would emit
+      // '?' twice — the client must hold it back and pair it (round-10 advice)
+      val emoji = "😀" // U+1F600, one code point, two chars
+      val payload = ("a" * (64 * 1024 - 1)) + emoji + ",tail\n"
+      val s = factory.open()
+      try {
+        val n = s.copyIn("COPY t FROM STDIN WITH CSV NULL '\\N'",
+          new java.io.StringReader(payload))
+        assert(n === 1L)
+      } finally s.close()
+      val got = new String(be.copyBytes, UTF_8)
+      assert(got === payload) // byte-exact: no '?' substitution, nothing dropped
+      assert(!got.contains('?'))
     }
   }
 
@@ -265,5 +365,18 @@ class PgWireCopySpec extends AnyFunSuite {
       PgWireCopySessionFactory.fromJdbcUrl("jdbc:postgresql://h/db")) // no user anywhere
     intercept[IllegalArgumentException](
       PgWireCopySessionFactory.fromJdbcUrl("jdbc:derby:memory:x")) // wrong scheme
+    // IPv6 literals (round-10 advice): bracketed with port, bracketed bare,
+    // and bare multi-colon — none may be split at the LAST colon
+    for ((u, h, p) <- Seq(
+        ("jdbc:postgresql://[::1]:5433/db?user=u", "::1", 5433),
+        ("jdbc:postgresql://[::1]/db?user=u", "::1", 5432),
+        ("jdbc:postgresql://::1/db?user=u", "::1", 5432),
+        ("jdbc:postgresql://[2001:db8::7]:5433/db?user=u", "2001:db8::7", 5433),
+        ("jdbc:postgresql://h4:5433/db?user=u", "h4", 5433))) {
+      val f = PgWireCopySessionFactory.fromJdbcUrl(u)
+      assert(f.host === h, u); assert(f.port === p, u)
+    }
+    intercept[IllegalArgumentException](
+      PgWireCopySessionFactory.fromJdbcUrl("jdbc:postgresql://[::1/db?user=u")) // unterminated
   }
 }

@@ -320,12 +320,21 @@ object Dedup {
     * per-group. Multiset expansion matches join semantics exactly: a
     * duplicated (id, shingle) row yields the same doubled pair count
     * either way. Expects columns `ids` (id-ascending array) and `df`. */
-  private def expandPairs(groups: DataFrame, keepDf: Boolean = false): DataFrame = {
-    val cols = if (keepDf) Seq(col("p.a_id"), col("p.b_id"), col("df"))
+  /** Expand each sorted inverted list into its C(|ids|,2) ordered pairs.
+    * With `keepRare`, a per-SHINGLE `rare` int (0/1, precomputed by the
+    * caller as `df <= maxDf`) rides along instead of the raw df — the pair
+    * stream is the pipeline's widest exchange (one row per candidate pair,
+    * ~no same-key combining), so every byte per row is paid fanout times:
+    * dropping the 8-byte df for a 1-int flag measured −38 CPU s at the
+    * 100× probe (355 vs 393) with bit-identical census output. */
+  private def expandPairs(groups: DataFrame, keepRare: Boolean = false): DataFrame = {
+    val cols = if (keepRare) Seq(col("p.a_id"), col("p.b_id"), col("rare"))
                else Seq(col("p.a_id"), col("p.b_id"))
-    groups
-      .select(col("ids"), col("df"), posexplode(col("ids")).as(Seq("i", "x")))
-      .select(col("df"), explode(expr(
+    val src = if (keepRare) groups.select(col("ids"), col("rare"))
+              else groups.select(col("ids"), lit(0).as("rare"))
+    src
+      .select(col("ids"), col("rare"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(col("rare"), explode(expr(
         "transform(slice(ids, i + 2, size(ids) - i - 1), " +
           "y -> struct(x AS a_id, y AS b_id))")).as("p"))
       .select(cols: _*)
@@ -401,14 +410,25 @@ object Dedup {
     // filter at 32 partitions, and the repartitioned form below beats
     // that by removing the spill churn rather than the groups.
     val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val inter = expandPairs(byShingle, keepDf = true)
+    val inter = expandPairs(
+        byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
+        keepRare = true)
       .repartition(numParts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
-        max(when(col("df") <= maxDf, 1).otherwise(0)).as("has_rare"))
+        max(col("rare")).as("has_rare"))
       .filter(col("has_rare") === 1)
       .drop("has_rare")
+    // lossless global count-bound prefilter before the size joins — see
+    // the proof in containmentPairsCapped (inter_cnt is an integer and
+    // min(a_n,b_n) ≥ the global minimum, so floor(t·min_global) can never
+    // drop a qualifying pair); it spares the size joins the full
+    // nearly-uncombined pair census stream
+    val minSz = broadcast(sz.agg(min(col("n")).as("min_n")))
     inter
+      .crossJoin(minSz)
+      .filter(col("inter_cnt") >= floor(lit(minContainment) * col("min_n")))
+      .drop("min_n")
       .join(sz.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sz.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
       .withColumn("containment",
@@ -506,14 +526,33 @@ object Dedup {
     // same wide pre-aggregation exchange as the exact census (see the
     // spill-granularity analysis in containmentPairs)
     val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val inter = expandPairs(byShingle, keepDf = true)
+    val inter = expandPairs(
+        byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
+        keepRare = true)
       .repartition(numParts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
-        max(when(col("df") <= maxDf, 1).otherwise(0)).as("has_rare"))
+        max(col("rare")).as("has_rare"))
       .filter(col("has_rare") === 1)
       .drop("has_rare")
+    // Global count-bound prefilter (round-10 profiling): the census's pair
+    // aggregate emits one row per candidate pair with ~no same-key
+    // combining (measured 112M of 126.6M expanded pairs at the 100× probe
+    // survive to this point, of which 25.6k pass the containment
+    // threshold), so the nret joins below would exchange-and-sort a
+    // 112M-row stream to score pairs that cannot qualify. A pair passes
+    // containment ≥ t only if inter_cnt ≥ t·min(a_n,b_n) ≥ t·min_global,
+    // and inter_cnt is an integer — so inter_cnt ≥ floor(t·min_global) is
+    // a PROVABLY lossless prefilter (floor, not ceil, so floating-point
+    // rounding can only keep extra rows, never drop a qualifying one).
+    // The 1-row global minimum rides a broadcast cross-join; after the
+    // filter AQE broadcasts the surviving pairs into both nret joins
+    // instead of sort-merging the full stream.
+    val minRet = broadcast(nret.agg(min(col("n")).as("min_n")))
     inter
+      .crossJoin(minRet)
+      .filter(col("inter_cnt") >= floor(lit(minContainment) * col("min_n")))
+      .drop("min_n")
       .join(nret.select(col("id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(nret.select(col("id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
       .withColumn("containment",

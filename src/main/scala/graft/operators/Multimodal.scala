@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-parallel batch processing,
   * frame explosion — is real and tested. The codec step runs a REAL
-  * decode for PPM (P6) payloads via [[PpmCodec]] (pure JVM, no external
-  * libraries — production swaps in JPEG/PNG codecs behind the same
-  * bytes→pixels→bytes signatures); non-image payloads fall back to a
-  * clearly-marked deterministic byte-derived STUB so mixed corpora stay
-  * testable end-to-end in this codec-less container.
+  * decode for PPM (P6) payloads via [[PpmCodec]] (pure JVM) and for
+  * JPEG/PNG payloads via [[ImageIoCodec]] (the JDK's built-in
+  * `javax.imageio` readers — round 10 established the "no image libs in
+  * this container" premise was wrong for these formats); payloads that
+  * are none of the three fall back to a clearly-marked deterministic
+  * byte-derived STUB so mixed corpora stay testable end-to-end.
   */
 object Multimodal {
 
@@ -46,9 +47,10 @@ object Multimodal {
     * Scala analogue of a Pandas-UDF `mapInPandas` stage: one JVM-side batch
     * iterator per partition, no per-row UDF dispatch, executor-local.
     *
-    * PPM payloads take the REAL path: decode → Rec.601 mean luminance.
-    * Non-image payloads fall back to the STUB (mean of the first 64 bytes
-    * normalized to [0,1)) — deterministic, so mixed corpora stay testable. */
+    * PPM and JPEG/PNG payloads take the REAL path: decode → Rec.601 mean
+    * luminance. Other payloads fall back to the STUB (mean of the first
+    * 64 bytes normalized to [0,1)) — deterministic, so mixed corpora stay
+    * testable. */
   def decodeFeatures(assetsDf: DataFrame): Dataset[AssetFeatures] = {
     import assetsDf.sparkSession.implicits._
     assetsDf.select(col("asset_id"), col("media_type"), col("payload"))
@@ -57,15 +59,16 @@ object Multimodal {
           val id = r.getLong(0)
           val mt = r.getString(1)
           val payload = r.getAs[Array[Byte]](2)
-          val brightness = PpmCodec.decode(payload) match {
-            case Some(img) => PpmCodec.meanLuminance(img) // REAL decode
-            case None =>
-              // ---- STUB fallback (non-image payloads, no codec) ----
-              val head = payload.take(64)
-              if (head.isEmpty) 0.0
-              else head.map(b => (b & 0xFF).toDouble).sum / (head.length * 256.0)
-            // ---- STUB fallback ends ----
-          }
+          val brightness =
+            PpmCodec.decode(payload).orElse(ImageIoCodec.decode(payload)) match {
+              case Some(img) => PpmCodec.meanLuminance(img) // REAL decode
+              case None =>
+                // ---- STUB fallback (non-image payloads, no codec) ----
+                val head = payload.take(64)
+                if (head.isEmpty) 0.0
+                else head.map(b => (b & 0xFF).toDouble).sum / (head.length * 256.0)
+              // ---- STUB fallback ends ----
+            }
           val frames = (payload.length + FrameBytes - 1) / FrameBytes
           AssetFeatures(id, mt, payload.length.toLong, brightness, frames.toLong)
         }
@@ -76,9 +79,13 @@ object Multimodal {
     * image/video pipeline, executor-local over binary payloads.
     *
     * PPM payloads take the REAL path: decode → nearest-neighbor downscale
-    * by `factor` → re-encode. Non-image payloads fall back to the STUB
-    * (keep every `factor`-th byte — deterministic, length ceil(L/factor)),
-    * which is what the byte-census oracle queries exercise. */
+    * by `factor` → re-encode as PPM. JPEG/PNG payloads decode through
+    * [[ImageIoCodec]], downscale the same way, and re-encode as PNG
+    * (lossless, so the resized asset decodes back byte-stably; JPEG
+    * re-encode would stack generation loss). Other payloads fall back to
+    * the STUB (keep every `factor`-th byte — deterministic, length
+    * ceil(L/factor)), which is what the byte-census oracle queries
+    * exercise. */
   def resize(assetsDf: DataFrame, factor: Int = 2): DataFrame = {
     val spark = assetsDf.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -91,15 +98,19 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](2)
           val out = PpmCodec.decode(payload) match {
-            case Some(img) => // REAL decode → scale → re-encode
+            case Some(img) => // REAL decode → scale → re-encode (PPM in, PPM out)
               PpmCodec.encode(PpmCodec.downscale(img, factor))
-            case None =>
-              // ---- STUB fallback (non-image payloads, no codec) ----
-              val thin = new Array[Byte]((payload.length + factor - 1) / factor)
-              var i = 0
-              while (i < thin.length) { thin(i) = payload(i * factor); i += 1 }
-              thin
-            // ---- STUB fallback ends ----
+            case None => ImageIoCodec.decode(payload) match {
+              case Some(img) => // REAL decode → scale → PNG out (lossless)
+                ImageIoCodec.encodePng(PpmCodec.downscale(img, factor))
+              case None =>
+                // ---- STUB fallback (non-image payloads, no codec) ----
+                val thin = new Array[Byte]((payload.length + factor - 1) / factor)
+                var i = 0
+                while (i < thin.length) { thin(i) = payload(i * factor); i += 1 }
+                thin
+              // ---- STUB fallback ends ----
+            }
           }
           org.apache.spark.sql.Row(r.getLong(0), r.getString(1), out)
         }

@@ -181,17 +181,39 @@ object Similarity {
          |  THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Deterministic, id-independent rank for per-bucket cap retention: a
+    * modular mix of (vec_id, band, bucket), every intermediate < 2^63,
+    * exactly replayable in any BIGINT engine (same discipline as the
+    * capped containment census's salt rank — `Dedup.containmentPairsCapped`).
+    * P = 4294967291, the largest 32-bit prime. */
+  private val CapSaltP = 4294967291L
+  private def capSaltRank(mask: Long): Column =
+    ((col("vec_id") % CapSaltP) * 1000003L +
+      (col("band") * (mask + 1) + col("bucket")) * 999983L) % CapSaltP
+
+  /** [[capSaltRank]] as SQL text for the DuckDB oracle twins (8-bit bands:
+    * 256 buckets per band). */
+  def capSaltRankSql(idExpr: String = "vec_id", bandExpr: String = "band",
+                     bucketExpr: String = "bucket", buckets: Long = 256L): String =
+    s"((($idExpr % 4294967291) * 1000003 + " +
+      s"($bandExpr * $buckets + $bucketExpr) * 999983) % 4294967291)"
+
   /** KNN graph via banded LSH: ONE `bands × bandBits`-bit hyperplane
     * signature per vector, split into `bands` independent buckets by
     * shift/mask (near vectors agree on at least one band with much higher
     * probability than on the full signature). Candidates share a (band,
     * bucket); each candidate pair is scored with the exact scaled-long
-    * cosine; every node keeps its top `k`. The per-bucket `cap`
-    * (first-`cap` rows by id, a count-window over the join key — which
-    * also pre-partitions the self-join) bounds a viral bucket the same way
-    * [[Dedup.minhashLsh]] caps LSH bands, so no reducer ever sees a
-    * quadratic bucket at corpus scale. Every stage is deterministic and
-    * the graph replays bit-for-bit in the differential oracle. */
+    * cosine; every node keeps its top `k`. The per-bucket `cap` bounds a
+    * viral bucket the same way [[Dedup.minhashLsh]] caps LSH bands, so no
+    * reducer ever sees a quadratic bucket at corpus scale. Cap retention
+    * is ID-INDEPENDENT (round-10 advice): the window orders by a
+    * deterministic modular mix of (vec_id, band, bucket), not by raw id —
+    * ordering by id would bias every saturated bucket toward the oldest
+    * vectors (ids usually correlate with ingest time), and in the scale
+    * curve's id-offset synthesis it froze the edge set at the first
+    * copy's vectors, under-reporting the growth exponent. Every stage is
+    * deterministic and the graph replays bit-for-bit in the differential
+    * oracle (the same mix expression runs in DuckDB BIGINTs). */
   def knnGraph(corpus: DataFrame, k: Int, bands: Int = 3, bandBits: Int = 8,
                cap: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -206,11 +228,13 @@ object Similarity {
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "bucket")))
-    val capped = withBucket.withColumn("rn",
+    val capped = withBucket
+      .withColumn("rk", capSaltRank(mask))
+      .withColumn("rn",
         row_number().over(Window.partitionBy(col("band"), col("bucket"))
-          .orderBy(col("vec_id"))))
+          .orderBy(col("rk"), col("vec_id"))))
       .filter(col("rn") <= cap)
-      .drop("rn")
+      .drop("rn", "rk")
     val a = capped.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
     val b = capped.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
@@ -258,11 +282,13 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
-    val capped = withBucket.withColumn("rn",
+    val capped = withBucket
+      .withColumn("rk", capSaltRank(mask))
+      .withColumn("rn",
         row_number().over(Window.partitionBy(col("band"), col("bucket"))
-          .orderBy(col("vec_id"))))
+          .orderBy(col("rk"), col("vec_id"))))
       .filter(col("rn") <= cap)
-      .drop("rn")
+      .drop("rn", "rk")
     val a = capped.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"), col("label").as("a_label"), col("nrm").as("a_nrm"))
     val b = capped.select(col("band"), col("bucket"), col("vec_id").as("neg_id"),

@@ -1272,7 +1272,11 @@ object CoreQueries {
     // and the cents from that same value — round-9 advice: splitting
     // floor(abs) and round(abs*100)%100 disagrees at a carry boundary
     // (99.996 -> Spark '100.00' vs split-twin '99.00'); safe on 2-decimal
-    // fixtures only by accident.
+    // fixtures only by accident. The plain lpads below assume the fixture
+    // fits every mask width (o_totalprice < $1M, keys < 10^8 — same
+    // assumption q189 documents); the Spark translation pads
+    // non-truncatingly, and q188's twin shows the greatest(length, n)
+    // form to use if a wider fixture ever lands here.
     "q183_dialect_tochar_masks" ->
       """SELECT o_orderkey,
         |  lpad(concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END, '$',
@@ -1293,28 +1297,43 @@ object CoreQueries {
     // Same one-rounding discipline as q183's twin; sign columns follow the
     // translated composition exactly — leading S pads sign+body to
     // mask-width+1, trailing MI pads the body alone then appends '-'/' ',
-    // FM…MI appends '-'/'' unpadded, trailing S appends '+'/'-'.
+    // FM…MI appends '-'/'' unpadded, trailing S appends '+'/'-'. Padding
+    // is NON-TRUNCATING like the Spark translation's
+    // LPAD(x, GREATEST(LENGTH(x), n)) — plain lpad CUTS a value wider
+    // than its mask, so the two engines would silently diverge on an
+    // overflow fixture (round-10 advice); the CTE computes each body once
+    // so the greatest() sees the same string the pad receives.
     "q188_dialect_tochar_signs" ->
-      """SELECT o_orderkey,
-        |  lpad(concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '+' END,
-        |    format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
-        |    lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
-        |    13, ' ') AS price_signed,
-        |  concat(lpad(concat(
-        |    format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
-        |    lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
-        |    12, ' '), CASE WHEN o_totalprice < 0 THEN '-' ELSE ' ' END) AS price_mi,
-        |  concat(
-        |    format('{:,}', floor(abs(0 - o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
-        |    lpad(((abs(0 - o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'),
-        |    CASE WHEN (0 - o_totalprice) < 0 THEN '-' ELSE '' END) AS neg_fm_mi,
-        |  lpad(concat(CASE WHEN (0 - o_totalprice) < 0 THEN '-' ELSE '+' END, '$',
-        |    format('{:,}', floor(abs(0 - o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
-        |    lpad(((abs(0 - o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0')),
-        |    14, ' ') AS neg_usd_signed,
-        |  concat(lpad((abs(o_custkey)::DECIMAL(38,0))::VARCHAR, 6, ' '),
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    concat(CASE WHEN o_totalprice < 0 THEN '-' ELSE '+' END,
+        |      format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |      lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'))
+        |      AS signed_body,
+        |    concat(
+        |      format('{:,}', floor(abs(o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |      lpad(((abs(o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'))
+        |      AS mi_body,
+        |    concat(
+        |      format('{:,}', floor(abs(0 - o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |      lpad(((abs(0 - o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'),
+        |      CASE WHEN (0 - o_totalprice) < 0 THEN '-' ELSE '' END) AS neg_fm_mi,
+        |    concat(CASE WHEN (0 - o_totalprice) < 0 THEN '-' ELSE '+' END, '$',
+        |      format('{:,}', floor(abs(0 - o_totalprice)::DECIMAL(38,2))::BIGINT), '.',
+        |      lpad(((abs(0 - o_totalprice)::DECIMAL(38,2)*100)::BIGINT % 100)::VARCHAR, 2, '0'))
+        |      AS neg_usd_body,
+        |    (abs(o_custkey)::DECIMAL(38,0))::VARCHAR AS cust_body,
+        |    o_totalprice, o_custkey
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey,
+        |  lpad(signed_body, greatest(length(signed_body), 13)::INTEGER, ' ') AS price_signed,
+        |  concat(lpad(mi_body, greatest(length(mi_body), 12)::INTEGER, ' '),
+        |    CASE WHEN o_totalprice < 0 THEN '-' ELSE ' ' END) AS price_mi,
+        |  neg_fm_mi,
+        |  lpad(neg_usd_body, greatest(length(neg_usd_body), 14)::INTEGER, ' ') AS neg_usd_signed,
+        |  concat(lpad(cust_body, greatest(length(cust_body), 6)::INTEGER, ' '),
         |    CASE WHEN o_custkey < 0 THEN '-' ELSE '+' END) AS cust_trailing
-        |FROM orders WHERE o_orderkey < 500
+        |FROM b
         |ORDER BY o_orderkey""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —

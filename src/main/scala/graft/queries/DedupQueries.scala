@@ -802,7 +802,8 @@ object DedupQueries {
        |capped AS (
        |  SELECT * FROM (
        |    SELECT vec_id, embedding, nrm, band, bucket,
-       |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+       |      ROW_NUMBER() OVER (PARTITION BY band, bucket
+       |        ORDER BY ${Similarity.capSaltRankSql()}, vec_id) AS rn
        |    FROM banded) WHERE rn <= 200),
        |pairs AS (
        |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id,
@@ -1617,7 +1618,8 @@ object DedupQueries {
          |capped AS (
          |  SELECT * FROM (
          |    SELECT vec_id, embedding, label, nrm, band, bucket,
-         |      ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |      ROW_NUMBER() OVER (PARTITION BY band, bucket
+         |        ORDER BY ${Similarity.capSaltRankSql()}, vec_id) AS rn
          |    FROM banded) WHERE rn <= 200),
          |pairs AS (
          |  SELECT DISTINCT l.vec_id AS a_id, l.label AS a_label,

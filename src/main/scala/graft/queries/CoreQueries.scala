@@ -737,6 +737,21 @@ object CoreQueries {
       s.sql(SnowflakeDialect.translate(snowflakeSql))
     },
 
+    // Manifest catalog (round-11, sources.Manifest): the row-count /
+    // key-range question answered FROM FILE-LEVEL STATS — the data-lake
+    // analog of the reference's INFORMATION_SCHEMA reads (S5/S9) at
+    // beyond-driver-listing scale. The manifest is built once from the
+    // fixture here (bootstrap path); the oracle recomputes the same
+    // answers from the data directly, so a stats/data divergence fails
+    // the hash.
+    "q190_manifest_stats" -> { (s, dir) =>
+      graft.sources.Manifest.build(s, dir, "orders", "o_orderdate")
+        .agg(
+          sum(col("rows")).as("rows_total"),
+          min(col("min_key")).as("first_date"),
+          max(col("max_key")).as("last_date"))
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1335,6 +1350,15 @@ object CoreQueries {
         |    CASE WHEN o_custkey < 0 THEN '-' ELSE '+' END) AS cust_trailing
         |FROM b
         |ORDER BY o_orderkey""".stripMargin,
+
+    // The manifest's stats must agree with a direct scan of the data —
+    // count and lexicographic date-string extremes (DATE::VARCHAR is
+    // 'YYYY-MM-DD' in both engines, so lexicographic = chronological).
+    "q190_manifest_stats" ->
+      """SELECT count(*) AS rows_total,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS first_date,
+        |  CAST(max(o_orderdate) AS VARCHAR) AS last_date
+        |FROM orders""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

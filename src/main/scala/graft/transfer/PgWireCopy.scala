@@ -25,9 +25,12 @@ final class PgWireException(val severity: String, val sqlState: String, message:
   *
   * — plus the startup handshake (StartupMessage, Authentication, ReadyForQuery)
   * and the `COPY <n>` CommandComplete that carries the database-acknowledged
-  * row count [[CopySession.copyIn]] must return. Connects over TCP or, when
-  * the host is an absolute path (libpq convention), a unix domain socket
-  * (`<dir>/.s.PGSQL.<port>`, JDK 17 `StandardProtocolFamily.UNIX`).
+  * row count [[CopySession.copyIn]] must return. Connects over TCP — with
+  * the SSLRequest/TLS preamble per libpq's full `sslmode` ladder
+  * (disable/prefer/require/verify-ca/verify-full + `sslrootcert`, JDK
+  * `javax.net.ssl`, zero dependencies) — or, when the host is an absolute
+  * path (libpq convention), a unix domain socket (`<dir>/.s.PGSQL.<port>`,
+  * JDK 17 `StandardProtocolFamily.UNIX`; no TLS, as libpq).
   *
   * Auth: trust, cleartext password, md5, and SCRAM-SHA-256 (RFC 5802/7677
   * over JDK `javax.crypto` — see [[Scram]]) are implemented; PostgreSQL ≥14
@@ -42,22 +45,39 @@ final class PgWireCopySessionFactory(
     val port: Int,
     val database: String,
     val user: String,
-    password: Option[String] = None)
+    password: Option[String] = None,
+    val sslMode: String = "prefer",
+    val sslRootCert: Option[String] = None)
   extends CopySessionFactory {
 
-  def open(): CopySession = new PgWireSession(host, port, database, user, password)
+  require(PgWireCopySessionFactory.SslModes(sslMode),
+    s"unknown sslmode '$sslMode' (expected one of ${PgWireCopySessionFactory.SslModes.mkString("/")})")
+
+  def open(): CopySession =
+    new PgWireSession(host, port, database, user, password, sslMode, sslRootCert)
 }
 
 object PgWireCopySessionFactory {
 
+  /** libpq's sslmode ladder, faithfully: `disable` never negotiates TLS;
+    * `prefer` (the libpq default) negotiates and falls back to plaintext
+    * if the server answers 'N'; `require` encrypts but does NOT verify the
+    * server certificate (libpq-documented semantics); `verify-ca` verifies
+    * the chain against `sslrootcert`; `verify-full` additionally matches
+    * the hostname. Unix-socket connections skip TLS entirely, as libpq
+    * does. */
+  val SslModes: Set[String] =
+    Set("disable", "prefer", "require", "verify-ca", "verify-full")
+
   /** Build a factory from a `jdbc:postgresql://` URL so `--format copy
     * --copy-transport wire` accepts the same target string as every other
     * jdbc sink. Recognized pieces: `host[:port]` (default 5432), `/database`
-    * (default = user), and `user` / `password` / `socketDir` from either the
-    * query string or `props` (props win, matching JDBC's Properties
-    * precedence). A `socketDir` routes the connection over the unix socket
-    * in that directory instead of TCP — the libpq `host=/path` convention,
-    * which plain pgjdbc lacks. */
+    * (default = user), and `user` / `password` / `socketDir` / `sslmode` /
+    * `sslrootcert` (plus pgjdbc's `ssl=true`, mapped to `require`) from
+    * either the query string or `props` (props win, matching JDBC's
+    * Properties precedence). A `socketDir` routes the connection over the
+    * unix socket in that directory instead of TCP — the libpq `host=/path`
+    * convention, which plain pgjdbc lacks. */
   def fromJdbcUrl(url: String, props: Map[String, String] = Map.empty): PgWireCopySessionFactory = {
     val prefix = "jdbc:postgresql://"
     require(url.startsWith(prefix), s"--copy-transport wire requires a jdbc:postgresql:// target, got $url")
@@ -96,13 +116,54 @@ object PgWireCopySessionFactory {
       }
     val user = params.getOrElse("user",
       throw new IllegalArgumentException(s"no user in $url (add ?user=… or pass it via props)"))
+    val sslMode = params.get("sslmode")
+      .orElse(params.get("ssl").filter(_.equalsIgnoreCase("true")).map(_ => "require"))
+      .getOrElse("prefer")
     new PgWireCopySessionFactory(
       host = params.getOrElse("socketDir", if (host.isEmpty) "localhost" else host),
       port = port,
       database = if (db.isEmpty) user else db,
       user = user,
-      password = params.get("password"))
+      password = params.get("password"),
+      sslMode = sslMode,
+      sslRootCert = params.get("sslrootcert"))
   }
+}
+
+/** Byte transport under the v3 protocol: unix-socket channel, plain TCP
+  * stream, or TLS stream — picked by [[PgWireSession]] after the
+  * SSLRequest preamble. */
+private[transfer] trait PgWire {
+  def write(bytes: Array[Byte]): Unit
+  def readFully(n: Int): ByteBuffer
+  def close(): Unit
+}
+
+private[transfer] final class ChannelWire(ch: SocketChannel) extends PgWire {
+  def write(bytes: Array[Byte]): Unit = {
+    val buf = ByteBuffer.wrap(bytes)
+    while (buf.hasRemaining) ch.write(buf)
+  }
+  def readFully(n: Int): ByteBuffer = {
+    val buf = ByteBuffer.allocate(n)
+    while (buf.hasRemaining)
+      if (ch.read(buf) < 0) throw new IOException("connection closed by server mid-message")
+    buf.flip()
+    buf
+  }
+  def close(): Unit = ch.close()
+}
+
+private[transfer] final class StreamWire(sock: java.net.Socket) extends PgWire {
+  private val in = new java.io.BufferedInputStream(sock.getInputStream, 64 * 1024)
+  private val out = new java.io.BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+  def write(bytes: Array[Byte]): Unit = { out.write(bytes); out.flush() }
+  def readFully(n: Int): ByteBuffer = {
+    val a = in.readNBytes(n)
+    if (a.length < n) throw new IOException("connection closed by server mid-message")
+    ByteBuffer.wrap(a)
+  }
+  def close(): Unit = sock.close()
 }
 
 /** SCRAM-SHA-256 client primitives (RFC 5802 mechanics, RFC 7677 hash) —
@@ -174,36 +235,105 @@ private[transfer] object Scram {
   }
 }
 
-/** One v3-protocol connection. Blocking SocketChannel I/O; every backend
-  * message is `type:int8  length:int32(includes itself)  payload`. */
+/** One v3-protocol connection. Blocking I/O over [[PgWire]]; every backend
+  * message is `type:int8  length:int32(includes itself)  payload`.
+  *
+  * TCP connections run the SSLRequest preamble per `sslMode` (see
+  * [[PgWireCopySessionFactory.SslModes]]): the 8-byte magic, one 'S'/'N'
+  * response byte, then either a TLS handshake over the same socket or the
+  * plaintext StartupMessage. Unix-socket connections skip it, as libpq
+  * does. */
 private[transfer] final class PgWireSession(
-    host: String, port: Int, database: String, user: String, password: Option[String])
+    host: String, port: Int, database: String, user: String,
+    password: Option[String],
+    sslMode: String = "prefer",
+    sslRootCert: Option[String] = None)
   extends CopySession {
 
-  private val ch: SocketChannel =
+  private val wire: PgWire =
     if (host.startsWith("/")) { // unix socket dir, libpq naming: <dir>/.s.PGSQL.<port>
       val c = SocketChannel.open(StandardProtocolFamily.UNIX)
       c.connect(UnixDomainSocketAddress.of(s"$host/.s.PGSQL.$port"))
-      c
+      new ChannelWire(c)
     } else {
-      val c = SocketChannel.open()
-      c.socket().setTcpNoDelay(true)
-      c.connect(new InetSocketAddress(host, port))
-      c
+      val sock = new java.net.Socket()
+      sock.setTcpNoDelay(true)
+      sock.connect(new InetSocketAddress(host, port))
+      try negotiateTcp(sock)
+      catch { case e: Throwable => try sock.close() catch { case _: Throwable => () }; throw e }
     }
+
+  /** SSLRequest preamble + optional TLS wrap for a fresh TCP socket. */
+  private def negotiateTcp(sock: java.net.Socket): PgWire = {
+    if (sslMode == "disable") return new StreamWire(sock)
+    val out = sock.getOutputStream
+    out.write(ByteBuffer.allocate(8).putInt(8).putInt(80877103).array()) // SSLRequest
+    out.flush()
+    sock.getInputStream.read() match {
+      case 'S' => new StreamWire(wrapTls(sock))
+      case 'N' =>
+        if (sslMode == "prefer") new StreamWire(sock) // libpq fallback
+        else throw new IOException(
+          s"server refused SSL and sslmode=$sslMode requires it")
+      case -1 => throw new IOException("connection closed during SSL negotiation")
+      case other => throw new IOException(
+        s"unexpected SSLRequest response '${other.toChar}'")
+    }
+  }
+
+  /** TLS-wrap per libpq semantics: `require` encrypts without certificate
+    * verification (libpq's documented behavior for that mode — the
+    * trust-all manager below is NOT a shortcut, it IS the mode);
+    * `verify-ca` verifies the chain against `sslrootcert`; `verify-full`
+    * additionally matches the hostname. */
+  private def wrapTls(sock: java.net.Socket): java.net.Socket = {
+    import javax.net.ssl._
+    import java.security.KeyStore
+    import java.security.cert.{CertificateFactory, X509Certificate}
+    val trustManagers: Array[TrustManager] = sslMode match {
+      case "require" => Array(new X509TrustManager {
+        def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+      })
+      case _ => // verify-ca / verify-full
+        val pem = sslRootCert.getOrElse(throw new IOException(
+          s"sslmode=$sslMode needs sslrootcert=<path to the CA certificate>"))
+        val fis = new java.io.FileInputStream(pem)
+        val certs = try {
+          import scala.jdk.CollectionConverters._
+          CertificateFactory.getInstance("X.509").generateCertificates(fis).asScala.toSeq
+        } finally fis.close()
+        if (certs.isEmpty) throw new IOException(s"no certificates in $pem")
+        val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+        ks.load(null, null)
+        certs.zipWithIndex.foreach { case (c, i) => ks.setCertificateEntry(s"root$i", c) }
+        val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        tmf.getTrustManagers
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, trustManagers, null)
+    val ssl = ctx.getSocketFactory
+      .createSocket(sock, host, port, true).asInstanceOf[SSLSocket]
+    if (sslMode == "verify-full") {
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS") // RFC 6125 hostname check
+      ssl.setSSLParameters(params)
+    }
+    ssl.startHandshake()
+    ssl
+  }
 
   // ---- low-level framing -------------------------------------------------
 
-  private def writeFully(buf: ByteBuffer): Unit =
-    while (buf.hasRemaining) ch.write(buf)
-
-  private def readFully(n: Int): ByteBuffer = {
-    val buf = ByteBuffer.allocate(n)
-    while (buf.hasRemaining)
-      if (ch.read(buf) < 0) throw new IOException("connection closed by server mid-message")
-    buf.flip()
-    buf
+  private def writeFully(buf: ByteBuffer): Unit = {
+    val a = new Array[Byte](buf.remaining())
+    buf.get(a)
+    wire.write(a)
   }
+
+  private def readFully(n: Int): ByteBuffer = wire.readFully(n)
 
   /** Read one backend message: (type byte, payload). */
   private def readMessage(): (Byte, ByteBuffer) = {
@@ -249,7 +379,7 @@ private[transfer] final class PgWireSession(
 
   locally {
     try startup()
-    catch { case e: Throwable => try ch.close() catch { case _: Throwable => () }; throw e }
+    catch { case e: Throwable => try wire.close() catch { case _: Throwable => () }; throw e }
   }
 
   private def startup(): Unit = {
@@ -422,6 +552,6 @@ private[transfer] final class PgWireSession(
   def close(): Unit = {
     try send('X', Array.emptyByteArray) // Terminate
     catch { case _: Throwable => () }
-    ch.close()
+    wire.close()
   }
 }

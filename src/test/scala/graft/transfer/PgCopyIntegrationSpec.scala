@@ -45,7 +45,10 @@ class PgCopyIntegrationSpec extends SparkSpec {
   private val base = Files.createTempDirectory("graft_pg").toFile
   private val dataDir = new File(base, "data")
   private val sockDir = new File(base, "sock")
+  private val serverCrt = new File(base, "server.crt")
+  private val serverKey = new File(base, "server.key")
   private var serverUp = false
+  private var tlsReady = false // openssl generated the PEM pair and ssl=on
 
   /** Run a shell command as the postgres system user, cwd somewhere it
     * can read (su from /root/repo warns "could not change directory"). */
@@ -70,7 +73,25 @@ class PgCopyIntegrationSpec extends SparkSpec {
       Process(Seq("chown", "-R", "postgres:postgres", base.getAbsolutePath)).!
       assert(asPostgres(s"$initdb -D ${dataDir.getAbsolutePath} -A trust") == 0,
         "initdb failed")
-      val opts = s"-c listen_addresses='' -k ${sockDir.getAbsolutePath}"
+      // TLS server identity (round 11): a self-signed PEM pair so the wire
+      // transport's sslmode ladder runs against the REAL server's TLS stack;
+      // SAN=DNS:localhost so verify-full has a name to match. Best-effort —
+      // without openssl the TLS test cancels, the rest run unencrypted.
+      tlsReady = Process(Seq("openssl", "req", "-new", "-x509", "-days", "1",
+        "-nodes", "-subj", "/CN=localhost",
+        "-addext", "subjectAltName=DNS:localhost",
+        "-keyout", serverKey.getAbsolutePath,
+        "-out", serverCrt.getAbsolutePath)).!(ProcessLogger(_ => (), _ => ())) == 0
+      if (tlsReady) {
+        Process(Seq("chown", "postgres:postgres",
+          serverCrt.getAbsolutePath, serverKey.getAbsolutePath)).!
+        Process(Seq("chmod", "600", serverKey.getAbsolutePath)).!
+      }
+      val sslOpts = if (tlsReady)
+        s" -c ssl=on -c ssl_cert_file=${serverCrt.getAbsolutePath}" +
+          s" -c ssl_key_file=${serverKey.getAbsolutePath}"
+      else ""
+      val opts = s"-c listen_addresses='127.0.0.1' -k ${sockDir.getAbsolutePath}" + sslOpts
       serverUp = asPostgres(s"""$pgCtl -D ${dataDir.getAbsolutePath} -o "$opts" """ +
         s"-w -l ${base.getAbsolutePath}/pg.log start") == 0
       assert(serverUp, "postgres failed to start")
@@ -215,5 +236,43 @@ class PgCopyIntegrationSpec extends SparkSpec {
       sockDir.getAbsolutePath, 5432, "postgres", "scramuser", Some("not-the-password"))
     val e = intercept[PgWireException](bad.open())
     assert(e.sqlState === "28P01")
+  }
+
+  /** Round-11: the wire transport's TLS ladder against the REAL server's
+    * ssl=on stack over TCP loopback — require (encrypt, no verification),
+    * verify-full (chain pinned to the server's own self-signed cert +
+    * hostname), and a wrong-CA loud failure. */
+  test("wire transport TLS: require and verify-full against a real ssl=on server") {
+    assume(pgAvailable, "PostgreSQL server binaries not present")
+    assume(tlsReady, "openssl not available to mint the server certificate")
+    assert(psql("SHOW ssl").trim === "on")
+    psql("DROP TABLE IF EXISTS tlscopy; CREATE TABLE tlscopy (id int, txt text)")
+
+    val req = new PgWireCopySessionFactory("127.0.0.1", 5432, "postgres", "postgres",
+      password = None, sslMode = "require")
+    val s1 = req.open()
+    try assert(s1.copyIn("COPY tlscopy FROM STDIN WITH CSV NULL '\\N'",
+      new java.io.StringReader("1,enc\n2,rypted\n")) === 2L)
+    finally s1.close()
+
+    val ver = new PgWireCopySessionFactory("localhost", 5432, "postgres", "postgres",
+      password = None, sslMode = "verify-full",
+      sslRootCert = Some(serverCrt.getAbsolutePath))
+    val s2 = ver.open()
+    try assert(s2.copyIn("COPY tlscopy FROM STDIN WITH CSV NULL '\\N'",
+      new java.io.StringReader("3,verified\n")) === 1L)
+    finally s2.close()
+    assert(psql("SELECT count(*) FROM tlscopy").trim.toLong === 3L)
+
+    // a root that did NOT sign the server cert must fail the handshake
+    val bogusPem = new File(base, "bogus.pem")
+    assert(Process(Seq("openssl", "req", "-new", "-x509", "-days", "1", "-nodes",
+      "-subj", "/CN=localhost", "-addext", "subjectAltName=DNS:localhost",
+      "-keyout", new File(base, "bogus.key").getAbsolutePath,
+      "-out", bogusPem.getAbsolutePath)).!(ProcessLogger(_ => (), _ => ())) == 0)
+    val wrong = new PgWireCopySessionFactory("localhost", 5432, "postgres", "postgres",
+      password = None, sslMode = "verify-ca",
+      sslRootCert = Some(bogusPem.getAbsolutePath))
+    intercept[java.io.IOException](wrong.open())
   }
 }

@@ -1,0 +1,255 @@
+package graft.transfer
+
+import java.io.{ByteArrayOutputStream, FileInputStream, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.security.KeyStore
+import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLSocket}
+
+import scala.sys.process._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scripted TLS PostgreSQL backend: a plain TCP ServerSocket that plays the
+  * SSLRequest preamble (answering 'S' or 'N'), optionally wraps itself in a
+  * keytool-generated certificate, and then serves the same trust-auth v3
+  * COPY protocol as [[FakePgBackend]] — so the client's full libpq sslmode
+  * ladder (preamble bytes, TLS wrap, prefer-fallback, chain verification,
+  * hostname verification) is asserted without a real server. */
+final class TlsFakeBackend(ksPath: Option[String], sslAnswer: Char = 'S') {
+  private val server =
+    new ServerSocket(0, 2, InetAddress.getByName("localhost"))
+  def port: Int = server.getLocalPort
+
+  @volatile var sawSslRequest = false
+  @volatile var servedOverTls = false
+  @volatile var copyBytes: Array[Byte] = Array.emptyByteArray
+  @volatile var startupParams: Map[String, String] = Map.empty
+
+  private def sslWrap(plain: Socket): Socket = {
+    val ks = KeyStore.getInstance("PKCS12")
+    val fis = new FileInputStream(ksPath.get)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val ssl = ctx.getSocketFactory
+      .createSocket(plain, null, plain.getPort, true).asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(false)
+    ssl
+  }
+
+  val thread = new Thread(() => {
+    try {
+      val plain = server.accept()
+      val in0 = plain.getInputStream
+      val head = in0.readNBytes(8)
+      val hb = ByteBuffer.wrap(head)
+      val len = hb.getInt(); val code = hb.getInt()
+      if (len == 8 && code == 80877103) { // SSLRequest
+        sawSslRequest = true
+        plain.getOutputStream.write(sslAnswer)
+        plain.getOutputStream.flush()
+        if (sslAnswer == 'S') {
+          val ssl = sslWrap(plain)
+          servedOverTls = true
+          serve(ssl.getInputStream, ssl.getOutputStream, readStartupHead = true)
+        } else serve(in0, plain.getOutputStream, readStartupHead = true)
+      } else {
+        // no preamble (sslmode=disable): `head` is already the startup header
+        serve(in0, plain.getOutputStream, readStartupHead = false,
+          preread = Some((len, code)))
+      }
+    } catch { case _: java.io.IOException => () } // client hung up / handshake aborted
+  })
+  thread.setDaemon(true)
+  thread.start()
+
+  private def cstr(b: ByteBuffer): String = {
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var c = b.get(); while (c != 0) { bytes += c; c = b.get() }
+    new String(bytes.toArray, UTF_8)
+  }
+
+  private def msg(out: OutputStream, tpe: Char, payload: Array[Byte]): Unit = {
+    val buf = ByteBuffer.allocate(5 + payload.length)
+    buf.put(tpe.toByte).putInt(4 + payload.length).put(payload)
+    out.write(buf.array()); out.flush()
+  }
+
+  private def serve(in: InputStream, out: OutputStream,
+                    readStartupHead: Boolean,
+                    preread: Option[(Int, Int)] = None): Unit = {
+    val (slen, proto) = preread.getOrElse {
+      val h = ByteBuffer.wrap(in.readNBytes(8)); (h.getInt(), h.getInt())
+    }
+    assert(proto == 196608, s"bad protocol $proto")
+    val body = ByteBuffer.wrap(in.readNBytes(slen - 8))
+    val params = scala.collection.mutable.Map.empty[String, String]
+    var k = cstr(body)
+    while (k.nonEmpty) { params(k) = cstr(body); k = if (body.remaining() > 1) cstr(body) else "" }
+    startupParams = params.toMap
+    msg(out, 'R', ByteBuffer.allocate(4).putInt(0).array()) // trust
+    msg(out, 'Z', Array('I'.toByte))
+    var open = true
+    while (open) {
+      val head = in.readNBytes(5)
+      if (head.length < 5) return
+      val hb = ByteBuffer.wrap(head)
+      val tpe = hb.get(); val len = hb.getInt() - 4
+      val payload = ByteBuffer.wrap(in.readNBytes(len))
+      tpe.toChar match {
+        case 'Q' =>
+          msg(out, 'G', Array[Byte](0, 0, 0))
+          val acc = new ByteArrayOutputStream()
+          var inCopy = true
+          while (inCopy) {
+            val h2 = ByteBuffer.wrap(in.readNBytes(5))
+            val t2 = h2.get(); val l2 = h2.getInt() - 4
+            val p2 = in.readNBytes(l2)
+            t2.toChar match {
+              case 'd' => acc.write(p2)
+              case 'c' =>
+                inCopy = false
+                copyBytes = acc.toByteArray
+                val rows = new String(copyBytes, UTF_8).count(_ == '\n')
+                msg(out, 'C', s"COPY $rows".getBytes(UTF_8) ++ Array[Byte](0))
+                msg(out, 'Z', Array('I'.toByte))
+              case other => throw new AssertionError(s"unexpected in-copy $other")
+            }
+          }
+        case 'X' => open = false
+        case other => throw new AssertionError(s"unexpected frontend message $other")
+      }
+    }
+  }
+
+  def close(): Unit = server.close()
+}
+
+class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = Files.createTempDirectory("graft_tls").toFile
+  private val ks = s"$dir/pg.p12"
+  private val rootPem = s"$dir/root.pem"
+  private val otherKs = s"$dir/other.p12"
+  private val otherPem = s"$dir/other.pem"
+
+  override def beforeAll(): Unit = {
+    def keytool(args: String*): Unit =
+      assert(Process("keytool" +: args).!(ProcessLogger(_ => ())) == 0,
+        s"keytool failed: ${args.mkString(" ")}")
+    // server identity: CN + SAN=dns:localhost ONLY (no IP SAN), so
+    // verify-full passes via "localhost" and fails via "127.0.0.1"
+    keytool("-genkeypair", "-alias", "pg", "-keyalg", "RSA", "-keysize", "2048",
+      "-dname", "CN=localhost", "-ext", "SAN=dns:localhost", "-validity", "30",
+      "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", "changeit", "-keypass", "changeit")
+    keytool("-exportcert", "-rfc", "-alias", "pg", "-keystore", ks,
+      "-storepass", "changeit", "-file", rootPem)
+    // an UNRELATED self-signed root for the wrong-CA case
+    keytool("-genkeypair", "-alias", "other", "-keyalg", "RSA", "-keysize", "2048",
+      "-dname", "CN=localhost", "-ext", "SAN=dns:localhost", "-validity", "30",
+      "-storetype", "PKCS12", "-keystore", otherKs,
+      "-storepass", "changeit", "-keypass", "changeit")
+    keytool("-exportcert", "-rfc", "-alias", "other", "-keystore", otherKs,
+      "-storepass", "changeit", "-file", otherPem)
+  }
+
+  override def afterAll(): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+
+  private def factory(be: TlsFakeBackend, sslMode: String,
+                      rootCert: Option[String] = None,
+                      host: String = "localhost") =
+    new PgWireCopySessionFactory(host, be.port, "graftdb", "graft",
+      password = None, sslMode = sslMode, sslRootCert = rootCert)
+
+  private def copyOnce(f: PgWireCopySessionFactory): Long = {
+    val s = f.open()
+    try s.copyIn("COPY t FROM STDIN WITH CSV NULL '\\N'",
+      new java.io.StringReader("1,a\n2,b\n"))
+    finally s.close()
+  }
+
+  test("sslmode=require: SSLRequest preamble, TLS wrap, COPY streams encrypted") {
+    val be = new TlsFakeBackend(Some(ks))
+    try {
+      assert(copyOnce(factory(be, "require")) === 2L)
+      assert(be.sawSslRequest && be.servedOverTls)
+      assert(new String(be.copyBytes, UTF_8) === "1,a\n2,b\n")
+      assert(be.startupParams("user") === "graft")
+    } finally be.close()
+  }
+
+  test("sslmode=require against a server that answers 'N' fails loudly") {
+    val be = new TlsFakeBackend(None, sslAnswer = 'N')
+    try {
+      val e = intercept[java.io.IOException](factory(be, "require").open())
+      assert(e.getMessage.contains("refused SSL"))
+    } finally be.close()
+  }
+
+  test("sslmode=prefer falls back to plaintext on 'N', like libpq") {
+    val be = new TlsFakeBackend(None, sslAnswer = 'N')
+    try {
+      assert(copyOnce(factory(be, "prefer")) === 2L)
+      assert(be.sawSslRequest && !be.servedOverTls)
+    } finally be.close()
+  }
+
+  test("sslmode=disable sends no preamble at all") {
+    val be = new TlsFakeBackend(None)
+    try {
+      assert(copyOnce(factory(be, "disable")) === 2L)
+      assert(!be.sawSslRequest)
+    } finally be.close()
+  }
+
+  test("verify-ca: accepts the pinned root, rejects an unrelated one, demands sslrootcert") {
+    val ok = new TlsFakeBackend(Some(ks))
+    try assert(copyOnce(factory(ok, "verify-ca", Some(rootPem))) === 2L)
+    finally ok.close()
+
+    val wrong = new TlsFakeBackend(Some(ks))
+    try intercept[java.io.IOException](
+      factory(wrong, "verify-ca", Some(otherPem)).open())
+    finally wrong.close()
+
+    val missing = new TlsFakeBackend(Some(ks))
+    try {
+      val e = intercept[java.io.IOException](factory(missing, "verify-ca").open())
+      assert(e.getMessage.contains("sslrootcert"))
+    } finally missing.close()
+  }
+
+  test("verify-full: hostname must match the certificate's SAN") {
+    val ok = new TlsFakeBackend(Some(ks))
+    try assert(copyOnce(factory(ok, "verify-full", Some(rootPem))) === 2L)
+    finally ok.close()
+
+    // same certificate, connected by IP: no IP SAN -> identification fails
+    val byIp = new TlsFakeBackend(Some(ks))
+    try intercept[java.io.IOException](
+      factory(byIp, "verify-full", Some(rootPem), host = "127.0.0.1").open())
+    finally byIp.close()
+  }
+
+  test("fromJdbcUrl parses sslmode/sslrootcert and pgjdbc's ssl=true") {
+    val f1 = PgWireCopySessionFactory.fromJdbcUrl(
+      "jdbc:postgresql://h:5432/db?user=u&sslmode=verify-ca&sslrootcert=%2Fca.pem")
+    assert(f1.sslMode === "verify-ca" && f1.sslRootCert === Some("/ca.pem"))
+    val f2 = PgWireCopySessionFactory.fromJdbcUrl(
+      "jdbc:postgresql://h/db?user=u&ssl=true")
+    assert(f2.sslMode === "require")
+    val f3 = PgWireCopySessionFactory.fromJdbcUrl("jdbc:postgresql://h/db?user=u")
+    assert(f3.sslMode === "prefer")
+    intercept[IllegalArgumentException](
+      PgWireCopySessionFactory.fromJdbcUrl(
+        "jdbc:postgresql://h/db?user=u&sslmode=bogus"))
+  }
+}

@@ -70,10 +70,12 @@ object Manifest {
     spark.read.parquet(manifestPath).filter(pred)
 
   /** Stats-only row count for a slice: answered entirely from the
-    * manifest (the INFORMATION_SCHEMA analog — zero data files opened). */
+    * manifest (the INFORMATION_SCHEMA analog — zero data files opened).
+    * A slice no file overlaps is 0 rows, not an error (sum over zero
+    * rows is SQL NULL — coalesced here). */
   def rowCount(spark: SparkSession, manifestPath: String, pred: Column): Long =
     select(spark, manifestPath, pred)
-      .agg(sum(col("rows"))).head.getLong(0)
+      .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
 
   /** Read the data files surviving `pred`. Only the pruned path set is
     * collected to the driver; the data read itself is an ordinary

@@ -74,8 +74,10 @@ class ManifestSpec extends SparkSpec {
     assert(got.count() === 100L)
     assert(got.agg(min("k"), max("k")).head.toSeq === Seq(200, 398))
 
-    // zero-survivor predicates fail loudly instead of listing a corpus
+    // zero-survivor predicates: stats answer 0, data read fails loudly
+    // instead of listing a corpus
     val none = col("table") === "docs" && col("min_key") >= "999999990"
+    assert(Manifest.rowCount(spark, manifestPath, none) === 0L)
     val e = intercept[IllegalArgumentException](
       Manifest.read(spark, manifestPath, none))
     assert(e.getMessage.contains("zero files"))

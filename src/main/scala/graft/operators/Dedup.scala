@@ -311,22 +311,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Pair expansion from per-shingle inverted lists: pairs expand from the
-    * sorted id list in TWO bounded steps (posexplode each element, then one
-    * ≤df-struct slice per row) so the per-row materialization is O(df) —
-    * never the C(df,2) ≈ 500k structs a near-cap group would otherwise
-    * build inside a single row. The two Generates fuse into one codegen
-    * stage, so the O(df²) pair stream flows without ever materializing
-    * per-group. Multiset expansion matches join semantics exactly: a
-    * duplicated (id, shingle) row yields the same doubled pair count
-    * either way. Expects columns `ids` (id-ascending array) and `df`. */
-  /** Expand each sorted inverted list into its C(|ids|,2) ordered pairs.
-    * With `keepRare`, a per-SHINGLE `rare` int (0/1, precomputed by the
-    * caller as `df <= maxDf`) rides along instead of the raw df — the pair
-    * stream is the pipeline's widest exchange (one row per candidate pair,
-    * ~no same-key combining), so every byte per row is paid fanout times:
-    * dropping the 8-byte df for a 1-int flag measured −38 CPU s at the
-    * 100× probe (355 vs 393) with bit-identical census output. */
+  /** Pair expansion from per-shingle inverted lists — expects an
+    * id-ascending array column `ids`, plus an int column `rare` when
+    * `keepRare` (0/1, precomputed by the caller as `df <= maxDf`).
+    *
+    * Pairs expand from the sorted id list in TWO bounded steps (posexplode
+    * each element, then one ≤df-struct slice per row) so the per-row
+    * materialization is O(df) — never the C(df,2) ≈ 500k structs a
+    * near-cap group would otherwise build inside a single row. The two
+    * Generates fuse into one codegen stage, so the O(df²) pair stream
+    * flows without ever materializing per-group. Multiset expansion
+    * matches join semantics exactly: a duplicated (id, shingle) row yields
+    * the same doubled pair count either way.
+    *
+    * The `rare` flag rides instead of the raw df because this is the
+    * pipeline's widest exchange (one row per candidate pair, ~no same-key
+    * combining): every byte per row is paid fanout times, and dropping the
+    * 8-byte df for a 1-int flag measured −38 CPU s at the 100× probe
+    * (355 vs 393) with bit-identical census output. */
   private def expandPairs(groups: DataFrame, keepRare: Boolean = false): DataFrame = {
     val cols = if (keepRare) Seq(col("p.a_id"), col("p.b_id"), col("rare"))
                else Seq(col("p.a_id"), col("p.b_id"))
@@ -548,6 +550,13 @@ object Dedup {
     // The 1-row global minimum rides a broadcast cross-join; after the
     // filter AQE broadcasts the surviving pairs into both nret joins
     // instead of sort-merging the full stream.
+    // Effectiveness degrades gracefully, never wrongly: a corpus with a
+    // degenerate document (1 retained shingle) drives the bound to 0 and
+    // the filter keeps everything — correctly, because a 1-shingle doc
+    // really can qualify at inter_cnt 1 — at the cost of one broadcast
+    // compare per row (measured indistinguishable from no filter). Sub-k
+    // fragments should be dropped by the quality funnel upstream, which
+    // is also what restores the bound.
     val minRet = broadcast(nret.agg(min(col("n")).as("min_n")))
     inter
       .crossJoin(minRet)

@@ -73,9 +73,7 @@ object ImageIoCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Encode packed RGB as PNG — lossless, so resized JPEG/PNG assets
-    * round-trip byte-stably through decode. */
-  def encodePng(img: PpmCodec.Image): Array[Byte] = {
+  private def toBufferedImage(img: PpmCodec.Image): BufferedImage = {
     require(img.rgb.length == img.width * img.height * 3, "rgb length != w*h*3")
     val buf = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](img.width * img.height)
@@ -88,29 +86,21 @@ object ImageIoCodec {
       j += 3
     }
     buf.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    buf
+  }
+
+  private def encodeAs(img: PpmCodec.Image, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(buf, "png", bos)
+    ImageIO.write(toBufferedImage(img), fmt, bos)
     bos.toByteArray
   }
+
+  /** Encode packed RGB as PNG — lossless, so resized JPEG/PNG assets
+    * round-trip byte-stably through decode. */
+  def encodePng(img: PpmCodec.Image): Array[Byte] = encodeAs(img, "png")
 
   /** Encode packed RGB as baseline JPEG (default quality) — used by specs
     * to MANUFACTURE real JPEG fixtures; the pipeline's re-encode side
     * stays PNG because JPEG is lossy. */
-  def encodeJpeg(img: PpmCodec.Image): Array[Byte] = {
-    require(img.rgb.length == img.width * img.height * 3, "rgb length != w*h*3")
-    val buf = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
-    val px = new Array[Int](img.width * img.height)
-    var i = 0
-    var j = 0
-    while (i < px.length) {
-      px(i) = ((img.rgb(j) & 0xFF) << 16) | ((img.rgb(j + 1) & 0xFF) << 8) |
-        (img.rgb(j + 2) & 0xFF)
-      i += 1
-      j += 3
-    }
-    buf.setRGB(0, 0, img.width, img.height, px, 0, img.width)
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(buf, "jpg", bos)
-    bos.toByteArray
-  }
+  def encodeJpeg(img: PpmCodec.Image): Array[Byte] = encodeAs(img, "jpg")
 }

@@ -40,10 +40,14 @@ object Manifest {
   /** Write (or replace) a manifest at `manifestPath` from any DataFrame
     * carrying [[columns]] — typically produced incrementally by the ingest
     * job that wrote the data files (the only moment the stats are free).
-    * Stored sorted by (table, min_key) so manifest scans prune on the
-    * pruning column via parquet row-group zone maps. */
+    * RANGE-partitioned then sorted by (table, min_key): a local sort alone
+    * would leave each output file holding a random key sample (every
+    * file's zone map spans the whole range, pruning nothing) — the range
+    * exchange is what makes the per-file and per-row-group min/max
+    * selective, so a key-range manifest scan skips whole files. */
   def write(entries: DataFrame, manifestPath: String): Unit =
     entries.select(columns.map(col): _*)
+      .repartitionByRange(col("table"), col("min_key"))
       .sortWithinPartitions(col("table"), col("min_key"))
       .write.mode("overwrite").parquet(manifestPath)
 

@@ -60,14 +60,16 @@ final class PgWireCopySessionFactory(
 object PgWireCopySessionFactory {
 
   /** libpq's sslmode ladder, faithfully: `disable` never negotiates TLS;
-    * `prefer` (the libpq default) negotiates and falls back to plaintext
-    * if the server answers 'N'; `require` encrypts but does NOT verify the
-    * server certificate (libpq-documented semantics); `verify-ca` verifies
-    * the chain against `sslrootcert`; `verify-full` additionally matches
-    * the hostname. Unix-socket connections skip TLS entirely, as libpq
-    * does. */
+    * `allow` starts plaintext and upgrades to TLS only if the server
+    * rejects the unencrypted connection; `prefer` (the libpq default)
+    * negotiates TLS and falls back to plaintext on ANY SSL failure — the
+    * server answering 'N' or a failed handshake; `require` encrypts but
+    * does NOT verify the server certificate (libpq-documented semantics,
+    * same for allow/prefer); `verify-ca` verifies the chain against
+    * `sslrootcert`; `verify-full` additionally matches the hostname.
+    * Unix-socket connections skip TLS entirely, as libpq does. */
   val SslModes: Set[String] =
-    Set("disable", "prefer", "require", "verify-ca", "verify-full")
+    Set("disable", "allow", "prefer", "require", "verify-ca", "verify-full")
 
   /** Build a factory from a `jdbc:postgresql://` URL so `--format copy
     * --copy-transport wire` accepts the same target string as every other
@@ -250,34 +252,72 @@ private[transfer] final class PgWireSession(
     sslRootCert: Option[String] = None)
   extends CopySession {
 
-  private val wire: PgWire =
+  private def tcpConnect(): java.net.Socket = {
+    val sock = new java.net.Socket()
+    sock.setTcpNoDelay(true)
+    sock.connect(new InetSocketAddress(host, port))
+    sock
+  }
+
+  private var wire: PgWire =
     if (host.startsWith("/")) { // unix socket dir, libpq naming: <dir>/.s.PGSQL.<port>
       val c = SocketChannel.open(StandardProtocolFamily.UNIX)
       c.connect(UnixDomainSocketAddress.of(s"$host/.s.PGSQL.$port"))
       new ChannelWire(c)
-    } else {
-      val sock = new java.net.Socket()
-      sock.setTcpNoDelay(true)
-      sock.connect(new InetSocketAddress(host, port))
-      try negotiateTcp(sock)
-      catch { case e: Throwable => try sock.close() catch { case _: Throwable => () }; throw e }
+    } else sslMode match {
+      // `allow` starts PLAINTEXT and upgrades only if the server rejects
+      // the unencrypted connection (see the startup retry below) — libpq's
+      // ordering, the mirror image of `prefer`
+      case "disable" | "allow" => new StreamWire(tcpConnect())
+      case _                   => negotiateTls()
     }
 
-  /** SSLRequest preamble + optional TLS wrap for a fresh TCP socket. */
-  private def negotiateTcp(sock: java.net.Socket): PgWire = {
-    if (sslMode == "disable") return new StreamWire(sock)
-    val out = sock.getOutputStream
-    out.write(ByteBuffer.allocate(8).putInt(8).putInt(80877103).array()) // SSLRequest
-    out.flush()
-    sock.getInputStream.read() match {
-      case 'S' => new StreamWire(wrapTls(sock))
-      case 'N' =>
-        if (sslMode == "prefer") new StreamWire(sock) // libpq fallback
-        else throw new IOException(
-          s"server refused SSL and sslmode=$sslMode requires it")
-      case -1 => throw new IOException("connection closed during SSL negotiation")
-      case other => throw new IOException(
-        s"unexpected SSLRequest response '${other.toChar}'")
+  /** SSLRequest preamble + TLS wrap on a fresh TCP connection. Under
+    * `prefer`, ANY TLS failure — the server answering 'N' or a failed
+    * handshake — falls back to a fresh plaintext connection, exactly as
+    * libpq retries without SSL. */
+  private def negotiateTls(): PgWire = {
+    val sock = tcpConnect()
+    try {
+      val out = sock.getOutputStream
+      out.write(ByteBuffer.allocate(8).putInt(8).putInt(80877103).array()) // SSLRequest
+      out.flush()
+      sock.getInputStream.read() match {
+        case 'S' => new StreamWire(wrapTls(sock))
+        case 'N' =>
+          if (sslMode == "prefer") new StreamWire(sock) // same socket: startup follows 'N'
+          else throw new IOException(
+            s"server refused SSL and sslmode=$sslMode requires it")
+        case -1 => throw new IOException("connection closed during SSL negotiation")
+        case other => throw new IOException(
+          s"unexpected SSLRequest response '${other.toChar}'")
+      }
+    } catch {
+      case _: javax.net.ssl.SSLException if sslMode == "prefer" =>
+        try sock.close() catch { case _: Throwable => () }
+        new StreamWire(tcpConnect()) // fresh plaintext connection, no preamble
+      case e: Throwable =>
+        try sock.close() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** TLS-required variant for the `allow` upgrade retry: the server already
+    * rejected plaintext, so an 'N' here surfaces the ORIGINAL rejection. */
+  private def connectTlsOrElse(original: Throwable): PgWire = {
+    val sock = tcpConnect()
+    try {
+      sock.getOutputStream.write(
+        ByteBuffer.allocate(8).putInt(8).putInt(80877103).array())
+      sock.getOutputStream.flush()
+      sock.getInputStream.read() match {
+        case 'S' => new StreamWire(wrapTls(sock))
+        case _   => throw original
+      }
+    } catch {
+      case t: Throwable =>
+        try sock.close() catch { case _: Throwable => () }
+        throw t
     }
   }
 
@@ -291,12 +331,9 @@ private[transfer] final class PgWireSession(
     import java.security.KeyStore
     import java.security.cert.{CertificateFactory, X509Certificate}
     val trustManagers: Array[TrustManager] = sslMode match {
-      case "require" => Array(new X509TrustManager {
-        def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
-        def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
-        def getAcceptedIssuers: Array[X509Certificate] = Array.empty
-      })
-      case _ => // verify-ca / verify-full
+      // libpq verifies the chain only under verify-ca/verify-full;
+      // allow/prefer/require encrypt WITHOUT certificate verification
+      case "verify-ca" | "verify-full" =>
         val pem = sslRootCert.getOrElse(throw new IOException(
           s"sslmode=$sslMode needs sslrootcert=<path to the CA certificate>"))
         val fis = new java.io.FileInputStream(pem)
@@ -311,6 +348,14 @@ private[transfer] final class PgWireSession(
         val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
         tmf.init(ks)
         tmf.getTrustManagers
+      case _ => // allow / prefer / require: encrypt-only (the trust-all
+        // manager is NOT a shortcut — it IS these modes' documented
+        // libpq semantics; verification is what verify-ca/-full add)
+        Array(new X509TrustManager {
+          def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
+          def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+          def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+        })
     }
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(null, trustManagers, null)
@@ -379,7 +424,20 @@ private[transfer] final class PgWireSession(
 
   locally {
     try startup()
-    catch { case e: Throwable => try wire.close() catch { case _: Throwable => () }; throw e }
+    catch {
+      case e: PgWireException if sslMode == "allow" && !host.startsWith("/") =>
+        // libpq's `allow`: the plaintext attempt was rejected by the server
+        // (e.g. an hostssl-only pg_hba) — retry the whole connection over
+        // TLS; if the server refuses SSL too, the ORIGINAL rejection is
+        // the error that matters
+        try wire.close() catch { case _: Throwable => () }
+        wire = connectTlsOrElse(e)
+        try startup()
+        catch { case t: Throwable => try wire.close() catch { case _: Throwable => () }; throw t }
+      case e: Throwable =>
+        try wire.close() catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   private def startup(): Unit = {
@@ -397,17 +455,28 @@ private[transfer] final class PgWireSession(
     }
     // SCRAM exchange state, alive only between the SASL messages of one
     // handshake (client-first bare + nonce feed the proof; the expected
-    // ServerSignature is checked when AuthenticationSASLFinal arrives)
+    // ServerSignature is checked when AuthenticationSASLFinal arrives,
+    // and AuthenticationOk is only honored once that check has run)
     var scramFirstBare: String = null
     var scramNonce: String = null
     var scramServerSig: Array[Byte] = null
+    var scramVerified = false
     var ready = false
     while (!ready) {
       val (tpe, payload) = readMessage()
       tpe match {
         case 'R' => // Authentication*
           payload.getInt() match {
-            case 0 => () // AuthenticationOk
+            case 0 => // AuthenticationOk
+              // A started SCRAM exchange MUST have reached a VERIFIED
+              // SASLFinal first: an impostor that harvested the client
+              // proof could otherwise skip the v= message it cannot forge
+              // and wave the session through — the exact MITM the server
+              // signature exists to stop (libpq rejects this too).
+              if (scramFirstBare != null && !scramVerified)
+                throw new IOException("server sent AuthenticationOk before " +
+                  "completing the SCRAM exchange (no verified server signature) " +
+                  "— refusing to proceed (possible MITM)")
             case 3 => // cleartext password
               send('p', requirePassword().getBytes(UTF_8) ++ Array[Byte](0))
             case 5 => // md5: md5(md5(password + user) + salt), hex, "md5" prefix
@@ -452,6 +521,7 @@ private[transfer] final class PgWireSession(
                     java.util.Base64.getDecoder.decode(v), scramServerSig))
                 throw new IOException("SCRAM server signature mismatch — the server could not " +
                   "prove it knows the password (possible MITM); aborting")
+              scramVerified = true
             case mech => throw new IOException(
               s"unsupported authentication mechanism $mech " +
                 "(trust/cleartext/md5/SCRAM-SHA-256 are implemented)")

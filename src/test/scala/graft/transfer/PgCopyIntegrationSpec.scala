@@ -42,6 +42,15 @@ class PgCopyIntegrationSpec extends SparkSpec {
       (Process(Seq("id", "-u", "postgres")).!(ProcessLogger(_ => ())) == 0) &&
       scala.util.Try(Process(Seq("id", "-u")).!!.trim).toOption.contains("0")
 
+  /** A FREE TCP port probed at suite start: binding 5432 unconditionally
+    * would hard-fail the whole suite (not cancel) on any host where a
+    * system PostgreSQL or a concurrent run already listens there. The unix
+    * socket name follows the port (.s.PGSQL.<port>), so everything keys
+    * off this one value. */
+  private val pgPort: Int = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
   private val base = Files.createTempDirectory("graft_pg").toFile
   private val dataDir = new File(base, "data")
   private val sockDir = new File(base, "sock")
@@ -58,7 +67,8 @@ class PgCopyIntegrationSpec extends SparkSpec {
 
   private def psql(sql: String): String = {
     val out = new StringBuilder
-    val code = Process(Seq("psql", "-h", sockDir.getAbsolutePath, "-U", "postgres",
+    val code = Process(Seq("psql", "-h", sockDir.getAbsolutePath, "-p", pgPort.toString,
+      "-U", "postgres",
       "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-A", "-t", "-c", sql),
       cwd = new File("/tmp"))
       .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
@@ -91,7 +101,8 @@ class PgCopyIntegrationSpec extends SparkSpec {
         s" -c ssl=on -c ssl_cert_file=${serverCrt.getAbsolutePath}" +
           s" -c ssl_key_file=${serverKey.getAbsolutePath}"
       else ""
-      val opts = s"-c listen_addresses='127.0.0.1' -k ${sockDir.getAbsolutePath}" + sslOpts
+      val opts = s"-c listen_addresses='127.0.0.1' -c port=$pgPort" +
+        s" -k ${sockDir.getAbsolutePath}" + sslOpts
       serverUp = asPostgres(s"""$pgCtl -D ${dataDir.getAbsolutePath} -o "$opts" """ +
         s"-w -l ${base.getAbsolutePath}/pg.log start") == 0
       assert(serverUp, "postgres failed to start")
@@ -174,7 +185,7 @@ class PgCopyIntegrationSpec extends SparkSpec {
     psql("CREATE TABLE region (r_regionkey int, r_name text)")
     psql("CREATE TABLE nation (n_nationkey int, n_name text, n_regionkey int)")
 
-    val url = "jdbc:postgresql://localhost/postgres?user=postgres" +
+    val url = s"jdbc:postgresql://localhost:$pgPort/postgres?user=postgres" +
       s"&socketDir=${sockDir.getAbsolutePath}"
     val outLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val code = graft.cli.Main.run(
@@ -221,7 +232,7 @@ class PgCopyIntegrationSpec extends SparkSpec {
       "GRANT ALL ON scramcopy TO scramuser")
 
     val factory = new PgWireCopySessionFactory(
-      sockDir.getAbsolutePath, 5432, "postgres", "scramuser", Some("scr4m-pw"))
+      sockDir.getAbsolutePath, pgPort, "postgres", "scramuser", Some("scr4m-pw"))
     val s = factory.open()
     try {
       val n = s.copyIn("COPY scramcopy FROM STDIN WITH CSV NULL '\\N'",
@@ -233,7 +244,7 @@ class PgCopyIntegrationSpec extends SparkSpec {
 
     // wrong password: the server rejects the proof loudly (28P01), no hang
     val bad = new PgWireCopySessionFactory(
-      sockDir.getAbsolutePath, 5432, "postgres", "scramuser", Some("not-the-password"))
+      sockDir.getAbsolutePath, pgPort, "postgres", "scramuser", Some("not-the-password"))
     val e = intercept[PgWireException](bad.open())
     assert(e.sqlState === "28P01")
   }
@@ -248,14 +259,14 @@ class PgCopyIntegrationSpec extends SparkSpec {
     assert(psql("SHOW ssl").trim === "on")
     psql("DROP TABLE IF EXISTS tlscopy; CREATE TABLE tlscopy (id int, txt text)")
 
-    val req = new PgWireCopySessionFactory("127.0.0.1", 5432, "postgres", "postgres",
+    val req = new PgWireCopySessionFactory("127.0.0.1", pgPort, "postgres", "postgres",
       password = None, sslMode = "require")
     val s1 = req.open()
     try assert(s1.copyIn("COPY tlscopy FROM STDIN WITH CSV NULL '\\N'",
       new java.io.StringReader("1,enc\n2,rypted\n")) === 2L)
     finally s1.close()
 
-    val ver = new PgWireCopySessionFactory("localhost", 5432, "postgres", "postgres",
+    val ver = new PgWireCopySessionFactory("localhost", pgPort, "postgres", "postgres",
       password = None, sslMode = "verify-full",
       sslRootCert = Some(serverCrt.getAbsolutePath))
     val s2 = ver.open()
@@ -270,7 +281,7 @@ class PgCopyIntegrationSpec extends SparkSpec {
       "-subj", "/CN=localhost", "-addext", "subjectAltName=DNS:localhost",
       "-keyout", new File(base, "bogus.key").getAbsolutePath,
       "-out", bogusPem.getAbsolutePath)).!(ProcessLogger(_ => (), _ => ())) == 0)
-    val wrong = new PgWireCopySessionFactory("localhost", 5432, "postgres", "postgres",
+    val wrong = new PgWireCopySessionFactory("localhost", pgPort, "postgres", "postgres",
       password = None, sslMode = "verify-ca",
       sslRootCert = Some(bogusPem.getAbsolutePath))
     intercept[java.io.IOException](wrong.open())

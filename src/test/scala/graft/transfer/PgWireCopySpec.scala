@@ -91,6 +91,24 @@ final class FakePgBackend(authMode: String, password: String = "sekret") {
           msg(ch, 'R', ByteBuffer.allocate(4).putInt(10).array() ++
             "SCRAM-SHA-256-PLUS".getBytes(UTF_8) ++ Array[Byte](0, 0))
           ch.close()
+        case "scram-skipfinal" =>
+          // the premature-AuthOk MITM: harvest the client proof, then skip
+          // the SASLFinal v= message (which an impostor cannot forge) and
+          // wave the session through — the client must refuse
+          msg(ch, 'R', ByteBuffer.allocate(4).putInt(10).array() ++
+            "SCRAM-SHA-256".getBytes(UTF_8) ++ Array[Byte](0, 0))
+          val (ti, pi) = readFrontend(ch); assert(ti == 'p'.toByte)
+          val mech0 = cstr(pi); assert(mech0 == "SCRAM-SHA-256")
+          val il = pi.getInt(); val ib = new Array[Byte](il); pi.get(ib)
+          val cb = new String(ib, UTF_8).drop(3)
+          val cn = Scram.parseAttrs(cb)('r')
+          val sn = cn + "srvNONCE"
+          msg(ch, 'R', ByteBuffer.allocate(4).putInt(11).array() ++
+            (s"r=$sn,s=${java.util.Base64.getEncoder.encodeToString("somesalt".getBytes(UTF_8))}," +
+              "i=4096").getBytes(UTF_8))
+          val (tf, _) = readFrontend(ch); assert(tf == 'p'.toByte) // proof harvested
+          msg(ch, 'R', ByteBuffer.allocate(4).putInt(0).array()) // premature AuthOk
+          serveQueries(ch)
         case "scram" | "scram-tamper" =>
           // full scripted RFC 7677 verifier: the backend checks the client's
           // proof from first principles (same Scram math, server side), so a
@@ -282,6 +300,13 @@ class PgWireCopySpec extends AnyFunSuite {
       assert(e.sqlState === "28P01")
       assert(!be.scramVerified)
     } finally be.close()
+  }
+
+  test("SCRAM-SHA-256: AuthenticationOk before a verified SASLFinal is refused (MITM)") {
+    withBackend("scram-skipfinal") { (_, factory) =>
+      val e = intercept[java.io.IOException](factory.open())
+      assert(e.getMessage.contains("before completing the SCRAM exchange"))
+    }
   }
 
   test("SCRAM-SHA-256: a tampered server signature is rejected as possible MITM") {

@@ -13,19 +13,28 @@ import scala.sys.process._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Scripted TLS PostgreSQL backend: a plain TCP ServerSocket that plays the
-  * SSLRequest preamble (answering 'S' or 'N'), optionally wraps itself in a
-  * keytool-generated certificate, and then serves the same trust-auth v3
-  * COPY protocol as [[FakePgBackend]] — so the client's full libpq sslmode
-  * ladder (preamble bytes, TLS wrap, prefer-fallback, chain verification,
-  * hostname verification) is asserted without a real server. */
-final class TlsFakeBackend(ksPath: Option[String], sslAnswer: Char = 'S') {
+/** Scripted TLS PostgreSQL backend: a plain TCP ServerSocket playing one
+  * per-connection script per accepted connection, so multi-connection
+  * ladders (prefer's plaintext retry after a broken handshake, allow's TLS
+  * upgrade after a plaintext rejection) are asserted without a real
+  * server. Scripts:
+  *
+  *   - `tls`          — expect SSLRequest, answer 'S', TLS-wrap (keytool
+  *                      PKCS12 identity), serve trust-auth v3 COPY
+  *   - `nossl`        — answer 'N' to a preamble if one arrives (or accept
+  *                      a bare StartupMessage), serve plaintext
+  *   - `break`        — answer 'S' then CLOSE mid-handshake
+  *   - `reject-plain` — read the plaintext StartupMessage, reply a 28000
+  *                      ErrorResponse (an hostssl-only pg_hba), close
+  */
+final class TlsFakeBackend(ksPath: Option[String], scripts: Seq[String] = Seq("tls")) {
   private val server =
-    new ServerSocket(0, 2, InetAddress.getByName("localhost"))
+    new ServerSocket(0, 4, InetAddress.getByName("localhost"))
   def port: Int = server.getLocalPort
 
   @volatile var sawSslRequest = false
   @volatile var servedOverTls = false
+  @volatile var rejectedPlain = false
   @volatile var copyBytes: Array[Byte] = Array.emptyByteArray
   @volatile var startupParams: Map[String, String] = Map.empty
 
@@ -44,30 +53,62 @@ final class TlsFakeBackend(ksPath: Option[String], sslAnswer: Char = 'S') {
   }
 
   val thread = new Thread(() => {
-    try {
-      val plain = server.accept()
-      val in0 = plain.getInputStream
-      val head = in0.readNBytes(8)
-      val hb = ByteBuffer.wrap(head)
-      val len = hb.getInt(); val code = hb.getInt()
-      if (len == 8 && code == 80877103) { // SSLRequest
-        sawSslRequest = true
-        plain.getOutputStream.write(sslAnswer)
-        plain.getOutputStream.flush()
-        if (sslAnswer == 'S') {
-          val ssl = sslWrap(plain)
-          servedOverTls = true
-          serve(ssl.getInputStream, ssl.getOutputStream, readStartupHead = true)
-        } else serve(in0, plain.getOutputStream, readStartupHead = true)
-      } else {
-        // no preamble (sslmode=disable): `head` is already the startup header
-        serve(in0, plain.getOutputStream, readStartupHead = false,
-          preread = Some((len, code)))
-      }
-    } catch { case _: java.io.IOException => () } // client hung up / handshake aborted
+    scripts.foreach { script =>
+      try {
+        val plain = server.accept()
+        try handle(script, plain)
+        finally { try plain.close() catch { case _: Throwable => () } }
+      } catch { case _: java.io.IOException => () } // client hung up / handshake aborted
+    }
   })
   thread.setDaemon(true)
   thread.start()
+
+  private def errorResponse(state: String, m: String): Array[Byte] =
+    Array('S'.toByte) ++ "FATAL".getBytes(UTF_8) ++ Array[Byte](0) ++
+      Array('C'.toByte) ++ state.getBytes(UTF_8) ++ Array[Byte](0) ++
+      Array('M'.toByte) ++ m.getBytes(UTF_8) ++ Array[Byte](0) ++ Array[Byte](0)
+
+  private def handle(script: String, plain: Socket): Unit = {
+    val in0 = plain.getInputStream
+    val head = in0.readNBytes(8)
+    if (head.length < 8) return
+    val hb = ByteBuffer.wrap(head)
+    val len = hb.getInt(); val code = hb.getInt()
+    val isPreamble = len == 8 && code == 80877103
+    if (isPreamble) sawSslRequest = true
+    script match {
+      case "tls" =>
+        assert(isPreamble, s"expected SSLRequest, got len=$len code=$code")
+        plain.getOutputStream.write('S'); plain.getOutputStream.flush()
+        val ssl = sslWrap(plain)
+        servedOverTls = true
+        serve(ssl.getInputStream, ssl.getOutputStream, preread = None)
+      case "break" =>
+        assert(isPreamble, s"expected SSLRequest, got len=$len code=$code")
+        plain.getOutputStream.write('S'); plain.getOutputStream.flush()
+        plain.close() // mid-handshake hangup
+      case "nossl" =>
+        if (isPreamble) {
+          plain.getOutputStream.write('N'); plain.getOutputStream.flush()
+          serve(in0, plain.getOutputStream, preread = None)
+        } else serve(in0, plain.getOutputStream, preread = Some((len, code)))
+      case "reject-plain" =>
+        val (slen, proto) =
+          if (isPreamble) { // shouldn't happen for allow, but answer 'N' and read on
+            plain.getOutputStream.write('N'); plain.getOutputStream.flush()
+            val h2 = ByteBuffer.wrap(in0.readNBytes(8)); (h2.getInt(), h2.getInt())
+          } else (len, code)
+        assert(proto == 196608, s"bad protocol $proto")
+        in0.readNBytes(slen - 8) // drain startup body
+        rejectedPlain = true
+        val payload = errorResponse("28000",
+          "no pg_hba.conf entry for host, SSL off")
+        val buf = ByteBuffer.allocate(5 + payload.length)
+        buf.put('E'.toByte).putInt(4 + payload.length).put(payload)
+        plain.getOutputStream.write(buf.array()); plain.getOutputStream.flush()
+    }
+  }
 
   private def cstr(b: ByteBuffer): String = {
     val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
@@ -82,8 +123,7 @@ final class TlsFakeBackend(ksPath: Option[String], sslAnswer: Char = 'S') {
   }
 
   private def serve(in: InputStream, out: OutputStream,
-                    readStartupHead: Boolean,
-                    preread: Option[(Int, Int)] = None): Unit = {
+                    preread: Option[(Int, Int)]): Unit = {
     val (slen, proto) = preread.getOrElse {
       val h = ByteBuffer.wrap(in.readNBytes(8)); (h.getInt(), h.getInt())
     }
@@ -187,15 +227,39 @@ class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sslmode=require against a server that answers 'N' fails loudly") {
-    val be = new TlsFakeBackend(None, sslAnswer = 'N')
+    val be = new TlsFakeBackend(None, Seq("nossl"))
     try {
       val e = intercept[java.io.IOException](factory(be, "require").open())
       assert(e.getMessage.contains("refused SSL"))
     } finally be.close()
   }
 
+  test("sslmode=require fails loudly when the handshake itself breaks") {
+    val be = new TlsFakeBackend(None, Seq("break"))
+    try intercept[java.io.IOException](factory(be, "require").open())
+    finally be.close()
+  }
+
+  test("sslmode=prefer encrypts WITHOUT demanding a root cert when the server has TLS") {
+    val be = new TlsFakeBackend(Some(ks))
+    try {
+      assert(copyOnce(factory(be, "prefer")) === 2L) // no sslrootcert passed
+      assert(be.servedOverTls)
+    } finally be.close()
+  }
+
   test("sslmode=prefer falls back to plaintext on 'N', like libpq") {
-    val be = new TlsFakeBackend(None, sslAnswer = 'N')
+    val be = new TlsFakeBackend(None, Seq("nossl"))
+    try {
+      assert(copyOnce(factory(be, "prefer")) === 2L)
+      assert(be.sawSslRequest && !be.servedOverTls)
+    } finally be.close()
+  }
+
+  test("sslmode=prefer retries plaintext after a BROKEN handshake, like libpq") {
+    // connection 1: server says 'S' then hangs up mid-handshake;
+    // connection 2: plaintext, no preamble — the client must reconnect
+    val be = new TlsFakeBackend(None, Seq("break", "nossl"))
     try {
       assert(copyOnce(factory(be, "prefer")) === 2L)
       assert(be.sawSslRequest && !be.servedOverTls)
@@ -203,10 +267,28 @@ class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sslmode=disable sends no preamble at all") {
-    val be = new TlsFakeBackend(None)
+    val be = new TlsFakeBackend(None, Seq("nossl"))
     try {
       assert(copyOnce(factory(be, "disable")) === 2L)
       assert(!be.sawSslRequest)
+    } finally be.close()
+  }
+
+  test("sslmode=allow stays plaintext when the server accepts it") {
+    val be = new TlsFakeBackend(None, Seq("nossl"))
+    try {
+      assert(copyOnce(factory(be, "allow")) === 2L)
+      assert(!be.sawSslRequest && !be.servedOverTls)
+    } finally be.close()
+  }
+
+  test("sslmode=allow upgrades to TLS after a plaintext 28000 rejection, like libpq") {
+    // connection 1: plaintext StartupMessage rejected with 28000 (an
+    // hostssl-only pg_hba); connection 2: SSLRequest -> 'S' -> TLS serve
+    val be = new TlsFakeBackend(Some(ks), Seq("reject-plain", "tls"))
+    try {
+      assert(copyOnce(factory(be, "allow")) === 2L)
+      assert(be.rejectedPlain && be.servedOverTls)
     } finally be.close()
   }
 

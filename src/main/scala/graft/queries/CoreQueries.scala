@@ -752,6 +752,26 @@ object CoreQueries {
           max(col("max_key")).as("last_date"))
     },
 
+    // Manifest-pruned READ (round-11): write the manifest, prune it by a
+    // key range, open only the surviving files, re-apply the row-level
+    // predicate (file zone maps are coarser than rows), aggregate. The
+    // oracle recomputes from the raw table, so both the pruning and the
+    // re-filter must be exactly lossless to hash-match.
+    "q191_manifest_pruned_read" -> { (s, dir) =>
+      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q191_manifest"
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders", "o_orderdate"), mp)
+      val pred = col("table") === "orders" &&
+        col("max_key") >= "1995-01-01" && col("min_key") <= "1995-12-31"
+      graft.sources.Manifest.read(s, mp, pred,
+          keyFilter = Some(col("o_orderdate")
+            .between("1995-01-01", "1995-12-31")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+            .as("sum_price"))
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1359,6 +1379,15 @@ object CoreQueries {
         |  CAST(min(o_orderdate) AS VARCHAR) AS first_date,
         |  CAST(max(o_orderdate) AS VARCHAR) AS last_date
         |FROM orders""".stripMargin,
+
+    // The pruned-read twin recomputes from the raw table: any file the
+    // manifest pruning wrongly dropped (or any row the re-filter wrongly
+    // kept) breaks count and sum alike.
+    "q191_manifest_pruned_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -534,6 +534,33 @@ object Main {
             } finally gscope.release()
           }
           0
+        case "manifest" =>
+          // the file-catalog workflow end-to-end (round 11,
+          // sources.Manifest): bootstrap a manifest from a table directory
+          // (--build), or answer stats questions from an existing manifest
+          // without opening a data file (--count with optional key range).
+          val src = req("source")
+          val table = opts.getOrElse("table", "documents")
+          val keyCol = opts.getOrElse("key", "doc_id")
+          val manifestPath = opts.getOrElse("manifest", s"$src/_manifest/$table")
+          if (opts.contains("build")) {
+            val entries = graft.sources.Manifest.build(spark, src, table, keyCol)
+            graft.sources.Manifest.write(entries, manifestPath)
+            val n = spark.read.parquet(manifestPath).count()
+            out(s"manifest for $table written to $manifestPath ($n files)")
+          } else {
+            import org.apache.spark.sql.functions.col
+            val pred =
+              Seq(Some(col("table") === table),
+                  opts.get("min-key").map(v => col("max_key") >= v), // file range
+                  opts.get("max-key").map(v => col("min_key") <= v)) // OVERLAPS [lo, hi]
+                .flatten.reduce(_ && _)
+            val rows = graft.sources.Manifest.rowCount(spark, manifestPath, pred)
+            val files = graft.sources.Manifest.select(spark, manifestPath, pred).count()
+            out(s"$table: $rows rows across $files files (from stats, no data files opened)")
+          }
+          0
+
         case "corpus-report" =>
           // the reference's `discover` report analogue for the text
           // pipeline: one command, one JSON document with every census
@@ -948,6 +975,12 @@ object Main {
       |               — full vs md5-half slice, growth exponent beta)
       |              [--boilerplate]  (per-source share of volume in lines
       |               repeated across docs corpus-wide)
+      |  manifest    --source DIR [--table T] [--key COL] [--manifest PATH]
+      |              --build  (bootstrap the file-catalog parquet table:
+      |               path/rows/bytes/min-max key per data file)
+      |              or stats mode: [--min-key V] [--max-key V]  (row/file
+      |               counts for a key range answered from the manifest
+      |               alone — no data files opened)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|substring|incremental|
       |               containment|capped-containment|rare-containment]

@@ -20,6 +20,24 @@ class MainSpec extends SparkSpec {
     assert(out.exists(_.contains("l_shipdate")))
   }
 
+  test("manifest --build then stats answers counts without opening data files") {
+    val mp = Files.createTempDirectory("graft_cli_manifest").toString + "/orders"
+    val (bcode, bout) = runCli("manifest", "--source", sfDir, "--table", "orders",
+      "--key", "o_orderdate", "--manifest", mp, "--build", "1")
+    assert(bcode === 0)
+    assert(bout.exists(_.contains("manifest for orders written")))
+    val (scode, sout) = runCli("manifest", "--source", sfDir, "--table", "orders",
+      "--manifest", mp)
+    assert(scode === 0)
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(sout.exists(_.contains(s"orders: $expected rows")), sout.mkString("\n"))
+    // a key range nothing overlaps answers 0 from stats, loudly not wrongly
+    val (zcode, zout) = runCli("manifest", "--source", sfDir, "--table", "orders",
+      "--manifest", mp, "--min-key", "2999-01-01")
+    assert(zcode === 0)
+    assert(zout.exists(_.contains("orders: 0 rows across 0 files")), zout.mkString("\n"))
+  }
+
   test("build writes topo-ordered DDL to a file") {
     val f = Files.createTempDirectory("ddl").resolve("schema.sql").toString
     val (code, _) = runCli("build", "--source", sfDir, "--schema", "tpch", "--output", f)

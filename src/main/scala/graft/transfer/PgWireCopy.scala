@@ -217,9 +217,15 @@ private[transfer] object Scram {
 
   /** Compute client-final-message and the expected ServerSignature from the
     * password, the client-first-message-bare, the server-first-message, and
-    * the full (client+server) nonce. */
+    * the full (client+server) nonce. `cbB64` is the c= attribute — the
+    * base64 of the GS2 header plus any channel-binding data ("biws" =
+    * base64("n,,"), the no-channel-binding default; SCRAM-SHA-256-PLUS
+    * passes base64("p=tls-server-end-point,," ++ certificate hash), which
+    * the server RECOMPUTES from its own certificate — a MITM terminating
+    * TLS with a different cert breaks the proof). */
   def clientFinal(password: String, clientFirstBare: String,
-                  serverFirst: String, fullNonce: String): ClientFinal = {
+                  serverFirst: String, fullNonce: String,
+                  cbB64: String = "biws"): ClientFinal = {
     val attrs = parseAttrs(serverFirst)
     val salt = Base64.getDecoder.decode(attrs.getOrElse('s',
       throw new IOException(s"SCRAM server-first lacks s= salt: $serverFirst")))
@@ -227,13 +233,28 @@ private[transfer] object Scram {
       throw new IOException(s"SCRAM server-first lacks i= iterations: $serverFirst")).toInt
     val salted = hi(password, salt, iter)
     val clientKey = hmac(salted, "Client Key")
-    val withoutProof = s"c=biws,r=$fullNonce"
+    val withoutProof = s"c=$cbB64,r=$fullNonce"
     val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
     val clientSig = hmac(sha256(clientKey), authMessage)
     val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
     ClientFinal(
       s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}",
       hmac(hmac(salted, "Server Key"), authMessage))
+  }
+
+  /** RFC 5929 tls-server-end-point channel-binding data: a hash of the
+    * server certificate's DER bytes, using the certificate's own signature
+    * hash (MD5/SHA-1 upgraded to SHA-256, as the RFC requires). */
+  def endpointHash(cert: java.security.cert.Certificate): Array[Byte] = {
+    val sigAlg = cert match {
+      case x: java.security.cert.X509Certificate => x.getSigAlgName.toUpperCase
+      case _ => ""
+    }
+    val alg =
+      if (sigAlg.contains("SHA384")) "SHA-384"
+      else if (sigAlg.contains("SHA512")) "SHA-512"
+      else "SHA-256"
+    java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
   }
 }
 
@@ -258,6 +279,15 @@ private[transfer] final class PgWireSession(
     sock.connect(new InetSocketAddress(host, port))
     sock
   }
+
+  /** The TLS server certificate of the active connection, when any —
+    * SCRAM-SHA-256-PLUS channel binding hashes it (declared before `wire`:
+    * wrapTls runs during that initializer). */
+  private var tlsPeerCert: Option[java.security.cert.Certificate] = None
+
+  /** The authentication mechanism the startup negotiated (introspected by
+    * the integration spec to PROVE channel binding was exercised). */
+  private[transfer] var authMechanism: Option[String] = None
 
   private var wire: PgWire =
     if (host.startsWith("/")) { // unix socket dir, libpq naming: <dir>/.s.PGSQL.<port>
@@ -367,6 +397,7 @@ private[transfer] final class PgWireSession(
       ssl.setSSLParameters(params)
     }
     ssl.startHandshake()
+    tlsPeerCert = ssl.getSession.getPeerCertificates.headOption
     ssl
   }
 
@@ -461,6 +492,8 @@ private[transfer] final class PgWireSession(
     var scramNonce: String = null
     var scramServerSig: Array[Byte] = null
     var scramVerified = false
+    var scramGs2: String = null
+    var scramCbData: Array[Byte] = Array.emptyByteArray
     var ready = false
     while (!ready) {
       val (tpe, payload) = readMessage()
@@ -491,14 +524,33 @@ private[transfer] final class PgWireSession(
             case 10 => // AuthenticationSASL: NUL-terminated mechanism list
               val mechs = scala.collection.mutable.ArrayBuffer.empty[String]
               while (payload.remaining() > 1) mechs += cstring(payload)
-              if (!mechs.contains("SCRAM-SHA-256")) throw new IOException(
-                s"server offers SASL mechanisms [${mechs.mkString(", ")}]; " +
-                  "only SCRAM-SHA-256 is implemented")
+              // Channel binding (RFC 5802 gs2 flags): over TLS, prefer
+              // SCRAM-SHA-256-PLUS — the proof then covers a hash of the
+              // server's certificate (RFC 5929 tls-server-end-point), so a
+              // MITM terminating TLS with its own cert breaks authentication
+              // even holding a stolen password. Over TLS with PLUS absent,
+              // send the 'y' flag: a server that DID advertise PLUS (i.e. a
+              // MITM stripped it from the list) must reject 'y' — downgrade
+              // detection. Plaintext connections send 'n'.
+              val (mech, gs2, cbData) =
+                if (mechs.contains("SCRAM-SHA-256-PLUS") && tlsPeerCert.isDefined)
+                  ("SCRAM-SHA-256-PLUS", "p=tls-server-end-point,,",
+                    Scram.endpointHash(tlsPeerCert.get))
+                else if (mechs.contains("SCRAM-SHA-256"))
+                  ("SCRAM-SHA-256",
+                    if (tlsPeerCert.isDefined) "y,," else "n,,",
+                    Array.emptyByteArray)
+                else throw new IOException(
+                  s"server offers SASL mechanisms [${mechs.mkString(", ")}]; " +
+                    "only SCRAM-SHA-256[-PLUS] is implemented")
               requirePassword()
+              authMechanism = Some(mech)
+              scramGs2 = gs2
+              scramCbData = cbData
               scramNonce = Scram.nonce()
               scramFirstBare = s"n=,r=$scramNonce" // PG reads the user from StartupMessage
-              val initial = ("n,," + scramFirstBare).getBytes(UTF_8)
-              send('p', "SCRAM-SHA-256".getBytes(UTF_8) ++ Array[Byte](0) ++
+              val initial = (gs2 + scramFirstBare).getBytes(UTF_8)
+              send('p', mech.getBytes(UTF_8) ++ Array[Byte](0) ++
                 ByteBuffer.allocate(4).putInt(initial.length).array() ++ initial)
             case 11 => // AuthenticationSASLContinue: server-first-message
               if (scramFirstBare == null)
@@ -508,7 +560,10 @@ private[transfer] final class PgWireSession(
                 throw new IOException(s"SCRAM server-first lacks r= nonce: $serverFirst"))
               if (!fullNonce.startsWith(scramNonce)) throw new IOException(
                 "SCRAM server nonce does not extend the client nonce (possible MITM); aborting")
-              val cf = Scram.clientFinal(requirePassword(), scramFirstBare, serverFirst, fullNonce)
+              val cbB64 = java.util.Base64.getEncoder.encodeToString(
+                scramGs2.getBytes(UTF_8) ++ scramCbData)
+              val cf = Scram.clientFinal(requirePassword(), scramFirstBare, serverFirst,
+                fullNonce, cbB64)
               scramServerSig = cf.serverSignature
               send('p', cf.message.getBytes(UTF_8))
             case 12 => // AuthenticationSASLFinal: v=<base64 ServerSignature>

@@ -286,4 +286,40 @@ class PgCopyIntegrationSpec extends SparkSpec {
       sslRootCert = Some(bogusPem.getAbsolutePath))
     intercept[java.io.IOException](wrong.open())
   }
+
+  /** Round-11: SCRAM-SHA-256-PLUS channel binding against the real server.
+    * PostgreSQL advertises -PLUS on every TLS connection; the client must
+    * choose it, and the server RECOMPUTES the channel-binding c= attribute
+    * from its own certificate — so a successful login IS proof the RFC
+    * 5929 tls-server-end-point hash matched. An hostssl-only rule forces
+    * SCRAM for the role over TCP. */
+  test("wire transport negotiates SCRAM-SHA-256-PLUS channel binding over real TLS") {
+    assume(pgAvailable, "PostgreSQL server binaries not present")
+    assume(tlsReady, "openssl not available to mint the server certificate")
+    psql("SET password_encryption = 'scram-sha-256'; " +
+      "DROP ROLE IF EXISTS cbuser; CREATE ROLE cbuser LOGIN PASSWORD 'cb-pw'")
+    val hba = s"${dataDir.getAbsolutePath}/pg_hba.conf"
+    assert(asPostgres(
+      s"sed -i '1i hostssl all cbuser 127.0.0.1/32 scram-sha-256' $hba") == 0)
+    assert(asPostgres(s"$pgCtl -D ${dataDir.getAbsolutePath} reload") == 0)
+    psql("DROP TABLE IF EXISTS cbcopy; CREATE TABLE cbcopy (id int); " +
+      "GRANT ALL ON cbcopy TO cbuser")
+
+    val f = new PgWireCopySessionFactory("127.0.0.1", pgPort, "postgres", "cbuser",
+      password = Some("cb-pw"), sslMode = "require")
+    val s = f.open()
+    try {
+      assert(s.asInstanceOf[PgWireSession].authMechanism ===
+        Some("SCRAM-SHA-256-PLUS"))
+      assert(s.copyIn("COPY cbcopy FROM STDIN WITH CSV NULL '\\N'",
+        new java.io.StringReader("7\n8\n")) === 2L)
+    } finally s.close()
+    assert(psql("SELECT count(*) FROM cbcopy").trim.toLong === 2L)
+
+    // wrong password still fails loudly through the PLUS exchange
+    val bad = new PgWireCopySessionFactory("127.0.0.1", pgPort, "postgres", "cbuser",
+      password = Some("wrong"), sslMode = "require")
+    val e = intercept[PgWireException](bad.open())
+    assert(e.sqlState === "28P01")
+  }
 }

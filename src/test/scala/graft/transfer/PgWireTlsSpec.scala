@@ -35,6 +35,9 @@ final class TlsFakeBackend(ksPath: Option[String], scripts: Seq[String] = Seq("t
   @volatile var sawSslRequest = false
   @volatile var servedOverTls = false
   @volatile var rejectedPlain = false
+  @volatile var sawMechanism = ""
+  @volatile var sawGs2 = ""
+  @volatile var scramVerified = false
   @volatile var copyBytes: Array[Byte] = Array.emptyByteArray
   @volatile var startupParams: Map[String, String] = Map.empty
 
@@ -107,7 +110,87 @@ final class TlsFakeBackend(ksPath: Option[String], scripts: Seq[String] = Seq("t
         val buf = ByteBuffer.allocate(5 + payload.length)
         buf.put('E'.toByte).putInt(4 + payload.length).put(payload)
         plain.getOutputStream.write(buf.array()); plain.getOutputStream.flush()
+
+      // full SCRAM over TLS: "scram-plus" advertises the -PLUS mechanism
+      // and VERIFIES the channel-binding c= attribute against its own
+      // certificate; "scram-noplus" advertises plain SCRAM only, so a
+      // CB-capable client over TLS must send the 'y' gs2 flag
+      case "scram-plus" | "scram-noplus" =>
+        assert(isPreamble, s"expected SSLRequest, got len=$len code=$code")
+        plain.getOutputStream.write('S'); plain.getOutputStream.flush()
+        val ssl = sslWrap(plain)
+        servedOverTls = true
+        val in = ssl.getInputStream
+        val out = ssl.getOutputStream
+        val h2 = ByteBuffer.wrap(in.readNBytes(8))
+        val sl = h2.getInt(); assert(h2.getInt() == 196608)
+        in.readNBytes(sl - 8) // drain startup params
+        val mechNames =
+          if (script == "scram-plus") Seq("SCRAM-SHA-256-PLUS", "SCRAM-SHA-256")
+          else Seq("SCRAM-SHA-256")
+        val mechBytes =
+          mechNames.flatMap(m => m.getBytes(UTF_8).toSeq :+ 0.toByte).toArray :+ 0.toByte
+        msg(out, 'R', ByteBuffer.allocate(4).putInt(10).array() ++ mechBytes)
+        val (t1, p1) = readMsg(in); assert(t1 == 'p')
+        val mech = {
+          val bs = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          var b = p1.get(); while (b != 0) { bs += b; b = p1.get() }
+          new String(bs.toArray, UTF_8)
+        }
+        sawMechanism = mech
+        val il = p1.getInt(); val ib = new Array[Byte](il); p1.get(ib)
+        val clientFirst = new String(ib, UTF_8)
+        val bareAt = clientFirst.indexOf("n=,r=")
+        assert(bareAt > 0, s"no bare part in $clientFirst")
+        sawGs2 = clientFirst.take(bareAt)
+        val bare = clientFirst.drop(bareAt)
+        val cnonce = Scram.parseAttrs(bare)('r')
+        val snonce = cnonce + "srvTLS+nonce"
+        val salt = "tls-salt-bytes!!".getBytes(UTF_8)
+        val b64 = java.util.Base64.getEncoder
+        val serverFirst = s"r=$snonce,s=${b64.encodeToString(salt)},i=4096"
+        msg(out, 'R', ByteBuffer.allocate(4).putInt(11).array() ++
+          serverFirst.getBytes(UTF_8))
+        val (t2, p2) = readMsg(in); assert(t2 == 'p')
+        val fb = new Array[Byte](p2.remaining()); p2.get(fb)
+        val clientFinal = new String(fb, UTF_8)
+        val fattrs = Scram.parseAttrs(clientFinal)
+        // the c= attribute must be base64(gs2 ++ cb-data) — for PLUS the
+        // cb-data is the RFC 5929 hash of THIS server's certificate
+        val cbData =
+          if (script == "scram-plus") {
+            val ks = KeyStore.getInstance("PKCS12")
+            val fis = new FileInputStream(ksPath.get)
+            try ks.load(fis, "changeit".toCharArray) finally fis.close()
+            Scram.endpointHash(ks.getCertificate(ks.aliases().nextElement()))
+          } else Array.emptyByteArray
+        val expectedC = b64.encodeToString(sawGs2.getBytes(UTF_8) ++ cbData)
+        assert(fattrs('c') == expectedC,
+          s"c=${fattrs('c')} != expected $expectedC (gs2=$sawGs2)")
+        assert(fattrs('r') == snonce)
+        val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+        val authMessage = s"$bare,$serverFirst,$withoutProof"
+        val salted = Scram.hi("sekret", salt, 4096)
+        val clientKey = Scram.hmac(salted, "Client Key")
+        val clientSig = Scram.hmac(Scram.sha256(clientKey), authMessage)
+        val proof = java.util.Base64.getDecoder.decode(fattrs('p'))
+        val recovered = proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+        assert(java.util.Arrays.equals(Scram.sha256(recovered), Scram.sha256(clientKey)),
+          "client proof failed verification")
+        scramVerified = true
+        val serverSig = Scram.hmac(Scram.hmac(salted, "Server Key"), authMessage)
+        msg(out, 'R', ByteBuffer.allocate(4).putInt(12).array() ++
+          s"v=${b64.encodeToString(serverSig)}".getBytes(UTF_8))
+        msg(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
+        queryLoop(in, out)
     }
+  }
+
+  private def readMsg(in: InputStream): (Char, ByteBuffer) = {
+    val h = ByteBuffer.wrap(in.readNBytes(5))
+    val t = h.get().toChar
+    val l = h.getInt() - 4
+    (t, ByteBuffer.wrap(in.readNBytes(l)))
   }
 
   private def cstr(b: ByteBuffer): String = {
@@ -134,6 +217,10 @@ final class TlsFakeBackend(ksPath: Option[String], scripts: Seq[String] = Seq("t
     while (k.nonEmpty) { params(k) = cstr(body); k = if (body.remaining() > 1) cstr(body) else "" }
     startupParams = params.toMap
     msg(out, 'R', ByteBuffer.allocate(4).putInt(0).array()) // trust
+    queryLoop(in, out)
+  }
+
+  private def queryLoop(in: InputStream, out: OutputStream): Unit = {
     msg(out, 'Z', Array('I'.toByte))
     var open = true
     while (open) {
@@ -205,9 +292,10 @@ class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def factory(be: TlsFakeBackend, sslMode: String,
                       rootCert: Option[String] = None,
-                      host: String = "localhost") =
+                      host: String = "localhost",
+                      password: Option[String] = None) =
     new PgWireCopySessionFactory(host, be.port, "graftdb", "graft",
-      password = None, sslMode = sslMode, sslRootCert = rootCert)
+      password = password, sslMode = sslMode, sslRootCert = rootCert)
 
   private def copyOnce(f: PgWireCopySessionFactory): Long = {
     val s = f.open()
@@ -289,6 +377,29 @@ class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       assert(copyOnce(factory(be, "allow")) === 2L)
       assert(be.rejectedPlain && be.servedOverTls)
+    } finally be.close()
+  }
+
+  test("SCRAM-SHA-256-PLUS: channel binding over TLS, proof covers the server certificate") {
+    val be = new TlsFakeBackend(Some(ks), Seq("scram-plus"))
+    try {
+      assert(copyOnce(factory(be, "require", password = Some("sekret"))) === 2L)
+      assert(be.sawMechanism === "SCRAM-SHA-256-PLUS")
+      assert(be.sawGs2 === "p=tls-server-end-point,,")
+      assert(be.scramVerified, "backend did not verify the channel-bound proof")
+    } finally be.close()
+  }
+
+  test("TLS without PLUS on offer: client sends the 'y' gs2 flag (downgrade signal)") {
+    // an honest non-PG server that simply lacks PLUS accepts 'y'; a real
+    // PostgreSQL that HAD advertised PLUS would reject it — which is the
+    // point of the flag
+    val be = new TlsFakeBackend(Some(ks), Seq("scram-noplus"))
+    try {
+      assert(copyOnce(factory(be, "require", password = Some("sekret"))) === 2L)
+      assert(be.sawMechanism === "SCRAM-SHA-256")
+      assert(be.sawGs2 === "y,,")
+      assert(be.scramVerified)
     } finally be.close()
   }
 

@@ -23,7 +23,7 @@ class MainSpec extends SparkSpec {
   test("manifest --build then stats answers counts without opening data files") {
     val mp = Files.createTempDirectory("graft_cli_manifest").toString + "/orders"
     val (bcode, bout) = runCli("manifest", "--source", sfDir, "--table", "orders",
-      "--key", "o_orderdate", "--manifest", mp, "--build", "1")
+      "--key", "o_orderdate", "--manifest", mp, "--build")
     assert(bcode === 0)
     assert(bout.exists(_.contains("manifest for orders written")))
     val (scode, sout) = runCli("manifest", "--source", sfDir, "--table", "orders",

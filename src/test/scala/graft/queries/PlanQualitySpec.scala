@@ -49,6 +49,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("l_partkey"), s"unpruned column in: $readSchema")
   }
 
+  test("q191: the manifest-pruned data read pushes the key predicate to the scan") {
+    val df = graft.SparkEntry.queries("q191_manifest_pruned_read")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the row-level re-filter must reach the parquet scan of the files the
+    // manifest pruning selected — otherwise the read scans whole files to
+    // refilter in memory
+    assert(plan.matches("(?s).*PushedFilters: \\[.*o_orderdate.*\\].*"),
+      "key predicate did not reach the pruned data scan")
+  }
+
   test("q07: nation/region joins are broadcast, not shuffled") {
     val plan = planOf("q07_join_nation_revenue")
     assert(plan.contains("BroadcastHashJoin"))

@@ -47,14 +47,18 @@ final class PgWireCopySessionFactory(
     val user: String,
     password: Option[String] = None,
     val sslMode: String = "prefer",
-    val sslRootCert: Option[String] = None)
+    val sslRootCert: Option[String] = None,
+    val connectTimeoutSecs: Int = 10,
+    val socketTimeoutSecs: Int = 0)
   extends CopySessionFactory {
 
   require(PgWireCopySessionFactory.SslModes(sslMode),
     s"unknown sslmode '$sslMode' (expected one of ${PgWireCopySessionFactory.SslModes.mkString("/")})")
+  require(connectTimeoutSecs >= 0 && socketTimeoutSecs >= 0, "negative timeout")
 
   def open(): CopySession =
-    new PgWireSession(host, port, database, user, password, sslMode, sslRootCert)
+    new PgWireSession(host, port, database, user, password, sslMode, sslRootCert,
+      connectTimeoutSecs, socketTimeoutSecs)
 }
 
 object PgWireCopySessionFactory {
@@ -128,7 +132,12 @@ object PgWireCopySessionFactory {
       user = user,
       password = params.get("password"),
       sslMode = sslMode,
-      sslRootCert = params.get("sslrootcert"))
+      sslRootCert = params.get("sslrootcert"),
+      // pgjdbc's names and defaults: connectTimeout 10 s (0 = infinite),
+      // socketTimeout off — libpq's connect_timeout accepted as an alias
+      connectTimeoutSecs = params.get("connectTimeout")
+        .orElse(params.get("connect_timeout")).map(_.toInt).getOrElse(10),
+      socketTimeoutSecs = params.get("socketTimeout").map(_.toInt).getOrElse(0))
   }
 }
 
@@ -270,13 +279,20 @@ private[transfer] final class PgWireSession(
     host: String, port: Int, database: String, user: String,
     password: Option[String],
     sslMode: String = "prefer",
-    sslRootCert: Option[String] = None)
+    sslRootCert: Option[String] = None,
+    connectTimeoutSecs: Int = 10,
+    socketTimeoutSecs: Int = 0)
   extends CopySession {
 
   private def tcpConnect(): java.net.Socket = {
     val sock = new java.net.Socket()
     sock.setTcpNoDelay(true)
-    sock.connect(new InetSocketAddress(host, port))
+    // pgjdbc parity: bounded connect (a black-holed host fails in
+    // connectTimeout seconds, not never); socketTimeout bounds each READ —
+    // off by default because a large COPY's CommandComplete legitimately
+    // arrives long after the last send
+    if (socketTimeoutSecs > 0) sock.setSoTimeout(socketTimeoutSecs * 1000)
+    sock.connect(new InetSocketAddress(host, port), connectTimeoutSecs * 1000)
     sock
   }
 

@@ -96,6 +96,8 @@ final class TlsFakeBackend(ksPath: Option[String], scripts: Seq[String] = Seq("t
           plain.getOutputStream.write('N'); plain.getOutputStream.flush()
           serve(in0, plain.getOutputStream, preread = None)
         } else serve(in0, plain.getOutputStream, preread = Some((len, code)))
+      case "mute" => // accept, then never answer: the client's read must
+        Thread.sleep(20000) // be bounded by socketTimeout, not hang forever
       case "reject-plain" =>
         val (slen, proto) =
           if (isPreamble) { // shouldn't happen for allow, but answer 'N' and read on
@@ -430,6 +432,23 @@ class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try intercept[java.io.IOException](
       factory(byIp, "verify-full", Some(rootPem), host = "127.0.0.1").open())
     finally byIp.close()
+  }
+
+  test("socketTimeout bounds a mute server; timeouts parse from the URL") {
+    val be = new TlsFakeBackend(None, Seq("mute"))
+    try {
+      val f = new PgWireCopySessionFactory("localhost", be.port, "db", "u",
+        password = None, sslMode = "disable", socketTimeoutSecs = 1)
+      val t0 = System.nanoTime()
+      intercept[java.net.SocketTimeoutException](f.open())
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, "timeout did not bound the read")
+    } finally be.close()
+    val f2 = PgWireCopySessionFactory.fromJdbcUrl(
+      "jdbc:postgresql://h/db?user=u&connectTimeout=3&socketTimeout=7")
+    assert(f2.connectTimeoutSecs === 3 && f2.socketTimeoutSecs === 7)
+    val f3 = PgWireCopySessionFactory.fromJdbcUrl(
+      "jdbc:postgresql://h/db?user=u&connect_timeout=4") // libpq alias
+    assert(f3.connectTimeoutSecs === 4)
   }
 
   test("fromJdbcUrl parses sslmode/sslrootcert and pgjdbc's ssl=true") {

@@ -383,13 +383,18 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, maxDf: Int = 20,
                        minContainment: Double = 0.8,
-                       heavyCap: Int = 1000): DataFrame = {
+                       heavyCap: Int = 1000,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
-    // per-doc set size is an in-row expression — no shuffle, no explode
-    val sz = docs.select(col(idCol).as("id"),
-      size(shingles(textCol, k)).cast("long").as("n"))
+    // per-doc set size is an in-row expression — no shuffle, no explode —
+    // but CACHED (round 11): sz feeds the two size joins AND the global-min
+    // prefilter, and uncached each consumer re-shingles the whole corpus
+    // (shingling is the pipeline's per-row heavy step; sz itself is one
+    // narrow row per doc)
+    val sz = scope.cached(docs.select(col(idCol).as("id"),
+      size(shingles(textCol, k)).cast("long").as("n")))
     val byShingle = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= heavyCap)

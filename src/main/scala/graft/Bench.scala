@@ -101,9 +101,27 @@ object Bench {
     * list to 10 names (`errors_total` keeps the true count), so the line is
     * bounded for ANY roster size or failure count — suite growth can never
     * push the artifact back into the rounds-2..6 `parsed: null` mode. */
+  /** Round-stamped detail filename (round-11 verdict item 6): the official
+    * driver run used to OVERWRITE BENCH_DETAIL.json, clobbering the clean
+    * local run's only full per-query record. The round number is inferred
+    * from the highest BENCH_r/CORRECTNESS_r artifact already on disk — the
+    * run about to happen belongs to the NEXT round. */
+  def detailFileName(cwd: java.io.File = new java.io.File(".")): String = {
+    val pat = "(?:BENCH|CORRECTNESS)_r0*(\\d+)\\.json".r
+    val seen = Option(cwd.list()).getOrElse(Array.empty[String]).collect {
+      case pat(n) => n.toInt
+    }
+    // SPARK_GRAFT_BENCH_TAG separates a local clean-window recording from
+    // the round's official run — without it the two would clobber each
+    // other even round-stamped (both land in the same round)
+    val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG").map("_" + _).getOrElse("")
+    s"BENCH_DETAIL_r${if (seen.isEmpty) 0 else seen.max + 1}$tag.json"
+  }
+
   def stdoutLine(medians: Seq[(String, Double)], errors: Seq[String],
                  headline: String, sf: String,
-                 maxLen: Int = MaxLineLength): String = {
+                 maxLen: Int = MaxLineLength,
+                 detailName: String = "BENCH_DETAIL.json"): String = {
     val keys = shortKeys(medians.map(_._1))
     val slowest = medians.sortBy { case (k, v) => (-v, k) }
     def build(nQueries: Int, errs: Seq[String]): String = {
@@ -113,7 +131,7 @@ object Bench {
       val errJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"errors":$errJson,"errors_total":${errors.size},$headline,""" +
         s""""queries_total":${medians.size + errors.size},"queries":$qs,""" +
-        s""""detail":"BENCH_DETAIL.json","sf":"$sf"}"""
+        s""""detail":"$detailName","sf":"$sf"}"""
     }
     Iterator(10, 5, 0).map(build(_, errors)).find(_.length <= maxLen)
       .getOrElse(build(0, errors.take(10)))
@@ -361,13 +379,15 @@ object Bench {
       s""""throttled":[${throttled.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""outliers":[${outliers.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
+    val detailName = detailFileName()
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Paths.get(detailName), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
     // stdoutLine is bounded (≤MaxLineLength for any roster) — headline plus
-    // the slowest medians only; the full map is in BENCH_DETAIL.json.
-    println(stdoutLine(okMedians, errorNames, headline, sfDir))
+    // the slowest medians only; the full map is in the detail file.
+    println(stdoutLine(okMedians, errorNames, headline, sfDir,
+      detailName = detailName))
     spark.stop()
   }
 }

@@ -672,7 +672,7 @@ object Main {
                 // kill the larger id so the rule is deterministic
                 val thr = opts.getOrElse("threshold", "0.8").toDouble
                 val pairs = graft.operators.Dedup.containmentPairs(
-                  df, idCol, textCol, minContainment = thr)
+                  df, idCol, textCol, minContainment = thr, scope = scope)
                 val victims = pairs.select(
                   when(col("a_n") < col("b_n"), col("a_id"))
                     .otherwise(col("b_id")).as(idCol)).distinct()

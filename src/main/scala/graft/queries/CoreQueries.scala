@@ -758,7 +758,10 @@ object CoreQueries {
     // oracle recomputes from the raw table, so both the pruning and the
     // re-filter must be exactly lossless to hash-match.
     "q191_manifest_pruned_read" -> { (s, dir) =>
-      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q191_manifest"
+      // per-process + per-fixture path: two concurrent harness sessions on
+      // one host must not race overwrite-vs-read on a shared constant
+      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q191_manifest_" +
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Manifest.write(
         graft.sources.Manifest.build(s, dir, "orders", "o_orderdate"), mp)
       val pred = col("table") === "orders" &&

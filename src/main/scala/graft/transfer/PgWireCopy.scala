@@ -339,7 +339,13 @@ private[transfer] final class PgWireSession(
           s"unexpected SSLRequest response '${other.toChar}'")
       }
     } catch {
-      case _: javax.net.ssl.SSLException if sslMode == "prefer" =>
+      // libpq's prefer ladder falls back on ANY SSL-phase failure, not just
+      // handshake errors: a server that closes the socket right after
+      // SSLRequest surfaces as a plain IOException (read() == -1 above), and
+      // must retry plaintext the same way an SSLException does. The guard
+      // keeps require/verify-* modes rethrowing.
+      case (_: javax.net.ssl.SSLException | _: java.io.IOException)
+          if sslMode == "prefer" =>
         try sock.close() catch { case _: Throwable => () }
         new StreamWire(tcpConnect()) // fresh plaintext connection, no preamble
       case e: Throwable =>

@@ -594,10 +594,16 @@ class MainSpec extends SparkSpec {
 
   test("dedup --method containment drops contained documents, keeping containers") {
     import org.apache.spark.sql.functions.{col, when}
+    spark.catalog.clearCache()
     val dst = Files.createTempDirectory("clicontain").toString
     val (code, out) = runCli("dedup", "--source", sfDir, "--target", dst,
       "--method", "containment")
     assert(code === 0, out)
+    // round-11 ADVICE: this branch omitted `scope = scope`, so the census's
+    // per-doc set-size cache landed in the unmanaged session scope and
+    // leaked one corpus-sized entry per CLI invocation
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "containment branch must release its sz cache via the CLI's CacheScope")
     val before = spark.read.parquet(s"$sfDir/documents.parquet")
     val victims = graft.operators.Dedup.containmentPairs(before, "doc_id", "text")
       .select(when(col("a_n") < col("b_n"), col("a_id"))

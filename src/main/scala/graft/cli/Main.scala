@@ -535,25 +535,44 @@ object Main {
           }
           0
         case "manifest" =>
-          // the file-catalog workflow end-to-end (round 11,
-          // sources.Manifest): bootstrap a manifest from a table directory
-          // (--build), or answer stats questions from an existing manifest
-          // without opening a data file (--count with optional key range).
+          // the file-catalog workflow end-to-end (round 11, rebuilt round
+          // 12, sources.Manifest): bootstrap a manifest from a table
+          // directory (--build, full scan), keep it current incrementally
+          // (--update, parquet-footer stats only — novel files appended,
+          // stale rows dropped, zero data pages read), or answer stats
+          // questions without opening a data file (--count with optional
+          // key range). --key takes a comma list; zone maps keep each key's
+          // NATIVE type, so numeric keys prune numerically (round-11 advice:
+          // the old string-cast zone map compared doc_id lexicographically).
           val src = req("source")
           val table = opts.getOrElse("table", "documents")
-          val keyCol = opts.getOrElse("key", "doc_id")
+          val keyCols = opts.getOrElse("key", "doc_id").split(",").toSeq
           val manifestPath = opts.getOrElse("manifest", s"$src/_manifest/$table")
           if (opts.contains("build")) {
-            val entries = graft.sources.Manifest.build(spark, src, table, keyCol)
+            val entries = graft.sources.Manifest.build(spark, src, table, keyCols)
             graft.sources.Manifest.write(entries, manifestPath)
             val n = spark.read.parquet(manifestPath).count()
             out(s"manifest for $table written to $manifestPath ($n files)")
+          } else if (opts.contains("update")) {
+            val (added, removed) = graft.sources.Manifest.update(
+              spark, src, table, keyCols, manifestPath)
+            out(s"manifest for $table updated at $manifestPath " +
+              s"(+$added files, -$removed stale)")
           } else {
             import org.apache.spark.sql.functions.col
+            // stats mode reads the key name from the manifest itself unless
+            // --key overrides — the zone-map column was fixed at build time
+            val k = opts.get("key").map(_.split(",").head).getOrElse(
+              spark.read.parquet(manifestPath).schema("mins").dataType
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+                .fields.head.name)
             val pred =
               Seq(Some(col("table") === table),
-                  opts.get("min-key").map(v => col("max_key") >= v), // file range
-                  opts.get("max-key").map(v => col("min_key") <= v)) // OVERLAPS [lo, hi]
+                  // string CLI bounds coerce to the zone map's native type
+                  opts.get("min-key").map(v => // file range OVERLAPS [lo, hi]
+                    col(s"maxs.`$k`") >= v || col(s"maxs.`$k`").isNull),
+                  opts.get("max-key").map(v =>
+                    col(s"mins.`$k`") <= v || col(s"mins.`$k`").isNull))
                 .flatten.reduce(_ && _)
             val rows = graft.sources.Manifest.rowCount(spark, manifestPath, pred)
             val files = graft.sources.Manifest.select(spark, manifestPath, pred).count()
@@ -975,9 +994,12 @@ object Main {
       |               — full vs md5-half slice, growth exponent beta)
       |              [--boilerplate]  (per-source share of volume in lines
       |               repeated across docs corpus-wide)
-      |  manifest    --source DIR [--table T] [--key COL] [--manifest PATH]
+      |  manifest    --source DIR [--table T] [--key COL[,COL..]] [--manifest PATH]
       |              --build  (bootstrap the file-catalog parquet table:
-      |               path/rows/bytes/min-max key per data file)
+      |               path/rows/bytes + typed min/max zone maps per data file)
+      |              --update  (incremental: diff the table dir by path,
+      |               footer-scan only novel files, drop stale rows — no
+      |               data pages read)
       |              or stats mode: [--min-key V] [--max-key V]  (row/file
       |               counts for a key range answered from the manifest
       |               alone — no data files opened)

@@ -748,8 +748,8 @@ object CoreQueries {
       graft.sources.Manifest.build(s, dir, "orders", "o_orderdate")
         .agg(
           sum(col("rows")).as("rows_total"),
-          min(col("min_key")).as("first_date"),
-          max(col("max_key")).as("last_date"))
+          min(col("mins.o_orderdate")).cast("string").as("first_date"),
+          max(col("maxs.o_orderdate")).cast("string").as("last_date"))
     },
 
     // Manifest-pruned READ (round-11): write the manifest, prune it by a
@@ -765,10 +765,36 @@ object CoreQueries {
       graft.sources.Manifest.write(
         graft.sources.Manifest.build(s, dir, "orders", "o_orderdate"), mp)
       val pred = col("table") === "orders" &&
-        col("max_key") >= "1995-01-01" && col("min_key") <= "1995-12-31"
+        graft.sources.Manifest.overlaps("o_orderdate", "1995-01-01", "1995-12-31")
       graft.sources.Manifest.read(s, mp, pred,
           keyFilter = Some(col("o_orderdate")
             .between("1995-01-01", "1995-12-31")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+            .as("sum_price"))
+    },
+
+    // Multi-column zone maps (round-12): the manifest carries TYPED min/max
+    // structs for N key columns, so a conjunction prunes on both — the
+    // Z-order layout's reason to exist — and the numeric o_custkey bound is
+    // compared numerically (round-11 advice: the old string-cast zone map
+    // would have placed custkey 90 above 200 lexicographically and pruned
+    // overlapping files away). Both bounds re-apply at row level; the
+    // oracle recomputes from the raw table.
+    "q192_manifest_multikey_read" -> { (s, dir) =>
+      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q192_manifest_" +
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders",
+          Seq("o_orderdate", "o_custkey")), mp)
+      val pred = col("table") === "orders" &&
+        graft.sources.Manifest.overlaps("o_orderdate", "1995-01-01", "1996-12-31") &&
+        graft.sources.Manifest.overlaps("o_custkey", 10L, 500L)
+      graft.sources.Manifest.read(s, mp, pred,
+          keyFilter = Some(
+            col("o_orderdate").between("1995-01-01", "1996-12-31") &&
+              col("o_custkey").between(10L, 500L)))
         .agg(
           count(lit(1)).as("n_rows"),
           sum(col("o_totalprice")).cast("decimal(18,2)").cast("string")
@@ -1391,6 +1417,15 @@ object CoreQueries {
         |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
         |FROM orders
         |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'""".stripMargin,
+
+    // Multi-column twin: any file the two-column conjunction wrongly
+    // pruned (or kept past the row re-filter) breaks count and sum alike.
+    "q192_manifest_multikey_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+        |  AND o_custkey BETWEEN 10 AND 500""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -36,6 +36,11 @@ class MainSpec extends SparkSpec {
       "--manifest", mp, "--min-key", "2999-01-01")
     assert(zcode === 0)
     assert(zout.exists(_.contains("orders: 0 rows across 0 files")), zout.mkString("\n"))
+    // --update on an unchanged directory is an incremental no-op
+    val (ucode, uout) = runCli("manifest", "--source", sfDir, "--table", "orders",
+      "--key", "o_orderdate", "--manifest", mp, "--update")
+    assert(ucode === 0)
+    assert(uout.exists(_.contains("(+0 files, -0 stale)")), uout.mkString("\n"))
   }
 
   test("build writes topo-ordered DDL to a file") {

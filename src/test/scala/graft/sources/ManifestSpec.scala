@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Manifest-backed catalog for corpora beyond driver-listing scale
-  * (round-10 directive): 10^4 manifest entries flow through the
+  * (round-10 directive; round-12: typed multi-column zone maps + footer
+  * incremental maintenance). 10^4 manifest entries flow through the
   * DISTRIBUTED pruning path — a parquet scan with pushed filters, pinned
   * here — and only the surviving handful of real files is ever opened.
   * The synthetic 9,990 entries point at paths that DO NOT EXIST, so any
@@ -16,39 +17,41 @@ class ManifestSpec extends SparkSpec {
 
   private val base = Files.createTempDirectory("graft_manifest").toString
 
+  private def parquetFiles(dir: String): Seq[String] =
+    spark.read.parquet(dir).inputFiles.toSeq
+
   test("10^4-entry manifest prunes distributively; only surviving files are read") {
     import spark.implicits._
 
-    // 10 REAL data files: key ranges [d*100, d*100+99], 50 rows each
+    // 10 REAL data files: key ranges [d*100, d*100+98], 50 rows each
     val dataDir = s"$base/data"
     (0 until 10).foreach { d =>
       (0 until 50).map(i => (d * 100 + i * 2, s"v${d}_$i"))
         .toDF("k", "v")
         .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/shard$d")
     }
-    val realEntries = (0 until 10).map { d =>
-      val dir = new java.io.File(s"$dataDir/shard$d")
-      val f = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
-      (f.getAbsolutePath, "docs", 50L, f.length(),
-        f"${d * 100}%06d", f"${d * 100 + 98}%06d")
-    }
+    // real entries come from FOOTERS — stats read without opening a data
+    // page, and typed: k is an INT zone map, not a string
+    val realEntries = Manifest.fromFooters(spark,
+      (0 until 10).flatMap(d => parquetFiles(s"$dataDir/shard$d")),
+      "docs", Seq("k"))
+    assert(realEntries.schema("mins").dataType.simpleString === "struct<k:int>")
     // 9,990 SYNTHETIC entries: nonexistent paths, key ranges disjoint from
     // every real shard (offset by 10^6) — pruning must drop all of them
     val synthetic = (0 until 9990).map { i =>
       (s"/nonexistent/corpus/f$i.parquet", "docs", 1000L, 1L << 20,
-        f"${1000000 + i * 100}%09d", f"${1000000 + i * 100 + 99}%09d")
-    }
+        1000000 + i * 100, 1000000 + i * 100 + 99)
+    }.toDF("path", "table", "rows", "bytes", "lo", "hi")
+      .withColumn("mins", struct(col("lo").as("k")))
+      .withColumn("maxs", struct(col("hi").as("k")))
+      .select(Manifest.columns.map(col): _*)
     val manifestPath = s"$base/manifest"
     Manifest.write(
-      (realEntries ++ synthetic)
-        .toDF("path", "table", "rows", "bytes", "min_key", "max_key")
-        .repartition(8),
-      manifestPath)
+      realEntries.unionByName(synthetic).repartition(8), manifestPath)
 
-    // predicate: table + key-range overlap for keys [000200, 000399]
-    // (shards 2 and 3) — file-level zone-map semantics
-    val pred = col("table") === "docs" &&
-      col("min_key") <= "000399" && col("max_key") >= "000200"
+    // predicate: table + key-range overlap for keys [200, 399]
+    // (shards 2 and 3) — file-level zone-map semantics, NUMERIC comparison
+    val pred = col("table") === "docs" && Manifest.overlaps("k", 200, 399)
 
     // pruning is a DISTRIBUTED parquet scan with the predicate pushed —
     // the pin that says "this is a scan plan, not a driver loop"
@@ -56,9 +59,10 @@ class ManifestSpec extends SparkSpec {
     val plan = pruned.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PushedFilters"), plan.take(800))
-    assert(plan.matches("(?s).*PushedFilters: \\[.*min_key.*\\].*") ||
-      plan.matches("(?s).*PushedFilters: \\[.*max_key.*\\].*"),
-      "key-range predicate did not reach the manifest scan")
+    assert(plan.matches("(?s).*PushedFilters: \\[.*mins.*\\].*") ||
+      plan.matches("(?s).*PushedFilters: \\[.*maxs.*\\].*"),
+      "nested zone-map predicate did not reach the manifest scan:\n" +
+        plan.take(1200))
 
     val survivors = pruned.select("path").as[String].collect()
     assert(survivors.length === 2)
@@ -76,11 +80,72 @@ class ManifestSpec extends SparkSpec {
 
     // zero-survivor predicates: stats answer 0, data read fails loudly
     // instead of listing a corpus
-    val none = col("table") === "docs" && col("min_key") >= "999999990"
+    val none = col("table") === "docs" && col("mins.k") >= 999999990
     assert(Manifest.rowCount(spark, manifestPath, none) === 0L)
     val e = intercept[IllegalArgumentException](
       Manifest.read(spark, manifestPath, none))
     assert(e.getMessage.contains("zero files"))
+  }
+
+  test("numeric keys prune numerically, not lexicographically (round-11 advice)") {
+    import spark.implicits._
+    // the advice's exact failure shape: a file with ids [100..200] has
+    // max '200' < min-bound '90' AS STRINGS — the old string-cast zone map
+    // silently dropped it and returned wrong counts
+    val dir = s"$base/numkeys"
+    Seq(5L, 7L, 9L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lo")
+    (100L to 200L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/hi")
+    val mp = s"$base/numkeys_manifest"
+    Manifest.write(Manifest.fromFooters(spark,
+      parquetFiles(s"$dir/lo") ++ parquetFiles(s"$dir/hi"),
+      "t", Seq("id")), mp)
+    val pred = col("table") === "t" && Manifest.overlaps("id", 90L, 10000000L)
+    val survivors = Manifest.select(spark, mp, pred)
+      .select("path").as[String].collect()
+    assert(survivors.length === 1 && survivors.head.contains("/hi/"),
+      s"numeric zone map must keep the [100..200] file: ${survivors.mkString(",")}")
+    assert(Manifest.rowCount(spark, mp, pred) === 101L)
+  }
+
+  test("multi-column zone maps: the second column prunes files the first cannot") {
+    import spark.implicits._
+    // 4 files spanning the SAME d range (first column useless) but
+    // disjoint c ranges (second column selective) — the Z-order shape
+    val dir = s"$base/multikey"
+    (0 until 4).foreach { f =>
+      (0 until 50).map(i => (i.toLong, f * 100 + i * 2)).toDF("d", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$f")
+    }
+    val mp = s"$base/multikey_manifest"
+    Manifest.write(Manifest.fromFooters(spark,
+      (0 until 4).flatMap(f => parquetFiles(s"$dir/f$f")),
+      "t", Seq("d", "c")), mp)
+    // first column alone: every file overlaps [0, 49]
+    assert(Manifest.select(spark, mp,
+      col("table") === "t" && Manifest.overlaps("d", 0L, 49L)).count() === 4)
+    // conjunction: c ∈ [150, 160] lives only in file f1
+    val pred = col("table") === "t" &&
+      Manifest.overlaps("d", 0L, 49L) && Manifest.overlaps("c", 150, 160)
+    val survivors = Manifest.select(spark, mp, pred)
+      .select("path").as[String].collect()
+    assert(survivors.length === 1 && survivors.head.contains("/f1/"))
+    val got = Manifest.read(spark, mp, pred,
+      keyFilter = Some(col("c").between(150, 160)))
+    assert(got.count() === 6) // 150,152,...,160
+  }
+
+  test("fromFooters matches the full-scan build exactly (rows, typed min/max)") {
+    val scanned = Manifest.build(spark, sfDir, "orders", Seq("o_orderdate", "o_custkey"))
+      .select("path", "rows", "mins", "maxs")
+    val footers = Manifest.fromFooters(spark,
+      spark.read.parquet(s"$sfDir/orders.parquet").inputFiles.toSeq,
+      "orders", Seq("o_orderdate", "o_custkey"))
+      .select("path", "rows", "mins", "maxs")
+    assert(scanned.schema.simpleString === footers.schema.simpleString)
+    assert(scanned.exceptAll(footers).isEmpty && footers.exceptAll(scanned).isEmpty,
+      "footer stats must equal a full data scan's min/max/rows")
   }
 
   test("build() bootstraps a manifest from an existing fixture table") {
@@ -89,12 +154,51 @@ class ManifestSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val total = rows.map(_.getAs[Long]("rows")).sum
     assert(total === spark.read.parquet(s"$sfDir/orders.parquet").count())
-    // every entry carries a usable zone map
-    assert(rows.forall(r => r.getAs[String]("min_key") <= r.getAs[String]("max_key")))
+    // every entry carries a usable typed zone map
+    assert(rows.forall { r =>
+      val mins = r.getAs[org.apache.spark.sql.Row]("mins")
+      val maxs = r.getAs[org.apache.spark.sql.Row]("maxs")
+      !mins.isNullAt(0) && !maxs.isNullAt(0)
+    })
     // round-trip: written manifest answers the full-table count from stats
     val mp = s"$base/orders_manifest"
     Manifest.write(entries, mp)
     assert(Manifest.rowCount(spark, mp, col("table") === "orders") === total)
+  }
+
+  test("update() appends novel files and drops stale rows without a data rescan") {
+    import spark.implicits._
+    val dataDir = s"$base/upd"
+    val mp = s"$base/upd_manifest"
+    // batch 1: bootstrap-by-update (manifest does not exist yet)
+    (0L until 100L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+    val (a1, r1) = Manifest.update(spark, dataDir, "t", Seq("id"), mp)
+    assert(a1 === 2 && r1 === 0)
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 100L)
+    // batch 2: append lands new part files; ONLY those are footer-scanned
+    (100L until 150L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dataDir/t.parquet")
+    val (a2, r2) = Manifest.update(spark, dataDir, "t", Seq("id"), mp)
+    assert(a2 === 1 && r2 === 0)
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 150L)
+    // idempotent: nothing new, nothing touched
+    assert(Manifest.update(spark, dataDir, "t", Seq("id"), mp) === ((0L, 0L)))
+    // overwrite rewrites the dir under fresh part names: stale rows drop
+    (0L until 30L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+    val (a3, r3) = Manifest.update(spark, dataDir, "t", Seq("id"), mp)
+    assert(a3 === 1 && r3 === 3)
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 30L)
+    // the zone maps stayed typed through every maintenance path
+    assert(Manifest.rowCount(spark, mp,
+      col("table") === "t" && Manifest.overlaps("id", 90L, 999L)) === 0L)
+    // a divergent key set must fail loudly, not corrupt the manifest
+    val bad = Manifest.fromFooters(spark,
+      parquetFiles(s"$dataDir/t.parquet"), "t2", Seq.empty[String])
+    val e = intercept[IllegalArgumentException](
+      Manifest.append(spark, bad, mp))
+    assert(e.getMessage.contains("key columns"))
   }
 
   override def afterAll(): Unit = {

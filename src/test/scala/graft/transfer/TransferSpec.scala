@@ -121,4 +121,41 @@ class TransferSpec extends SparkSpec {
     assert(!stats.success)
     assert(stats.errorMessage.nonEmpty)
   }
+
+  test("ParquetSink(manifestKeys) keeps the file catalog current at write time") {
+    // round-11 verdict item 2: manifest rows are produced by the job that
+    // wrote the data files — the only moment the stats are free — never by
+    // a full-corpus rescan
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    val out = Files.createTempDirectory("xfermanifest").toString
+    val mp = s"$out/_manifest/orders"
+    val sink = new ParquetSink(out, mode = org.apache.spark.sql.SaveMode.Append,
+      manifestKeys = Some(Seq("o_orderkey")))
+
+    // batch 1: a transfer job lands files; the manifest appears with them
+    val e1 = new TransferEngine(new ParquetSource(sfDir), sink,
+      where = Some("o_orderkey < 500"))
+    assert(e1.transferTable(spark, "orders").success)
+    val batch1 = spark.read.parquet(mp).collect().toSet
+    assert(batch1.nonEmpty)
+    assert(Manifest.rowCount(spark, mp, col("table") === "orders") === 500L)
+
+    // batch 2 appends MORE files: the manifest gains exactly those rows —
+    // every batch-1 row survives byte-identical, so nothing was rescanned
+    val e2 = new TransferEngine(new ParquetSource(sfDir), sink,
+      where = Some("o_orderkey >= 500 AND o_orderkey < 800"))
+    assert(e2.transferTable(spark, "orders").success)
+    val batch2 = spark.read.parquet(mp).collect().toSet
+    assert(batch1.subsetOf(batch2), "batch-1 manifest rows must be untouched")
+    val allFiles = spark.read.parquet(s"$out/orders.parquet").inputFiles.toSet
+    assert(batch2.map(_.getAs[String]("path")) === allFiles)
+    assert(Manifest.rowCount(spark, mp, col("table") === "orders") === 800L)
+
+    // a pruned read sees the new batch through its typed zone maps
+    val got = Manifest.read(spark, mp,
+      col("table") === "orders" && Manifest.overlaps("o_orderkey", 500L, 799L),
+      keyFilter = Some(col("o_orderkey").between(500L, 799L)))
+    assert(got.count() === 300L)
+  }
 }

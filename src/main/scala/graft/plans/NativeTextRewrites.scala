@@ -103,6 +103,8 @@ object NativeTextRewrites extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeTextRewrites)
+    // manifest-backed file skipping for SQL users (sources.ManifestSql)
+    ext.injectOptimizerRule(session => graft.sources.ManifestPruneRule(session))
     graft.functions.GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }

@@ -801,6 +801,27 @@ object CoreQueries {
             .as("sum_price"))
     },
 
+    // SQL-surface manifest pruning (round-12, sources.ManifestSql): the
+    // same pruned read as q192, but driven ENTIRELY through spark.sql over
+    // a registered manifest-backed view — the optimizer rule extracts the
+    // WHERE bounds, consults the manifest, and swaps in the surviving file
+    // set (ManifestSqlSpec pins the file count; this oracle pins that the
+    // rewrite is lossless cross-engine).
+    "q193_manifest_sql_read" -> { (s, dir) =>
+      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q193_manifest_" +
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders",
+          Seq("o_orderdate", "o_custkey")), mp)
+      graft.sources.ManifestSql.register(s, dir, "orders", mp, "orders_manifested")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS STRING) AS sum_price
+          |FROM orders_manifested
+          |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+          |  AND o_custkey >= 100""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1426,6 +1447,15 @@ object CoreQueries {
         |FROM orders
         |WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
         |  AND o_custkey BETWEEN 10 AND 500""".stripMargin,
+
+    // The SQL-surface twin recomputes from the raw table: a file the
+    // optimizer rule wrongly pruned breaks count and sum alike.
+    "q193_manifest_sql_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+        |  AND o_custkey >= 100""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SQL-surface manifest pruning (round-11 verdict item 7): a `spark.sql`
+  * query over a manifest-backed temp view must open ONLY the files whose
+  * zone maps overlap the WHERE clause — file skipping without calling any
+  * Scala helper — while the row-level filter still re-applies on top. */
+class ManifestSqlSpec extends SparkSpec {
+
+  private val base = Files.createTempDirectory("graft_manifest_sql").toString
+  private val dataDir = s"$base/data"
+  private val mp = s"$base/manifest"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    import spark.implicits._
+    // 5 part files with disjoint id ranges [f*100, f*100+99]
+    (0 until 5).foreach { f =>
+      (0 until 100).map(i => (f * 100L + i, s"v$f"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$dataDir/t.parquet")
+    }
+    Manifest.update(spark, dataDir, "t", Seq("id"), mp)
+    ManifestSql.register(spark, dataDir, "t", mp, "mt")
+  }
+
+  /** Files the FINAL (adaptive) plan's parquet scans actually list. */
+  private def scannedFiles(df: DataFrame): Seq[String] = {
+    df.collect() // finalize the adaptive plan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(leaves)
+      }
+    leaves(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles)
+  }
+
+  test("a WHERE range over the key scans only the overlapping files") {
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(id) AS s FROM mt WHERE id >= 150 AND id <= 340")
+    val files = scannedFiles(q)
+    assert(files.length === 3, s"expected files f1,f2,f3 only: $files")
+    // and the answer is exactly the raw recompute — pruning lost no rows
+    val raw = spark.read.parquet(s"$dataDir/t.parquet")
+      .filter(col("id").between(150L, 340L))
+      .agg(count(lit(1)), sum("id")).head
+    assert(q.head.toSeq === raw.toSeq)
+  }
+
+  test("equality pins a single file; the row filter still re-applies") {
+    val q = spark.sql("SELECT v FROM mt WHERE id = 250")
+    assert(scannedFiles(q).length === 1)
+    assert(q.head.getString(0) === "v2")
+  }
+
+  test("a predicate no file overlaps is an empty result, not an error") {
+    val q = spark.sql("SELECT * FROM mt WHERE id > 99999")
+    assert(scannedFiles(q).isEmpty)
+    assert(q.count() === 0L)
+  }
+
+  test("non-key predicates keep every file (conservative, never lossy)") {
+    val q = spark.sql("SELECT count(*) AS n FROM mt WHERE v = 'v3'")
+    assert(scannedFiles(q).length === 5)
+    assert(q.head.getLong(0) === 100L)
+  }
+
+  test("the pruned scan still pushes the row predicate into parquet") {
+    val q = spark.sql("SELECT id FROM mt WHERE id >= 150 AND id <= 160")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,150)"),
+      plan.take(1200))
+  }
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    super.afterAll()
+  }
+}

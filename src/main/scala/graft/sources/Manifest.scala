@@ -251,9 +251,16 @@ object Manifest {
     * rename (parquet cannot delete rows in place); this is a single-writer
     * maintenance op by design, like compaction. */
   def update(spark: SparkSession, dataDir: String, table: String,
-             keyCols: Seq[String], manifestPath: String): (Long, Long) = {
+             keyCols: Seq[String], manifestPath: String): (Long, Long) =
+    updateDir(spark, s"$dataDir/$table.parquet", table, keyCols, manifestPath)
+
+  /** [[update]] against a table directory named directly (the streaming
+    * ingest path owns its corpus dir without the `dir/table.parquet`
+    * layout convention). */
+  def updateDir(spark: SparkSession, tableDir: String, table: String,
+                keyCols: Seq[String], manifestPath: String): (Long, Long) = {
     import spark.implicits._
-    val current = spark.read.parquet(s"$dataDir/$table.parquet")
+    val current = spark.read.parquet(tableDir)
       .inputFiles.toSeq.toDF("path")
     val known = existingSchema(spark, manifestPath) match {
       case Some(_) =>

@@ -29,11 +29,23 @@ object IngestStream {
 
   /** Starts the ingestion query. `corpusDir` must exist and hold the seed
     * corpus; incoming ids must be disjoint from corpus ids (the
-    * [[Dedup.incrementalNearDups]] contract). */
+    * [[Dedup.incrementalNearDups]] contract).
+    *
+    * `manifestPath` (round-11 verdict item 8) keeps a
+    * [[graft.sources.Manifest]] catalog current per micro-batch — the
+    * streaming twin of `ParquetSink(manifestKeys)`: after each batch's
+    * survivors append, only the part files THAT batch produced are
+    * footer-scanned (a path diff against the manifest), so the catalog
+    * tracks a growing corpus with zero data-page reads and no rescan. A
+    * replayed batch after a mid-write failure re-diffs by path, so the
+    * manifest converges on whatever files actually exist (the exactly-once
+    * caveat above applies to the data, not additionally to the catalog). */
   def dedupIngest(incoming: DataFrame, corpusDir: String, checkpointDir: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   threshold: Double = 0.5,
-                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  manifestPath: Option[String] = None,
+                  manifestKeys: Seq[String] = Seq("doc_id")): StreamingQuery =
     incoming.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
@@ -45,6 +57,12 @@ object IngestStream {
             .select(col(idCol))
           batch.toDF().join(kills, Seq(idCol), "left_anti")
             .write.mode("append").parquet(corpusDir)
+          manifestPath.foreach { mp =>
+            val table = new org.apache.hadoop.fs.Path(corpusDir)
+              .getName.stripSuffix(".parquet")
+            graft.sources.Manifest.updateDir(
+              spark, corpusDir, table, manifestKeys, mp)
+          }
         } finally scope.release()
       }
       .option("checkpointLocation", checkpointDir)

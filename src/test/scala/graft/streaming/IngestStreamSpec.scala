@@ -52,4 +52,45 @@ class IngestStreamSpec extends SparkSpec {
     // and the ingestion left no cached frames behind (scope-released)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("per-batch manifest maintenance tracks the growing corpus without rescan") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("ingest_mf_corpus").toString + "/docs"
+    val srcDir = Files.createTempDirectory("ingest_mf_src").toString
+    val ckpt = Files.createTempDirectory("ingest_mf_ckpt").toString
+    val mp = Files.createTempDirectory("ingest_mf").toString + "/manifest"
+
+    val seed = Seq((1L, "seed document one of the corpus"),
+      (2L, "seed document two of the corpus")).toDF("doc_id", "text")
+    seed.coalesce(1).write.parquet(corpusDir)
+    // bootstrap the catalog over the seed; its rows must survive every
+    // later batch UNTOUCHED — the proof no batch rescanned old files
+    Manifest.updateDir(spark, corpusDir, "docs", Seq("doc_id"), mp)
+    val seedRows = spark.read.parquet(mp).collect().toSet
+    assert(Manifest.rowCount(spark, mp, col("table") === "docs") === 2L)
+
+    // two micro-batches of novel docs (maxFilesPerTrigger=1)
+    Seq((10L, "first streamed batch entirely novel text"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/b1")
+    Seq((20L, "second streamed batch also completely new prose"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/b2")
+    val incoming = spark.readStream.schema(seed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    IngestStream.dedupIngest(incoming, corpusDir, ckpt, threshold = 0.9,
+      manifestPath = Some(mp)).awaitTermination()
+
+    // the catalog tracked both batches: stats-only count equals the data,
+    // one manifest row per part file, seed rows byte-identical
+    val after = spark.read.parquet(mp).collect().toSet
+    assert(seedRows.subsetOf(after), "seed manifest rows must be untouched")
+    assert(Manifest.rowCount(spark, mp, col("table") === "docs") ===
+      spark.read.parquet(corpusDir).count())
+    assert(after.map(_.getAs[String]("path")) ===
+      spark.read.parquet(corpusDir).inputFiles.toSet)
+    // typed doc_id zone maps answer a ranged stats question
+    assert(Manifest.rowCount(spark, mp,
+      col("table") === "docs" && Manifest.overlaps("doc_id", 10L, 99L)) === 2L)
+  }
 }

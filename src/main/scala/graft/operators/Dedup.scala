@@ -18,6 +18,17 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Corpus size (logical-plan stats bytes — file size for a parquet
+    * read, free to ask on the driver) past which the exact containment
+    * census pre-exchanges its pair stream before aggregation (see
+    * [[containmentPairs]]): below it the partial-aggregation maps fit and
+    * map-side combine wins (measured sf0.1 @0.6 MB: 2.33 s vs 3.4 s
+    * exchanged, interleaved min-of-3); above it the never-collapsing
+    * groups thrash 32-partition spill (measured x100 probe @~60 MB: wall
+    * exponent 1.34 unexchanged). The 2 MB cut sits ≥3× from both measured
+    * regimes (sf0.1 0.6 MB below, the 10× probe ~6 MB above). */
+  val ContainmentExchangeThresholdBytes: BigInt = BigInt(2L << 20)
+
   /** Dedup-key normalization: casefold + whitespace collapse + trim, so
     * documents that differ only by case drift or re-wrapped whitespace
     * (the two most common ingestion artifacts) hash to the same key before
@@ -416,11 +427,27 @@ object Dedup {
     // a candidate set that IS the stream) — vs 44s for aggregate-then-
     // filter at 32 partitions, and the repartitioned form below beats
     // that by removing the spill churn rather than the groups.
+    //
+    // ADAPTIVE (round 12): that pre-aggregation exchange is a pure tax
+    // below the thrash regime — interleaved same-session A/B at sf0.1
+    // (min-of-3 each): shipped-with-exchange wall 3.39-3.44 s vs
+    // without 2.33-2.35 s, CPU 4.5 vs 3.0 — this was the real half of the
+    // r10→r11 q163 bench regression (2.23→4.00 s). Small corpora keep
+    // map-side combine; the exchange engages past a corpus-size threshold
+    // read from the optimizer's own size estimate — a driver-side lookup
+    // (file bytes for a parquet corpus), zero extra jobs (a first cut
+    // counted shingles off the cached `sz`, correct but +0.6 s of
+    // serialized job latency per run).
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val inter = expandPairs(
-        byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
-        keepRare = true)
-      .repartition(numParts, col("a_id"), col("b_id"))
+    val expanded = expandPairs(
+      byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
+      keepRare = true)
+    val preAgg =
+      if (corpusBytes >= ContainmentExchangeThresholdBytes)
+        expanded.repartition(numParts, col("a_id"), col("b_id"))
+      else expanded
+    val inter = preAgg
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
         max(col("rare")).as("has_rare"))

@@ -143,7 +143,38 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
       case LessThanOrEqual(l: Literal, a) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
+      // IN-lists: each member is a point lookup, OR'd — precise (a sparse
+      // list skips files between its members) and still one manifest
+      // query. NULL members match no row under IN, so they drop out.
+      // Past 64 members fall back to [min,max] bounds: the OR tree's
+      // planning cost grows while file-skipping precision rarely does.
+      case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        key(a).flatMap { k =>
+          val vs = list.flatMap(l => ext(l.asInstanceOf[Literal]))
+          inCondition(k, vs)
+        }
+      case InSet(a, hset) =>
+        key(a).flatMap { k =>
+          val vs = hset.toSeq.filter(_ != null)
+            .map(CatalystTypeConverters.convertToScala(_, a.dataType))
+          inCondition(k, vs)
+        }
       case _ => None
+    }
+  }
+
+  private def inCondition(k: String, vs: Seq[Any]): Option[Column] = {
+    def cmp(x: Any, y: Any) = x.asInstanceOf[Comparable[Any]].compareTo(y)
+    def point(v: Any): Column =
+      (col(s"maxs.`$k`") >= lit(v) || col(s"maxs.`$k`").isNull) &&
+        (col(s"mins.`$k`") <= lit(v) || col(s"mins.`$k`").isNull)
+    if (vs.isEmpty) None // all-NULL list: matches nothing; leave to the filter
+    else if (vs.size <= 64) Some(vs.map(point).reduce(_ || _))
+    else {
+      val lo = vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+      val hi = vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+      Some((col(s"maxs.`$k`") >= lit(lo) || col(s"maxs.`$k`").isNull) &&
+        (col(s"mins.`$k`") <= lit(hi) || col(s"mins.`$k`").isNull))
     }
   }
 }

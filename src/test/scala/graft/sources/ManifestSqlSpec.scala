@@ -64,6 +64,12 @@ class ManifestSqlSpec extends SparkSpec {
     assert(q.head.getString(0) === "v2")
   }
 
+  test("a sparse IN-list skips the files between its members") {
+    val q = spark.sql("SELECT id FROM mt WHERE id IN (50, 51, 450)")
+    assert(scannedFiles(q).length === 2, "members live only in f0 and f4")
+    assert(q.collect().map(_.getLong(0)).sorted === Array(50L, 51L, 450L))
+  }
+
   test("a predicate no file overlaps is an empty result, not an error") {
     val q = spark.sql("SELECT * FROM mt WHERE id > 99999")
     assert(scannedFiles(q).isEmpty)

@@ -81,13 +81,21 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           h.partitionSchema.isEmpty && !l.isStreaming =>
       val mp = h.options(ManifestSql.PathOption)
       val tbl = h.options.getOrElse(ManifestSql.TableOption, "")
-      val pruned = prune(mp, tbl, cond)
-      val newIndex = new InMemoryFileIndex(
-        spark, pruned.map(new HPath(_)), Map.empty, Some(h.dataSchema))
-      val newRel = h.copy(
-        location = newIndex,
-        options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
-      Filter(cond, l.copy(relation = newRel))
+      // a manifest that vanished (or never materialized) must degrade to
+      // the unpruned scan — stale catalog state may only cost performance,
+      // never turn a valid query into a planning error
+      scala.util.Try(prune(mp, tbl, cond)) match {
+        case scala.util.Failure(e) =>
+          logWarning(s"manifest pruning skipped for $tbl ($mp): $e")
+          f
+        case scala.util.Success(pruned) =>
+          val newIndex = new InMemoryFileIndex(
+            spark, pruned.map(new HPath(_)), Map.empty, Some(h.dataSchema))
+          val newRel = h.copy(
+            location = newIndex,
+            options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
+          Filter(cond, l.copy(relation = newRel))
+      }
   }
 
   /** Surviving file paths for `cond` — every file when no conjunct is a
@@ -127,6 +135,22 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
       case EqualTo(l: Literal, a) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
+      // <=> with a non-null literal selects exactly like = (the null-side
+      // semantics differ only for a NULL literal, which ext() rejects)
+      case EqualNullSafe(a, l: Literal) =>
+        for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
+      case EqualNullSafe(l: Literal, a) =>
+        for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
+      // k LIKE 'abc%': every match sorts in ['abc', 'abd') — the upper
+      // bound increments the prefix's last non-U+FFFF char (no finite
+      // string upper-bounds a prefix ending in U+FFFF chars, so those
+      // keep only the lower bound; appending U+FFFF instead would
+      // wrongly prune matches that themselves contain U+FFFF)
+      case StartsWith(a, l: Literal) =>
+        for (k <- key(a); v <- ext(l); s = v.toString; if s.nonEmpty) yield {
+          val lower = atLeast(k, s)
+          prefixUpper(s).fold(lower)(hi => lower && atMost(k, hi))
+        }
       case GreaterThan(a, l: Literal) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
       case GreaterThanOrEqual(a, l: Literal) =>
@@ -161,6 +185,15 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         }
       case _ => None
     }
+  }
+
+  /** Smallest string strictly above every `s`-prefixed string, when one
+    * exists: increment the last char that can be incremented, drop the
+    * rest. None when the prefix is all U+FFFF. */
+  private def prefixUpper(s: String): Option[String] = {
+    val i = s.lastIndexWhere(_ != '\uffff')
+    if (i < 0) None
+    else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
   }
 
   private def inCondition(k: String, vs: Seq[Any]): Option[Column] = {

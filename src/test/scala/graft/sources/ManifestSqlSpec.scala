@@ -101,6 +101,30 @@ class ManifestSqlSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("LIKE 'prefix%' on a string key prunes to the prefix's files") {
+    import spark.implicits._
+    val dir = s"$base/strdata"
+    Seq("alpha", "apple", "ant").zipWithIndex.map(_.swap).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq("bravo", "berry", "bat").zipWithIndex.map(_.swap).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq("carol", "cherry", "cat").zipWithIndex.map(_.swap).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val smp = s"$base/strmanifest"
+    Manifest.update(spark, dir, "t", Seq("s"), smp)
+    ManifestSql.register(spark, dir, "t", smp, "strt")
+    val q = spark.sql("SELECT s FROM strt WHERE s LIKE 'b%' ORDER BY s")
+    assert(scannedFiles(q).length === 1, "only the b-file may be opened")
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("bat", "berry", "bravo"))
+  }
+
+  test("a vanished manifest degrades to the unpruned scan, never an error") {
+    ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
+    val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")
+    assert(scannedFiles(q).length === 5, "all files scanned when the catalog is missing")
+    assert(q.head.getLong(0) === 191L)
+  }
+
   override def afterAll(): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     super.afterAll()

@@ -118,6 +118,31 @@ class ManifestSqlSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).toSeq === Seq("bat", "berry", "bravo"))
   }
 
+  test("z-ordered layout + multi-key manifest: the conjunction out-prunes one column") {
+    import spark.implicits._
+    // the write-side layout (ZOrder.cluster) and the read-side catalog
+    // composed: 64×64 grid z-clustered into 16 files = 16×16 z-aligned
+    // tiles, so BOTH columns are selective per file
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .toDF("x", "y")
+    val zdir = s"$base/zdata"
+    graft.operators.ZOrder.cluster(grid, Seq("x", "y"), bits = 8, partitions = 16)
+      .drop("zval")
+      .write.mode("overwrite").parquet(s"$zdir/t.parquet")
+    val zmp = s"$base/zmanifest"
+    Manifest.update(spark, zdir, "t", Seq("x", "y"), zmp)
+    ManifestSql.register(spark, zdir, "t", zmp, "zt")
+    val qx = spark.sql(
+      "SELECT count(*) AS n FROM zt WHERE x BETWEEN 8 AND 15")
+    val qxy = spark.sql(
+      "SELECT count(*) AS n FROM zt WHERE x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15")
+    val fx = scannedFiles(qx).length
+    val fxy = scannedFiles(qxy).length
+    assert(fxy === 1, s"an aligned 16x16 tile lives in one z-file, scanned $fxy")
+    assert(fx > fxy, s"the x-slab alone must cross tiles: $fx vs $fxy")
+    assert(qx.head.getLong(0) === 8L * 64 && qxy.head.getLong(0) === 64L)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

@@ -24,6 +24,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - `nossl`        — answer 'N' to a preamble if one arrives (or accept
   *                      a bare StartupMessage), serve plaintext
   *   - `break`        — answer 'S' then CLOSE mid-handshake
+  *   - `hangup`       — CLOSE right after SSLRequest, no answer (the
+  *                      client's preamble read sees EOF, a plain
+  *                      IOException — the round-11-advice fallback shape)
   *   - `reject-plain` — read the plaintext StartupMessage, reply a 28000
   *                      ErrorResponse (an hostssl-only pg_hba), close
   */
@@ -91,6 +94,9 @@ final class TlsFakeBackend(ksPath: Option[String], scripts: Seq[String] = Seq("t
         assert(isPreamble, s"expected SSLRequest, got len=$len code=$code")
         plain.getOutputStream.write('S'); plain.getOutputStream.flush()
         plain.close() // mid-handshake hangup
+      case "hangup" =>
+        assert(isPreamble, s"expected SSLRequest, got len=$len code=$code")
+        plain.close() // no answer at all: the client's preamble read sees EOF
       case "nossl" =>
         if (isPreamble) {
           plain.getOutputStream.write('N'); plain.getOutputStream.flush()
@@ -353,6 +359,25 @@ class PgWireTlsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       assert(copyOnce(factory(be, "prefer")) === 2L)
       assert(be.sawSslRequest && !be.servedOverTls)
+    } finally be.close()
+  }
+
+  test("sslmode=prefer retries plaintext when the server closes on SSLRequest (EOF)") {
+    // round-11 advice: a hangup right after SSLRequest surfaces as a plain
+    // IOException (read() == -1), not an SSLException — libpq's prefer
+    // ladder falls back on ANY SSL-phase failure, so must this client
+    val be = new TlsFakeBackend(None, Seq("hangup", "nossl"))
+    try {
+      assert(copyOnce(factory(be, "prefer")) === 2L)
+      assert(be.sawSslRequest && !be.servedOverTls)
+    } finally be.close()
+  }
+
+  test("sslmode=require still fails loudly when the server closes on SSLRequest") {
+    val be = new TlsFakeBackend(None, Seq("hangup"))
+    try {
+      val e = intercept[Exception](copyOnce(factory(be, "require")))
+      assert(e.getMessage.toLowerCase.contains("ssl"), e.getMessage)
     } finally be.close()
   }
 

@@ -247,6 +247,14 @@ object Manifest {
     * renders `file:///`, and a raw-listing diff would re-add every file
     * forever. The diff itself runs in Spark (anti-joins), so only the novel
     * and stale sets — bounded by what actually changed — reach the driver.
+    *
+    * Ceiling: the per-TABLE listing is a driver-side array — the same
+    * ~10^6-file bound as `Tables`' listing, paid per update. A table past
+    * that should skip the diff entirely: its ingest job knows exactly
+    * which files it wrote and appends them via [[fromFooters]] +
+    * [[append]] directly (`ParquetSink`/`IngestStream` call [[update]]
+    * only because Spark's writer API does not expose the written file
+    * list).
     * When stale rows exist the manifest is rewritten through a temp dir +
     * rename (parquet cannot delete rows in place); this is a single-writer
     * maintenance op by design, like compaction. */

@@ -63,9 +63,13 @@ import org.apache.spark.sql.types._
   */
 object Manifest {
 
-  /** Canonical column order for a manifest table. */
+  /** Canonical column order for a manifest table. `nulls` carries each key
+    * column's per-file NULL count (round 12; parquet footers keep it next
+    * to min/max): `IS NULL` prunes to files with nulls, and the
+    * `IS NOT NULL` conjunct Spark inserts under every comparison skips
+    * all-null files. NULL in `nulls` = unknown = keep. */
   val columns: Seq[String] =
-    Seq("path", "table", "rows", "bytes", "mins", "maxs")
+    Seq("path", "table", "rows", "bytes", "mins", "maxs", "nulls")
 
   /** Write (or replace) a manifest at `manifestPath` from any DataFrame
     * carrying [[columns]]. RANGE-partitioned then sorted by (table, mins):
@@ -116,7 +120,9 @@ object Manifest {
     val df = Tables.load(spark, dir, table)
     val aggs = Seq(count(lit(1)).as("rows")) ++
       keyCols.map(k => min(col(k)).as(s"__min_$k")) ++
-      keyCols.map(k => max(col(k)).as(s"__max_$k"))
+      keyCols.map(k => max(col(k)).as(s"__max_$k")) ++
+      keyCols.map(k =>
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
     df.withColumn("path", input_file_name())
       .groupBy(col("path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -124,6 +130,7 @@ object Manifest {
       .withColumn("bytes", lit(null).cast("long"))
       .withColumn("mins", struct(keyCols.map(k => col(s"__min_$k").as(k)): _*))
       .withColumn("maxs", struct(keyCols.map(k => col(s"__max_$k").as(k)): _*))
+      .withColumn("nulls", struct(keyCols.map(k => col(s"__nulls_$k").as(k)): _*))
       .select(columns.map(col): _*)
   }
 
@@ -152,13 +159,15 @@ object Manifest {
       throw new IllegalArgumentException(
         s"key column $k not in data schema ${dataSchema.simpleString}")))
     val keyStruct = StructType(keyFields.map(f => StructField(f.name, f.dataType)))
+    val nullStruct = StructType(keyFields.map(f => StructField(f.name, LongType)))
     val outSchema = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("table", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
       StructField("mins", keyStruct),
-      StructField("maxs", keyStruct)))
+      StructField("maxs", keyStruct),
+      StructField("nulls", nullStruct)))
     val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val keyTypes = keyFields.map(f => (f.name, f.dataType))
     val slices = math.max(1, math.min(paths.size, 64))
@@ -171,8 +180,10 @@ object Manifest {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val nRows = blocks.map(_.getRowCount).sum
         val stats = keyTypes.map { case (k, dt) => footerMinMax(blocks, k, dt) }
+        val nulls = keyTypes.map { case (k, _) => footerNulls(blocks, k) }
         Row(p, table, nRows, len,
-          Row(stats.map(_._1): _*), Row(stats.map(_._2): _*))
+          Row(stats.map(_._1): _*), Row(stats.map(_._2): _*),
+          Row(nulls: _*))
       } finally reader.close()
     }
     spark.createDataFrame(rows, outSchema)
@@ -195,6 +206,22 @@ object Manifest {
     }
     if (perBlock.exists(p => p._1 == null || p._2 == null)) (null, null)
     else (perBlock.map(_._1).reduce(minOf), perBlock.map(_._2).reduce(maxOf))
+  }
+
+  /** One column's NULL count summed across row groups; null (unknown)
+    * unless every group sets it — parquet writers MAY omit null counts,
+    * and an unknown count must keep the file, never skip it. */
+  private def footerNulls(blocks: Seq[BlockMetaData], keyCol: String): Any = {
+    val perBlock = blocks.map { b =>
+      b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+        case Some(c) =>
+          val st = c.getStatistics.asInstanceOf[Statistics[_]]
+          if (st == null || !st.isNumNullsSet) null else Long.box(st.getNumNulls)
+        case None => null
+      }
+    }
+    if (perBlock.contains(null)) null
+    else Long.box(perBlock.map(_.asInstanceOf[Long]).sum)
   }
 
   private def minOf(a: Any, b: Any): Any =

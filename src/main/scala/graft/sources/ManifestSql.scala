@@ -105,8 +105,11 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val manifest = spark.read.parquet(manifestPath)
     val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
       .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+    // manifests written before the nulls struct existed still range-prune;
+    // referencing the absent column would fail the whole prune instead
+    val hasNulls = manifest.schema.fieldNames.contains("nulls")
     val zonePred = splitConjunctivePredicates(cond)
-      .flatMap(conjunctBound(_, keyFields))
+      .flatMap(conjunctBound(_, keyFields, hasNulls))
       .reduceOption(_ && _)
     manifest
       .filter(col("table") === table && zonePred.getOrElse(lit(true)))
@@ -118,7 +121,8 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * comparison between a bare key attribute and a foldable literal. NULL
     * zone maps (missing footer stats) always keep the file. */
   private def conjunctBound(e: Expression,
-                            keyFields: Map[String, String]): Option[Column] = {
+                            keyFields: Map[String, String],
+                            hasNulls: Boolean): Option[Column] = {
     def key(a: Expression): Option[String] = a match {
       case ar: AttributeReference =>
         keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
@@ -172,6 +176,16 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       // query. NULL members match no row under IN, so they drop out.
       // Past 64 members fall back to [min,max] bounds: the OR tree's
       // planning cost grows while file-skipping precision rarely does.
+      // NULL-count pruning (round 12): `IS NULL` keeps only files with
+      // nulls; the `IS NOT NULL` Spark inserts under every comparison
+      // skips all-null files. Unknown counts (legacy manifests without the
+      // nulls struct read them as NULL) keep the file.
+      case IsNull(a) if hasNulls =>
+        key(a).map(k =>
+          col(s"nulls.`$k`") > 0L || col(s"nulls.`$k`").isNull)
+      case IsNotNull(a) if hasNulls =>
+        key(a).map(k =>
+          col(s"nulls.`$k`") < col("rows") || col(s"nulls.`$k`").isNull)
       case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
         key(a).flatMap { k =>
           val vs = list.flatMap(l => ext(l.asInstanceOf[Literal]))

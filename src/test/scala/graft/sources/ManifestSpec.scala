@@ -44,6 +44,7 @@ class ManifestSpec extends SparkSpec {
     }.toDF("path", "table", "rows", "bytes", "lo", "hi")
       .withColumn("mins", struct(col("lo").as("k")))
       .withColumn("maxs", struct(col("hi").as("k")))
+      .withColumn("nulls", struct(lit(null).cast("long").as("k")))
       .select(Manifest.columns.map(col): _*)
     val manifestPath = s"$base/manifest"
     Manifest.write(
@@ -136,13 +137,13 @@ class ManifestSpec extends SparkSpec {
     assert(got.count() === 6) // 150,152,...,160
   }
 
-  test("fromFooters matches the full-scan build exactly (rows, typed min/max)") {
+  test("fromFooters matches the full-scan build exactly (rows, typed min/max, nulls)") {
     val scanned = Manifest.build(spark, sfDir, "orders", Seq("o_orderdate", "o_custkey"))
-      .select("path", "rows", "mins", "maxs")
+      .select("path", "rows", "mins", "maxs", "nulls")
     val footers = Manifest.fromFooters(spark,
       spark.read.parquet(s"$sfDir/orders.parquet").inputFiles.toSeq,
       "orders", Seq("o_orderdate", "o_custkey"))
-      .select("path", "rows", "mins", "maxs")
+      .select("path", "rows", "mins", "maxs", "nulls")
     assert(scanned.schema.simpleString === footers.schema.simpleString)
     assert(scanned.exceptAll(footers).isEmpty && footers.exceptAll(scanned).isEmpty,
       "footer stats must equal a full data scan's min/max/rows")

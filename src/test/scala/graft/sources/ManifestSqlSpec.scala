@@ -143,6 +143,32 @@ class ManifestSqlSpec extends SparkSpec {
     assert(qx.head.getLong(0) === 8L * 64 && qxy.head.getLong(0) === 64L)
   }
 
+  test("IS NULL scans only null-bearing files; IS NOT NULL skips all-null files") {
+    import spark.implicits._
+    val dir = s"$base/nulldata"
+    // f-clean: no nulls; f-mixed: some; f-allnull: key entirely null
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((10L, "c"), (null, "d")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "e"), (null, "f")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val nmp = s"$base/nullmanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), nmp)
+    ManifestSql.register(spark, dir, "t", nmp, "nt")
+
+    val qNull = spark.sql("SELECT v FROM nt WHERE id IS NULL ORDER BY v")
+    assert(scannedFiles(qNull).length === 2, "only the null-bearing files")
+    assert(qNull.collect().map(_.getString(0)).toSeq === Seq("d", "e", "f"))
+
+    // the IS NOT NULL Spark inserts under a comparison skips the all-null
+    // file even though its zone map is NULL (unknown range, kept by the
+    // range bound alone)
+    val qCmp = spark.sql("SELECT count(*) AS n FROM nt WHERE id >= 1")
+    assert(scannedFiles(qCmp).length === 2, "all-null file must be skipped")
+    assert(qCmp.head.getLong(0) === 3L)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

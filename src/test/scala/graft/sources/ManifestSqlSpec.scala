@@ -169,6 +169,14 @@ class ManifestSqlSpec extends SparkSpec {
     assert(qCmp.head.getLong(0) === 3L)
   }
 
+  test("the DataFrame API prunes the same way — the rule sees plans, not SQL text") {
+    val q = ManifestSql.readTable(spark, dataDir, "t", mp)
+      .filter(col("id").between(150L, 340L))
+      .agg(count(lit(1)).as("n"))
+    assert(scannedFiles(q).length === 3)
+    assert(q.head.getLong(0) === 191L)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

@@ -282,7 +282,11 @@ object Main {
             case _ => new ParquetSink(dst,
               partitionColumns = opts.get("partition-by")
                 .map(_.split(',').toSeq).getOrElse(Nil),
-              compression = opts.get("compression"))
+              compression = opts.get("compression"),
+              // --manifest-keys COL[,COL..]: maintain the file catalog at
+              // write time (round 12) — each table's manifest lands at
+              // $dst/_manifest/$table, kept current per write, no rescan
+              manifestKeys = opts.get("manifest-keys").map(_.split(',').toSeq))
           }
           // --verify needs parquet on both sides (the nested validate reads
           // $dir/$t.parquet) and an unfiltered transfer (it compares full
@@ -970,6 +974,9 @@ object Main {
       |              [--source-format parquet|orc|jsonl] [--driver CLASS]
       |              [--chunk-column KEY] [--chunk-count N] [--partition-by a,b]
       |              [--compression snappy|zstd|gzip]
+      |              [--manifest-keys COL[,COL..]]  (parquet targets: keep a
+      |               file-catalog manifest at DST/_manifest/TABLE current
+      |               at write time — typed zone maps, no rescan)
       |              (--format copy executes COPY FROM STDIN per partition
       |               against a jdbc: target; --copy-transport jdbc uses
       |               pgjdbc's CopyManager from the classpath [default],

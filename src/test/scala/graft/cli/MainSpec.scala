@@ -156,6 +156,21 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dst)))
   }
 
+  test("transfer --manifest-keys maintains the file catalog at write time") {
+    import org.apache.spark.sql.functions.col
+    val dst = Files.createTempDirectory("climanifest").toString
+    val (code, out) = runCli("transfer", "--source", sfDir, "--target", dst,
+      "--table", "orders", "--manifest-keys", "o_orderkey,o_orderdate")
+    assert(code === 0, out)
+    val mp = s"$dst/_manifest/orders"
+    val total = spark.read.parquet(s"$dst/orders.parquet").count()
+    assert(graft.sources.Manifest.rowCount(spark, mp,
+      col("table") === "orders") === total)
+    // typed two-column zone maps came along
+    assert(spark.read.parquet(mp).schema("mins").dataType.simpleString
+      .contains("o_orderkey:bigint"))
+  }
+
   test("migrate prompts 'Verify migration?' on a console; y runs the verifier, n skips") {
     // the reference's interactive post-migration prompt (sf_migrate.py:
     // 940-952) — exercised by injecting a console reader

@@ -288,6 +288,13 @@ object Main {
               // $dst/_manifest/$table, kept current per write, no rescan
               manifestKeys = opts.get("manifest-keys").map(_.split(',').toSeq))
           }
+          // --manifest-keys rides the parquet sink's footer reader; on any
+          // other format it would be a silent no-op — fail loudly instead
+          if (opts.contains("manifest-keys") &&
+              (opts.get("format").exists(_ != "parquet") || dst.startsWith("jdbc:")))
+            throw new IllegalArgumentException(
+              "--manifest-keys requires a parquet target (the manifest is " +
+                "maintained from parquet footers)")
           // --verify needs parquet on both sides (the nested validate reads
           // $dir/$t.parquet) and an unfiltered transfer (it compares full
           // source vs target counts) — fail before transferring, not after

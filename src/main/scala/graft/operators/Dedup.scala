@@ -354,6 +354,19 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** The containment censuses' pre-aggregation pair exchange, engaged only
+    * past [[ContainmentExchangeThresholdBytes]] (plan-stats bytes of the
+    * doc corpus — a driver-side lookup, zero extra jobs). Below the thrash
+    * regime map-side combine wins; above it the never-collapsing pair
+    * groups spill-thrash unless exchanged first at widened parallelism. */
+  private def maybeExchangePairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        ContainmentExchangeThresholdBytes)
+      pairs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism * 8,
+        col("a_id"), col("b_id"))
+    else pairs
+
   /** Asymmetric containment census (Broder 1997's second resemblance
     * measure): containment(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|,|sh(B)|).
     * Catches doc-in-doc duplication — a short document quoted wholesale
@@ -438,16 +451,10 @@ object Dedup {
     // (file bytes for a parquet corpus), zero extra jobs (a first cut
     // counted shingles off the cached `sz`, correct but +0.6 s of
     // serialized job latency per run).
-    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val expanded = expandPairs(
-      byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
-      keepRare = true)
-    val preAgg =
-      if (corpusBytes >= ContainmentExchangeThresholdBytes)
-        expanded.repartition(numParts, col("a_id"), col("b_id"))
-      else expanded
-    val inter = preAgg
+    val inter = maybeExchangePairs(docs,
+        expandPairs(
+          byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
+          keepRare = true))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
         max(col("rare")).as("has_rare"))
@@ -557,13 +564,12 @@ object Dedup {
       .groupBy(col("id")).agg(count(lit(1)).as("n")))
     val byShingle = lists.filter(size(col("ids")) >= 2)
       .withColumn("df", size(col("ids")).cast("long"))
-    // same wide pre-aggregation exchange as the exact census (see the
-    // spill-granularity analysis in containmentPairs)
-    val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val inter = expandPairs(
-        byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
-        keepRare = true)
-      .repartition(numParts, col("a_id"), col("b_id"))
+    // same size-adaptive pre-aggregation exchange as the exact census
+    // (see the spill-granularity analysis in containmentPairs)
+    val inter = maybeExchangePairs(docs,
+        expandPairs(
+          byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
+          keepRare = true))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
         max(col("rare")).as("has_rare"))
@@ -646,9 +652,7 @@ object Dedup {
     val byShingle = kept.filter(col("df") >= 2)
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), first(col("df")).as("df"))
-    val numParts = docs.sparkSession.sparkContext.defaultParallelism * 8
-    val inter = expandPairs(byShingle)
-      .repartition(numParts, col("a_id"), col("b_id"))
+    val inter = maybeExchangePairs(docs, expandPairs(byShingle))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"))
     inter

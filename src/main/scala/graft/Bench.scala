@@ -101,21 +101,31 @@ object Bench {
     * list to 10 names (`errors_total` keeps the true count), so the line is
     * bounded for ANY roster size or failure count — suite growth can never
     * push the artifact back into the rounds-2..6 `parsed: null` mode. */
-  /** Round-stamped detail filename (round-11 verdict item 6): the official
-    * driver run used to OVERWRITE BENCH_DETAIL.json, clobbering the clean
-    * local run's only full per-query record. The round number is inferred
-    * from the highest BENCH_r/CORRECTNESS_r artifact already on disk — the
-    * run about to happen belongs to the NEXT round. */
+  /** Round-stamped detail filename (round-11 verdict item 6; stamp rule
+    * fixed round 13): the official driver run used to OVERWRITE
+    * BENCH_DETAIL.json, clobbering the clean local run's only full
+    * per-query record. The driver writes CORRECTNESS_rN BEFORE it runs the
+    * bench, so "max seen + 1" stamped the round-12 official detail as r13
+    * (verdict item: off by one, compounding). The current round is instead
+    * the highest CORRECTNESS_rN that has no BENCH_rN yet (that bench is the
+    * run about to happen); when every correctness file already has its
+    * bench — a between-rounds local run — the NEXT round's stamp applies. */
   def detailFileName(cwd: java.io.File = new java.io.File(".")): String = {
-    val pat = "(?:BENCH|CORRECTNESS)_r0*(\\d+)\\.json".r
-    val seen = Option(cwd.list()).getOrElse(Array.empty[String]).collect {
-      case pat(n) => n.toInt
-    }
+    val cPat = "CORRECTNESS_r0*(\\d+)\\.json".r
+    val bPat = "BENCH_r0*(\\d+)\\.json".r
+    val names = Option(cwd.list()).getOrElse(Array.empty[String])
+    val cSeen = names.collect { case cPat(n) => n.toInt }.toSet
+    val bSeen = names.collect { case bPat(n) => n.toInt }.toSet
+    val pending = cSeen.diff(bSeen)
+    val round =
+      if (pending.nonEmpty) pending.max
+      else if (cSeen.isEmpty && bSeen.isEmpty) 0
+      else (cSeen ++ bSeen).max + 1
     // SPARK_GRAFT_BENCH_TAG separates a local clean-window recording from
     // the round's official run — without it the two would clobber each
     // other even round-stamped (both land in the same round)
     val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG").map("_" + _).getOrElse("")
-    s"BENCH_DETAIL_r${if (seen.isEmpty) 0 else seen.max + 1}$tag.json"
+    s"BENCH_DETAIL_r$round$tag.json"
   }
 
   def stdoutLine(medians: Seq[(String, Double)], errors: Seq[String],

@@ -822,6 +822,31 @@ object CoreQueries {
           |  AND o_custkey >= 100""".stripMargin)
     },
 
+    // Widened SQL-surface pruning (round-13, verdict item 1): the two
+    // predicate shapes translated views actually emit that round 12's rule
+    // declined — an OR of two prunable key ranges (union of the branches'
+    // file sets) and a comparison whose typed attribute Catalyst wraps in
+    // a Cast (o_custkey BIGINT vs the fractional literal plans as
+    // Cast(o_custkey AS DECIMAL) <= 800.5; the rule prunes through any
+    // monotone cast by casting the manifest's native min/max the same
+    // way). The oracle recomputes from the raw table, so a file either
+    // branch or the cast bound wrongly drops breaks count and sum alike.
+    "q194_manifest_or_cast_read" -> { (s, dir) =>
+      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q194_manifest_" +
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders",
+          Seq("o_orderdate", "o_custkey")), mp)
+      graft.sources.ManifestSql.register(s, dir, "orders", mp, "orders_m_orcast")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS STRING) AS sum_price
+          |FROM orders_m_orcast
+          |WHERE (o_orderdate BETWEEN '1993-01-01' AND '1993-06-30'
+          |       OR o_orderdate BETWEEN '1997-01-01' AND '1997-06-30')
+          |  AND o_custkey <= 800.5""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1456,6 +1481,17 @@ object CoreQueries {
         |FROM orders
         |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
         |  AND o_custkey >= 100""".stripMargin,
+
+    // OR-of-ranges + cast-wrapped-bound twin: recomputed raw, so a file
+    // either disjunct branch or the decimal-cast bound wrongly pruned
+    // breaks count and sum alike.
+    "q194_manifest_or_cast_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+        |FROM orders
+        |WHERE (o_orderdate BETWEEN '1993-01-01' AND '1993-06-30'
+        |       OR o_orderdate BETWEEN '1997-01-01' AND '1997-06-30')
+        |  AND o_custkey <= 800.5""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

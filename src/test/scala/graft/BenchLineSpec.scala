@@ -66,6 +66,29 @@ class BenchLineSpec extends AnyFunSuite {
       "short-key collision would silently merge two queries' timings")
   }
 
+  test("detail stamp uses the correctness round still awaiting its bench") {
+    // round-12 verdict item 3: the driver writes CORRECTNESS_rN BEFORE the
+    // bench, so "max seen + 1" stamped the official r12 detail as r13
+    import java.nio.file.Files
+    def dirWith(files: String*): java.io.File = {
+      val d = Files.createTempDirectory("graft_bench_stamp").toFile
+      d.deleteOnExit()
+      files.foreach(f => Files.createFile(d.toPath.resolve(f)))
+      d
+    }
+    // mid-round: CORRECTNESS_r12 exists, BENCH_r12 doesn't — the run about
+    // to happen IS round 12's bench
+    assert(Bench.detailFileName(dirWith(
+      "CORRECTNESS_r11.json", "BENCH_r11.json", "CORRECTNESS_r12.json"))
+      === "BENCH_DETAIL_r12.json")
+    // between rounds: every correctness has its bench — next round's stamp
+    assert(Bench.detailFileName(dirWith(
+      "CORRECTNESS_r12.json", "BENCH_r12.json"))
+      === "BENCH_DETAIL_r13.json")
+    // virgin repo
+    assert(Bench.detailFileName(dirWith()) === "BENCH_DETAIL_r0.json")
+  }
+
   test("rerun triggers on a singleton clean subset, not just raw spread") {
     // round-9 advice: [1.0, 3.5, 3.6] sits under the 4x spread threshold,
     // yet cleanReps keeps only [1.0] — the median would rest on one rep.

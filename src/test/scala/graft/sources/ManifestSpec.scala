@@ -202,6 +202,87 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("key columns"))
   }
 
+  test("Scala-helper predicates skip the same files the SQL rule does (round-12 item 8)") {
+    import spark.implicits._
+    // numeric fixture: 5 files with disjoint id ranges [f*100, f*100+99]
+    val dir = s"$base/paritydata"
+    (0 until 5).foreach { f =>
+      (0 until 100).map(i => (f * 100L + i, s"v$f")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    }
+    val mp = s"$base/paritymanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), mp)
+    val t = col("table") === "t"
+    // IN-list: sparse members skip the files between them (= the SQL
+    // rule's `id IN (50, 51, 450)` case)
+    assert(Manifest.select(spark, mp,
+      t && Manifest.inList("id", Seq(50L, 51L, 450L))).count() === 2)
+    // dense >64-member list falls back to the [min,max] envelope
+    assert(Manifest.select(spark, mp,
+      t && Manifest.inList("id", (0L to 70L))).count() === 1)
+    // all-null / empty list matches nothing
+    assert(Manifest.select(spark, mp,
+      t && Manifest.inList("id", Seq(null))).count() === 0)
+    // stats-only row counts compose with the builders
+    assert(Manifest.rowCount(spark, mp,
+      t && Manifest.inList("id", Seq(50L, 51L, 450L))) === 200L)
+
+    // string fixture for LIKE-prefix parity
+    val sdir = s"$base/parity_str"
+    Seq("alpha", "ant").toDF("s").coalesce(1)
+      .write.mode("append").parquet(s"$sdir/t.parquet")
+    Seq("bat", "berry").toDF("s").coalesce(1)
+      .write.mode("append").parquet(s"$sdir/t.parquet")
+    val smp = s"$base/parity_str_manifest"
+    Manifest.update(spark, sdir, "t", Seq("s"), smp)
+    assert(Manifest.select(spark, smp,
+      t && Manifest.likePrefix("s", "b")).count() === 1)
+
+    // null-count fixture for IS [NOT] NULL parity
+    val ndir = s"$base/parity_null"
+    Seq[(java.lang.Long, String)]((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$ndir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "b"), (2L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$ndir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "d")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$ndir/t.parquet")
+    val nmp = s"$base/parity_null_manifest"
+    Manifest.update(spark, ndir, "t", Seq("id"), nmp)
+    assert(Manifest.select(spark, nmp, t && Manifest.keyIsNull("id")).count() === 2)
+    assert(Manifest.select(spark, nmp, t && Manifest.keyIsNotNull("id")).count() === 2)
+  }
+
+  test("prefixUpper works in code-point space: surrogate fencepost, supplementary tails") {
+    // plain increment
+    assert(Manifest.prefixUpper("abc") === Some("abd"))
+    // U+D7FF fencepost: the increment would be an unpaired high surrogate
+    // (UTF8String-mangled to '?'); jump to U+E000, the next real scalar
+    assert(Manifest.prefixUpper("a\uD7FF") === Some("a\uE000"))
+    // a supplementary code point increments as ONE unit — char-wise
+    // increment of its low surrogate D7FF→E000 would strand the high half
+    val u103FF = new String(Character.toChars(0x103FF))
+    val u10400 = new String(Character.toChars(0x10400))
+    assert(Manifest.prefixUpper("a" + u103FF) === Some("a" + u10400))
+    // a U+10FFFF tail cannot increment; the previous code point does
+    val uMax = new String(Character.toChars(0x10FFFF))
+    assert(Manifest.prefixUpper("a" + uMax) === Some("b"))
+    // all-U+10FFFF has no finite upper bound
+    assert(Manifest.prefixUpper(uMax + uMax) === None)
+    assert(Manifest.prefixUpper("a\uFFFF") === Some("a" + new String(Character.toChars(0x10000))))
+  }
+
+  test("driver-side stat comparisons use UTF-8 byte order, not UTF-16 (round-12 advice)") {
+    val supp = new String(Character.toChars(0x10000)) // U+10000, above BMP
+    // UTF-16 code units put the surrogate pair (D800 DC00) BELOW U+E000;
+    // UTF-8/code-point order — what Spark and parquet compare by — puts
+    // every supplementary character ABOVE the whole BMP
+    assert("\uE000".compareTo(supp) > 0, "Java order differs (precondition)")
+    assert(Manifest.ordCompare("\uE000", supp) < 0)
+    assert(Manifest.ordCompare(supp, "\uE000") > 0)
+    assert(Manifest.ordCompare("abc", "abc") === 0)
+    assert(Manifest.ordCompare(Long.box(3L), Long.box(10L)) < 0)
+  }
+
   override def afterAll(): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     super.afterAll()

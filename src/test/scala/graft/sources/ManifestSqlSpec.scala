@@ -177,6 +177,113 @@ class ManifestSqlSpec extends SparkSpec {
     assert(q.head.getLong(0) === 191L)
   }
 
+  test("an OR of two prunable ranges scans the union of the branches' files") {
+    // round-12 verdict item 1b: translated views routinely emit
+    // `d BETWEEN … OR d BETWEEN …` — before this round any OR kept all files
+    val q = spark.sql(
+      """SELECT count(*) AS n, sum(id) AS s FROM mt
+        |WHERE (id >= 50 AND id <= 60) OR (id >= 450 AND id <= 460)""".stripMargin)
+    val files = scannedFiles(q)
+    assert(files.length === 2, s"branch ranges live in f0 and f4 only: $files")
+    val raw = spark.read.parquet(s"$dataDir/t.parquet")
+      .filter(col("id").between(50L, 60L) || col("id").between(450L, 460L))
+      .agg(count(lit(1)), sum("id")).head
+    assert(q.head.toSeq === raw.toSeq)
+  }
+
+  test("an OR with an unprunable branch keeps every file — lossless, never lossy") {
+    // the non-key branch alone could match rows anywhere; the whole OR
+    // must then decline to prune
+    val q = spark.sql("SELECT count(*) AS n FROM mt WHERE id <= 60 OR v = 'v3'")
+    assert(scannedFiles(q).length === 5)
+    assert(q.head.getLong(0) === 161L) // 61 ids in f0 + 100 v3 rows, disjoint
+  }
+
+  test("a cast-wrapped key bound still prunes: date key vs timestamp literal") {
+    // round-12 verdict item 1a: comparing a typed column to a
+    // differently-typed literal makes Catalyst wrap the ATTRIBUTE in a
+    // Cast; the old AttributeReference-only match then scanned everything
+    import spark.implicits._
+    val dir = s"$base/datedata"
+    Seq("2020-01-01", "2020-01-05", "2020-01-09").map(java.sql.Date.valueOf)
+      .toDF("d").coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq("2020-02-01", "2020-02-05", "2020-02-09").map(java.sql.Date.valueOf)
+      .toDF("d").coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq("2020-03-01", "2020-03-05", "2020-03-09").map(java.sql.Date.valueOf)
+      .toDF("d").coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val dmp = s"$base/datemanifest"
+    Manifest.update(spark, dir, "t", Seq("d"), dmp)
+    ManifestSql.register(spark, dir, "t", dmp, "datet")
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM datet
+        |WHERE d >= TIMESTAMP '2020-02-01 00:00:00'
+        |  AND d <= TIMESTAMP '2020-02-28 23:59:59'""".stripMargin)
+    assert(scannedFiles(q).length === 1, "only the February file may be opened")
+    assert(q.head.getLong(0) === 3L)
+  }
+
+  test("a stale manifest never loses rows when nothing prunes (round-12 advice)") {
+    // the advice's exact hazard: a data file landing AFTER the last
+    // Manifest.update is absent from the manifest's path list — swapping
+    // the file index on a filter with NO prunable conjunct would silently
+    // drop its rows from every filtered query
+    import spark.implicits._
+    val dir = s"$base/staledata"
+    (0L until 50L).map((_, "old")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    (50L until 100L).map((_, "old")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val smp = s"$base/stalemanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), smp)
+    ManifestSql.register(spark, dir, "t", smp, "stalet")
+    // a third file lands out-of-band — the manifest does not know it
+    (1000L until 1010L).map((_, "fresh")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    // re-register so the relation's own file index sees the new file (the
+    // manifest still doesn't — that's the point)
+    ManifestSql.register(spark, dir, "t", smp, "stalet")
+    val q = spark.sql("SELECT count(*) AS n FROM stalet WHERE v = 'fresh'")
+    assert(scannedFiles(q).length === 3,
+      "non-prunable predicate must use the relation's own (current) file index")
+    assert(q.head.getLong(0) === 10L,
+      "rows in the uncataloged file were silently dropped")
+  }
+
+  test("a path option without a table option degrades to the unpruned scan") {
+    // round-12 advice: getOrElse("") used to filter the manifest on
+    // table='' — zero rows survive and the query silently went empty
+    spark.read
+      .option(ManifestSql.PathOption, mp)
+      .parquet(s"$dataDir/t.parquet")
+      .createOrReplaceTempView("mt_notbl")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM mt_notbl WHERE id >= 150 AND id <= 340")
+    assert(scannedFiles(q).length === 5, "mis-registration keeps every file")
+    assert(q.head.getLong(0) === 191L)
+  }
+
+  test("LIKE prefix at the U+D7FF fencepost never prunes its own matches") {
+    // round-12 verdict item 6: incrementing U+D7FF lands in the surrogate
+    // block; UTF8String encodes the unpaired surrogate as '?', an upper
+    // bound sorting BELOW the real matches — their file was wrongly pruned
+    import spark.implicits._
+    val dir = s"$base/surrdata"
+    Seq("a\uD7FFx", "a\uD7FFy").zipWithIndex.map(_.swap).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq("b1", "b2").zipWithIndex.map(_.swap).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val smp = s"$base/surrmanifest"
+    Manifest.update(spark, dir, "t", Seq("s"), smp)
+    val q = ManifestSql.readTable(spark, dir, "t", smp)
+      .filter(col("s").startsWith("a\uD7FF"))
+    assert(q.count() === 2L, "both U+D7FF-prefixed rows must survive")
+    // and the bound still skips the b-file: U+E000 sorts between the
+    // a-prefixed matches and 'b1' in UTF-8 order
+    assert(scannedFiles(
+      ManifestSql.readTable(spark, dir, "t", smp)
+        .filter(col("s").startsWith("a\uD7FF"))).length === 1)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

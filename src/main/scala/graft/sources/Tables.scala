@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   * (`snowflake_to_postgres/discovery.py:200-248`: table listing + column
   * introspection) against local parquet fixtures, Spark-side. Schemas come
   * from parquet footers — never `inferSchema` over text (SURVEY §1.3).
+  *
+  * Manifest auto-wiring (round-12 verdict item 2): `migrate
+  * --manifest-keys` maintains a [[Manifest]] file catalog at
+  * `dir/_manifest/table`, but nothing consumed it on the read side — a
+  * translated view over a manifest-maintained table scanned every file
+  * unless the user hand-called [[ManifestSql.readTable]]. [[load]] now
+  * probes for that catalog and, when present, registers the read as a
+  * manifest-backed relation, so `build-views` output and every
+  * `spark.sql` over [[registerAll]]'s views file-skips automatically —
+  * the same always-current-catalog behavior the reference gets from
+  * INFORMATION_SCHEMA. Directories without a manifest (the driver's test
+  * fixtures) read exactly as before.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -16,6 +28,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Write-side catalog location for one table ([[graft.transfer.ParquetSink]]
+    * and the CLI `manifest` verb share this layout). */
+  def manifestPath(dir: String, name: String): String = s"$dir/_manifest/$name"
+
+  private def hasManifest(spark: SparkSession, dir: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(dir, name))
+    // a probe failure (bad scheme, perms) means "no catalog", never an error
+    scala.util.Try(
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      .getOrElse(false)
+  }
 
   /** Load one fixture table. `events.ts` is written as parquet
     * TIMESTAMP(NANOS), which Spark's vectorized reader surfaces as a long
@@ -27,7 +51,14 @@ object Tables {
     // Spark's parquet reader rejects TIMESTAMP(NANOS) outright
     // (PARQUET_TYPE_ILLEGAL) unless told to surface it as a raw long.
     scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
-    val df = spark.read.parquet(path(dir, name))
+    val reader =
+      if (hasManifest(spark, dir, name)) {
+        ManifestSql.enable(spark)
+        spark.read
+          .option(ManifestSql.PathOption, manifestPath(dir, name))
+          .option(ManifestSql.TableOption, name)
+      } else spark.read
+    val df = reader.parquet(path(dir, name))
     df.schema.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
       // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's exact
       // range, so float division would drift some timestamps by ±1µs
@@ -37,14 +68,22 @@ object Tables {
   }
 
   // last directory registered per session — registering re-reads all ten
-  // parquet footers, which costs ~1s per dialect query when repeated
+  // parquet footers, which costs ~1s per dialect query when repeated. The
+  // cache key folds in which tables currently have a manifest, so a
+  // `migrate --manifest-keys` landing between two registerAll calls in one
+  // session upgrades the views instead of serving the stale unpruned ones.
   private val registered = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register every fixture table as a temp view (idempotent, cached per
-    * session+dir) so dialect-translated SQL can resolve bare table names. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.get(spark) != dir) {
+    * session+dir+manifest-set) so dialect-translated SQL can resolve bare
+    * table names — with manifest file-skipping wherever `dir/_manifest/
+    * table` exists. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = dir + "#" +
+      all.filter(hasManifest(spark, dir, _)).mkString(",")
+    if (registered.get(spark) != key) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(spark, dir)
+      registered.put(spark, key)
     }
+  }
 }

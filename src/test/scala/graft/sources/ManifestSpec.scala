@@ -202,6 +202,44 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("key columns"))
   }
 
+  test("update diff is distributed: listing parity, anti-join plan, no driver path arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation}
+    // partitioned layout: nested part=… dirs + _SUCCESS markers — the
+    // listing must walk subtrees and skip hidden entries, and its path
+    // strings must render byte-identical to Spark's own file index
+    // (file:///, not file:/ — a mismatch would re-add every file forever)
+    val dir = s"$base/distdiff"
+    (0L until 100L).map(i => (i, i % 4)).toDF("id", "part")
+      .repartition(2).write.partitionBy("part")
+      .mode("overwrite").parquet(s"$dir/t.parquet")
+    val listing = Manifest.listFilesDF(spark, s"$dir/t.parquet")
+    try {
+      assert(listing.as[String].collect().sorted.toSeq ===
+        spark.read.parquet(s"$dir/t.parquet").inputFiles.sorted.toSeq)
+
+      // the novel-file set is an ANTI-JOIN over the distributed listing —
+      // pinned so a future edit can't quietly reintroduce the collected
+      // driver array (round-12 verdict item 5's ceiling)
+      val mp = s"$base/distdiff_manifest"
+      val novel = Manifest.novelFiles(spark, listing, "t", mp)
+      val plan = novel.queryExecution.optimizedPlan
+      assert(plan.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+        s"novel-file diff must be an anti-join:\n$plan")
+      assert(!plan.collectLeaves().exists(_.isInstanceOf[LocalRelation]),
+        s"listing side must stay a distributed scan, not a localized array:\n$plan")
+
+      // and the maintenance pass over this layout works end to end
+      // (keys must be DATA columns; `part` lives in directory names)
+      val (a1, r1) = Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+      assert(a1 === listing.count() && r1 === 0L)
+      assert(Manifest.rowCount(spark, mp, col("table") === "t") === 100L)
+      assert(Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+        === ((0L, 0L)))
+    } finally listing.unpersist()
+  }
+
   test("Scala-helper predicates skip the same files the SQL rule does (round-12 item 8)") {
     import spark.implicits._
     // numeric fixture: 5 files with disjoint id ranges [f*100, f*100+99]

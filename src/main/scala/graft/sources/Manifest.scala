@@ -426,9 +426,46 @@ object Manifest {
           StructType(Seq(StructField("path", StringType))))
     }
 
+  /** Bounded re-plan-and-retry for manifest READS racing an [[update]]
+    * rewrite (round-12 verdict item 7): [[rewrite]] swaps the directory
+    * via delete+rename, so a read in that window can list vanished part
+    * files (FileNotFoundException at execution) or miss the path entirely
+    * (PATH_NOT_FOUND at planning). Each retry re-plans from scratch —
+    * `spark.read.parquet` re-lists, so the second attempt sees the renamed
+    * directory. Anything that isn't a vanished-file shape rethrows
+    * immediately. Writers stay single-writer by design (like compaction);
+    * this makes READERS race-free against that one writer — the property
+    * `ManifestPruneRule` already had by degrading, now matched by the
+    * Scala helpers without giving up their loud non-race failures. */
+  private[sources] def withReadRetry[T](attempts: Int = 4,
+                                        delayMs: Long = 50)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable if i < attempts - 1 && isVanishedFile(e) =>
+          last = e
+          i += 1
+          Thread.sleep(delayMs * i)
+      }
+    }
+    throw last
+  }
+
+  private def isVanishedFile(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] || {
+        val m = Option(t.getMessage).getOrElse("")
+        m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+          m.contains("FileNotFoundException")
+      }
+    }
+
   /** Replace the manifest's contents atomically-enough: write to a sibling
     * temp dir, then delete + rename. Parquet cannot be read and overwritten
-    * in place (the lazy read would scan deleted files). */
+    * in place (the lazy read would scan deleted files); concurrent READS
+    * ride out the delete→rename window via [[withReadRetry]]. */
   private def rewrite(spark: SparkSession, entries: DataFrame,
                       manifestPath: String): Unit = {
     val target = new Path(manifestPath)
@@ -550,21 +587,29 @@ object Manifest {
   /** Stats-only row count for a slice: answered entirely from the
     * manifest (the INFORMATION_SCHEMA analog — zero data files opened).
     * A slice no file overlaps is 0 rows, not an error (sum over zero
-    * rows is SQL NULL — coalesced here). */
+    * rows is SQL NULL — coalesced here). Retries across a concurrent
+    * rewrite's delete→rename window. */
   def rowCount(spark: SparkSession, manifestPath: String, pred: Column): Long =
-    select(spark, manifestPath, pred)
-      .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+    withReadRetry() {
+      select(spark, manifestPath, pred)
+        .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+    }
 
   /** Read the data files surviving `pred`. Only the pruned path set is
     * collected to the driver; the data read itself is an ordinary
     * multi-path parquet scan. A key-range filter (`keyFilter`) should be
     * re-applied on the data because file-level min/max pruning is
-    * necessarily coarser than row-level predicates. */
+    * necessarily coarser than row-level predicates. The MANIFEST side
+    * retries across a concurrent rewrite window; the data read does not
+    * need to (data directories are append/overwrite through Spark's
+    * committer, never delete+rename). */
   def read(spark: SparkSession, manifestPath: String, pred: Column,
            keyFilter: Option[Column] = None): DataFrame = {
-    val paths = select(spark, manifestPath, pred)
-      .select(col("path")).distinct()
-      .collect().map(_.getString(0))
+    val paths = withReadRetry() {
+      select(spark, manifestPath, pred)
+        .select(col("path")).distinct()
+        .collect().map(_.getString(0))
+    }
     require(paths.nonEmpty, "manifest pruning selected zero files")
     val df = spark.read.parquet(paths.toIndexedSeq: _*)
     keyFilter.fold(df)(df.filter)

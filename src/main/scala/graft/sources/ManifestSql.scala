@@ -121,24 +121,36 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Surviving file paths for `cond`, or None when no conjunct is a
-    * prunable key bound (the caller must then keep the original plan). */
+    * prunable key bound (the caller must then keep the original plan).
+    * Retries across a concurrent `Manifest.update` rewrite window before
+    * the caller's degrade-to-unpruned fallback gives up the skipping. */
   private def prune(manifestPath: String, table: String,
                     cond: Expression): Option[Seq[String]] = {
-    val manifest = spark.read.parquet(manifestPath)
-    val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
-      .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
-    // manifests written before the nulls struct existed still range-prune;
-    // referencing the absent column would fail the whole prune instead
-    val hasNulls = manifest.schema.fieldNames.contains("nulls")
-    splitConjunctivePredicates(cond)
-      .flatMap(conjunctBound(_, keyFields, hasNulls))
-      .reduceOption(_ && _)
-      .map { zonePred =>
-        manifest
-          .filter(col("table") === table && zonePred)
-          .select(col("path")).distinct()
-          .collect().map(_.getString(0)).toIndexedSeq
-      }
+    // fast-fail a manifest that never materialized (common mis-config)
+    // WITHOUT burning the retry backoff on it; a path that vanishes right
+    // after this probe is the genuine rewrite window, which the retry
+    // rides out. Missing-mid-rewrite reads this probe catches degrade to
+    // the unpruned scan — lossless, just unskipped.
+    val p = new HPath(manifestPath)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new java.io.FileNotFoundException(s"no manifest at $manifestPath")
+    Manifest.withReadRetry() {
+      val manifest = spark.read.parquet(manifestPath)
+      val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
+        .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+      // manifests written before the nulls struct existed still range-prune;
+      // referencing the absent column would fail the whole prune instead
+      val hasNulls = manifest.schema.fieldNames.contains("nulls")
+      splitConjunctivePredicates(cond)
+        .flatMap(conjunctBound(_, keyFields, hasNulls))
+        .reduceOption(_ && _)
+        .map { zonePred =>
+          manifest
+            .filter(col("table") === table && zonePred)
+            .select(col("path")).distinct()
+            .collect().map(_.getString(0)).toIndexedSeq
+        }
+    }
   }
 
   /** A key attribute, possibly under an order-preserving `Cast`. `castTo`

@@ -240,6 +240,61 @@ class ManifestSpec extends SparkSpec {
     } finally listing.unpersist()
   }
 
+  test("reads ride out a concurrent rewrite's delete+rename window (round-12 item 7)") {
+    import spark.implicits._
+    val dir = s"$base/rwretry"
+    val mp = s"$base/rwretry_manifest"
+    (0L until 50L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Manifest.update(spark, dir, "t", Seq("id"), mp)
+
+    // the hazard is real: a frame PLANNED against the pre-rewrite file
+    // set scans vanished part files once update() swaps the directory …
+    val preplanned = Manifest.select(spark, mp, col("table") === "t")
+    assert(preplanned.count() === 2L)
+    (0L until 30L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Manifest.update(spark, dir, "t", Seq("id"), mp) // stale rows → rewrite
+    intercept[Exception](preplanned.count())
+
+    // … while the helper calls re-plan per attempt: fresh listing, right
+    // answer, loud-failure behavior preserved for everything non-racy
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 30L)
+
+    // deterministic retry mechanics: vanished-file failures retry with a
+    // fresh plan; everything else surfaces immediately; exhaustion rethrows
+    var calls = 0
+    val got = Manifest.withReadRetry(attempts = 4, delayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new java.io.FileNotFoundException("part-0 vanished")
+      42
+    }
+    assert(got === 42 && calls === 3)
+    var nonRetryable = 0
+    intercept[IllegalStateException](Manifest.withReadRetry(delayMs = 1) {
+      nonRetryable += 1; throw new IllegalStateException("boom")
+    })
+    assert(nonRetryable === 1, "non-racy failures must stay loud and immediate")
+    intercept[java.io.FileNotFoundException](
+      Manifest.withReadRetry(attempts = 2, delayMs = 1) {
+        throw new java.io.FileNotFoundException("never comes back")
+      })
+
+    // bounded stress: rewrites racing stats reads never fail a reader
+    val writer = new Thread(() => {
+      (0 until 5).foreach { i =>
+        (0L until (20L + i)).toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/t.parquet")
+        Manifest.update(spark, dir, "t", Seq("id"), mp)
+      }
+    })
+    writer.start()
+    try
+      while (writer.isAlive)
+        assert(Manifest.rowCount(spark, mp, col("table") === "t") >= 20L)
+    finally writer.join()
+  }
+
   test("Scala-helper predicates skip the same files the SQL rule does (round-12 item 8)") {
     import spark.implicits._
     // numeric fixture: 5 files with disjoint id ranges [f*100, f*100+99]

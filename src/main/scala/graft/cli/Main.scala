@@ -569,6 +569,15 @@ object Main {
               spark, src, table, keyCols, manifestPath)
             out(s"manifest for $table updated at $manifestPath " +
               s"(+$added files, -$removed stale)")
+          } else if (opts.contains("compact")) {
+            // incremental appends (one tiny file per micro-batch/update)
+            // fragment the catalog and break its own range layout —
+            // --compact restores the sorted range-partitioned form so
+            // manifest scans prune again (round 13)
+            val (rows, before, after) =
+              graft.sources.Manifest.compact(spark, manifestPath)
+            out(s"manifest for $table compacted at $manifestPath " +
+              s"($rows entries, $before -> $after files)")
           } else {
             import org.apache.spark.sql.functions.col
             // stats mode reads the key name from the manifest itself unless
@@ -1014,6 +1023,9 @@ object Main {
       |              --update  (incremental: diff the table dir by path,
       |               footer-scan only novel files, drop stale rows — no
       |               data pages read)
+      |              --compact  (rewrite a fragmented catalog back into the
+      |               sorted range-partitioned layout so manifest scans
+      |               prune again)
       |              or stats mode: [--min-key V] [--max-key V]  (row/file
       |               counts for a key range answered from the manifest
       |               alone — no data files opened)

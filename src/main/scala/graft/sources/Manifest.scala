@@ -480,6 +480,25 @@ object Manifest {
       throw new IOException(s"manifest rewrite rename failed: $tmp -> $target")
   }
 
+  /** Compact a fragmented manifest back into the canonical range-
+    * partitioned, (table, mins)-sorted layout. Incremental [[append]]s —
+    * one tiny parquet file per streaming micro-batch or CLI update — are
+    * the right WRITE trade (zero rewrite cost per batch) but degrade the
+    * READ side twice over: the manifest scan pays per-file open overhead,
+    * and appended rows land outside the range layout, so the manifest's
+    * own zone maps stop pruning manifest scans. One compaction pass
+    * restores both; run it like data compaction — periodically, as the
+    * same single writer that owns [[update]]. Returns (rows, filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, manifestPath: String): (Long, Long, Long) = {
+    val before = spark.read.parquet(manifestPath)
+    val filesBefore = before.inputFiles.length.toLong
+    val rows = before.count()
+    rewrite(spark, before, manifestPath)
+    val filesAfter = spark.read.parquet(manifestPath).inputFiles.length.toLong
+    (rows, filesBefore, filesAfter)
+  }
+
   /** Zone-map overlap predicate for `keyCol ∈ [lo, hi]` against the typed
     * mins/maxs structs. NULL stats mean "range unknown" and must KEEP the
     * file — missing footer stats may only cost performance, never rows. */

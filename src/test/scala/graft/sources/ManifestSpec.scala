@@ -240,6 +240,29 @@ class ManifestSpec extends SparkSpec {
     } finally listing.unpersist()
   }
 
+  test("compact() defragments an append-grown manifest without changing its contents") {
+    import spark.implicits._
+    // ten incremental batches = ten tiny appended manifest files (the
+    // streaming-ingest growth shape); compaction restores the sorted
+    // range-partitioned layout in one pass
+    val dir = s"$base/compactdata"
+    val mp = s"$base/compact_manifest"
+    (0 until 10).foreach { b =>
+      (b * 100L until b * 100L + 100L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(s"$dir/t.parquet")
+      Manifest.update(spark, dir, "t", Seq("id"), mp)
+    }
+    val before = spark.read.parquet(mp).orderBy("path").collect()
+    val filesBefore = spark.read.parquet(mp).inputFiles.length
+    assert(filesBefore >= 10, s"appends should fragment: $filesBefore files")
+    val (rows, b0, b1) = Manifest.compact(spark, mp)
+    assert(rows === 10L && b0 === filesBefore.toLong && b1 < b0)
+    // entry-for-entry identical catalog, and stats still answer
+    assert(spark.read.parquet(mp).orderBy("path").collect().toSeq === before.toSeq)
+    assert(Manifest.rowCount(spark, mp,
+      col("table") === "t" && Manifest.overlaps("id", 250L, 260L)) === 100L)
+  }
+
   test("reads ride out a concurrent rewrite's delete+rename window (round-12 item 7)") {
     import spark.implicits._
     val dir = s"$base/rwretry"

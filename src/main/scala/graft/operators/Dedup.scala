@@ -358,14 +358,22 @@ object Dedup {
     * past [[ContainmentExchangeThresholdBytes]] (plan-stats bytes of the
     * doc corpus — a driver-side lookup, zero extra jobs). Below the thrash
     * regime map-side combine wins; above it the never-collapsing pair
-    * groups spill-thrash unless exchanged first at widened parallelism. */
+    * groups spill-thrash unless exchanged first at widened parallelism.
+    * `graft.containment.exchangeFactor` (default 8) sets the widening as
+    * a multiple of default parallelism — the session-conf knob a 100 TB
+    * run sizes so each reducer's aggregation map stays in memory
+    * (round-13 A/B at the x100 probe, interleaved in one JVM: factor 8
+    * spilled 7.8 GiB/2.3 GiB mem/disk per run; see SCALE.md). */
   private def maybeExchangePairs(docs: DataFrame, pairs: DataFrame): DataFrame =
     if (docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
-        ContainmentExchangeThresholdBytes)
+        ContainmentExchangeThresholdBytes) {
+      val spark = docs.sparkSession
+      val factor = spark.conf.getOption("graft.containment.exchangeFactor")
+        .map(_.toInt).getOrElse(8)
       pairs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism * 8,
+        spark.sparkContext.defaultParallelism * factor,
         col("a_id"), col("b_id"))
-    else pairs
+    } else pairs
 
   /** Asymmetric containment census (Broder 1997's second resemblance
     * measure): containment(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|,|sh(B)|).

@@ -222,6 +222,19 @@ class ManifestSqlSpec extends SparkSpec {
     assert(q.head.getLong(0) === 3L)
   }
 
+  test("a numeric cast-wrapped bound prunes: bigint key vs fractional literal") {
+    // `id <= 250.5` coerces the BIGINT attribute into a decimal Cast —
+    // the q194 oracle pins losslessness; this pins the file SKIPPING
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM mt WHERE id <= 250.5")
+    assert(scannedFiles(q).length === 3, "ids <= 250.5 live in f0..f2 only")
+    assert(q.head.getLong(0) === 251L)
+    // and on the >= side
+    val q2 = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 449.5")
+    assert(scannedFiles(q2).length === 1)
+    assert(q2.head.getLong(0) === 50L)
+  }
+
   test("a stale manifest never loses rows when nothing prunes (round-12 advice)") {
     // the advice's exact hazard: a data file landing AFTER the last
     // Manifest.update is absent from the manifest's path list — swapping

@@ -39,15 +39,24 @@ object IngestStream {
     * tracks a growing corpus with zero data-page reads and no rescan. A
     * replayed batch after a mid-write failure re-diffs by path, so the
     * manifest converges on whatever files actually exist (the exactly-once
-    * caveat above applies to the data, not additionally to the catalog). */
+    * caveat above applies to the data, not additionally to the catalog).
+    *
+    * `manifestCompactEvery` (round 13): every incremental update appends
+    * one tiny manifest parquet file, and streaming is the path where that
+    * compounds — a long-lived query fragments the catalog and breaks its
+    * own (table, mins) range layout, so manifest scans stop pruning. Every
+    * N-th batch the catalog is rewritten into the canonical compacted form
+    * ([[graft.sources.Manifest.compact]]); readers ride out the rewrite
+    * window via the manifest's built-in read retry. 0 disables. */
   def dedupIngest(incoming: DataFrame, corpusDir: String, checkpointDir: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   threshold: Double = 0.5,
                   trigger: Trigger = Trigger.AvailableNow(),
                   manifestPath: Option[String] = None,
-                  manifestKeys: Seq[String] = Seq("doc_id")): StreamingQuery =
+                  manifestKeys: Seq[String] = Seq("doc_id"),
+                  manifestCompactEvery: Int = 16): StreamingQuery =
     incoming.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val scope = new CacheScope
         try {
@@ -62,6 +71,9 @@ object IngestStream {
               .getName.stripSuffix(".parquet")
             graft.sources.Manifest.updateDir(
               spark, corpusDir, table, manifestKeys, mp)
+            if (manifestCompactEvery > 0 &&
+                (batchId + 1) % manifestCompactEvery == 0)
+              graft.sources.Manifest.compact(spark, mp)
           }
         } finally scope.release()
       }

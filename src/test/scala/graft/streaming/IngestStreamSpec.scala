@@ -53,6 +53,39 @@ class IngestStreamSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("manifestCompactEvery rewrites the append-fragmented catalog on schedule") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("ingest_cp_corpus").toString + "/docs"
+    val srcDir = Files.createTempDirectory("ingest_cp_src").toString
+    val ckpt = Files.createTempDirectory("ingest_cp_ckpt").toString
+    val mp = Files.createTempDirectory("ingest_cp").toString + "/manifest"
+    val seed = Seq((1L, "seed document one of the corpus")).toDF("doc_id", "text")
+    seed.coalesce(1).write.parquet(corpusDir)
+    Manifest.updateDir(spark, corpusDir, "docs", Seq("doc_id"), mp)
+    Seq((10L, "first streamed batch entirely novel text"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/b1")
+    Seq((20L, "second streamed batch also completely new prose"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/b2")
+    val incoming = spark.readStream.schema(seed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    // compact on every 2nd batch: batchId 1 triggers the rewrite
+    IngestStream.dedupIngest(incoming, corpusDir, ckpt, threshold = 0.9,
+      manifestPath = Some(mp), manifestCompactEvery = 2).awaitTermination()
+    // the catalog was rewritten by ONE job (every part file carries the
+    // same writer UUID — three separate appends would carry three) and
+    // lost nothing
+    val writerIds = spark.read.parquet(mp).inputFiles
+      .map(_.split("/").last.replaceAll("^part-\\d+-", "")).toSet
+    assert(writerIds.size === 1,
+      s"compaction must leave a single-job layout, got $writerIds")
+    assert(Manifest.rowCount(spark, mp, col("table") === "docs") ===
+      spark.read.parquet(corpusDir).count())
+    assert(spark.read.parquet(mp).select("path").as[String].collect().toSet ===
+      spark.read.parquet(corpusDir).inputFiles.toSet)
+  }
+
   test("per-batch manifest maintenance tracks the growing corpus without rescan") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Manifest

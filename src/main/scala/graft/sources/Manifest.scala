@@ -437,8 +437,8 @@ object Manifest {
     * this makes READERS race-free against that one writer — the property
     * `ManifestPruneRule` already had by degrading, now matched by the
     * Scala helpers without giving up their loud non-race failures. */
-  private[sources] def withReadRetry[T](attempts: Int = 4,
-                                        delayMs: Long = 50)(f: => T): T = {
+  private[sources] def withReadRetry[T](attempts: Int = 5,
+                                        delayMs: Long = 100)(f: => T): T = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
@@ -463,21 +463,30 @@ object Manifest {
     }
 
   /** Replace the manifest's contents atomically-enough: write to a sibling
-    * temp dir, then delete + rename. Parquet cannot be read and overwritten
-    * in place (the lazy read would scan deleted files); concurrent READS
-    * ride out the delete→rename window via [[withReadRetry]]. */
+    * temp dir, then swap via two RENAMES (old → trash, tmp → target) and
+    * delete the trash last. Parquet cannot be read and overwritten in
+    * place (the lazy read would scan deleted files). The target-absent
+    * window is two metadata ops back-to-back — a recursive delete inside
+    * the window (the round-12 shape) walked every part file and stretched
+    * the gap past a loaded host's retry budget; concurrent READS ride the
+    * remaining window via [[withReadRetry]]. */
   private def rewrite(spark: SparkSession, entries: DataFrame,
                       manifestPath: String): Unit = {
     val target = new Path(manifestPath)
-    val tmp = new Path(manifestPath + s"__rw${ProcessHandle.current().pid()}")
+    val pid = ProcessHandle.current().pid()
+    val tmp = new Path(manifestPath + s"__rw$pid")
+    val trash = new Path(manifestPath + s"__old$pid")
     entries.select(columns.map(col): _*)
       .repartitionByRange(col("table"), col("mins"))
       .sortWithinPartitions(col("table"), col("mins"))
       .write.mode("overwrite").parquet(tmp.toString)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(target, true)
+    fs.delete(trash, true) // leftover from a dead prior rewrite
+    if (fs.exists(target) && !fs.rename(target, trash))
+      throw new IOException(s"manifest rewrite rename failed: $target -> $trash")
     if (!fs.rename(tmp, target))
       throw new IOException(s"manifest rewrite rename failed: $tmp -> $target")
+    fs.delete(trash, true)
   }
 
   /** Compact a fragmented manifest back into the canonical range-

@@ -41,6 +41,15 @@ class MainSpec extends SparkSpec {
       "--key", "o_orderdate", "--manifest", mp, "--update")
     assert(ucode === 0)
     assert(uout.exists(_.contains("(+0 files, -0 stale)")), uout.mkString("\n"))
+    // --compact reports the defragmentation and keeps stats working
+    val (ccode, cout) = runCli("manifest", "--source", sfDir, "--table", "orders",
+      "--manifest", mp, "--compact")
+    assert(ccode === 0)
+    assert(cout.exists(_.contains("compacted")), cout.mkString("\n"))
+    val (s2code, s2out) = runCli("manifest", "--source", sfDir, "--table", "orders",
+      "--manifest", mp)
+    assert(s2code === 0)
+    assert(s2out.exists(_.contains(s"orders: $expected rows")), s2out.mkString("\n"))
   }
 
   test("build writes topo-ordered DDL to a file") {

@@ -594,8 +594,10 @@ object Main {
                   opts.get("max-key").map(v =>
                     col(s"mins.`$k`") <= v || col(s"mins.`$k`").isNull))
                 .flatten.reduce(_ && _)
-            val rows = graft.sources.Manifest.rowCount(spark, manifestPath, pred)
-            val files = graft.sources.Manifest.select(spark, manifestPath, pred).count()
+            // one retried pass for BOTH counts: a rewrite landing between
+            // two separate reads could fail the second (round-13 review)
+            val (rows, files) =
+              graft.sources.Manifest.sliceStats(spark, manifestPath, pred)
             out(s"$table: $rows rows across $files files (from stats, no data files opened)")
           }
           0

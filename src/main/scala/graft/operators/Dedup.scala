@@ -369,7 +369,10 @@ object Dedup {
         ContainmentExchangeThresholdBytes) {
       val spark = docs.sparkSession
       val factor = spark.conf.getOption("graft.containment.exchangeFactor")
-        .map(_.toInt).getOrElse(8)
+        .map(raw => raw.toIntOption.filter(_ > 0).getOrElse(throw
+          new IllegalArgumentException(
+            s"graft.containment.exchangeFactor must be a positive integer, got '$raw'")))
+        .getOrElse(8)
       pairs.repartition(
         spark.sparkContext.defaultParallelism * factor,
         col("a_id"), col("b_id"))

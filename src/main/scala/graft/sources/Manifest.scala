@@ -243,23 +243,28 @@ object Manifest {
     var frontier = Seq(rootUri)
     var files: Option[DataFrame] = None
     val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    while (frontier.nonEmpty) {
-      // each level is listed ONCE (persisted): the directory side drives
-      // the next level, the file side feeds the result union
-      val lv = level(frontier).persist()
-      levels += lv
-      val lvFiles = lv.filter(col("tag") === "f").select("path")
-      files = Some(files.fold(lvFiles)(_.unionByName(lvFiles)))
-      frontier = lv.filter(col("tag") === "d")
-        .select("path").as[String].collect().toSeq
-    }
-    // materialize the union off the level caches once, then release them;
-    // the CALLER unpersists the returned frame when its maintenance pass
-    // is done
-    val out = files.get.persist()
-    out.count()
-    levels.foreach(_.unpersist(blocking = false))
-    out
+    // a walk that dies partway (directory deleted between levels, terminal
+    // task failure) must not leak its per-level caches — the streaming
+    // ingest path calls this every micro-batch, and leaked blocks would
+    // accumulate across transient failures (round-13 review)
+    try {
+      while (frontier.nonEmpty) {
+        // each level is listed ONCE (persisted): the directory side drives
+        // the next level, the file side feeds the result union
+        val lv = level(frontier).persist()
+        levels += lv
+        val lvFiles = lv.filter(col("tag") === "f").select("path")
+        files = Some(files.fold(lvFiles)(_.unionByName(lvFiles)))
+        frontier = lv.filter(col("tag") === "d")
+          .select("path").as[String].collect().toSeq
+      }
+      // materialize the union off the level caches once, then release
+      // them; the CALLER unpersists the returned frame when its
+      // maintenance pass is done
+      val out = files.get.persist()
+      out.count()
+      out
+    } finally levels.foreach(_.unpersist(blocking = false))
   }
 
   /** Fold one column's min/max across row-group statistics; (null, null)
@@ -387,9 +392,12 @@ object Manifest {
       val entries =
         if (novelN == 0L) None
         else {
-          // schema inference reads one footer on the driver; the per-file
-          // stats extraction stays on executors
-          val dataSchema = spark.read.parquet(tableDir).schema
+          // schema inference must read ONE footer, from ONE novel path —
+          // `spark.read.parquet(tableDir)` would re-list the whole table
+          // directory on the driver, re-introducing the exact ceiling the
+          // distributed diff removes (round-13 review finding)
+          val probe = novel.select(col("path")).as[String](Encoders.STRING).head()
+          val dataSchema = spark.read.parquet(probe).schema
           Some(fromFootersRdd(spark, novel.as[String](Encoders.STRING).rdd,
             table, keyCols, dataSchema))
         }
@@ -481,7 +489,15 @@ object Manifest {
       .sortWithinPartitions(col("table"), col("mins"))
       .write.mode("overwrite").parquet(tmp.toString)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(trash, true) // leftover from a dead prior rewrite
+    // reclaim tmp/trash leftovers from ANY dead prior rewrite, not just
+    // this pid's (round-13 review: pid-scoped cleanup leaked a crashed
+    // rewrite's directories forever) — single-writer by design, so no
+    // live process owns them
+    val qtmp = fs.makeQualified(tmp) // globStatus returns QUALIFIED paths
+    Option(fs.globStatus(new Path(manifestPath + "__*")))
+      .getOrElse(Array.empty)
+      .filter(s => s.getPath != qtmp)
+      .foreach(s => fs.delete(s.getPath, true))
     if (fs.exists(target) && !fs.rename(target, trash))
       throw new IOException(s"manifest rewrite rename failed: $target -> $trash")
     if (!fs.rename(tmp, target))
@@ -612,16 +628,44 @@ object Manifest {
   def select(spark: SparkSession, manifestPath: String, pred: Column): DataFrame =
     spark.read.parquet(manifestPath).filter(pred)
 
+  /** Fast-fail probe so a manifest that never materialized surfaces
+    * immediately instead of burning [[withReadRetry]]'s ~1 s backoff
+    * re-planning a dead path (round-13 review). A path that vanishes
+    * right AFTER this probe is the genuine rewrite window, which the
+    * retry rides out. */
+  private def requireExists(spark: SparkSession, manifestPath: String): Unit = {
+    val p = new Path(manifestPath)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new java.io.FileNotFoundException(s"no manifest at $manifestPath")
+  }
+
   /** Stats-only row count for a slice: answered entirely from the
     * manifest (the INFORMATION_SCHEMA analog — zero data files opened).
     * A slice no file overlaps is 0 rows, not an error (sum over zero
     * rows is SQL NULL — coalesced here). Retries across a concurrent
     * rewrite's delete→rename window. */
-  def rowCount(spark: SparkSession, manifestPath: String, pred: Column): Long =
+  def rowCount(spark: SparkSession, manifestPath: String, pred: Column): Long = {
+    requireExists(spark, manifestPath)
     withReadRetry() {
       select(spark, manifestPath, pred)
         .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
     }
+  }
+
+  /** Row AND file counts for a slice in one retried pass — the stats
+    * surface the CLI prints. Splitting this into rowCount + a separate
+    * `select().count()` left the second half exposed to the rewrite
+    * window the first half had just been hardened against (round-13
+    * review). */
+  def sliceStats(spark: SparkSession, manifestPath: String,
+                 pred: Column): (Long, Long) = {
+    requireExists(spark, manifestPath)
+    withReadRetry() {
+      val r = select(spark, manifestPath, pred)
+        .agg(coalesce(sum(col("rows")), lit(0L)), count(lit(1))).head
+      (r.getLong(0), r.getLong(1))
+    }
+  }
 
   /** Read the data files surviving `pred`. Only the pruned path set is
     * collected to the driver; the data read itself is an ordinary
@@ -633,6 +677,7 @@ object Manifest {
     * committer, never delete+rename). */
   def read(spark: SparkSession, manifestPath: String, pred: Column,
            keyFilter: Option[Column] = None): DataFrame = {
+    requireExists(spark, manifestPath)
     val paths = withReadRetry() {
       select(spark, manifestPath, pred)
         .select(col("path")).distinct()

@@ -144,11 +144,20 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       splitConjunctivePredicates(cond)
         .flatMap(conjunctBound(_, keyFields, hasNulls))
         .reduceOption(_ && _)
-        .map { zonePred =>
-          manifest
+        .flatMap { zonePred =>
+          val survivors = manifest
             .filter(col("table") === table && zonePred)
             .select(col("path")).distinct()
             .collect().map(_.getString(0)).toIndexedSeq
+          // zero survivors is only a real answer if the catalog KNOWS this
+          // table: a manifest holding no rows for it (cleared by a
+          // transfer-in-progress, or registered against the wrong path)
+          // must degrade to the unpruned scan — an empty table's unpruned
+          // scan is empty anyway, so degrading is lossless in both cases
+          if (survivors.nonEmpty ||
+              !manifest.filter(col("table") === table).isEmpty)
+            Some(survivors)
+          else None
         }
     }
   }

@@ -47,17 +47,23 @@ object Tables {
     * to a microsecond TimestampType column so downstream operators see a
     * timestamp, matching what DuckDB sees.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadWith(spark, dir, name,
+      if (hasManifest(spark, dir, name)) Some(manifestPath(dir, name)) else None)
+
+  private def loadWith(spark: SparkSession, dir: String, name: String,
+                       manifest: Option[String]): DataFrame = {
     // Spark's parquet reader rejects TIMESTAMP(NANOS) outright
     // (PARQUET_TYPE_ILLEGAL) unless told to surface it as a raw long.
     scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
-    val reader =
-      if (hasManifest(spark, dir, name)) {
+    val reader = manifest match {
+      case Some(mp) =>
         ManifestSql.enable(spark)
         spark.read
-          .option(ManifestSql.PathOption, manifestPath(dir, name))
+          .option(ManifestSql.PathOption, mp)
           .option(ManifestSql.TableOption, name)
-      } else spark.read
+      case None => spark.read
+    }
     val df = reader.parquet(path(dir, name))
     df.schema.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
       // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's exact
@@ -77,12 +83,17 @@ object Tables {
   /** Register every fixture table as a temp view (idempotent, cached per
     * session+dir+manifest-set) so dialect-translated SQL can resolve bare
     * table names — with manifest file-skipping wherever `dir/_manifest/
-    * table` exists. */
+    * table` exists. The manifest set is probed ONCE per call and shared
+    * between the cache key and the loads (round-13 review: probing again
+    * inside each load doubled the filesystem RPCs on the path every
+    * dialect query warms). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = dir + "#" +
-      all.filter(hasManifest(spark, dir, _)).mkString(",")
+    val withManifest = all.filter(hasManifest(spark, dir, _)).toSet
+    val key = dir + "#" + withManifest.toSeq.sorted.mkString(",")
     if (registered.get(spark) != key) {
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      all.foreach(n => loadWith(spark, dir, n,
+        if (withManifest(n)) Some(manifestPath(dir, n)) else None)
+        .createOrReplaceTempView(n))
       registered.put(spark, key)
     }
   }

@@ -91,14 +91,31 @@ final class ParquetSink(dir: String, mode: SaveMode = SaveMode.Overwrite,
         spark, dir, table, ks, s"$dir/_manifest/$table")
     }
 
+  /** Drop the table's catalog BEFORE an overwrite deletes its files
+    * (round-13 review): an Overwrite removes every old part file up
+    * front, and until the post-write update lands the old manifest
+    * points at vanished paths — a prunable query planned in that window
+    * would fail or silently miss rows. No catalog beats a wrong catalog:
+    * readers (Tables.load probe, ManifestPruneRule) degrade to the
+    * unpruned-but-current scan, which is lossless, and the end-of-write
+    * update rebuilds from footers. */
+  private def clearManifest(spark: SparkSession, table: String): Unit =
+    manifestKeys.foreach { _ =>
+      val mp = new org.apache.hadoop.fs.Path(s"$dir/_manifest/$table")
+      mp.getFileSystem(spark.sessionState.newHadoopConf()).delete(mp, true)
+    }
+
   def write(df: DataFrame, table: String): Unit = {
+    if (mode == SaveMode.Overwrite) clearManifest(df.sparkSession, table)
     writer(df, mode).parquet(s"$dir/$table.parquet")
     updateManifest(df.sparkSession, table)
   }
 
-  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit =
+  override def writeChunk(df: DataFrame, table: String, firstChunk: Boolean): Unit = {
+    if (firstChunk) clearManifest(df.sparkSession, table)
     writer(df, if (firstChunk) SaveMode.Overwrite else SaveMode.Append)
       .parquet(s"$dir/$table.parquet")
+  }
 
   /** One manifest diff per chunked transfer, after the last chunk — not
     * per chunk (round-12 advice: O(chunks) full directory diffs and a

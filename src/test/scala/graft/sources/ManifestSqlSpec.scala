@@ -297,6 +297,24 @@ class ManifestSqlSpec extends SparkSpec {
         .filter(col("s").startsWith("a\uD7FF"))).length === 1)
   }
 
+  test("a manifest holding no rows for the table degrades to the unpruned scan") {
+    // the transfer path CLEARS a table's catalog before an overwrite
+    // deletes its files (no catalog beats a wrong catalog); a prunable
+    // query in that window — or against a wrong-table registration —
+    // must scan everything, never return empty (round-13 review)
+    val mp2 = s"$base/elsewhere_manifest"
+    Manifest.write(
+      Manifest.build(spark, dataDir, "t", Seq("id"))
+        .withColumn("table", org.apache.spark.sql.functions.lit("elsewhere")),
+      mp2)
+    ManifestSql.register(spark, dataDir, "t", mp2, "mt_empty")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM mt_empty WHERE id >= 150 AND id <= 340")
+    assert(scannedFiles(q).length === 5,
+      "an unknown table must keep the relation's own file index")
+    assert(q.head.getLong(0) === 191L)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

@@ -158,4 +158,35 @@ class TransferSpec extends SparkSpec {
       keyFilter = Some(col("o_orderkey").between(500L, 799L)))
     assert(got.count() === 300L)
   }
+
+  test("an overwrite clears the stale catalog up front; finish rebuilds it") {
+    // round-13 review: chunk 1's SaveMode.Overwrite deletes every old part
+    // file, and until the end-of-transfer update the old manifest points
+    // at vanished paths — prunable queries in that window would fail or
+    // silently miss rows. No catalog beats a wrong catalog: the sink
+    // drops it before the overwrite and readers degrade to the unpruned
+    // (current) scan.
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    import spark.implicits._
+    val out = Files.createTempDirectory("xferclear").toString
+    val mp = s"$out/_manifest/t"
+    val sink = new ParquetSink(out, manifestKeys = Some(Seq("id")))
+    sink.write((0L until 100L).toDF("id"), "t")
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 100L)
+
+    // the overwrite's first chunk: catalog gone, not stale
+    sink.writeChunk((0L until 40L).toDF("id").coalesce(1), "t", firstChunk = true)
+    val fs = new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mp)),
+      "mid-transfer, the catalog must be absent (degrade), never wrong")
+
+    // remaining chunks + finish: catalog rebuilt over exactly the new files
+    sink.writeChunk((40L until 70L).toDF("id").coalesce(1), "t", firstChunk = false)
+    sink.finish(spark, "t")
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 70L)
+    assert(spark.read.parquet(mp).select("path").as[String].collect().toSet ===
+      spark.read.parquet(s"$out/t.parquet").inputFiles.toSet)
+  }
 }

@@ -30,6 +30,29 @@ import Q._
   */
 object CoreQueries {
 
+  /** Per-process scratch root for the manifest queries' catalogs, deleted
+    * recursively at JVM exit (round-13 advice: the old per-query
+    * `java.io.tmpdir` paths were never removed, so bench/correctness runs
+    * accumulated orphan manifests across JVMs). Lazy so JVMs that never
+    * run a manifest query create nothing. */
+  private lazy val scratchRoot: String = {
+    val root = java.nio.file.Files.createTempDirectory(
+      s"graft_qmanifests_${ProcessHandle.current().pid()}_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      ()
+    }))
+    root.toString
+  }
+
+  /** Scratch manifest path for query `name` over fixture `dir`, keyed by
+    * the FULL sanitized fixture path — not `dir.hashCode` (round-13
+    * advice: a hash collision across fixture dirs in one JVM would
+    * silently share, and overwrite, a manifest). The per-process root
+    * already isolates concurrent harness sessions on one host. */
+  private def scratchManifest(name: String, dir: String): String =
+    s"$scratchRoot/${name}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
   val defs: Map[String, QueryFn] = Map(
     "q01_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -760,8 +783,7 @@ object CoreQueries {
     "q191_manifest_pruned_read" -> { (s, dir) =>
       // per-process + per-fixture path: two concurrent harness sessions on
       // one host must not race overwrite-vs-read on a shared constant
-      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q191_manifest_" +
-        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      val mp = scratchManifest("q191", dir)
       graft.sources.Manifest.write(
         graft.sources.Manifest.build(s, dir, "orders", "o_orderdate"), mp)
       val pred = col("table") === "orders" &&
@@ -783,8 +805,7 @@ object CoreQueries {
     // overlapping files away). Both bounds re-apply at row level; the
     // oracle recomputes from the raw table.
     "q192_manifest_multikey_read" -> { (s, dir) =>
-      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q192_manifest_" +
-        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      val mp = scratchManifest("q192", dir)
       graft.sources.Manifest.write(
         graft.sources.Manifest.build(s, dir, "orders",
           Seq("o_orderdate", "o_custkey")), mp)
@@ -808,8 +829,7 @@ object CoreQueries {
     // set (ManifestSqlSpec pins the file count; this oracle pins that the
     // rewrite is lossless cross-engine).
     "q193_manifest_sql_read" -> { (s, dir) =>
-      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q193_manifest_" +
-        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      val mp = scratchManifest("q193", dir)
       graft.sources.Manifest.write(
         graft.sources.Manifest.build(s, dir, "orders",
           Seq("o_orderdate", "o_custkey")), mp)
@@ -832,8 +852,7 @@ object CoreQueries {
     // way). The oracle recomputes from the raw table, so a file either
     // branch or the cast bound wrongly drops breaks count and sum alike.
     "q194_manifest_or_cast_read" -> { (s, dir) =>
-      val mp = s"${System.getProperty("java.io.tmpdir")}/graft_q194_manifest_" +
-        s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      val mp = scratchManifest("q194", dir)
       graft.sources.Manifest.write(
         graft.sources.Manifest.build(s, dir, "orders",
           Seq("o_orderdate", "o_custkey")), mp)

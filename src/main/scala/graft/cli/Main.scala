@@ -1041,6 +1041,11 @@ object Main {
       |              [--existing DIR]  (incremental: drop incoming docs
       |               near-duplicating the standing corpus at DIR or an
       |               earlier doc of their own batch)
+      |              (containment modes read session conf
+      |               graft.containment.exchangeFactor, default 8 — pair-
+      |               aggregate reducer widening for cluster sizing; the
+      |               default stands on the SCALE.md x100 A/B. capped/
+      |               rare-containment are the production-scale modes)
       |              [--sample R]  (sampled-audit mode: run the same
       |               operators on a deterministic content-hash sample at
       |               rate R in (0,1] — the production story for exact-

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-parallel batch processing,
   * frame explosion — is real and tested. The codec step runs a REAL
-  * decode for PPM (P6) payloads via [[PpmCodec]] (pure JVM) and for
+  * decode for PPM (P6) payloads via [[PpmCodec]] (pure JVM), for
   * JPEG/PNG payloads via [[ImageIoCodec]] (the JDK's built-in
   * `javax.imageio` readers — round 10 established the "no image libs in
-  * this container" premise was wrong for these formats); payloads that
-  * are none of the three fall back to a clearly-marked deterministic
-  * byte-derived STUB so mixed corpora stay testable end-to-end.
+  * this container" premise was wrong for these formats), and for RIFF/WAV
+  * audio via [[WavCodec]] (round 14 — header+PCM parse is
+  * dependency-free); payloads that are none of the four fall back to a
+  * clearly-marked deterministic byte-derived STUB so mixed corpora stay
+  * testable end-to-end. Video remains the one stubbed modality behind
+  * this seam (no dependency-free container parser exists for it).
   */
 object Multimodal {
 
@@ -48,8 +51,11 @@ object Multimodal {
     * iterator per partition, no per-row UDF dispatch, executor-local.
     *
     * PPM and JPEG/PNG payloads take the REAL path: decode → Rec.601 mean
-    * luminance. Other payloads fall back to the STUB (mean of the first
-    * 64 bytes normalized to [0,1)) — deterministic, so mixed corpora stay
+    * luminance. WAV payloads take the REAL audio path: decode → peak
+    * amplitude normalized to [0,1] — the scalar an audio-quality funnel
+    * gates on, playing the role luminance plays for images. Other
+    * payloads fall back to the STUB (mean of the first 64 bytes
+    * normalized to [0,1)) — deterministic, so mixed corpora stay
     * testable. */
   def decodeFeatures(assetsDf: DataFrame): Dataset[AssetFeatures] = {
     import assetsDf.sparkSession.implicits._
@@ -62,12 +68,15 @@ object Multimodal {
           val brightness =
             PpmCodec.decode(payload).orElse(ImageIoCodec.decode(payload)) match {
               case Some(img) => PpmCodec.meanLuminance(img) // REAL decode
-              case None =>
-                // ---- STUB fallback (non-image payloads, no codec) ----
-                val head = payload.take(64)
-                if (head.isEmpty) 0.0
-                else head.map(b => (b & 0xFF).toDouble).sum / (head.length * 256.0)
-              // ---- STUB fallback ends ----
+              case None => WavCodec.decode(payload) match {
+                case Some(wav) => wav.peak / 32768.0 // REAL audio decode
+                case None =>
+                  // ---- STUB fallback (non-media payloads, no codec) ----
+                  val head = payload.take(64)
+                  if (head.isEmpty) 0.0
+                  else head.map(b => (b & 0xFF).toDouble).sum / (head.length * 256.0)
+                // ---- STUB fallback ends ----
+              }
             }
           val frames = (payload.length + FrameBytes - 1) / FrameBytes
           AssetFeatures(id, mt, payload.length.toLong, brightness, frames.toLong)

@@ -478,6 +478,54 @@ class ManifestSqlSpec extends SparkSpec {
     assert(vals === Seq("a", "b"))
   }
 
+  test("a well-pruned scan reports survivor bytes and broadcasts in a join") {
+    // the wrapped index reports the SURVIVORS' manifest-recorded bytes as
+    // sizeInBytes (not the whole table's), so a big table pruned to a
+    // sliver qualifies for a broadcast join — at 100 TB this is the
+    // difference between a shuffle of the fact table and none. Payloads
+    // are md5-derived hex (incompressible) so disk sizes have real
+    // margins on both sides of the threshold.
+    import spark.implicits._
+    val dir = s"$base/bcastdata"
+    (0 until 5).foreach { f =>
+      (0 until 100).map(i => f * 100L + i).toDF("id")
+        .withColumn("v", concat((0 until 8).map(j =>
+          md5(concat(col("id"), lit(s"_$j")))): _*))
+        .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    }
+    val bmp = s"$base/bcastmanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), bmp)
+    ManifestSql.register(spark, dir, "t", bmp, "bt")
+    spark.range(0, 100000).toDF("id").createOrReplaceTempView("bt_other")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32768")
+    try {
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM bt_other o JOIN bt b ON o.id = b.id AND b.id <= 50")
+      q.collect()
+      // the join read exactly the one surviving file…
+      assert(leaves(q.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[ManifestPrunedFileIndex])
+        .map(_.metrics("numFiles").value).sum === 1L)
+      // …whose index reports the survivor's manifest bytes, under the
+      // 32 KiB threshold where the full 5-file table (incompressible hex)
+      // sits far above it — so the planner picks a broadcast join
+      val scan = leaves(q.queryExecution.executedPlan)
+        .find(_.relation.location.isInstanceOf[ManifestPrunedFileIndex]).get
+      val survivorBytes = spark.read.parquet(bmp)
+        .filter(col("maxs.id") <= 99L).agg(org.apache.spark.sql.functions.sum("bytes"))
+        .head.getLong(0)
+      assert(scan.relation.location.sizeInBytes === survivorBytes)
+      assert(survivorBytes < 32768L)
+      assert(new java.io.File(s"$dir/t.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum > 32768L,
+        "fixture too small to make the unpruned side non-broadcastable")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"pruned side must broadcast:\n${plan.take(1500)}")
+      assert(q.head.getLong(0) === 51L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

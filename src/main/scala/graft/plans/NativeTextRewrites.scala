@@ -103,7 +103,11 @@ object NativeTextRewrites extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeTextRewrites)
-    // manifest-backed file skipping for SQL users (sources.ManifestSql)
+    // manifest-backed file skipping for SQL users (sources.ManifestSql):
+    // the JOIN rule first — it folds fact-side Filter bounds into its own
+    // zone predicate, so the inferred isnotnull Filter under every inner
+    // join can't let the literal rule consume the markers early
+    ext.injectOptimizerRule(session => graft.sources.ManifestJoinPruneRule(session))
     ext.injectOptimizerRule(session => graft.sources.ManifestPruneRule(session))
     graft.functions.GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))

@@ -890,6 +890,29 @@ object CoreQueries {
           |        = TIMESTAMP '1997-03-01 00:00:00'""".stripMargin)
     },
 
+    // Runtime join-driven file skipping (round 14, ManifestJoinPruneRule
+    // — the zone-map analog of dynamic partition pruning): a star query
+    // with NO literal bound on the fact table, where the only selectivity
+    // lives on the broadcast-small dim side. The rule executes the dim's
+    // distinct join keys at planning time and prunes the fact's files
+    // through the manifest before the join runs. The oracle recomputes
+    // the same join raw in DuckDB, so a fact file wrongly pruned by the
+    // runtime key set breaks count and sum alike; ManifestSqlSpec pins
+    // the scanned-file counts and every soundness decline.
+    "q197_manifest_join_prune_read" -> { (s, dir) =>
+      val mp = scratchManifest("q197", dir)
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders", Seq("o_custkey")), mp)
+      graft.sources.ManifestSql.register(s, dir, "orders", mp, "orders_m_joinprune")
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  CAST(CAST(sum(o.o_totalprice) AS DECIMAL(18,2)) AS STRING) AS sum_price
+          |FROM orders_m_joinprune o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE c.c_acctbal > 9000""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1545,6 +1568,15 @@ object CoreQueries {
         |WHERE YEAR(o_orderdate) = 1995
         |   OR DATE_TRUNC('month', o_orderdate)
         |        = TIMESTAMP '1997-03-01 00:00:00'""".stripMargin,
+
+    // Join-prune twin: the raw join recomputed — a fact file wrongly
+    // dropped by the planning-time dim-key prune breaks count and sum.
+    "q197_manifest_join_prune_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(o.o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 9000""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -76,12 +76,79 @@ object ManifestSql {
     readTable(spark, dataDir, table, manifestPath)
       .createOrReplaceTempView(viewName)
 
-  /** Idempotently add [[ManifestPruneRule]] to an already-built session
-    * (new sessions get it through [[graft.plans.GraftExtensions]]). */
+  /** Idempotently add [[ManifestJoinPruneRule]] + [[ManifestPruneRule]] to
+    * an already-built session (new sessions get them through
+    * [[graft.plans.GraftExtensions]]). The JOIN rule runs first and folds
+    * any fact-side Filter conjuncts into its own zone predicate — inner
+    * equi-joins always carry an inferred `isnotnull(key)` Filter over the
+    * fact relation, and letting the literal rule consume the markers on
+    * that null-bound alone would lock the far more selective join prune
+    * out of every star query. */
   def enable(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ManifestPruneRule]))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ ManifestPruneRule(spark)
+        spark.experimental.extraOptimizations :+
+          ManifestJoinPruneRule(spark) :+ ManifestPruneRule(spark)
+  }
+
+  private[sources] final case class PrunedFiles(paths: Seq[String],
+                                                totalBytes: Option[Long])
+
+  /** Shared prune driver for both optimizer rules: resolve the manifest
+    * (driver snapshot when small, distributed scan beyond the bound), hand
+    * the caller the key-field map to build a zone predicate, and return
+    * the surviving files — or None when nothing prunes or the catalog
+    * does not know the table (callers then keep the original plan).
+    * Retries across a concurrent `Manifest.update` rewrite window. */
+  private[sources] def pruneWith(spark: SparkSession, manifestPath: String,
+                                 table: String)(
+      build: (Map[String, String], Boolean) => Option[Column]): Option[PrunedFiles] = {
+    // fast-fail a manifest that never materialized (common mis-config)
+    // WITHOUT burning the retry backoff on it; a path that vanishes right
+    // after this probe is the genuine rewrite window, which the retry
+    // rides out. Missing-mid-rewrite reads this probe catches degrade to
+    // the unpruned scan — lossless, just unskipped.
+    val p = new HPath(manifestPath)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new java.io.FileNotFoundException(s"no manifest at $manifestPath")
+    Manifest.withReadRetry() {
+      val local = ManifestSnapshot.localManifest(spark, manifestPath)
+      val manifest = local.getOrElse(spark.read.parquet(manifestPath))
+      val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
+        .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+      // manifests written before the nulls struct existed still range-prune;
+      // referencing the absent column would fail the whole prune instead
+      val hasNulls = manifest.schema.fieldNames.contains("nulls")
+      build(keyFields, hasNulls).flatMap { zonePred =>
+        // no .distinct(): it would put an Aggregate over the snapshot's
+        // LocalRelation and cost a Spark job on the jobless path; paths
+        // are the manifest's key, so driver-side dedup is exact
+        val survivors = manifest
+          .filter(col("table") === table && zonePred)
+          .select(col("path"), col("bytes"))
+          .collect()
+        val paths = survivors.map(_.getString(0)).distinct.toIndexedSeq
+        // survivors' total bytes → pruned sizeInBytes, enabling a
+        // broadcast of a well-pruned scan; unknown (NULL) bytes — the
+        // data-scan build path records none — fall back conservatively
+        val totalBytes =
+          if (survivors.nonEmpty && survivors.forall(!_.isNullAt(1)))
+            Some(survivors.map(_.getLong(1)).sum)
+          else None
+        // zero survivors is only a real answer if the catalog KNOWS this
+        // table: a manifest holding no rows for it (cleared by a
+        // transfer-in-progress, or registered against the wrong path)
+        // must degrade to the unpruned scan — an empty table's unpruned
+        // scan is empty anyway, so degrading is lossless in both cases
+        val tableKnown =
+          if (paths.nonEmpty) true
+          else if (local.isDefined)
+            ManifestSnapshot.knownTables(spark, manifestPath)
+              .exists(_.contains(table))
+          else !manifest.filter(col("table") === table).isEmpty
+        if (tableKnown) Some(PrunedFiles(paths, totalBytes)) else None
+      }
+    }
   }
 
   /** Canonical URI-ish rendering for path-set membership: manifest rows
@@ -242,67 +309,19 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
-  private case class PrunedFiles(paths: Seq[String], totalBytes: Option[Long])
-
   /** Surviving files for `cond`, or None when no conjunct is a prunable
     * key bound OR the catalog does not know the table (the caller must
     * then keep the original plan). Served from the driver snapshot when
     * the manifest is small — zero Spark jobs per query — and from a
-    * distributed manifest scan beyond the snapshot bound. Retries across
-    * a concurrent `Manifest.update` rewrite window before the caller's
-    * degrade-to-unpruned fallback gives up the skipping. */
+    * distributed manifest scan beyond the snapshot bound ([[ManifestSql
+    * .pruneWith]] owns that machinery). */
   private def prune(manifestPath: String, table: String,
-                    cond: Expression): Option[PrunedFiles] = {
-    // fast-fail a manifest that never materialized (common mis-config)
-    // WITHOUT burning the retry backoff on it; a path that vanishes right
-    // after this probe is the genuine rewrite window, which the retry
-    // rides out. Missing-mid-rewrite reads this probe catches degrade to
-    // the unpruned scan — lossless, just unskipped.
-    val p = new HPath(manifestPath)
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      throw new java.io.FileNotFoundException(s"no manifest at $manifestPath")
-    Manifest.withReadRetry() {
-      val local = ManifestSnapshot.localManifest(spark, manifestPath)
-      val manifest = local.getOrElse(spark.read.parquet(manifestPath))
-      val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
-        .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
-      // manifests written before the nulls struct existed still range-prune;
-      // referencing the absent column would fail the whole prune instead
-      val hasNulls = manifest.schema.fieldNames.contains("nulls")
+                    cond: Expression): Option[ManifestSql.PrunedFiles] =
+    ManifestSql.pruneWith(spark, manifestPath, table) { (keyFields, hasNulls) =>
       splitConjunctivePredicates(cond)
         .flatMap(conjunctBound(_, keyFields, hasNulls))
         .reduceOption(_ && _)
-        .flatMap { zonePred =>
-          // no .distinct(): it would put an Aggregate over the snapshot's
-          // LocalRelation and cost a Spark job on the jobless path; paths
-          // are the manifest's key, so driver-side dedup is exact
-          val survivors = manifest
-            .filter(col("table") === table && zonePred)
-            .select(col("path"), col("bytes"))
-            .collect()
-          val paths = survivors.map(_.getString(0)).distinct.toIndexedSeq
-          // survivors' total bytes → pruned sizeInBytes, enabling a
-          // broadcast of a well-pruned scan; unknown (NULL) bytes — the
-          // data-scan build path records none — fall back conservatively
-          val totalBytes =
-            if (survivors.nonEmpty && survivors.forall(!_.isNullAt(1)))
-              Some(survivors.map(_.getLong(1)).sum)
-            else None
-          // zero survivors is only a real answer if the catalog KNOWS this
-          // table: a manifest holding no rows for it (cleared by a
-          // transfer-in-progress, or registered against the wrong path)
-          // must degrade to the unpruned scan — an empty table's unpruned
-          // scan is empty anyway, so degrading is lossless in both cases
-          val tableKnown =
-            if (paths.nonEmpty) true
-            else if (local.isDefined)
-              ManifestSnapshot.knownTables(spark, manifestPath)
-                .exists(_.contains(table))
-            else !manifest.filter(col("table") === table).isEmpty
-          if (tableKnown) Some(PrunedFiles(paths, totalBytes)) else None
-        }
     }
-  }
 
   /** A key attribute under a (possibly empty) stack of MONOTONE
     * NON-DECREASING wrappers. `xf` replays the same wrapper stack over the
@@ -315,10 +334,12 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** One conjunct → a zone-map overlap condition, when it is a comparison
     * between a (possibly monotone-wrapped) key attribute and a foldable
     * literal, or an OR whose branches each yield one. NULL zone maps
-    * (missing footer stats) always keep the file. */
-  private def conjunctBound(e: Expression,
-                            keyFields: Map[String, String],
-                            hasNulls: Boolean): Option[Column] = {
+    * (missing footer stats) always keep the file. `private[sources]` so
+    * [[ManifestJoinPruneRule]] folds walked-through Filter conjuncts into
+    * its own zone predicate with the exact same semantics. */
+  private[sources] def conjunctBound(e: Expression,
+                                     keyFields: Map[String, String],
+                                     hasNulls: Boolean): Option[Column] = {
     def named(ar: AttributeReference): Option[String] =
       keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
     def key(a: Expression): Option[KeyRef] = a match {
@@ -491,4 +512,196 @@ case class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
   }
+}
+
+/** Runtime join-driven file skipping (round 14) — the zone-map analog of
+  * dynamic partition pruning, the star-schema shape static pruning cannot
+  * touch: `fact JOIN dim ON fact.k = dim.k WHERE dim.selective` carries no
+  * LITERAL bound on `fact.k`, so every fact file scans even when the dim
+  * side survives with a handful of keys. When the dim side is
+  * BROADCAST-SMALL (logical stats ≤ `spark.sql.autoBroadcastJoinThreshold`
+  * — the same dims the join was going to materialize on the driver
+  * anyway), this rule executes the dim side's distinct join keys at
+  * planning time, prunes the fact side's files through the manifest's
+  * zone maps with the shared IN-list bound, and substitutes the same
+  * delegating pruned index the literal rule uses. An empty dim prunes the
+  * fact scan to zero files — the inner join is empty either way.
+  *
+  * Soundness gates, each degrading to the unpruned join (cost, never
+  * rows):
+  *  - join types where a fact row WITHOUT a dim-key match cannot reach
+  *    the output: Inner (either side is the fact), LeftSemi (left),
+  *    LeftOuter (right — the null-extended side), RightOuter (left);
+  *    FullOuter and fact-preserving outer sides never prune.
+  *  - the path from the join input to the marked relation crosses only
+  *    Project/Filter (row-local: a surviving row's value cannot depend on
+  *    a pruned row — a Window or Aggregate between could), and the join
+  *    key is the RELATION's own attribute (exprId membership; an alias
+  *    breaks the chain and declines).
+  *  - the dim side is fully deterministic (it executes twice: once here,
+  *    once in the real join — a rand()-filtered dim could prune rows its
+  *    second execution would match) and nothing is streaming.
+  *  - at most `graft.manifest.joinPruneMaxKeys` distinct keys (default
+  *    10k) are collected; more → skip. Past 64 keys the shared bound
+  *    degrades to the members' envelope, so a sparse dim still skips.
+  *  - `graft.manifest.joinPrune=false` turns the rule off; a nested
+  *    planning-time execution never re-enters the rule (re-entrancy
+  *    guard), so recursive dim plans cost at most one extra level.
+  *
+  * Composition with [[ManifestPruneRule]]: this rule runs FIRST (see
+  * [[ManifestSql.enable]]) and folds the conjuncts of every fact-side
+  * Filter it walks through into the same zone predicate (via the shared
+  * [[ManifestPruneRule.conjunctBound]]), so a star query with BOTH a
+  * literal fact bound and a selective dim prunes on their intersection —
+  * and the `isnotnull(key)` Filter that inner-join inference always
+  * plants on the fact side can never lock the join prune out by letting
+  * the literal rule consume the markers on a null-bound alone. */
+case class ManifestJoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.plans._
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  val EnabledConf = "graft.manifest.joinPrune"
+  val MaxKeysConf = "graft.manifest.joinPruneMaxKeys"
+  val MaxKeysDefault = 10000
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (ManifestJoinPruneRule.inPlanningExec.get() ||
+        !spark.conf.get(EnabledConf, "true").toBoolean) return plan
+    plan.transformDown {
+      case j @ Join(left, right, joinType, Some(cond), _)
+          if !j.isStreaming =>
+        val candidates: Seq[(LogicalPlan, LogicalPlan, Boolean)] = joinType match {
+          case Inner => Seq((left, right, true), (right, left, false))
+          case LeftSemi | RightOuter => Seq((left, right, true))
+          case LeftOuter => Seq((right, left, false))
+          case _ => Seq.empty
+        }
+        candidates.view.flatMap { case (factSide, dimSide, factIsLeft) =>
+          pruneJoinSide(factSide, dimSide, cond).map { prunedFact =>
+            if (factIsLeft) j.copy(left = prunedFact)
+            else j.copy(right = prunedFact)
+          }
+        }.headOption.getOrElse(j)
+    }
+  }
+
+  /** The fact side with its relation's file index pruned by the dim
+    * side's runtime join keys, or None when any soundness gate declines. */
+  private def pruneJoinSide(factSide: LogicalPlan, dimSide: LogicalPlan,
+                            cond: Expression): Option[LogicalPlan] = {
+    val broadcastMax = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (broadcastMax <= 0 || dimSide.isStreaming ||
+        dimSide.stats.sizeInBytes > broadcastMax ||
+        dimSide.exists(_.expressions.exists(e => !e.deterministic))) return None
+    for {
+      (rel, factFilters) <- markedRelation(factSide)
+      h = rel.relation.asInstanceOf[HadoopFsRelation]
+      (factAttr, dimAttr) <- equiPairOnRelation(cond, rel, dimSide)
+      tbl <- h.options.get(ManifestSql.TableOption)
+      mp = h.options(ManifestSql.PathOption)
+      pruned <- scala.util.Try(
+        pruneByDimKeys(mp, tbl, factAttr, dimAttr, dimSide, factFilters)) match {
+        case scala.util.Failure(e) =>
+          logWarning(s"manifest join pruning skipped for $tbl ($mp): $e")
+          None
+        case scala.util.Success(v) => v
+      }
+    } yield {
+      val keep = pruned.paths.map(ManifestSql.normPath).toSet
+      val newRel = h.copy(
+        location = new ManifestPrunedFileIndex(h.location, keep, pruned.totalBytes),
+        options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
+      factSide.transformDown {
+        case l: LogicalRelation if l.eq(rel) => l.copy(relation = newRel)
+      }
+    }
+  }
+
+  /** The unique marked relation reachable through row-LOCAL operators
+    * only, plus every Filter condition crossed on the way (folded into
+    * the zone predicate so the literal and join prunes intersect).
+    * Project/Filter outputs for a surviving row never depend on a pruned
+    * row; anything else (Aggregate, Window, another Join, …) could, so
+    * the chain stops there. */
+  private def markedRelation(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    p match {
+      case l @ LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+          if h.options.contains(ManifestSql.PathOption) &&
+            h.options.contains(ManifestSql.TableOption) && !l.isStreaming =>
+        Some((l, Seq.empty))
+      case Project(_, child) => markedRelation(child)
+      case Filter(c, child) =>
+        markedRelation(child).map { case (l, fs) => (l, c +: fs) }
+      case _ => None
+    }
+
+  /** First equi-conjunct joining the RELATION's own attribute (by exprId
+    * — aliases decline) to a dim-side attribute. */
+  private def equiPairOnRelation(cond: Expression, rel: LogicalRelation,
+                                 dimSide: LogicalPlan): Option[(Attribute, Attribute)] = {
+    val relOut = rel.outputSet
+    val dimOut = dimSide.outputSet
+    splitConjunctivePredicates(cond).collectFirst {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if relOut.contains(a) && dimOut.contains(b) => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if relOut.contains(a) && dimOut.contains(b) => (a, b)
+    }
+  }
+
+  /** Execute the dim side's distinct join keys (bounded) and prune the
+    * fact manifest with the shared IN-list zone bound, AND'd with any
+    * bounds the fact side's own Filters contribute (the literal rule's
+    * exact conjunct semantics — this rule subsumes it on the join path).
+    * None when the key column is not in the manifest or the key count
+    * exceeds the cap. */
+  private def pruneByDimKeys(manifestPath: String, table: String,
+                             factAttr: Attribute, dimAttr: Attribute,
+                             dimSide: LogicalPlan,
+                             factFilters: Seq[Expression]): Option[ManifestSql.PrunedFiles] = {
+    val maxKeys = spark.conf.get(MaxKeysConf, MaxKeysDefault.toString).toInt
+    val literalRule = ManifestPruneRule(spark)
+    ManifestSql.pruneWith(spark, manifestPath, table) { (keyFields, hasNulls) =>
+      keyFields.get(factAttr.name.toLowerCase(java.util.Locale.ROOT)).flatMap { k =>
+        val keys = collectDimKeys(dimAttr, dimSide, maxKeys)
+        keys.map { vs =>
+          // an EMPTY key set matches nothing: lit(false) from the shared
+          // builder — zero surviving files, the join is empty either way
+          val joinBound = Manifest.inListBound(k, vs, identity)
+          factFilters.flatMap(splitConjunctivePredicates)
+            .flatMap(literalRule.conjunctBound(_, keyFields, hasNulls))
+            .foldLeft(joinBound)(_ && _)
+        }
+      }
+    }
+  }
+
+  /** Distinct non-null dim keys as Scala values, or None past the cap.
+    * Runs a real (tiny — broadcast-gated) Spark job at planning time,
+    * shielded from re-entering this rule. */
+  private def collectDimKeys(dimAttr: Attribute, dimSide: LogicalPlan,
+                             maxKeys: Int): Option[Seq[Any]] = {
+    ManifestJoinPruneRule.inPlanningExec.set(true)
+    try {
+      val keyPlan = Distinct(Project(Seq(dimAttr), dimSide))
+      val taken = spark.sessionState.executePlan(keyPlan)
+        .executedPlan.executeTake(maxKeys + 1)
+      if (taken.length > maxKeys) None
+      else Some(taken.iterator
+        .map(_.get(0, dimAttr.dataType)).filter(_ != null)
+        .map(CatalystTypeConverters.convertToScala(_, dimAttr.dataType))
+        .toIndexedSeq)
+    } finally ManifestJoinPruneRule.inPlanningExec.set(false)
+  }
+}
+
+object ManifestJoinPruneRule {
+  /** Re-entrancy guard: the planning-time dim execution runs the whole
+    * optimizer on the dim subplan — without this, a dim side containing
+    * its own manifest-backed join would recurse a planning execution per
+    * nesting level. */
+  private val inPlanningExec: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => false)
 }

@@ -526,6 +526,118 @@ class ManifestSqlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("a broadcast-small dim side prunes fact files at planning time (join rule)") {
+    // the star-schema shape static pruning cannot touch: no literal bound
+    // on fact.id, yet only the files whose zone maps overlap the dim's
+    // keys may be opened — the DPP analog over zone maps (round 14)
+    import spark.implicits._
+    Seq(10L, 470L).toDF("k").createOrReplaceTempView("jp_dim")
+    val q = spark.sql("SELECT count(*) AS n FROM mt f JOIN jp_dim d ON f.id = d.k")
+    assert(scannedFiles(q).length === 2, "dim keys live in f0 and f4 only")
+    assert(q.head.getLong(0) === 2L)
+    // flipped sides and flipped equality still prune the fact
+    val q2 = spark.sql("SELECT count(*) AS n FROM jp_dim d JOIN mt f ON d.k = f.id")
+    assert(scannedFiles(q2).length === 2)
+    assert(q2.head.getLong(0) === 2L)
+  }
+
+  test("an empty dim side prunes the fact scan to zero files — the join is empty anyway") {
+    import spark.implicits._
+    // literal-empty dim: Catalyst's own empty propagation folds the join
+    Seq(10L, 470L).toDF("k").createOrReplaceTempView("jp_dim_src")
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM mt f
+        |JOIN (SELECT k FROM jp_dim_src WHERE k < 0) d ON f.id = d.k""".stripMargin)
+    assert(scannedFiles(q).isEmpty)
+    assert(q.head.getLong(0) === 0L)
+    // RUNTIME-empty dim (not constant-foldable): the rule's own zero-key
+    // path must prune the FACT scan to zero files while the dim side
+    // still scans normally
+    val q2 = spark.sql(
+      """SELECT count(*) AS n FROM mt f
+        |JOIN (SELECT id AS k FROM mt WHERE v = 'nope') d ON f.id = d.k""".stripMargin)
+    // the substitution is visible in the OPTIMIZED plan (AQE then folds
+    // the zero-file scan away entirely at execution — also correct)
+    val prunedIndexes = q2.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.isInstanceOf[ManifestPrunedFileIndex] =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+    }
+    // TWO pruned indexes exist: the dim side prunes on its inferred
+    // isnotnull (all files kept), the fact side on the empty key set —
+    // the zero-file index is the rule's empty-keys path under test
+    assert(prunedIndexes.exists(_.inputFiles.isEmpty),
+      s"the fact side must be pruned to zero files: " +
+        s"${prunedIndexes.map(_.inputFiles.length)}")
+    assert(q2.head.getLong(0) === 0L)
+  }
+
+  test("a literal fact bound and the dim keys prune on their INTERSECTION") {
+    // the composition that motivated join-rule-first ordering: the rule
+    // folds walked-through Filter conjuncts into its zone predicate, so
+    // id<=100 (files f0,f1) ∧ dim keys {10,470} (files f0,f4) opens f0 only
+    import spark.implicits._
+    Seq(10L, 470L).toDF("k").createOrReplaceTempView("jp_dim3")
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM mt f JOIN jp_dim3 d ON f.id = d.k
+        |WHERE f.id <= 100""".stripMargin)
+    assert(scannedFiles(q).length === 1, "intersection of filter and join prunes")
+    assert(q.head.getLong(0) === 1L, "only id=10 survives both")
+  }
+
+  test("join pruning declines whenever soundness cannot be proven") {
+    import spark.implicits._
+    Seq(10L, 470L).toDF("k").createOrReplaceTempView("jp_dim2")
+    // fact-preserving outer side: every fact row reaches the output
+    val qOuter = spark.sql(
+      "SELECT count(*) AS n FROM mt f LEFT JOIN jp_dim2 d ON f.id = d.k")
+    assert(scannedFiles(qOuter).length === 5, "LEFT-side fact must keep all files")
+    assert(qOuter.head.getLong(0) === 500L)
+    // …but the null-extended side of the same join type prunes
+    val qOuterFlip = spark.sql(
+      "SELECT count(*) AS n FROM jp_dim2 d LEFT JOIN mt f ON f.id = d.k")
+    assert(scannedFiles(qOuterFlip).length === 2)
+    assert(qOuterFlip.head.getLong(0) === 2L)
+    // an Aggregate between the relation and the join is not row-local —
+    // a pruned row could have fed a surviving group's aggregate
+    val qAgg = spark.sql(
+      """SELECT count(*) AS n FROM
+        |  (SELECT id, count(*) AS c FROM mt GROUP BY id) f
+        |JOIN jp_dim2 d ON f.id = d.k""".stripMargin)
+    assert(scannedFiles(qAgg).length === 5, "aggregate between relation and join")
+    assert(qAgg.head.getLong(0) === 2L)
+    // a dim past the broadcast threshold is not worth a planning-time job
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      spark.range(0, 5000).toDF("k").createOrReplaceTempView("jp_big_dim")
+      val qBig = spark.sql(
+        "SELECT count(*) AS n FROM mt f JOIN jp_big_dim d ON f.id = d.k")
+      assert(scannedFiles(qBig).length === 5, "oversized dim must not execute early")
+      assert(qBig.head.getLong(0) === 500L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // a key-count cap breach declines likewise
+    spark.conf.set("graft.manifest.joinPruneMaxKeys", "1")
+    try {
+      val qCap = spark.sql(
+        "SELECT count(*) AS n FROM mt f JOIN jp_dim2 d ON f.id = d.k")
+      assert(scannedFiles(qCap).length === 5)
+      assert(qCap.head.getLong(0) === 2L)
+    } finally spark.conf.unset("graft.manifest.joinPruneMaxKeys")
+    // and the kill switch turns the rule off outright
+    spark.conf.set("graft.manifest.joinPrune", "false")
+    try {
+      val qOff = spark.sql(
+        "SELECT count(*) AS n FROM mt f JOIN jp_dim2 d ON f.id = d.k")
+      assert(scannedFiles(qOff).length === 5)
+      assert(qOff.head.getLong(0) === 2L)
+    } finally spark.conf.unset("graft.manifest.joinPrune")
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

@@ -598,11 +598,12 @@ case class ManifestJoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     for {
       (rel, factFilters) <- markedRelation(factSide)
       h = rel.relation.asInstanceOf[HadoopFsRelation]
-      (factAttr, dimAttr) <- equiPairOnRelation(cond, rel, dimSide)
+      pairs = equiPairsOnRelation(cond, rel, dimSide)
+      if pairs.nonEmpty
       tbl <- h.options.get(ManifestSql.TableOption)
       mp = h.options(ManifestSql.PathOption)
       pruned <- scala.util.Try(
-        pruneByDimKeys(mp, tbl, factAttr, dimAttr, dimSide, factFilters)) match {
+        pruneByDimKeys(mp, tbl, pairs, dimSide, factFilters)) match {
         case scala.util.Failure(e) =>
           logWarning(s"manifest join pruning skipped for $tbl ($mp): $e")
           None
@@ -637,62 +638,78 @@ case class ManifestJoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
-  /** First equi-conjunct joining the RELATION's own attribute (by exprId
-    * — aliases decline) to a dim-side attribute. */
-  private def equiPairOnRelation(cond: Expression, rel: LogicalRelation,
-                                 dimSide: LogicalPlan): Option[(Attribute, Attribute)] = {
+  /** Every equi-conjunct joining the RELATION's own attribute (by exprId
+    * — aliases decline) to a dim-side attribute, one per fact column. */
+  private def equiPairsOnRelation(cond: Expression, rel: LogicalRelation,
+                                  dimSide: LogicalPlan): Seq[(Attribute, Attribute)] = {
     val relOut = rel.outputSet
     val dimOut = dimSide.outputSet
-    splitConjunctivePredicates(cond).collectFirst {
+    splitConjunctivePredicates(cond).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if relOut.contains(a) && dimOut.contains(b) => (a, b)
       case EqualTo(b: AttributeReference, a: AttributeReference)
           if relOut.contains(a) && dimOut.contains(b) => (a, b)
-    }
+    }.distinctBy(_._1.exprId)
   }
 
-  /** Execute the dim side's distinct join keys (bounded) and prune the
-    * fact manifest with the shared IN-list zone bound, AND'd with any
-    * bounds the fact side's own Filters contribute (the literal rule's
-    * exact conjunct semantics — this rule subsumes it on the join path).
-    * None when the key column is not in the manifest or the key count
-    * exceeds the cap. */
+  /** Execute the dim side's distinct join-key tuples (bounded, ONE job
+    * for however many join columns) and prune the fact manifest with the
+    * AND of each manifest-keyed column's IN-list zone bound — a
+    * multi-key star join prunes on every key the manifest carries, the
+    * Z-order layout's reason to exist — AND'd again with any bounds the
+    * fact side's own Filters contribute (the literal rule's exact
+    * conjunct semantics — this rule subsumes it on the join path). The
+    * per-column AND is a relaxation of tuple membership (each column
+    * independently must overlap SOME dim value), so it is conservative,
+    * never lossy. None when no join column is in the manifest or the
+    * tuple count exceeds the cap. */
   private def pruneByDimKeys(manifestPath: String, table: String,
-                             factAttr: Attribute, dimAttr: Attribute,
+                             pairs: Seq[(Attribute, Attribute)],
                              dimSide: LogicalPlan,
                              factFilters: Seq[Expression]): Option[ManifestSql.PrunedFiles] = {
     val maxKeys = spark.conf.get(MaxKeysConf, MaxKeysDefault.toString).toInt
     val literalRule = ManifestPruneRule(spark)
     ManifestSql.pruneWith(spark, manifestPath, table) { (keyFields, hasNulls) =>
-      keyFields.get(factAttr.name.toLowerCase(java.util.Locale.ROOT)).flatMap { k =>
-        val keys = collectDimKeys(dimAttr, dimSide, maxKeys)
-        keys.map { vs =>
-          // an EMPTY key set matches nothing: lit(false) from the shared
-          // builder — zero surviving files, the join is empty either way
-          val joinBound = Manifest.inListBound(k, vs, identity)
-          factFilters.flatMap(splitConjunctivePredicates)
-            .flatMap(literalRule.conjunctBound(_, keyFields, hasNulls))
-            .foldLeft(joinBound)(_ && _)
-        }
+      val usable = pairs.filter(p =>
+        keyFields.contains(p._1.name.toLowerCase(java.util.Locale.ROOT)))
+      if (usable.isEmpty) None
+      else collectDimKeys(usable.map(_._2), dimSide, maxKeys).map { cols =>
+        // an EMPTY key set matches nothing: lit(false) from the shared
+        // builder — zero surviving files, the join is empty either way
+        val joinBound = usable.zip(cols).map { case ((fa, _), vs) =>
+          Manifest.inListBound(
+            keyFields(fa.name.toLowerCase(java.util.Locale.ROOT)), vs, identity)
+        }.reduce(_ && _)
+        factFilters.flatMap(splitConjunctivePredicates)
+          .flatMap(literalRule.conjunctBound(_, keyFields, hasNulls))
+          .foldLeft(joinBound)(_ && _)
       }
     }
   }
 
-  /** Distinct non-null dim keys as Scala values, or None past the cap.
-    * Runs a real (tiny — broadcast-gated) Spark job at planning time,
-    * shielded from re-entering this rule. */
-  private def collectDimKeys(dimAttr: Attribute, dimSide: LogicalPlan,
-                             maxKeys: Int): Option[Seq[Any]] = {
+  /** Distinct dim-key tuples as per-column Scala value lists, or None
+    * past the cap. A tuple with a NULL in any join column matches no
+    * fact row under equi-semantics and is dropped whole. Runs a real
+    * (tiny — broadcast-gated) Spark job at planning time, shielded from
+    * re-entering this rule. */
+  private def collectDimKeys(dimAttrs: Seq[Attribute], dimSide: LogicalPlan,
+                             maxKeys: Int): Option[Seq[Seq[Any]]] = {
     ManifestJoinPruneRule.inPlanningExec.set(true)
     try {
-      val keyPlan = Distinct(Project(Seq(dimAttr), dimSide))
+      val keyPlan = Distinct(Project(dimAttrs, dimSide))
       val taken = spark.sessionState.executePlan(keyPlan)
         .executedPlan.executeTake(maxKeys + 1)
       if (taken.length > maxKeys) None
-      else Some(taken.iterator
-        .map(_.get(0, dimAttr.dataType)).filter(_ != null)
-        .map(CatalystTypeConverters.convertToScala(_, dimAttr.dataType))
-        .toIndexedSeq)
+      else {
+        val tuples = taken.iterator
+          .map(r => dimAttrs.zipWithIndex.map { case (a, i) => r.get(i, a.dataType) })
+          .filter(_.forall(_ != null))
+          .toIndexedSeq
+        Some(dimAttrs.zipWithIndex.map { case (a, i) =>
+          tuples.map(t => CatalystTypeConverters.convertToScala(t(i), a.dataType))
+            .distinct
+        })
+      }
     } finally ManifestJoinPruneRule.inPlanningExec.set(false)
   }
 }

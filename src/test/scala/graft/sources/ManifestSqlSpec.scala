@@ -577,6 +577,41 @@ class ManifestSqlSpec extends SparkSpec {
     assert(q2.head.getLong(0) === 0L)
   }
 
+  test("a multi-key equi-join ANDs every manifest-keyed column's dim bound") {
+    // 2×2 grid of files on (a, b); the dim's single tuple (5, 15) pins
+    // exactly one file under the two-column AND where either column
+    // alone keeps two — the Z-order read path, join-driven
+    import spark.implicits._
+    val dir = s"$base/multikeydata"
+    Seq((0, 0), (0, 10), (10, 0), (10, 10)).foreach { case (aLo, bLo) =>
+      (0 until 10).flatMap(i => (0 until 10).map(j => (aLo + i, bLo + j)))
+        .toDF("a", "b").coalesce(1)
+        .write.mode("append").parquet(s"$dir/t.parquet")
+    }
+    val mmp = s"$base/multikeymanifest"
+    Manifest.update(spark, dir, "t", Seq("a", "b"), mmp)
+    ManifestSql.register(spark, dir, "t", mmp, "mkt")
+    Seq((5, 15)).toDF("ka", "kb").createOrReplaceTempView("mk_dim")
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM mkt f
+        |JOIN mk_dim d ON f.a = d.ka AND f.b = d.kb""".stripMargin)
+    assert(scannedFiles(q).length === 1, "both key bounds must AND")
+    assert(q.head.getLong(0) === 1L)
+    // one column alone (the other not equi-joined) keeps that column's two
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM mkt f JOIN mk_dim d ON f.a = d.ka")
+    assert(scannedFiles(q2).length === 2)
+    assert(q2.head.getLong(0) === 20L)
+    // a NULL-bearing dim tuple matches nothing and must not widen bounds
+    Seq((Some(5), Some(15)), (None: Option[Int], Some(15)))
+      .toDF("ka", "kb").createOrReplaceTempView("mk_dim_null")
+    val q3 = spark.sql(
+      """SELECT count(*) AS n FROM mkt f
+        |JOIN mk_dim_null d ON f.a = d.ka AND f.b = d.kb""".stripMargin)
+    assert(scannedFiles(q3).length === 1, "the null tuple is dropped whole")
+    assert(q3.head.getLong(0) === 1L)
+  }
+
   test("a literal fact bound and the dim keys prune on their INTERSECTION") {
     // the composition that motivated join-rule-first ordering: the rule
     // folds walked-through Filter conjuncts into its zone predicate, so

@@ -222,6 +222,12 @@ private[sources] object ManifestSnapshot {
           val rows = java.util.Arrays.asList(collected: _*)
           val fresh = Snap(sig, rows, df.schema,
             collected.iterator.map(_.getAs[String]("table")).toSet)
+          // coarse entry bound: a long-lived session touching many
+          // catalogs must not grow the driver cache without limit —
+          // past the cap the whole map drops and repopulates on demand
+          // (each entry is already byte-bounded; 64 × 8 MiB parquet is
+          // the worst-case heap envelope)
+          if (cache.size >= 64) cache.clear()
           cache.put(key, fresh)
           fresh
       }

@@ -84,8 +84,12 @@ object WavCodec {
           data = Some((start, size))
         case _ => // LIST/INFO/fact/cue/… — skip
       }
-      // RIFF pads odd-sized chunks to even offsets
-      buf.position(start + size + (size & 1))
+      // RIFF pads odd-sized chunks to even offsets — but a FINAL odd-sized
+      // chunk often ships without its pad byte (common in real writers),
+      // and positioning one past the limit would throw instead of honoring
+      // the never-throw contract. Clamp: a padded offset beyond the buffer
+      // is end-of-stream, and whatever chunks were parsed stand.
+      buf.position(math.min(start + size + (size & 1), buf.limit()))
     }
     for {
       (audioFormat, channels, rate, bits) <- fmt

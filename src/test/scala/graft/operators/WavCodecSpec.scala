@@ -76,6 +76,35 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(eightBit).isEmpty)
   }
 
+  test("a final odd-sized chunk with no trailing pad byte decodes, never throws") {
+    // real WAV writers routinely omit the RIFF pad byte on a final odd
+    // chunk; the padded-offset walk must clamp to the buffer end instead
+    // of throwing IllegalArgumentException (round-14 advice)
+    val plain = WavCodec.encode(8000, 1, Array[Short](5, -6, 7))
+    // append a 3-byte LIST chunk with NO pad byte as the last chunk
+    val out = ByteBuffer.allocate(plain.length + 8 + 3).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(plain)
+    out.put("LIST".getBytes("US-ASCII")).putInt(3)
+    out.put(Array[Byte](1, 2, 3))
+    val bytes = out.array()
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).putInt(4, bytes.length - 8)
+    val info = WavCodec.decode(bytes).get
+    assert(info.nFrames === 3L && info.peak === 7)
+    // and when the unpadded odd tail is an UNKNOWN chunk before fmt/data
+    // are both found, the walk still terminates cleanly: fmt-only + odd
+    // unpadded LIST tail → no data chunk → None, not a throw
+    val headerOnly = plain.take(12 + 8 + 16) // RIFF + fmt
+    val tail = ByteBuffer.allocate(headerOnly.length + 8 + 3)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    tail.put(headerOnly)
+    tail.put("LIST".getBytes("US-ASCII")).putInt(3)
+    tail.put(Array[Byte](9, 9, 9))
+    val tailBytes = tail.array()
+    ByteBuffer.wrap(tailBytes).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, tailBytes.length - 8)
+    assert(WavCodec.decode(tailBytes).isEmpty)
+  }
+
   test("the q196 synthesis contract: clamped encode matches the raw-domain census") {
     // decoder clipped (samples at full scale) ⇔ oracle clipped (raw at or
     // beyond full scale) — the equivalence q196's DuckDB twin relies on

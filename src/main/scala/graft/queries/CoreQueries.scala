@@ -913,6 +913,32 @@ object CoreQueries {
           |WHERE c.c_acctbal > 9000""".stripMargin)
     },
 
+    // Manifest metadata-aggregates (round 15, ManifestAggRule): a global
+    // COUNT(*)/COUNT(key)/MIN(key)/MAX(key) over a manifest-backed view is
+    // answered entirely from the catalog's per-file stats — zero data
+    // files opened — when the manifest provably catalogs exactly the
+    // relation's files (the Iceberg-style rewrite; the reference answers
+    // the same question from INFORMATION_SCHEMA at catalog speed,
+    // discovery.py:348-357). The oracle recomputes all six values from
+    // the raw table, so a wrong row count, a missed null, or a stats/data
+    // divergence breaks the hash; ManifestSqlSpec pins the zero-job,
+    // zero-scan plan shape.
+    "q198_manifest_meta_agg" -> { (s, dir) =>
+      val mp = scratchManifest("q198", dir)
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders",
+          Seq("o_orderdate", "o_custkey")), mp)
+      graft.sources.ManifestSql.register(s, dir, "orders", mp, "orders_m_metaagg")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  count(o_custkey) AS n_cust,
+          |  CAST(min(o_orderdate) AS STRING) AS first_date,
+          |  CAST(max(o_orderdate) AS STRING) AS last_date,
+          |  CAST(min(o_custkey) AS STRING) AS min_cust,
+          |  CAST(max(o_custkey) AS STRING) AS max_cust
+          |FROM orders_m_metaagg""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1577,6 +1603,18 @@ object CoreQueries {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_acctbal > 9000""".stripMargin,
+
+    // Metadata-aggregate twin: the raw table recomputed — a row count,
+    // null count, or key extreme the manifest stats got wrong breaks the
+    // hash (DATE::VARCHAR is 'YYYY-MM-DD' in both engines).
+    "q198_manifest_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  count(o_custkey) AS n_cust,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS first_date,
+        |  CAST(max(o_orderdate) AS VARCHAR) AS last_date,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_cust,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_cust
+        |FROM orders""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

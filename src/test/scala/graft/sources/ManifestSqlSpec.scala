@@ -231,12 +231,18 @@ class ManifestSqlSpec extends SparkSpec {
     val dmp = s"$base/datemanifest"
     Manifest.update(spark, dir, "t", Seq("d"), dmp)
     ManifestSql.register(spark, dir, "t", dmp, "datet")
-    val q = spark.sql(
-      """SELECT count(*) AS n FROM datet
-        |WHERE d >= TIMESTAMP '2020-02-01 00:00:00'
-        |  AND d <= TIMESTAMP '2020-02-28 23:59:59'""".stripMargin)
-    assert(scannedFiles(q).length === 1, "only the February file may be opened")
-    assert(q.head.getLong(0) === 3L)
+    // metadataAgg off: the metadata-aggregate rule would answer this
+    // count with ZERO files (also correct, pinned elsewhere) — this test
+    // pins the cast-wrapped PRUNE path
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val q = spark.sql(
+        """SELECT count(*) AS n FROM datet
+          |WHERE d >= TIMESTAMP '2020-02-01 00:00:00'
+          |  AND d <= TIMESTAMP '2020-02-28 23:59:59'""".stripMargin)
+      assert(scannedFiles(q).length === 1, "only the February file may be opened")
+      assert(q.head.getLong(0) === 3L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
   }
 
   test("a numeric cast-wrapped bound prunes: bigint key vs fractional literal") {
@@ -394,10 +400,17 @@ class ManifestSqlSpec extends SparkSpec {
     assert(scannedFiles(q).length === 1, "only the February file may be opened")
     assert(q.head.getLong(0) === 2L)
     // TO_DATE(ts) optimizes to Cast(ts AS DATE) — prune through it
-    val q2 = spark.sql(
-      "SELECT count(*) AS n FROM tst WHERE to_date(t) >= DATE '2020-03-01'")
-    assert(scannedFiles(q2).length === 1)
-    assert(q2.head.getLong(0) === 2L)
+    // (metadataAgg off through execution: the metadata-aggregate rule
+    // would answer this count with ZERO files once
+    // UnwrapCastInBinaryComparison bares the attribute — this assert
+    // pins the PRUNE path)
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val q2 = spark.sql(
+        "SELECT count(*) AS n FROM tst WHERE to_date(t) >= DATE '2020-03-01'")
+      assert(scannedFiles(q2).length === 1)
+      assert(q2.head.getLong(0) === 2L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
     // a non-monotone wrapper (MONTH wraps around each year) must decline
     val q3 = spark.sql("SELECT count(*) AS n FROM tst WHERE MONTH(t) = 2")
     assert(scannedFiles(q3).length === 3, "MONTH is not monotone — keep all")
@@ -436,9 +449,15 @@ class ManifestSqlSpec extends SparkSpec {
       .write.mode("append").parquet(s"$sdir/t.parquet")
     Manifest.update(spark, sdir, "t", Seq("id"), smp)
     ManifestSql.register(spark, sdir, "t", smp, "snapt") // refresh the view's own index
-    val q = spark.sql("SELECT count(*) AS n FROM snapt WHERE id >= 9000")
-    assert(scannedFiles(q).length === 1, "the post-update snapshot knows the new file")
-    assert(q.head.getLong(0) === 100L)
+    // metadataAgg off: the fully-covered count would otherwise be
+    // answered with ZERO files (also correct); this pins the SNAPSHOT
+    // freshness of the prune path
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val q = spark.sql("SELECT count(*) AS n FROM snapt WHERE id >= 9000")
+      assert(scannedFiles(q).length === 1, "the post-update snapshot knows the new file")
+      assert(q.head.getLong(0) === 100L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
   }
 
   test("hive partition pruning and zone maps compose (round-13 verdict item 4)") {
@@ -655,7 +674,9 @@ class ManifestSqlSpec extends SparkSpec {
       assert(scannedFiles(qBig).length === 5, "oversized dim must not execute early")
       assert(qBig.head.getLong(0) === 500L)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    // a key-count cap breach declines likewise
+    // a key-count cap breach degrades to the dim's [min,max] ENVELOPE
+    // (round-14 verdict item 3) — here {10,470} spans every file, so all
+    // five still scan, but the join stays correct
     spark.conf.set("graft.manifest.joinPruneMaxKeys", "1")
     try {
       val qCap = spark.sql(
@@ -671,6 +692,242 @@ class ManifestSqlSpec extends SparkSpec {
       assert(scannedFiles(qOff).length === 5)
       assert(qOff.head.getLong(0) === 2L)
     } finally spark.conf.unset("graft.manifest.joinPrune")
+  }
+
+  test("a filter on an alias SHADOWING a key name never folds into the join prune") {
+    // round-14 advice: conjunctBound resolves attributes by NAME, so a
+    // Filter above a Project whose alias shadows the manifest key could
+    // fold as a bound on the NATIVE column and unsoundly prune. The fold
+    // set is now exprId-guarded: only conjuncts referencing the
+    // relation's own attributes fold.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join, JoinHint, Project}
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import spark.implicits._
+    val factDf = ManifestSql.readTable(spark, dataDir, "t", mp)
+    val rel = factDf.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }.get
+    val idAttr = rel.output.find(_.name == "id").get
+    // a deterministic computed column whose ALIAS NAME is the key's name
+    val shadow = Alias(Literal(0L), "id")()
+    val proj = Project(Seq(idAttr, shadow), rel)
+    val shadowRef = proj.output(1)
+    // row-level TRUE for every row (shadow ≡ 0), but a name-resolved fold
+    // would read it as id < 250 and drop the file holding dim key 470
+    val filt = LFilter(LessThan(shadowRef, Literal(250L)), proj)
+    val dimPlan = Seq(470L).toDF("k").queryExecution.analyzed
+    val join = Join(filt, dimPlan, Inner,
+      Some(EqualTo(idAttr, dimPlan.output.head)), JoinHint.NONE)
+    val out = ManifestJoinPruneRule(spark)(join)
+    val prunedIdx = out.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation]
+              .location.isInstanceOf[ManifestPrunedFileIndex] =>
+        l.relation.asInstanceOf[HadoopFsRelation].location
+    }
+    assert(prunedIdx.nonEmpty, "the join prune itself must still fire")
+    assert(prunedIdx.head.inputFiles.length === 1,
+      "dim key 470 lives in exactly one file — the shadow conjunct must not drop it")
+    assert(prunedIdx.head.inputFiles.head.contains("part-"),
+      s"unexpected survivor: ${prunedIdx.head.inputFiles.toSeq}")
+  }
+
+  test("a non-deterministic fact-side chain declines the join prune whole") {
+    // round-14 advice: mirror the dim-side determinism gate on the
+    // walked-through fact chain — a rand() projection between the
+    // relation and the join keeps every file
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join, JoinHint, Project}
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import spark.implicits._
+    val factDf = ManifestSql.readTable(spark, dataDir, "t", mp)
+    val rel = factDf.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }.get
+    val idAttr = rel.output.find(_.name == "id").get
+    val noise = Alias(Rand(Literal(42L)), "noise")()
+    val proj = Project(Seq(idAttr, noise), rel)
+    val filt = LFilter(GreaterThanOrEqual(proj.output(1), Literal(0.0d)), proj)
+    val dimPlan = Seq(470L).toDF("k").queryExecution.analyzed
+    val join = Join(filt, dimPlan, Inner,
+      Some(EqualTo(idAttr, dimPlan.output.head)), JoinHint.NONE)
+    val out = ManifestJoinPruneRule(spark)(join)
+    assert(out.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation]
+              .location.isInstanceOf[ManifestPrunedFileIndex] => l
+    }.isEmpty, "a non-deterministic chain must decline the prune entirely")
+  }
+
+  test("a non-manifest join never pays the dim-side gates (probe order, round-14 item 2)") {
+    import spark.implicits._
+    (1L to 100L).map((_, "x")).toDF("id", "v").createOrReplaceTempView("plain_a")
+    (1L to 100L).map((_, "y")).toDF("id", "w").createOrReplaceTempView("plain_b")
+    val before = ManifestJoinPruneRule.dimGateEvals.get()
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM plain_a a
+        |JOIN plain_b b ON a.id = b.id
+        |JOIN plain_a c ON b.id = c.id""".stripMargin).head.getLong(0) === 100L)
+    assert(ManifestJoinPruneRule.dimGateEvals.get() === before,
+      "joins that never reach a marked relation must stop at the structural probe")
+    // …while a manifest star query does arrive at the gates
+    Seq(10L).toDF("k").createOrReplaceTempView("gate_dim")
+    spark.sql("SELECT count(*) AS n FROM mt f JOIN gate_dim d ON f.id = d.k").collect()
+    assert(ManifestJoinPruneRule.dimGateEvals.get() > before)
+  }
+
+  test("a fact-fact join between two manifest-backed tables prunes BOTH sides") {
+    // round-14 verdict item 4: candidates fold cumulatively — the second
+    // orientation's dim view is the already-pruned first side
+    import spark.implicits._
+    val dir2 = s"$base/bothdata2"
+    Seq(100L, 300L, 900L).foreach { lo =>
+      (lo until lo + 10L).map((_, s"w$lo")).toDF("id", "w").coalesce(1)
+        .write.mode("append").parquet(s"$dir2/t2.parquet")
+    }
+    val mp2 = s"$base/bothmanifest2"
+    Manifest.update(spark, dir2, "t2", Seq("id"), mp2)
+    ManifestSql.register(spark, dir2, "t2", mp2, "mt2")
+    val q = spark.sql("SELECT count(*) AS n FROM mt f JOIN mt2 g ON f.id = g.id")
+    val files = scannedFiles(q)
+    assert(files.count(_.contains("/data/")) === 2,
+      s"t side: keys 100-109 and 300-309 live in two files: $files")
+    assert(files.count(_.contains("bothdata2")) === 2,
+      s"t2 side: the 900-file misses the pruned-t envelope [100,399]: $files")
+    assert(q.head.getLong(0) === 20L)
+  }
+
+  test("repeated join-pruned star queries reuse the dim-key memo (round-14 item 1)") {
+    import spark.implicits._
+    // own fact table so maintenance here cannot disturb shared fixtures
+    val dir = s"$base/memodata"
+    (0 until 3).foreach { f =>
+      (0 until 100).map(i => (f * 100L + i, s"v$f")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/tm.parquet")
+    }
+    val mmp = s"$base/memomanifest"
+    Manifest.update(spark, dir, "tm", Seq("id"), mmp)
+    ManifestSql.register(spark, dir, "tm", mmp, "memot")
+    // parquet-backed dim so a planning-time key collection costs jobs
+    val pdim = s"$base/memopdim"
+    Seq(10L, 905L).toDF("k").coalesce(1).write.parquet(pdim)
+    spark.read.parquet(pdim).createOrReplaceTempView("memo_dim")
+    val sqlTxt = "SELECT count(*) AS n FROM memot f JOIN memo_dim d ON f.id = d.k"
+    def run(tag: String, expect: Long): Int =
+      jobsIn(tag) { assert(spark.sql(sqlTxt).head.getLong(0) === expect) }
+    val cold = run("memo_cold", 1L)
+    val warm1 = run("memo_warm1", 1L)
+    val warm2 = run("memo_warm2", 1L)
+    assert(warm1 === warm2, s"warm runs must cost identical jobs: $warm1 vs $warm2")
+    assert(warm1 < cold,
+      s"the memo must absorb the planning-time dim execution: cold=$cold warm=$warm1")
+    // maintenance rotates the manifest signature: a new fact file lands,
+    // the memo entry dies with the old signature, and the join sees it
+    (900L until 910L).map((_, "z")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tm.parquet")
+    Manifest.update(spark, dir, "tm", Seq("id"), mmp)
+    ManifestSql.register(spark, dir, "tm", mmp, "memot")
+    val postCold = run("memo_post_cold", 2L) // key 905 now matches
+    val postWarm = run("memo_post_warm", 2L)
+    assert(postWarm < postCold,
+      s"post-update first run re-executes the dim keys: $postCold then $postWarm")
+  }
+
+  test("past joinPruneMaxKeys the dim degrades to a min/max envelope that still skips") {
+    import spark.implicits._
+    // 20 contiguous keys inside f1's range, plus NULL rows that must not
+    // widen the envelope (equi-join nulls match nothing)
+    ((100L to 119L).map(Option(_)) ++ Seq(None, None)).toDF("k")
+      .createOrReplaceTempView("env_dim")
+    spark.conf.set("graft.manifest.joinPruneMaxKeys", "10")
+    try {
+      val q = spark.sql("SELECT count(*) AS n FROM mt f JOIN env_dim d ON f.id = d.k")
+      assert(scannedFiles(q).length === 1, "envelope [100,119] lives in f1 only")
+      assert(q.head.getLong(0) === 20L)
+    } finally spark.conf.unset("graft.manifest.joinPruneMaxKeys")
+  }
+
+  test("the snapshot cache evicts exactly one LRU entry at capacity (round-14 item 6)") {
+    ManifestSnapshot.cache.clear()
+    def snap(i: Int) = ManifestSnapshot.Snap(Vector((s"f$i", 1L, 1L)),
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType(), Set.empty)
+    (0 until ManifestSnapshot.MaxEntries).foreach(i =>
+      ManifestSnapshot.cache.put(s"m$i", snap(i)))
+    ManifestSnapshot.cache.get("m0") // most-recently-used now
+    ManifestSnapshot.cache.put("m_over", snap(9999))
+    assert(ManifestSnapshot.cache.size() === ManifestSnapshot.MaxEntries,
+      "the bound holds")
+    assert(!ManifestSnapshot.cache.containsKey("m1"),
+      "exactly the least-recently-used entry is evicted")
+    assert(ManifestSnapshot.cache.containsKey("m0"), "a touched entry survives")
+    assert(ManifestSnapshot.cache.containsKey("m_over"))
+    assert((2 until ManifestSnapshot.MaxEntries).forall(i =>
+      ManifestSnapshot.cache.containsKey(s"m$i")), "everything else survives")
+    ManifestSnapshot.cache.clear() // repopulates on demand
+  }
+
+  test("metadata-aggregates answer COUNT/MIN/MAX from the manifest, zero data jobs") {
+    // round-14 verdict item 5: the Scala helpers' stats-only speed
+    // (Manifest.rowCount) surfaced to spark.sql
+    spark.sql("SELECT count(*) AS n FROM mt").collect() // warm snapshot + listing
+    val q = spark.sql("SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM mt")
+    assert(scannedFiles(q).isEmpty, "no parquet scan may remain in the plan")
+    assert(q.head.toSeq === Seq(500L, 0L, 499L))
+    val jobs = jobsIn("meta_agg") {
+      assert(spark.sql("SELECT count(*) AS n FROM mt").head.getLong(0) === 500L)
+    }
+    assert(jobs === 0, s"metadata aggregate must cost zero Spark jobs, got $jobs")
+    // a WHERE that fully covers or excludes every file still answers from stats
+    val qCov = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 100 AND id <= 299")
+    assert(scannedFiles(qCov).isEmpty)
+    assert(qCov.head.getLong(0) === 200L)
+    // post-aggregation expressions ride along (cast over the computed min)
+    val qCast = spark.sql("SELECT CAST(min(id) AS STRING) AS lo FROM mt")
+    assert(scannedFiles(qCast).isEmpty)
+    assert(qCast.head.getString(0) === "0")
+    // a partially-covered bound declines and scans (correct either way)
+    val qPart = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 150")
+    assert(scannedFiles(qPart).nonEmpty)
+    assert(qPart.head.getLong(0) === 350L)
+    // an unsupported aggregate declines the WHOLE rewrite
+    val qSum = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mt")
+    assert(scannedFiles(qSum).nonEmpty)
+    assert(qSum.head.toSeq === Seq(500L, (0L until 500L).sum))
+    // the kill switch declines
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val qOff = spark.sql("SELECT count(*) AS n FROM mt")
+      assert(scannedFiles(qOff).nonEmpty)
+      assert(qOff.head.getLong(0) === 500L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
+  }
+
+  test("metadata-aggregates handle NULL keys and decline on a stale catalog") {
+    import spark.implicits._
+    val dir = s"$base/aggnull"
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "c"), (null, "d")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val amp = s"$base/aggnullmanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), amp)
+    ManifestSql.register(spark, dir, "t", amp, "aggnt")
+    val q = spark.sql(
+      "SELECT count(*) AS n, count(id) AS nid, min(id) AS lo, max(id) AS hi FROM aggnt")
+    assert(scannedFiles(q).isEmpty,
+      "all-null files contribute nothing to MIN/MAX and known null counts answer COUNT(id)")
+    assert(q.head.toSeq === Seq(4L, 1L, 1L, 1L))
+    // an out-of-band file makes the catalog stale — completeness declines
+    Seq[(java.lang.Long, String)]((50L, "e")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    ManifestSql.register(spark, dir, "t", amp, "aggnt") // fresh relation listing
+    val qStale = spark.sql("SELECT count(*) AS n, max(id) AS hi FROM aggnt")
+    assert(scannedFiles(qStale).nonEmpty, "a stale catalog must fall back to the scan")
+    assert(qStale.head.toSeq === Seq(5L, 50L))
   }
 
   test("a vanished manifest degrades to the unpruned scan, never an error") {

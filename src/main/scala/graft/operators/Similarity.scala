@@ -239,12 +239,20 @@ object Similarity {
       col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
     val b = capped.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
       col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+    // dedup BEFORE rescoring (round-14 review): a pair co-occurring in up
+    // to `bands` buckets used to pay the dot per occurrence and shuffle
+    // the widened stream through a post-hoc distinct; dropDuplicates on
+    // the id pair collapses occurrences first (the carried vec/norm copies
+    // are functions of the ids, so any survivor is THE value), and the
+    // deterministic dot then evaluates once per unique pair
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec"),
+        col("a_nrm"), col("b_nrm"))
+      .dropDuplicates("a_id", "b_id")
       .withColumn("cosine",
         scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .select(col("a_id"), col("b_id"), col("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -293,12 +301,17 @@ object Similarity {
       col("embedding").as("a_vec"), col("label").as("a_label"), col("nrm").as("a_nrm"))
     val b = capped.select(col("band"), col("bucket"), col("vec_id").as("neg_id"),
       col("embedding").as("b_vec"), col("label").as("neg_label"), col("nrm").as("b_nrm"))
+    // same dedup-before-rescore discipline as [[knnGraph]]: collapse the
+    // up-to-`bands`× band co-occurrences on the id pair first, then score
+    // each unique candidate once
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("a_label") =!= col("neg_label"))
+      .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"),
+        col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm"))
+      .dropDuplicates("a_id", "neg_id")
       .withColumn("cosine",
         scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"), col("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("neg_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

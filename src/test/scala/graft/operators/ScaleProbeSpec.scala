@@ -83,6 +83,47 @@ class ScaleProbeSpec extends SparkSpec {
       f"knn graph took $secs%.1f s vs calib $calib%.2f s — candidate generation regressed")
   }
 
+  test("knnGraph scores each candidate pair ONCE: the pair dot evaluates post-dedup") {
+    // round-14 review: a pair co-occurring in up to `bands` buckets paid
+    // the scaled dot per occurrence and then shuffled the widened stream
+    // through distinct(). Pin the fixed shape: the pair-dedup Aggregate
+    // sits BELOW every a≠b pair dot, so the dot runs once per unique pair
+    // (self-dots — the norms — legitimately evaluate below it).
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    val vecs = spark.range(200L).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "CAST((pmod(hash(id * 64 + i), 1000) - 500) / 500.0 AS FLOAT))").as("embedding"))
+    val g = Similarity.knnGraph(vecs, k = 2)
+    def exprPairDot(e: Expression): Boolean = e.exists {
+      case d: graft.functions.FloatVectorScaledDot => !d.left.semanticEquals(d.right)
+      case _ => false
+    }
+    def hasPairDot(p: LogicalPlan): Boolean =
+      p.expressions.exists(exprPairDot) || p.children.exists(hasPairDot)
+    val plan = g.queryExecution.optimizedPlan
+    val dedups = plan.collect { case a: Aggregate if a.groupingExpressions.nonEmpty => a }
+    assert(dedups.nonEmpty, "the pair dedup must survive optimization as an Aggregate")
+    dedups.foreach { a =>
+      // per-row evaluation sites: the aggregate's input subtree and the
+      // aggregate FUNCTIONS' argument expressions. The dot may appear in
+      // the aggregate's RESULT expressions (CollapseProject folds the
+      // cosine projection into them) — that evaluates once per group,
+      // i.e. once per unique pair, which is the fixed shape.
+      assert(!hasPairDot(a.child),
+        "no cross-vector dot may evaluate below the pair-dedup Aggregate")
+      val perRowAggInputs = a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae.aggregateFunction
+      })
+      assert(!perRowAggInputs.exists(f => f.children.exists(exprPairDot)),
+        "no cross-vector dot may feed an aggregate function per-row")
+    }
+    assert(hasPairDot(plan), "the cosine's pair dot must exist above the dedup")
+    assert(g.count() > 0L)
+  }
+
   test("connected components converge on 100k clustered pairs in few rounds") {
     // 100k edges over 150k nodes in 50k 3-node clusters (the realistic
     // dedup shape: many small cliquish groups), plus one 64-node chain —

@@ -85,6 +85,95 @@ object Bench {
     pref.map { case (full, p) => full -> (if (counts(p) == 1) p else full) }
   }
 
+  /** Per-query medians from the PRIOR round's detail files — the
+    * reference for the round-14 blind band: in the official r14 run five
+    * queries' calibration probes sat at 2.5-2.9x the run median (just
+    * under the 3x flag) while their reps ran 3.5x their clean-local
+    * times, so ~20 s of contention rode in an unflagged "clean" total.
+    * The fix cross-checks a mildly-elevated probe against history: a
+    * query is also flagged when its probe ran >2x the run median AND its
+    * clean median landed >2x the best prior-round recording. Prior = the
+    * highest-round BENCH_DETAIL_r<N>*.json below the current stamp whose
+    * recorded `sf` matches this run's (a prior sf0.001 smoke must not
+    * make every sf0.1 query read 2x slow), all tags, per-query MIN
+    * across them (the cleanest known recording); failed-query sentinels
+    * (negative) are dropped. */
+  def priorMedians(cwd: java.io.File = new java.io.File("."),
+                   sfDir: String = ""): Map[String, Double] = {
+    val dPat = "BENCH_DETAIL_r0*(\\d+)(_[A-Za-z0-9_]+)?\\.json".r
+    val cPat = "CORRECTNESS_r0*(\\d+)\\.json".r
+    val bPat = "BENCH_r0*(\\d+)\\.json".r
+    val names = Option(cwd.list()).getOrElse(Array.empty[String]).toSeq
+    val cSeen = names.collect { case cPat(n) => n.toInt }.toSet
+    val bSeen = names.collect { case bPat(n) => n.toInt }.toSet
+    val pending = cSeen.diff(bSeen)
+    val current =
+      if (pending.nonEmpty) pending.max
+      else if (cSeen.isEmpty && bSeen.isEmpty) 0
+      else (cSeen ++ bSeen).max + 1
+    // same-SF recordings only (matched on the path's basename so a
+    // relocated testdata root still compares); an empty sfDir skips the
+    // filter (unit tests, exploratory use)
+    val sfBase = new java.io.File(sfDir).getName
+    def sameSf(json: String): Boolean =
+      sfDir.isEmpty || "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json)
+        .exists(m => new java.io.File(m.group(1)).getName == sfBase)
+    val priorFiles = names.collect { case n @ dPat(r, _) if r.toInt < current => (r.toInt, n) }
+    val bodies = priorFiles.flatMap { case (r, n) =>
+      scala.util.Try(java.nio.file.Files.readString(cwd.toPath.resolve(n)))
+        .toOption.filter(sameSf).map((r, _))
+    }
+    if (bodies.isEmpty) Map.empty
+    else {
+      val top = bodies.map(_._1).max
+      bodies.filter(_._1 == top).map(_._2)
+        .flatMap(b => scala.util.Try(parseQueriesMap(b))
+          .getOrElse(Map.empty[String, Double]).toSeq)
+        .groupMapReduce(_._1)(_._2)(math.min)
+        .filter(_._2 > 0)
+    }
+  }
+
+  /** The `"queries":{…}` object of a detail JSON as name→seconds —
+    * balanced-brace extraction plus a number regex, no JSON library in
+    * the main tree. */
+  def parseQueriesMap(json: String): Map[String, Double] = {
+    val idx = json.indexOf("\"queries\":")
+    if (idx < 0) return Map.empty
+    val start = json.indexOf('{', idx)
+    if (start < 0) return Map.empty
+    var depth = 0
+    var i = start
+    var end = -1
+    while (i < json.length && end < 0) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) Map.empty
+    else {
+      val kv = "\"([^\"]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+      kv.findAllMatchIn(json.substring(start + 1, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Whether one query's run sat in a contention window: the round-5 hard
+    * probes (>3x the run-wide median, serial or parallel) OR the round-14
+    * blind band (probe >2x AND clean median >2x the best prior-round
+    * recording of the same query). */
+  def throttleFlag(calib: Double, calibMed: Double,
+                   calibPar: Double, calibParMed: Double,
+                   median: Double, prior: Option[Double]): Boolean =
+    (calibMed > 0 && calib > 3 * calibMed) ||
+    (calibParMed > 0 && calibPar > 3 * calibParMed) ||
+    (((calibMed > 0 && calib > 2 * calibMed) ||
+      (calibParMed > 0 && calibPar > 2 * calibParMed)) &&
+      prior.exists(pm => pm > 0 && median > 2 * pm))
+
   /** Stdout-line budget. The driver's tail capture is ~2000 chars and sbt's
     * trailing "[success] …" line eats ~80 — but rounds 2-7 proved that
     * SPENDING the whole window is the failure mode: r7's full-roster line ran
@@ -262,9 +351,13 @@ object Bench {
     // Each run also records summed executor CPU time (CpuMeter): the
     // throttle-immune counterpart to the wall sample — a throttled process
     // is descheduled, not busier, so a wall spike with flat CPU seconds is
-    // environment, while a CPU increase is a real plan change. The 0.08s
-    // calibration probe samples only the instant BEFORE the repetition
-    // block; CPU seconds cover the runs themselves.
+    // environment. The converse is NOT reliable: memory-bandwidth
+    // contention inflates CPU seconds too (stalled cycles bill to the
+    // running thread — the round-14 q113 mis-adjudication), so elevated
+    // CPU with an unchanged plan means "confirm with an isolated BenchOne",
+    // not "real plan change". The 0.08s calibration probe samples only the
+    // instant BEFORE the repetition block; CPU seconds cover the runs
+    // themselves.
     val cpuMeter = new CpuMeter
     spark.sparkContext.addSparkListener(cpuMeter)
     val roster = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -335,10 +428,15 @@ object Bench {
     // against a healthy recording sees whole-run degradation even when
     // nothing is flagged relative to the (already-degraded) run median.
     val calibParMed = median(results.map(_._7))
+    // Blind band (round-14 verdict item 8): probes at 2-3x the run median
+    // sat under the hard flag while the reps they bracketed ran 3.5x
+    // clean — cross-check mildly-elevated probes against the best
+    // prior-round recording of the same query (see throttleFlag).
+    val prior = priorMedians(sfDir = sfDir)
     val throttled = results.collect {
-      case (k, _, _, _, c, _, p)
-        if (calibMed > 0 && c > 3 * calibMed) ||
-           (calibParMed > 0 && p > 3 * calibParMed) => k
+      case (k, v, ok, _, c, _, p)
+        if throttleFlag(c, calibMed, p, calibParMed,
+          if (ok) v else -1.0, prior.get(k)) => k
     }
     // Per-query outlier flag (round-7 verdict item 4): the calibration probe
     // samples only the instant BEFORE each repetition block, so a host stall

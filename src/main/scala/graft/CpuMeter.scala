@@ -12,7 +12,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * process is descheduled, not busier, so the CPU it consumes stays
   * proportional to the work done while its wall clock inflates. A query
   * whose wall time triples while its CPU seconds hold steady ran inside a
-  * throttle window; one whose CPU seconds triple genuinely did more work.
+  * throttle window.
+  *
+  * The converse is NOT reliable (round-14 adjudication): memory-BANDWIDTH
+  * contention from co-tenants inflates CPU seconds too — stalled cycles
+  * still bill to the running thread — so "CPU up ⇒ real plan change" is
+  * one-directional reasoning. Round 14's official recording doubled one
+  * query's CPU seconds in two independent runs on a contended evening
+  * while an isolated re-run at the same commit reproduced the prior
+  * round's numbers exactly. Treat elevated CPU with an unchanged plan as
+  * SUSPECTED contention and confirm with an isolated BenchOne before
+  * calling it a regression.
   *
   * Uses only public listener API. Task-end events post asynchronously, so
   * reads go through [[quiesce]], which waits for the counter to stop

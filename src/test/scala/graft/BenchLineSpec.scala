@@ -89,6 +89,82 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.detailFileName(dirWith()) === "BENCH_DETAIL_r0.json")
   }
 
+  test("the blind band flags a 2-3x probe only when history agrees (round-14 item 8)") {
+    // r14 official: q40-class probes at 2.5-2.9x the run median sat under
+    // the 3x hard flag while reps ran 3.5x clean-local — ~20 s of
+    // contention rode an unflagged total. The cross-check: probe >2x AND
+    // clean median >2x the best prior recording.
+    val med = 0.1
+    // hard flags unchanged
+    assert(Bench.throttleFlag(0.35, med, 0.07, 0.07, 1.0, None))
+    assert(Bench.throttleFlag(0.1, med, 0.3, 0.07, 1.0, None))
+    // blind band: 2.8x probe + 3.5x the prior median → flagged
+    assert(Bench.throttleFlag(0.28, med, 0.07, 0.07, 3.5, Some(1.0)))
+    // 2.8x probe but the median matches history → ambient probe noise, clean
+    assert(!Bench.throttleFlag(0.28, med, 0.07, 0.07, 1.05, Some(1.0)))
+    // slow vs history but a healthy probe → plausible real change, clean
+    assert(!Bench.throttleFlag(0.11, med, 0.07, 0.07, 3.5, Some(1.0)))
+    // no history → the hard probes alone decide
+    assert(!Bench.throttleFlag(0.28, med, 0.07, 0.07, 3.5, None))
+    // parallel-probe variant of the band
+    assert(Bench.throttleFlag(0.1, med, 0.15, 0.07, 3.5, Some(1.0)))
+  }
+
+  test("priorMedians reads the best prior-round recording, all tags, min per query") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft_bench_prior").toFile
+    d.deleteOnExit()
+    def write(name: String, body: String): Unit =
+      Files.writeString(d.toPath.resolve(name), body)
+    // current round stamp will be 9 (CORRECTNESS_r9 awaiting its bench)
+    write("CORRECTNESS_r8.json", "{}")
+    write("BENCH_r8.json", "{}")
+    write("CORRECTNESS_r9.json", "{}")
+    // r8 detail in two recordings: official (contended) + clean local tag;
+    // nested maps ("runs") must not leak into the queries extraction
+    write("BENCH_DETAIL_r8.json",
+      """{"metric":"total","queries":{"q1":2.0,"q2":0.5,"q3":-0.1},""" +
+        """"runs":{"q1":[9.0,9.0],"q2":[9.0]},"sf":"x"}""")
+    write("BENCH_DETAIL_r8_local.json",
+      """{"queries":{"q1":1.0,"q2":0.7},"runs":{"q1":[8.0]}}""")
+    // an OLDER round must not contribute
+    write("BENCH_DETAIL_r7.json", """{"queries":{"q1":0.01}}""")
+    val prior = Bench.priorMedians(d)
+    assert(prior("q1") === 1.0, "min across the two r8 recordings")
+    assert(prior("q2") === 0.5)
+    assert(!prior.contains("q3"), "failed-query sentinel (negative) dropped")
+    // a current-round detail (r9, e.g. a judge re-run) is NOT prior
+    write("BENCH_DETAIL_r9_judge.json", """{"queries":{"q1":0.001}}""")
+    assert(Bench.priorMedians(d)("q1") === 1.0)
+    // SF filter: a prior recorded at another scale factor must not
+    // contribute (its medians would make every query read 2x slow);
+    // when the top round holds no same-SF recording, the next one does
+    write("BENCH_DETAIL_r8.json",
+      """{"queries":{"q1":2.0,"q2":0.5,"q3":-0.1},"sf":"/root/testdata/sf0.1"}""")
+    write("BENCH_DETAIL_r8_local.json",
+      """{"queries":{"q1":0.002},"sf":"/root/testdata/sf0.001"}""")
+    write("BENCH_DETAIL_r7.json", """{"queries":{"q1":0.01},"sf":"/x/sf0.001"}""")
+    val sfPrior = Bench.priorMedians(d, sfDir = "/elsewhere/sf0.1")
+    assert(sfPrior("q1") === 2.0, "the sf0.001 local smoke must not contribute")
+    val sfFallback = Bench.priorMedians(d, sfDir = "/elsewhere/sf0.001")
+    assert(sfFallback("q1") === 0.002,
+      "top prior round's same-SF recording wins; r7 is older")
+    // virgin dir → empty
+    val empty = Files.createTempDirectory("graft_bench_prior_empty").toFile
+    empty.deleteOnExit()
+    assert(Bench.priorMedians(empty).isEmpty)
+  }
+
+  test("parseQueriesMap extracts the balanced queries object only") {
+    val json = """{"a":1,"queries":{"q10_x":1.25,"q2":0.5,"q9":-3.0},""" +
+      """"cpu":{"q10_x":99.0},"queries_total":3}"""
+    val m = Bench.parseQueriesMap(json)
+    assert(m === Map("q10_x" -> 1.25, "q2" -> 0.5, "q9" -> -3.0))
+    assert(Bench.parseQueriesMap("{}").isEmpty)
+    assert(Bench.parseQueriesMap("""{"queries":{}}""").isEmpty)
+    assert(Bench.parseQueriesMap("not json at all").isEmpty)
+  }
+
   test("rerun triggers on a singleton clean subset, not just raw spread") {
     // round-9 advice: [1.0, 3.5, 3.6] sits under the 4x spread threshold,
     // yet cleanReps keeps only [1.0] — the median would rest on one rep.

@@ -384,7 +384,13 @@ object Manifest {
   def updateDir(spark: SparkSession, tableDir: String, table: String,
                 keyCols: Seq[String], manifestPath: String): (Long, Long) = {
     val current = listFilesDF(spark, tableDir) // persisted by the lister
-    try {
+    // The DATA listing happens outside the commit section — it concerns
+    // only this writer's table directory. Everything that reads the
+    // SHARED manifest to compute the diff, and the append/rewrite that
+    // applies it, runs inside the commit lock (multi-writer ring, round-14
+    // verdict item 10): the diff is recomputed against whatever state the
+    // winning concurrent writer left, which IS the loser's retry.
+    try withCommitLock(spark, manifestPath) {
       val novel = novelFiles(spark, current, table, manifestPath)
       val stale = staleEntries(spark, current, table, manifestPath)
       val novelN = novel.count()
@@ -435,8 +441,105 @@ object Manifest {
             manifestFileCount(spark, manifestPath) > threshold)
           compact(spark, manifestPath)
       }
+      if (novelN > 0 || staleN > 0) bumpVersion(spark, manifestPath)
       (novelN, staleN)
     } finally current.unpersist(blocking = false)
+  }
+
+  // ---- multi-writer commit ring (round-14 verdict item 10) ----
+  // Maintenance used to be single-writer BY CONVENTION: two `transfer`
+  // jobs updating disjoint tables in one catalog needed external
+  // serialization or risked interleaved appends (colliding committer
+  // temp dirs) and, worse, a rewrite computed against a manifest another
+  // writer was mid-append into — silently dropping the other table's
+  // fresh rows. The ring makes writers safe WITHOUT coordination: the
+  // distributed DATA listing runs unserialized, and the COMMIT section —
+  // diff-against-current, footer scans of the novel files, append or
+  // rewrite — claims the catalog via an atomic marker-file create (the
+  // CAS every shared filesystem offers). Hoisting the footer scans out of
+  // the claim (pre-diff outside, cheap re-diff inside) is the next
+  // refinement if commit sections ever grow long; today they are metadata
+  // ops plus a small manifest write. A writer that loses the claim waits and
+  // then recomputes its diff against the winner's committed state, which
+  // is exactly the optimistic-concurrency retry; disjoint-table writers
+  // therefore both land, and same-table writers serialize into
+  // last-diff-wins. A crashed writer's claim is reclaimed by age
+  // (`graft.manifest.commitLockTimeoutMs`, default 120 s — far above any
+  // healthy commit section, which is metadata ops plus one small
+  // manifest write). Every committed mutation bumps a version stamp
+  // (`<manifest>__version`), giving writers and audits a cheap
+  // did-anything-change probe.
+
+  val CommitLockTimeoutConf = "graft.manifest.commitLockTimeoutMs"
+  val CommitLockTimeoutDefault = 120000L
+
+  private val lockHeld: ThreadLocal[Boolean] = ThreadLocal.withInitial(() => false)
+
+  /** Serialize a manifest commit section via atomic create of
+    * `<manifest>__commitlock` (re-entrant within a thread: [[updateDir]]'s
+    * inline auto-compaction calls [[compact]] under the same claim). */
+  private[sources] def withCommitLock[T](spark: SparkSession,
+                                         manifestPath: String)(f: => T): T = {
+    if (lockHeld.get()) return f
+    val lock = new Path(manifestPath + "__commitlock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val timeoutMs = spark.conf
+      .get(CommitLockTimeoutConf, CommitLockTimeoutDefault.toString).toLong
+    val deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
+    var claimed = false
+    while (!claimed) {
+      claimed =
+        try {
+          // create(overwrite = false) is the atomic claim on local FS and
+          // HDFS alike; the payload is diagnostic only
+          val out = fs.create(lock, false)
+          try out.write(s"${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch {
+          case _: IOException =>
+            // claim lost — reclaim an age-stale claim (crashed writer),
+            // otherwise wait for the winner and retry the diff
+            val stale = scala.util.Try(
+              System.currentTimeMillis() -
+                fs.getFileStatus(lock).getModificationTime > timeoutMs)
+              .getOrElse(false)
+            if (stale) fs.delete(lock, false)
+            else if (System.nanoTime() > deadline)
+              throw new IOException(
+                s"manifest commit lock at $lock held past ${2 * timeoutMs} ms")
+            else Thread.sleep(50)
+            false
+        }
+    }
+    lockHeld.set(true)
+    try f
+    finally {
+      lockHeld.set(false)
+      fs.delete(lock, false)
+    }
+  }
+
+  /** The catalog's commit counter — bumped once per committed mutation;
+    * 0 for a catalog that predates the ring (or has never committed). */
+  def version(spark: SparkSession, manifestPath: String): Long = {
+    val p = new Path(manifestPath + "__version")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def bumpVersion(spark: SparkSession, manifestPath: String): Unit = {
+    val p = new Path(manifestPath + "__version")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = version(spark, manifestPath) + 1
+    val out = fs.create(p, true) // under the commit lock — no racing bump
+    try out.write(s"$next\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Session conf: compact inside [[update]] once the manifest holds more
@@ -582,14 +685,16 @@ object Manifest {
     * restores both; run it like data compaction — periodically, as the
     * same single writer that owns [[update]]. Returns (rows, filesBefore,
     * filesAfter). */
-  def compact(spark: SparkSession, manifestPath: String): (Long, Long, Long) = {
-    val before = spark.read.parquet(manifestPath)
-    val filesBefore = before.inputFiles.length.toLong
-    val rows = before.count()
-    rewrite(spark, before, manifestPath)
-    val filesAfter = spark.read.parquet(manifestPath).inputFiles.length.toLong
-    (rows, filesBefore, filesAfter)
-  }
+  def compact(spark: SparkSession, manifestPath: String): (Long, Long, Long) =
+    withCommitLock(spark, manifestPath) {
+      val before = spark.read.parquet(manifestPath)
+      val filesBefore = before.inputFiles.length.toLong
+      val rows = before.count()
+      rewrite(spark, before, manifestPath)
+      val filesAfter = spark.read.parquet(manifestPath).inputFiles.length.toLong
+      bumpVersion(spark, manifestPath)
+      (rows, filesBefore, filesAfter)
+    }
 
   /** Zone-map overlap predicate for `keyCol ∈ [lo, hi]` against the typed
     * mins/maxs structs. NULL stats mean "range unknown" and must KEEP the

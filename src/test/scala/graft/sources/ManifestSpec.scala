@@ -455,6 +455,66 @@ class ManifestSpec extends SparkSpec {
       Manifest.overlaps("id", 1000L, 2000L)).count() === 1L)
   }
 
+  test("two writers racing disjoint tables into one manifest both commit (round-14 item 10)") {
+    // the multi-writer ring: prepare runs unserialized; the commit
+    // section claims the catalog via atomic marker-file create, and the
+    // loser re-diffs against the winner's committed state. Without it,
+    // interleaved appends collide on committer temp state or a rewrite
+    // drops the other writer's fresh rows. Repeated 3x because the
+    // interleaving is scheduler-dependent.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val dirA = s"$base/racedata_a$round"
+      val dirB = s"$base/racedata_b$round"
+      (0 until 4).foreach { f =>
+        (0 until 50).map(i => (f * 50L + i, s"a$f")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(s"$dirA/ta.parquet")
+        (0 until 50).map(i => (f * 50L + i, s"b$f")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(s"$dirB/tb.parquet")
+      }
+      val rmp = s"$base/racemanifest$round"
+      val fa = Future(Manifest.update(spark, dirA, "ta", Seq("id"), rmp))
+      val fb = Future(Manifest.update(spark, dirB, "tb", Seq("id"), rmp))
+      val (novelA, _) = Await.result(fa, 120.seconds)
+      val (novelB, _) = Await.result(fb, 120.seconds)
+      assert(novelA === 4L && novelB === 4L)
+      val m = spark.read.parquet(rmp)
+      assert(m.filter(col("table") === "ta").count() === 4L,
+        s"round $round: writer A's entries must survive writer B's commit")
+      assert(m.filter(col("table") === "tb").count() === 4L,
+        s"round $round: writer B's entries must survive writer A's commit")
+      // both committed mutations bumped the version stamp, and no claim
+      // marker leaked
+      assert(Manifest.version(spark, rmp) === 2L)
+      val lock = new org.apache.hadoop.fs.Path(rmp + "__commitlock")
+      assert(!lock.getFileSystem(spark.sessionState.newHadoopConf()).exists(lock))
+    }
+  }
+
+  test("a crashed writer's stale commit claim is reclaimed by age") {
+    import spark.implicits._
+    val dir = s"$base/staleclaim"
+    (0L until 10L).map((_, "x")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/t.parquet")
+    val smp = s"$base/staleclaimmanifest"
+    // plant a claim nobody owns, older than the timeout
+    val lock = new org.apache.hadoop.fs.Path(smp + "__commitlock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lock, false)
+    out.write("dead\n".getBytes("UTF-8")); out.close()
+    spark.conf.set(Manifest.CommitLockTimeoutConf, "400")
+    try {
+      Thread.sleep(600) // age the claim past the timeout
+      val (novel, stale) = Manifest.update(spark, dir, "t", Seq("id"), smp)
+      assert(novel === 1L && stale === 0L, "the aged claim must be reclaimed")
+      assert(Manifest.version(spark, smp) === 1L)
+    } finally spark.conf.unset(Manifest.CommitLockTimeoutConf)
+    assert(!fs.exists(lock))
+  }
+
   test("prefixUpper works in code-point space: surrogate fencepost, supplementary tails") {
     // plain increment
     assert(Manifest.prefixUpper("abc") === Some("abd"))

@@ -939,6 +939,29 @@ object CoreQueries {
           |FROM orders_m_metaagg""".stripMargin)
     },
 
+    // Top-k file pruning (round 15, ManifestTopKRule): ORDER BY key
+    // LIMIT n over a manifest-backed view scans only the files that can
+    // possibly hold a top-n row — per-file (min, rows, nulls) guarantees
+    // accumulate until n is covered, and every file provably past that
+    // threshold skips. The "latest N events" dashboard shape that
+    // otherwise full-scans a fact table to return 100 rows. The oracle
+    // recomputes the same top-100 raw (unique o_orderkey tiebreak makes
+    // the row set deterministic), so a wrongly-skipped file breaks the
+    // hash; ManifestSqlSpec pins the scanned-file counts and the NULL
+    // placement / filter / cap declines.
+    "q199_manifest_topk_read" -> { (s, dir) =>
+      val mp = scratchManifest("q199", dir)
+      graft.sources.Manifest.write(
+        graft.sources.Manifest.build(s, dir, "orders",
+          Seq("o_orderdate", "o_custkey")), mp)
+      graft.sources.ManifestSql.register(s, dir, "orders", mp, "orders_m_topk")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_orderdate AS STRING) AS od, o_custkey
+          |FROM orders_m_topk
+          |ORDER BY o_orderdate DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1615,6 +1638,15 @@ object CoreQueries {
         |  CAST(min(o_custkey) AS VARCHAR) AS min_cust,
         |  CAST(max(o_custkey) AS VARCHAR) AS max_cust
         |FROM orders""".stripMargin,
+
+    // Top-k twin: the raw table recomputed — a file the guarantee sweep
+    // wrongly skipped drops a late date from the top-100 and breaks the
+    // hash (o_orderkey tiebreak keeps the row set deterministic).
+    "q199_manifest_topk_read" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od, o_custkey
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -90,7 +90,7 @@ object ManifestSql {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ManifestPruneRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
-          ManifestAggRule(spark) :+
+          ManifestAggRule(spark) :+ ManifestTopKRule(spark) :+
           ManifestJoinPruneRule(spark) :+ ManifestPruneRule(spark)
   }
 
@@ -910,12 +910,45 @@ object ManifestJoinPruneRule {
   * driver-side). `graft.manifest.metadataAgg=false` turns the rewrite
   * off. Runs BEFORE the prune rules (see [[ManifestSql.enable]]) — they
   * drop the marker options this rule matches on. */
-/** One cataloged file's stats for [[ManifestAggRule]], struct columns
-  * exploded to name→value maps (values stay Scala-external;
-  * [[Manifest.ordCompare]] orders them — UTF-8 for strings, matching
-  * parquet's own stat order). */
+/** One cataloged file's stats for [[ManifestAggRule]]/[[ManifestTopKRule]],
+  * struct columns exploded to name→value maps (values stay
+  * Scala-external; [[Manifest.ordCompare]] orders them — UTF-8 for
+  * strings, matching parquet's own stat order). */
 private[sources] final case class FStat(path: String, rows: Long,
-    mins: Map[String, Any], maxs: Map[String, Any], nulls: Map[String, Any])
+    bytes: Option[Long], mins: Map[String, Any], maxs: Map[String, Any],
+    nulls: Map[String, Any])
+
+/** Shared driver-side stats reader for the stats-answering rules: one
+  * table's manifest rows as [[FStat]]s plus the key-field map — served
+  * from the [[ManifestSnapshot]] when small (jobless), a distributed
+  * manifest scan beyond it. */
+private[sources] object ManifestStats {
+  def tableStats(spark: SparkSession, manifestPath: String, table: String)
+      : (Map[String, String], Boolean, IndexedSeq[FStat]) = {
+    val manifest = ManifestSnapshot.localManifest(spark, manifestPath)
+      .getOrElse(spark.read.parquet(manifestPath))
+    val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
+      .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+    val hasNulls = manifest.schema.fieldNames.contains("nulls")
+    val projected =
+      Seq(col("path"), col("rows"), col("bytes"), col("mins"), col("maxs")) ++
+        (if (hasNulls) Seq(col("nulls")) else Nil)
+    def structMap(r: Row, i: Int): Map[String, Any] = {
+      val sr = if (r.isNullAt(i)) null else r.getStruct(i)
+      if (sr == null) Map.empty
+      else sr.schema.fieldNames.iterator.zipWithIndex
+        .map { case (n, j) => n -> sr.get(j) }.toMap
+    }
+    val stats = manifest.filter(col("table") === table)
+      .select(projected: _*).collect()
+      .map(r => FStat(r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        structMap(r, 3), structMap(r, 4),
+        if (hasNulls) structMap(r, 5) else Map.empty))
+      .toIndexedSeq
+    (keyFields, hasNulls, stats)
+  }
+}
 
 private[sources] sealed trait Cover
 private[sources] case object CoverAll extends Cover
@@ -993,24 +1026,8 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     val p = new HPath(manifestPath)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) return None
     Manifest.withReadRetry() {
-      val manifest = ManifestSnapshot.localManifest(spark, manifestPath)
-        .getOrElse(spark.read.parquet(manifestPath))
-      val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
-        .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
-      val hasNulls = manifest.schema.fieldNames.contains("nulls")
-      val projected = Seq(col("path"), col("rows"), col("mins"), col("maxs")) ++
-        (if (hasNulls) Seq(col("nulls")) else Nil)
-      def structMap(r: Row, i: Int): Map[String, Any] = {
-        val sr = if (r.isNullAt(i)) null else r.getStruct(i)
-        if (sr == null) Map.empty
-        else sr.schema.fieldNames.iterator.zipWithIndex
-          .map { case (n, j) => n -> sr.get(j) }.toMap
-      }
-      val stats = manifest.filter(col("table") === table)
-        .select(projected: _*).collect()
-        .map(r => FStat(r.getString(0), r.getLong(1), structMap(r, 2),
-          structMap(r, 3), if (hasNulls) structMap(r, 4) else Map.empty))
-        .toIndexedSeq
+      val (keyFields, _, stats) =
+        ManifestStats.tableStats(spark, manifestPath, table)
       // completeness: the manifest must catalog EXACTLY the relation's
       // current files — stale in either direction declines, so the
       // rewrite never answers from vanished files or misses out-of-band
@@ -1197,4 +1214,198 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
   }
+}
+
+/** Top-k file pruning (round 15): `ORDER BY key [DESC] LIMIT n` over a
+  * manifest-backed relation scans only the files that can possibly hold
+  * a top-n row — the "latest N events" dashboard shape that otherwise
+  * full-scans a 100 TB fact table to return 50 rows, and a skipping mode
+  * the mainstream lakehouse formats do not drive from their stats.
+  *
+  * Soundness is a GUARANTEE SWEEP over the per-file zone maps: every
+  * file with known stats contributes `rows − nulls` rows that are
+  * certainly ≥ its own min (for DESC; ≤ its max for ASC). Sweeping files
+  * by that bound accumulates guaranteed-in-range rows until they reach
+  * `n`; the bound where that happens is a threshold T such that the
+  * n-th row of the true result is ≥ T (≤ T for ASC) REGARDLESS of
+  * secondary sort keys. Any file whose max < T (min > T) — or, under
+  * DESC NULLS LAST, an all-null-key file — can then not contribute a
+  * top-n row and is skipped; files with unknown stats are always kept
+  * and contribute no guarantees. If the guarantees never reach `n`, the
+  * plan is returned unchanged.
+  *
+  * Gates, each declining to the unchanged plan:
+  *  - the sort prefix is a bare relation attribute that is a manifest
+  *    key, in Spark's DEFAULT null placement (DESC NULLS LAST / ASC
+  *    NULLS FIRST — explicit opposite placements make NULL rows
+  *    eligible for the top in ways per-file null counts cannot always
+  *    bound, except ASC NULLS FIRST which accounts nulls as sorting
+  *    before every value);
+  *  - the path from sort to relation crosses only DETERMINISTIC
+  *    Projects (1:1 row-local — row counts survive); any Filter breaks
+  *    the row-count guarantee and declines;
+  *  - `graft.manifest.topkPrune=false` turns the rule off.
+  *
+  * Same maintained-catalog contract as the prune rules: once skipping
+  * engages, a file the manifest does not know is not scanned — `update`
+  * at write time is what keeps that lossless. */
+case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  val EnabledConf = "graft.manifest.topkPrune"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get(EnabledConf, "true").toBoolean) return plan
+    plan.transformDown {
+      case lim @ Limit(le @ IntegerLiteral(n), inner) if n > 0 =>
+        rewriteUnder(n, inner).map(Limit(le, _)).getOrElse(lim)
+    }
+  }
+
+  /** The global Sort directly under the limit — possibly behind the
+    * deterministic Projects the optimizer pushes between them when the
+    * sort key is not projected — with its relation pruned. */
+  private def rewriteUnder(n: Int, p: LogicalPlan): Option[LogicalPlan] = p match {
+    case s @ Sort(order, true, child, _) if order.nonEmpty =>
+      pruneTopK(n, order.head, child).map(c => s.copy(child = c))
+    case pj @ Project(ps, c) if ps.forall(_.deterministic) =>
+      rewriteUnder(n, c).map(nc => pj.copy(child = nc))
+    case _ => None
+  }
+
+  /** The sort child with its relation pruned to possible top-n holders,
+    * or None when any gate declines or nothing prunes. */
+  private def pruneTopK(n: Int, head: SortOrder,
+                        child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      rel <- projectedRelation(child)
+      h = rel.relation.asInstanceOf[HadoopFsRelation]
+      attr <- head.child match {
+        case ar: AttributeReference if rel.outputSet.contains(ar) => Some(ar)
+        case _ => None
+      }
+      desc = head.direction == Descending
+      // Spark defaults only: DESC NULLS LAST, ASC NULLS FIRST
+      if (desc && head.nullOrdering == NullsLast) ||
+        (!desc && head.nullOrdering == NullsFirst)
+      tbl <- h.options.get(ManifestSql.TableOption)
+      mp = h.options(ManifestSql.PathOption)
+      keep <- scala.util.Try(survivors(mp, tbl, attr, desc, n)) match {
+        case scala.util.Failure(e) =>
+          logWarning(s"manifest top-k pruning skipped for $tbl ($mp): $e")
+          None
+        case scala.util.Success(v) => v
+      }
+    } yield {
+      val (paths, bytes) = keep
+      val keepSet = paths.map(ManifestSql.normPath).toSet
+      val newRel = h.copy(
+        location = new ManifestPrunedFileIndex(h.location, keepSet, bytes),
+        options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
+      child.transformDown {
+        case l: LogicalRelation if l.eq(rel) => l.copy(relation = newRel)
+      }
+    }
+
+  /** The marked relation under deterministic Projects only — a Project
+    * is 1:1 row-local, so per-file row counts survive it; a Filter (or
+    * anything wider) breaks the guarantee arithmetic and declines. */
+  private def projectedRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case l @ LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+        if h.options.contains(ManifestSql.PathOption) &&
+          h.options.contains(ManifestSql.TableOption) && !l.isStreaming =>
+      Some(l)
+    case pj @ Project(_, c) if pj.projectList.forall(_.deterministic) =>
+      projectedRelation(c)
+    case _ => None
+  }
+
+  /** Surviving (paths, bytes) for the top-n by `attr`, or None when the
+    * guarantees never reach n or nothing would be skipped. */
+  private def survivors(manifestPath: String, table: String,
+                        attr: AttributeReference, desc: Boolean,
+                        n: Int): Option[(Seq[String], Option[Long])] = {
+    // fast-fail a missing manifest without burning the retry backoff
+    val p = new HPath(manifestPath)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) return None
+    Manifest.withReadRetry() {
+      val (keyFields, _, stats) =
+        ManifestStats.tableStats(spark, manifestPath, table)
+      keyFields.get(attr.name.toLowerCase(java.util.Locale.ROOT)).flatMap { k =>
+        def mn(st: FStat): Any = st.mins.getOrElse(k, null)
+        def mx(st: FStat): Any = st.maxs.getOrElse(k, null)
+        def nulls(st: FStat): Option[Long] = st.nulls.get(k) match {
+          case Some(l: java.lang.Long) => Some(l.longValue())
+          case _ => None
+        }
+        def allNull(st: FStat): Boolean = st.rows > 0 && nulls(st).contains(st.rows)
+        // a file's guaranteed contribution to the top region, paired
+        // with the bound those rows certainly clear
+        def guarantee(st: FStat): Option[(Any, Long)] = {
+          val bound = if (desc) mn(st) else mx(st)
+          for (nl <- nulls(st); if bound != null; cnt = st.rows - nl; if cnt > 0)
+            yield (bound, cnt)
+        }
+        if (!desc) {
+          // ASC NULLS FIRST: every known NULL key sorts before all values
+          val nullRegion = stats.iterator.flatMap(nulls).sum
+          if (nullRegion >= n) {
+            // the top-n is null-keyed: only files that may HOLD a null
+            // survive (unknown null counts keep the file)
+            val keep = stats.filter(st => !nulls(st).contains(0L) || st.rows == 0L)
+            keepResult(stats, keep)
+          } else {
+            threshold(stats.flatMap(guarantee), n - nullRegion, descending = false)
+              .flatMap { t =>
+                val keep = stats.filter { st =>
+                  val lo = mn(st)
+                  // unknown stats keep; a known min past T with no nulls
+                  // cannot reach the top
+                  !(lo != null && Manifest.ordCompare(lo, t) > 0 &&
+                    nulls(st).contains(0L))
+                }
+                keepResult(stats, keep)
+              }
+          }
+        } else {
+          // DESC NULLS LAST: nulls sort after everything — an all-null
+          // file is skippable once n rows are guaranteed above T
+          threshold(stats.flatMap(guarantee), n, descending = true).flatMap { t =>
+            val keep = stats.filter { st =>
+              val hi = mx(st)
+              !((hi != null && Manifest.ordCompare(hi, t) < 0) || allNull(st))
+            }
+            keepResult(stats, keep)
+          }
+        }
+      }
+    }
+  }
+
+  /** The tightest bound at which cumulative guarantees reach n, sweeping
+    * best-first (largest bounds for DESC, smallest for ASC). */
+  private def threshold(gs: Seq[(Any, Long)], n: Long,
+                        descending: Boolean): Option[Any] = {
+    if (n <= 0) return gs.headOption.map(_._1) // null region already covers
+    val sorted = gs.sortWith((a, b) =>
+      if (descending) Manifest.ordCompare(a._1, b._1) > 0
+      else Manifest.ordCompare(a._1, b._1) < 0)
+    var cum = 0L
+    for ((bound, cnt) <- sorted) {
+      cum += cnt
+      if (cum >= n) return Some(bound)
+    }
+    None
+  }
+
+  /** None when nothing is skipped (keep the relation's own index —
+    * pruning buys nothing and the stale-catalog contract stays moot). */
+  private def keepResult(all: Seq[FStat],
+                         keep: Seq[FStat]): Option[(Seq[String], Option[Long])] =
+    if (keep.size >= all.size) None
+    else Some((keep.map(_.path),
+      if (keep.nonEmpty && keep.forall(_.bytes.isDefined))
+        Some(keep.iterator.flatMap(_.bytes).sum)
+      else None))
 }

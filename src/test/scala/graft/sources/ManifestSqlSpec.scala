@@ -930,6 +930,70 @@ class ManifestSqlSpec extends SparkSpec {
     assert(qStale.head.toSeq === Seq(5L, 50L))
   }
 
+  test("ORDER BY key LIMIT n scans only the files that can hold a top-n row") {
+    // round-15 extension (ManifestTopKRule): the guarantee sweep — files
+    // sorted by their guaranteed bound accumulate rows until n, and
+    // everything provably past that threshold skips
+    val q = spark.sql("SELECT id, v FROM mt ORDER BY id DESC LIMIT 10")
+    assert(scannedFiles(q).length === 1, "the top 10 ids live in f4 only")
+    assert(q.collect().map(_.getLong(0)).toSeq === (490L to 499L).reverse)
+    // n spanning two files keeps exactly those two
+    val q2 = spark.sql("SELECT id FROM mt ORDER BY id DESC LIMIT 150")
+    assert(scannedFiles(q2).length === 2)
+    assert(q2.count() === 150L)
+    // ascending mirror
+    val q3 = spark.sql("SELECT id FROM mt ORDER BY id ASC LIMIT 5")
+    assert(scannedFiles(q3).length === 1)
+    assert(q3.collect().map(_.getLong(0)).toSeq === (0L to 4L))
+    // a secondary sort key changes nothing about which FILES can hold
+    // the top-n — the threshold argument is primary-key-only
+    val q4 = spark.sql("SELECT id, v FROM mt ORDER BY id DESC, v LIMIT 10")
+    assert(scannedFiles(q4).length === 1)
+    // explicit non-default null placement declines (nulls could lead)
+    val q5 = spark.sql("SELECT id FROM mt ORDER BY id DESC NULLS FIRST LIMIT 5")
+    assert(scannedFiles(q5).length === 5)
+    assert(q5.count() === 5L)
+    // a Filter between sort and relation breaks the row-count guarantee
+    val q6 = spark.sql(
+      "SELECT id FROM mt WHERE v <> 'v4' ORDER BY id DESC LIMIT 5")
+    assert(scannedFiles(q6).length === 5, "filtered counts can't guarantee")
+    assert(q6.collect().map(_.getLong(0)).toSeq === (395L to 399L).reverse)
+    // n past the table keeps every file (the guarantees never reach n)
+    val q7 = spark.sql("SELECT id FROM mt ORDER BY id DESC LIMIT 1000")
+    assert(scannedFiles(q7).length === 5)
+    assert(q7.count() === 500L)
+    // kill switch
+    spark.conf.set("graft.manifest.topkPrune", "false")
+    try {
+      val qOff = spark.sql("SELECT id FROM mt ORDER BY id DESC LIMIT 10")
+      assert(scannedFiles(qOff).length === 5)
+    } finally spark.conf.unset("graft.manifest.topkPrune")
+  }
+
+  test("top-k pruning accounts NULL keys under the default null placements") {
+    import spark.implicits._
+    val dir = s"$base/topknull"
+    // f0: one null + one value; f1: all null; f2: two high values
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "c"), (null, "d")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((10L, "e"), (11L, "f")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val tmp = s"$base/topknullmanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), tmp)
+    ManifestSql.register(spark, dir, "t", tmp, "tkn")
+    // ASC NULLS FIRST with a null region >= n: only null-bearing files scan
+    val qAsc = spark.sql("SELECT v FROM tkn ORDER BY id ASC, v LIMIT 3")
+    assert(scannedFiles(qAsc).length === 2, "the all-value file cannot lead ASC")
+    assert(qAsc.collect().map(_.getString(0)).toSeq === Seq("b", "c", "d"))
+    // DESC NULLS LAST: the all-null file is skippable once n rows are
+    // guaranteed above the threshold; f0's value 1 < T=10 skips too
+    val qDesc = spark.sql("SELECT v FROM tkn ORDER BY id DESC, v LIMIT 2")
+    assert(scannedFiles(qDesc).length === 1, "only the high-value file may scan")
+    assert(qDesc.collect().map(_.getString(0)).toSeq === Seq("f", "e"))
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

@@ -962,6 +962,35 @@ object CoreQueries {
           |LIMIT 100""".stripMargin)
     },
 
+    // PARTIAL-coverage hybrid metadata aggregates (round 15): real
+    // predicates rarely align with file boundaries, so the pure stats
+    // answer (q198) covers only the aligned case. Here orders is laid
+    // out range-partitioned on the date key (8 files), and a range whose
+    // endpoints land INSIDE two boundary files is aggregated: covered
+    // files answer from the manifest stats, ONLY the straddled boundary
+    // files are scanned, and the two partial rows re-aggregate. The
+    // oracle recomputes count/min/max raw, so a missed boundary row or a
+    // double-counted covered file breaks the hash; ManifestSqlSpec pins
+    // the scanned-file counts.
+    "q200_manifest_hybrid_agg" -> { (s, dir) =>
+      val scratch = scratchManifest("q200data", dir)
+      val mp = scratchManifest("q200manifest", dir)
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+      graft.sources.Manifest.update(s, scratch, "orders",
+        Seq("o_orderdate"), mp)
+      graft.sources.ManifestSql.register(s, scratch, "orders", mp,
+        "orders_m_hybrid")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  CAST(min(o_orderdate) AS STRING) AS lo,
+          |  CAST(max(o_orderdate) AS STRING) AS hi
+          |FROM orders_m_hybrid
+          |WHERE o_orderdate >= DATE '1994-03-15'
+          |  AND o_orderdate <= DATE '1997-09-20'""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1647,6 +1676,17 @@ object CoreQueries {
         |FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    // Hybrid-aggregate twin: the raw table recomputed with the same
+    // straddling range — a boundary row the partial-file scan missed or
+    // a covered file double-counted breaks all three values.
+    "q200_manifest_hybrid_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS lo,
+        |  CAST(max(o_orderdate) AS VARCHAR) AS hi
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1994-03-15'
+        |  AND o_orderdate <= DATE '1997-09-20'""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -1040,15 +1040,17 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
         if (compiled.exists(_.isEmpty)) None
         else {
           val fns = compiled.map(_.get)
-          var partial = false
-          val covered = stats.filter { st =>
+          val classified = stats.map { st =>
             val cs = fns.map(f => f(st))
-            if (cs.contains(CoverNone)) false
-            else if (cs.forall(_ == CoverAll)) true
-            else { partial = true; false }
+            val cover: Cover =
+              if (cs.contains(CoverNone)) CoverNone
+              else if (cs.forall(_ == CoverAll)) CoverAll
+              else CoverPartial
+            (st, cover)
           }
-          if (partial) None
-          else {
+          val covered = classified.collect { case (st, CoverAll) => st }
+          val partialFiles = classified.collect { case (st, CoverPartial) => st }
+          if (partialFiles.isEmpty) {
             var unanswerable = false
             val replaced = agg.aggregateExpressions.map { ne =>
               ne.transformUp {
@@ -1071,10 +1073,81 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
               })
               Some(LocalRelation(agg.output, Seq(row)))
             }
-          }
+          } else if (partialFiles.size == stats.size) None
+          else hybrid(agg, rel, h, covered, partialFiles, keyFields)
         }
       }
     }
+  }
+
+  /** PARTIAL-coverage metadata aggregates (round 15): real predicates
+    * rarely align with file boundaries, so the all-or-nothing rewrite
+    * left the common case — a date range whose endpoints land inside two
+    * boundary files — scanning everything the prune rule kept. The
+    * hybrid answers the covered files from stats and scans ONLY the
+    * partial files: the plan becomes
+    *
+    *   Aggregate(combine, Union(Aggregate(calls, Filter(partial-only scan)),
+    *                            LocalRelation(stats row)))
+    *
+    * where `combine` re-aggregates the two partial rows (COUNT → SUM,
+    * MIN → MIN, MAX → MAX — all three are commutative-mergeable, which
+    * is WHY the supported set is what it is). Excluded files are never
+    * touched; covered files cost zero I/O; at 100 TB a month-range
+    * COUNT over a date-laid-out fact scans two boundary files instead
+    * of the month. Declines when every file is partial (nothing to
+    * save) or the stats leg is unanswerable. */
+  private def hybrid(agg: Aggregate, rel: LogicalRelation, h: HadoopFsRelation,
+                     covered: Seq[FStat], partialFiles: Seq[FStat],
+                     keyFields: Map[String, String]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
+    val calls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae }).distinct
+    val statsVals = calls.map(ae => aggValue(ae, covered, keyFields))
+    if (statsVals.exists(_.isEmpty)) return None
+    val keepSet = partialFiles.map(st => ManifestSql.normPath(st.path)).toSet
+    val bytes =
+      if (partialFiles.nonEmpty && partialFiles.forall(_.bytes.isDefined))
+        Some(partialFiles.iterator.flatMap(_.bytes).sum)
+      else None
+    val newRel = h.copy(
+      location = new ManifestPrunedFileIndex(h.location, keepSet, bytes),
+      options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
+    // the original child (row-level Filter + Projects) is preserved over
+    // the partial-only scan, so the predicate still re-applies per row
+    val prunedChild = agg.child.transformDown {
+      case l: LogicalRelation if l.eq(rel) => l.copy(relation = newRel)
+    }
+    val legAliases = calls.zipWithIndex.map { case (ae, i) =>
+      Alias(ae, s"__leg$i")() }
+    val scanLeg = Aggregate(Nil, legAliases, prunedChild)
+    val statsAttrs = calls.zipWithIndex.map { case (ae, i) =>
+      AttributeReference(s"__leg$i", ae.dataType, nullable = true)() }
+    val statsLeg = LocalRelation(statsAttrs,
+      Seq(InternalRow.fromSeq(statsVals.map(_.get.value))))
+    val union = Union(Seq(scanLeg, statsLeg))
+    val unionOut = union.output
+    val combineOf: Map[AggregateExpression, Expression] =
+      calls.zipWithIndex.map { case (ae, i) =>
+        val leg = unionOut(i)
+        val comb: Expression = ae.aggregateFunction match {
+          // both legs always emit a row; counts are never null, but SUM
+          // is declared nullable — coalesce keeps the original COUNT
+          // contract of a non-null zero
+          case Count(_) =>
+            Coalesce(Seq(Sum(leg).toAggregateExpression(), Literal(0L)))
+          case _: Min => Min(leg).toAggregateExpression()
+          case _: Max => Max(leg).toAggregateExpression()
+          case _ => ae // unreachable behind shapeSupported
+        }
+        ae -> comb
+      }.toMap
+    val combined = agg.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae: AggregateExpression => combineOf(ae)
+      }.asInstanceOf[NamedExpression]
+    }
+    Some(Aggregate(Nil, combined, union))
   }
 
   /** One filter conjunct → a per-file coverage classifier, or None for

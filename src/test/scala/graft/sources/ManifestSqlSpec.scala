@@ -180,18 +180,28 @@ class ManifestSqlSpec extends SparkSpec {
 
     // the IS NOT NULL Spark inserts under a comparison skips the all-null
     // file even though its zone map is NULL (unknown range, kept by the
-    // range bound alone)
-    val qCmp = spark.sql("SELECT count(*) AS n FROM nt WHERE id >= 1")
-    assert(scannedFiles(qCmp).length === 2, "all-null file must be skipped")
-    assert(qCmp.head.getLong(0) === 3L)
+    // range bound alone). metadataAgg off: the hybrid aggregate would
+    // scan only the mixed file (also correct, pinned in its own test) —
+    // this pins the PRUNE path
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val qCmp = spark.sql("SELECT count(*) AS n FROM nt WHERE id >= 1")
+      assert(scannedFiles(qCmp).length === 2, "all-null file must be skipped")
+      assert(qCmp.head.getLong(0) === 3L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
   }
 
   test("the DataFrame API prunes the same way — the rule sees plans, not SQL text") {
-    val q = ManifestSql.readTable(spark, dataDir, "t", mp)
-      .filter(col("id").between(150L, 340L))
-      .agg(count(lit(1)).as("n"))
-    assert(scannedFiles(q).length === 3)
-    assert(q.head.getLong(0) === 191L)
+    // metadataAgg off: the hybrid would scan only the two straddled
+    // boundary files — this pins the PRUNE path over the DataFrame API
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val q = ManifestSql.readTable(spark, dataDir, "t", mp)
+        .filter(col("id").between(150L, 340L))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedFiles(q).length === 3)
+      assert(q.head.getLong(0) === 191L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
   }
 
   test("an OR of two prunable ranges scans the union of the branches' files") {
@@ -248,14 +258,19 @@ class ManifestSqlSpec extends SparkSpec {
   test("a numeric cast-wrapped bound prunes: bigint key vs fractional literal") {
     // `id <= 250.5` coerces the BIGINT attribute into a decimal Cast —
     // the q194 oracle pins losslessness; this pins the file SKIPPING
-    val q = spark.sql(
-      "SELECT count(*) AS n FROM mt WHERE id <= 250.5")
-    assert(scannedFiles(q).length === 3, "ids <= 250.5 live in f0..f2 only")
-    assert(q.head.getLong(0) === 251L)
-    // and on the >= side
-    val q2 = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 449.5")
-    assert(scannedFiles(q2).length === 1)
-    assert(q2.head.getLong(0) === 50L)
+    // (metadataAgg off: the hybrid aggregate would scan boundary files
+    // only — also correct, pinned in its own test)
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM mt WHERE id <= 250.5")
+      assert(scannedFiles(q).length === 3, "ids <= 250.5 live in f0..f2 only")
+      assert(q.head.getLong(0) === 251L)
+      // and on the >= side
+      val q2 = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 449.5")
+      assert(scannedFiles(q2).length === 1)
+      assert(q2.head.getLong(0) === 50L)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
   }
 
   test("a stale manifest never loses rows when nothing prunes (round-12 advice)") {
@@ -889,10 +904,24 @@ class ManifestSqlSpec extends SparkSpec {
     val qCast = spark.sql("SELECT CAST(min(id) AS STRING) AS lo FROM mt")
     assert(scannedFiles(qCast).isEmpty)
     assert(qCast.head.getString(0) === "0")
-    // a partially-covered bound declines and scans (correct either way)
+    // a partially-covered bound goes HYBRID: covered files answer from
+    // stats, and ONLY the boundary file is scanned (id>=150 covers
+    // f2..f4, excludes f0, and straddles f1 alone)
     val qPart = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 150")
-    assert(scannedFiles(qPart).nonEmpty)
+    assert(scannedFiles(qPart).length === 1,
+      "only the straddled boundary file may scan")
     assert(qPart.head.getLong(0) === 350L)
+    // hybrid MIN/MAX: the scan leg's boundary row (150) must beat the
+    // stats leg's covered minimum (200)
+    val qPartMm = spark.sql(
+      "SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM mt WHERE id >= 150")
+    assert(scannedFiles(qPartMm).length === 1)
+    assert(qPartMm.head.toSeq === Seq(150L, 499L, 350L))
+    // a range straddling two boundary files scans exactly those two
+    val qMid = spark.sql(
+      "SELECT count(*) AS n FROM mt WHERE id BETWEEN 95 AND 105")
+    assert(scannedFiles(qMid).length === 2)
+    assert(qMid.head.getLong(0) === 11L)
     // an unsupported aggregate declines the WHOLE rewrite
     val qSum = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mt")
     assert(scannedFiles(qSum).nonEmpty)

@@ -1031,6 +1031,15 @@ object Main {
       |              or stats mode: [--min-key V] [--max-key V]  (row/file
       |               counts for a key range answered from the manifest
       |               alone — no data files opened)
+      |              (update/compact serialize on an atomic __commitlock
+      |               claim, so concurrent jobs maintaining DISJOINT
+      |               tables of one catalog are safe; stale claims
+      |               reclaim after graft.manifest.commitLockTimeoutMs,
+      |               default 120000; each commit bumps __version.
+      |               registered views also answer COUNT/MIN/MAX from
+      |               stats and prune ORDER BY key LIMIT n — session
+      |               confs graft.manifest.metadataAgg / topkPrune /
+      |               joinPrune, all default true)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|substring|incremental|
       |               containment|capped-containment|rare-containment]

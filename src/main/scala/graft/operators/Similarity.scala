@@ -215,7 +215,28 @@ object Similarity {
     * deterministic and the graph replays bit-for-bit in the differential
     * oracle (the same mix expression runs in DuckDB BIGINTs). */
   def knnGraph(corpus: DataFrame, k: Int, bands: Int = 3, bandBits: Int = 8,
-               cap: Int = 200): DataFrame = {
+               cap: Int = 200): DataFrame =
+    knnGraphImpl(corpus, k, bands, bandBits, cap, dedupEarly = false)
+
+  /** A/B seam for the two candidate-dedup formulations, kept so the
+    * choice stays re-measurable: `dedupEarly` collapses band
+    * co-occurrences on the id pair BEFORE the dot (one dot per unique
+    * pair — but the dedup exchange then carries BOTH embedding vectors
+    * per row); the default computes the cheap codegen'd dot per
+    * occurrence and distincts the NARROW (ids, cosine) stream after.
+    *
+    * Measured (round 15, interleaved in one session at sf0.1, min-of-4
+    * each): narrow-late wall 0.73-0.98 s / CPU 1.4-1.9 s vs wide-early
+    * wall 0.93-1.01 s / CPU 2.3-3.0 s. The ≤`bands`× redundant dots are
+    * 64 fused multiply-adds in whole-stage codegen — nearly free — while
+    * the early dedup ships ~20× more exchange bytes (two vectors + norms
+    * vs two ids + a double per row); at production 768-dim embeddings
+    * (~3 KB/pair-row vs ~24 B) the gap only widens. Both formulations
+    * are bit-identical in output (spec-pinned), so the choice is purely
+    * a plan-shape trade. */
+  def knnGraphImpl(corpus: DataFrame, k: Int, bands: Int,
+                                  bandBits: Int, cap: Int,
+                                  dedupEarly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
@@ -239,20 +260,28 @@ object Similarity {
       col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
     val b = capped.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
       col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
-    // dedup BEFORE rescoring (round-14 review): a pair co-occurring in up
-    // to `bands` buckets used to pay the dot per occurrence and shuffle
-    // the widened stream through a post-hoc distinct; dropDuplicates on
-    // the id pair collapses occurrences first (the carried vec/norm copies
-    // are functions of the ids, so any survivor is THE value), and the
-    // deterministic dot then evaluates once per unique pair
-    val pairs = a.join(b, Seq("band", "bucket"))
+    // both dedup placements are exact (the dot is deterministic per pair,
+    // and the carried vec/norm copies are functions of the ids, so any
+    // dropDuplicates survivor is THE value); the default keeps the dedup
+    // exchange NARROW — see the knnGraphImpl scaladoc for the measured
+    // trade (round-15 interleaved A/B)
+    val joined = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec"),
-        col("a_nrm"), col("b_nrm"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("cosine",
-        scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
-      .select(col("a_id"), col("b_id"), col("cosine"))
+    val pairs =
+      if (dedupEarly)
+        joined
+          .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec"),
+            col("a_nrm"), col("b_nrm"))
+          .dropDuplicates("a_id", "b_id")
+          .withColumn("cosine",
+            scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
+          .select(col("a_id"), col("b_id"), col("cosine"))
+      else
+        joined
+          .withColumn("cosine",
+            scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
+          .select(col("a_id"), col("b_id"), col("cosine"))
+          .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -301,17 +330,17 @@ object Similarity {
       col("embedding").as("a_vec"), col("label").as("a_label"), col("nrm").as("a_nrm"))
     val b = capped.select(col("band"), col("bucket"), col("vec_id").as("neg_id"),
       col("embedding").as("b_vec"), col("label").as("neg_label"), col("nrm").as("b_nrm"))
-    // same dedup-before-rescore discipline as [[knnGraph]]: collapse the
-    // up-to-`bands`× band co-occurrences on the id pair first, then score
-    // each unique candidate once
+    // same dedup discipline as [[knnGraph]]'s default: score the cheap
+    // codegen'd dot per band co-occurrence and distinct the NARROW
+    // (ids, labels, cosine) stream — the round-15 interleaved A/B showed
+    // the early wide dedup ships ~20× more exchange bytes than the ≤3×
+    // redundant dots cost (see knnGraphImpl)
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("a_label") =!= col("neg_label"))
-      .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"),
-        col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm"))
-      .dropDuplicates("a_id", "neg_id")
       .withColumn("cosine",
         scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"), col("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("neg_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -515,6 +515,175 @@ class ManifestSpec extends SparkSpec {
     assert(!fs.exists(lock))
   }
 
+  test("footer scans run in the pre-pass, outside the commit claim (round-15 item 6)") {
+    import spark.implicits._
+    val dir = s"$base/hoistdata"
+    val mp = s"$base/hoist_manifest"
+    (0L until 40L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Manifest.ringProbe = Some(e => events.add(e))
+    try {
+      Manifest.update(spark, dir, "t", Seq("id"), mp)
+      val seq = events.toArray(Array.empty[String]).toSeq
+      // the expensive step (footer scans) fires BEFORE the claim; inside
+      // the claim only the re-diff + manifest write remain
+      assert(seq.indexOf("footers") >= 0 && seq.indexOf("claim") >= 0, seq)
+      assert(seq.indexOf("footers") < seq.indexOf("claim"),
+        s"footer scans must be hoisted out of the commit claim: $seq")
+      // uncontended steady state: exactly one footer pass (the pre-pass) —
+      // the inside-claim residual scan only fires under real contention
+      assert(seq.count(_ == "footers") === 1, seq)
+      assert(Manifest.rowCount(spark, mp, col("table") === "t") === 40L)
+    } finally Manifest.ringProbe = None
+  }
+
+  test("a paused writer fences out after reclamation and retries instead of clobbering") {
+    // the round-15 double-holder: writer A's section outlives the claim
+    // timeout (heartbeat off = a GC/FS-stalled process), writer B reclaims
+    // by RENAME and commits; A must detect the loss at its pre-mutation
+    // fence, retry its whole section against B's committed state, and
+    // land WITHOUT deleting B's claim or dropping B's rows
+    import spark.implicits._
+    val dirA = s"$base/fence_a"
+    val dirB = s"$base/fence_b"
+    (0L until 30L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirA/ta.parquet")
+    (0L until 20L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirB/tb.parquet")
+    val mp = s"$base/fence_manifest"
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val aClaimed = new java.util.concurrent.CountDownLatch(1)
+    val paused = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Manifest.ringProbe = Some { e =>
+      events.add(e)
+      // pause ONLY writer A's first claim, past the reclamation timeout
+      if (e == "claim" && paused.compareAndSet(true, false)) {
+        aClaimed.countDown()
+        Thread.sleep(2500)
+      }
+    }
+    spark.conf.set(Manifest.CommitLockTimeoutConf, "1000")
+    spark.conf.set(Manifest.CommitHeartbeatConf, "false")
+    try {
+      val a = new Thread(() =>
+        Manifest.update(spark, dirA, "ta", Seq("id"), mp))
+      a.start()
+      assert(aClaimed.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // B starts while A sleeps inside its claim; B waits out the age
+      // check, reclaims by rename, commits, releases
+      Manifest.update(spark, dirB, "tb", Seq("id"), mp)
+      a.join(120000)
+      assert(!a.isAlive, "writer A must finish")
+      val seq = events.toArray(Array.empty[String]).toSeq
+      assert(seq.contains("reclaim"), s"B must reclaim A's stale claim: $seq")
+      assert(seq.contains("fence-lost"),
+        s"A must fence out instead of committing blind: $seq")
+      // both writers' rows landed; nothing was clobbered
+      assert(Manifest.rowCount(spark, mp, col("table") === "ta") === 30L)
+      assert(Manifest.rowCount(spark, mp, col("table") === "tb") === 20L)
+      assert(Manifest.version(spark, mp) === 2L)
+      val lock = new org.apache.hadoop.fs.Path(mp + "__commitlock")
+      assert(!lock.getFileSystem(spark.sessionState.newHadoopConf()).exists(lock))
+    } finally {
+      Manifest.ringProbe = None
+      spark.conf.unset(Manifest.CommitLockTimeoutConf)
+      spark.conf.unset(Manifest.CommitHeartbeatConf)
+    }
+  }
+
+  test("two concurrent reclaimers: rename lets exactly one win (no double holder)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val dirA = s"$base/reclaim2_a"
+    val dirB = s"$base/reclaim2_b"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirA/ta.parquet")
+    (0L until 15L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirB/tb.parquet")
+    val mp = s"$base/reclaim2_manifest"
+    // plant a claim nobody owns, aged far past the timeout
+    val lock = new org.apache.hadoop.fs.Path(mp + "__commitlock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lock, false)
+    out.write("dead-token\n0\n".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Manifest.ringProbe = Some(e => events.add(e))
+    spark.conf.set(Manifest.CommitLockTimeoutConf, "1000")
+    try {
+      val fa = Future(Manifest.update(spark, dirA, "ta", Seq("id"), mp))
+      val fb = Future(Manifest.update(spark, dirB, "tb", Seq("id"), mp))
+      assert(Await.result(fa, 120.seconds)._1 === 1L)
+      assert(Await.result(fb, 120.seconds)._1 === 1L)
+      val seq = events.toArray(Array.empty[String]).toSeq
+      // the planted stale claim is renamed away exactly once — the loser
+      // of the rename race waits for the winner's fresh claim instead of
+      // deleting it (the round-15 delete-then-create double holder)
+      assert(seq.count(_ == "reclaim") === 1, seq)
+      assert(Manifest.rowCount(spark, mp, col("table") === "ta") === 10L)
+      assert(Manifest.rowCount(spark, mp, col("table") === "tb") === 15L)
+      assert(Manifest.version(spark, mp) === 2L)
+      assert(!fs.exists(lock))
+    } finally {
+      Manifest.ringProbe = None
+      spark.conf.unset(Manifest.CommitLockTimeoutConf)
+    }
+  }
+
+  test("a healthy long commit section is protected by the heartbeat, not reclaimed") {
+    import spark.implicits._
+    val dir = s"$base/hbdata"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val mp = s"$base/hb_manifest"
+    // timeout far below the section length: without the heartbeat this
+    // section would age out mid-commit; with it the mtime stays fresh
+    spark.conf.set(Manifest.CommitLockTimeoutConf, "300")
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val once = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Manifest.ringProbe = Some { e =>
+      events.add(e)
+      if (e == "claim" && once.compareAndSet(true, false)) Thread.sleep(900)
+    }
+    try {
+      Manifest.update(spark, dir, "t", Seq("id"), mp)
+      val seq = events.toArray(Array.empty[String]).toSeq
+      assert(!seq.contains("fence-lost"),
+        s"a heartbeating holder must never fence out: $seq")
+      assert(Manifest.version(spark, mp) === 1L)
+    } finally {
+      Manifest.ringProbe = None
+      spark.conf.unset(Manifest.CommitLockTimeoutConf)
+    }
+  }
+
+  test("inline auto-compaction bumps the version once per committed mutation") {
+    import spark.implicits._
+    // round-15 advice: compact() under the re-entrant claim bumped, then
+    // updateDir bumped again — one committed mutation advanced the stamp
+    // by 2, breaking the "bumped once" contract the race spec pins
+    val dir = s"$base/singlebump"
+    val mp = s"$base/singlebump_manifest"
+    spark.conf.set(Manifest.AutoCompactFilesConf, "2")
+    try {
+      (0 until 6).foreach { b =>
+        (b * 10L until b * 10L + 10L).toDF("id").coalesce(1)
+          .write.mode("append").parquet(s"$dir/t.parquet")
+        val before = Manifest.version(spark, mp)
+        Manifest.update(spark, dir, "t", Seq("id"), mp)
+        assert(Manifest.version(spark, mp) === before + 1,
+          s"update $b (with inline compaction) must bump exactly once")
+      }
+      // a STANDALONE compact is its own committed mutation: exactly one bump
+      val v = Manifest.version(spark, mp)
+      Manifest.compact(spark, mp)
+      assert(Manifest.version(spark, mp) === v + 1)
+    } finally spark.conf.unset(Manifest.AutoCompactFilesConf)
+  }
+
   test("prefixUpper works in code-point space: surrogate fencepost, supplementary tails") {
     // plain increment
     assert(Manifest.prefixUpper("abc") === Some("abd"))

@@ -1012,7 +1012,11 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     * schema loads, checked in [[aggValue]]). */
   private def shapeSupported(ae: AggregateExpression, rel: LogicalRelation): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case Count(Seq(Literal(_, _))) => true
+      // a NULL literal counts ZERO rows, not the table: `count(NULL)` — or
+      // any count whose argument constant-folds to null, e.g.
+      // `count(CASE WHEN false THEN x END)` — must decline to the scan
+      // (round-15 advice)
+      case Count(Seq(Literal(v, _))) => v != null
       case Count(Seq(ar: AttributeReference)) => rel.outputSet.contains(ar)
       case Min(ar: AttributeReference) => rel.outputSet.contains(ar)
       case Max(ar: AttributeReference) => rel.outputSet.contains(ar)
@@ -1272,7 +1276,10 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
           ar.dataType))
       }
     ae.aggregateFunction match {
-      case Count(Seq(Literal(_, _))) =>
+      // non-null literal only — count(NULL) is 0, never the row count
+      // (round-15 advice; shapeSupported already declines, kept here so
+      // the two gates can never drift apart)
+      case Count(Seq(Literal(v, _))) if v != null =>
         Some(Literal(covered.iterator.map(_.rows).sum))
       case Count(Seq(ar: AttributeReference)) =>
         keyOf(ar).flatMap { k =>
@@ -1364,7 +1371,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (!desc && head.nullOrdering == NullsFirst)
       tbl <- h.options.get(ManifestSql.TableOption)
       mp = h.options(ManifestSql.PathOption)
-      keep <- scala.util.Try(survivors(mp, tbl, attr, desc, n)) match {
+      keep <- scala.util.Try(survivors(mp, tbl, h, attr, desc, n)) match {
         case scala.util.Failure(e) =>
           logWarning(s"manifest top-k pruning skipped for $tbl ($mp): $e")
           None
@@ -1395,8 +1402,14 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Surviving (paths, bytes) for the top-n by `attr`, or None when the
-    * guarantees never reach n or nothing would be skipped. */
+    * guarantees never reach n, nothing would be skipped, or the manifest
+    * does not catalog EXACTLY the relation's current files (round-15
+    * advice: without the completeness gate, a data file that landed after
+    * the last `Manifest.update` was silently dropped from
+    * `ORDER BY … LIMIT` results — the one rule in the family that could
+    * lose rows to a stale catalog; the agg rule always had this guard). */
   private def survivors(manifestPath: String, table: String,
+                        h: HadoopFsRelation,
                         attr: AttributeReference, desc: Boolean,
                         n: Int): Option[(Seq[String], Option[Long])] = {
     // fast-fail a missing manifest without burning the retry backoff
@@ -1405,7 +1418,11 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Manifest.withReadRetry() {
       val (keyFields, _, stats) =
         ManifestStats.tableStats(spark, manifestPath, table)
-      keyFields.get(attr.name.toLowerCase(java.util.Locale.ROOT)).flatMap { k =>
+      val relFiles = h.location.inputFiles.iterator.map(ManifestSql.normPath).toSet
+      val manFiles = stats.iterator.map(s => ManifestSql.normPath(s.path)).toSet
+      val complete = relFiles == manFiles
+      keyFields.get(attr.name.toLowerCase(java.util.Locale.ROOT))
+        .filter(_ => complete).flatMap { k =>
         def mn(st: FStat): Any = st.mins.getOrElse(k, null)
         def mx(st: FStat): Any = st.maxs.getOrElse(k, null)
         def nulls(st: FStat): Option[Long] = st.nulls.get(k) match {

@@ -1023,6 +1023,57 @@ class ManifestSqlSpec extends SparkSpec {
     assert(qDesc.collect().map(_.getString(0)).toSeq === Seq("f", "e"))
   }
 
+  test("count of a NULL literal is 0, never the row count (round-15 advice)") {
+    // `count(NULL)` — or any count whose argument constant-folds to null —
+    // used to match the Count(Literal) shape and be rewritten to the
+    // total row count, in both the pure stats path and the hybrid leg
+    val q = spark.sql("SELECT count(NULL) AS n FROM mt")
+    assert(q.head.get(0) === 0L)
+    val qFold = spark.sql("SELECT count(CASE WHEN 1 = 0 THEN id END) AS n FROM mt")
+    assert(qFold.head.get(0) === 0L)
+    // hybrid shape: a straddling predicate with a null-literal count
+    val qHyb = spark.sql("SELECT count(NULL) AS n FROM mt WHERE id >= 150")
+    assert(qHyb.head.get(0) === 0L)
+    // the non-null literal forms still answer joblessly
+    val q1 = spark.sql("SELECT count(1) AS n FROM mt")
+    assert(scannedFiles(q1).isEmpty && q1.head.getLong(0) === 500L)
+  }
+
+  test("top-k pruning declines on a stale catalog instead of dropping late files") {
+    import spark.implicits._
+    // round-15 advice: once skipping engaged, a data file that landed
+    // after the last Manifest.update was silently dropped from
+    // ORDER BY ... LIMIT results — 'latest N events' dashboards target
+    // exactly the freshly-written tables where that loss bites
+    val dir = s"$base/topkstale"
+    (0L until 100L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    (100L until 200L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val tmp = s"$base/topkstalemanifest"
+    Manifest.update(spark, dir, "t", Seq("id"), tmp)
+    ManifestSql.register(spark, dir, "t", tmp, "tks")
+    // maintained catalog: skipping engages
+    val q = spark.sql("SELECT id FROM tks ORDER BY id DESC LIMIT 5")
+    assert(scannedFiles(q).length === 1)
+    assert(q.collect().map(_.getLong(0)).toSeq === (195L to 199L).reverse)
+    // a file lands OUT OF BAND (no manifest update): the completeness
+    // gate must decline — the latest rows live only in the new file
+    (200L until 210L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    ManifestSql.register(spark, dir, "t", tmp, "tks") // fresh relation listing
+    val qStale = spark.sql("SELECT id FROM tks ORDER BY id DESC LIMIT 5")
+    assert(scannedFiles(qStale).length === 3, "stale catalog must keep every file")
+    assert(qStale.collect().map(_.getLong(0)).toSeq === (205L to 209L).reverse,
+      "the out-of-band file's rows must appear in the top-k")
+    // catching the catalog back up re-engages skipping
+    Manifest.update(spark, dir, "t", Seq("id"), tmp)
+    ManifestSql.register(spark, dir, "t", tmp, "tks")
+    val qFresh = spark.sql("SELECT id FROM tks ORDER BY id DESC LIMIT 5")
+    assert(scannedFiles(qFresh).length === 1)
+    assert(qFresh.collect().map(_.getLong(0)).toSeq === (205L to 209L).reverse)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

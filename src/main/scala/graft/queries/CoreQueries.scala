@@ -991,6 +991,37 @@ object CoreQueries {
           |  AND o_orderdate <= DATE '1997-09-20'""".stripMargin)
     },
 
+    // Catalog-speed SUM fingerprints (round 16, per-file sums in the
+    // manifest): the reference's heaviest repeated validation query —
+    // validator layer 4's aggregate fingerprint (validator.py:326-405:
+    // COUNT + SUM over a numeric column) — answered from per-file sums
+    // recorded at write time. The range straddles two file boundaries, so
+    // the hybrid path runs: covered files contribute their recorded sums,
+    // ONLY the two boundary files scan, and the two partial rows
+    // re-aggregate. The oracle recomputes raw in DuckDB, so a wrong
+    // per-file sum, a miscombined leg, or a boundary row lost breaks the
+    // hash; ManifestSqlSpec pins the zero-scan aligned case and the
+    // boundary-only scan counts.
+    "q201_manifest_sum_fingerprint" -> { (s, dir) =>
+      val scratch = scratchManifest("q201data", dir)
+      val mp = scratchManifest("q201manifest", dir)
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+      graft.sources.Manifest.update(s, scratch, "orders",
+        Seq("o_orderdate", "o_custkey"), mp)
+      graft.sources.ManifestSql.register(s, scratch, "orders", mp,
+        "orders_m_sumfp")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  sum(o_custkey) AS sum_cust,
+          |  CAST(min(o_orderdate) AS STRING) AS lo,
+          |  CAST(max(o_orderdate) AS STRING) AS hi
+          |FROM orders_m_sumfp
+          |WHERE o_orderdate >= DATE '1993-06-10'
+          |  AND o_orderdate <= DATE '1996-11-25'""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1687,6 +1718,19 @@ object CoreQueries {
         |FROM orders
         |WHERE o_orderdate >= DATE '1994-03-15'
         |  AND o_orderdate <= DATE '1997-09-20'""".stripMargin,
+
+    // Sum-fingerprint twin: the raw table recomputed with the same
+    // straddling range — a wrong recorded per-file sum, a miscombined
+    // hybrid leg, or a lost boundary row breaks the hash (DuckDB sums
+    // BIGINT into HUGEINT; the cast realigns the types).
+    "q201_manifest_sum_fingerprint" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS lo,
+        |  CAST(max(o_orderdate) AS VARCHAR) AS hi
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1993-06-10'
+        |  AND o_orderdate <= DATE '1996-11-25'""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

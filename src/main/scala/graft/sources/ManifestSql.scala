@@ -916,7 +916,7 @@ object ManifestJoinPruneRule {
   * strings, matching parquet's own stat order). */
 private[sources] final case class FStat(path: String, rows: Long,
     bytes: Option[Long], mins: Map[String, Any], maxs: Map[String, Any],
-    nulls: Map[String, Any])
+    nulls: Map[String, Any], sums: Map[String, Any] = Map.empty)
 
 /** Shared driver-side stats reader for the stats-answering rules: one
   * table's manifest rows as [[FStat]]s plus the key-field map — served
@@ -930,9 +930,11 @@ private[sources] object ManifestStats {
     val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
       .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
     val hasNulls = manifest.schema.fieldNames.contains("nulls")
+    val hasSums = manifest.schema.fieldNames.contains(Manifest.SumsColumn)
     val projected =
       Seq(col("path"), col("rows"), col("bytes"), col("mins"), col("maxs")) ++
-        (if (hasNulls) Seq(col("nulls")) else Nil)
+        (if (hasNulls) Seq(col("nulls")) else Nil) ++
+        (if (hasSums) Seq(col(Manifest.SumsColumn)) else Nil)
     def structMap(r: Row, i: Int): Map[String, Any] = {
       val sr = if (r.isNullAt(i)) null else r.getStruct(i)
       if (sr == null) Map.empty
@@ -944,7 +946,8 @@ private[sources] object ManifestStats {
       .map(r => FStat(r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         structMap(r, 3), structMap(r, 4),
-        if (hasNulls) structMap(r, 5) else Map.empty))
+        if (hasNulls) structMap(r, 5) else Map.empty,
+        if (hasSums) structMap(r, if (hasNulls) 6 else 5) else Map.empty))
       .toIndexedSeq
     (keyFields, hasNulls, stats)
   }
@@ -1020,6 +1023,17 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       case Count(Seq(ar: AttributeReference)) => rel.outputSet.contains(ar)
       case Min(ar: AttributeReference) => rel.outputSet.contains(ar)
       case Max(ar: AttributeReference) => rel.outputSet.contains(ar)
+      // SUM answers from the manifest's per-file sums (round-15 verdict
+      // item 3 — validator layer-4 fingerprints at catalog speed). Every
+      // eval mode is safe because the driver combine is OVERFLOW-CHECKED
+      // and declines to the scan on overflow — where LEGACY wraps, ANSI
+      // throws and TRY nulls, each mode's scan reproduces its own
+      // semantics; below overflow all three agree on the exact total.
+      case s: Sum =>
+        s.child match {
+          case ar: AttributeReference => rel.outputSet.contains(ar)
+          case _ => false
+        }
       case _ => false
     })
 
@@ -1142,6 +1156,12 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
             Coalesce(Seq(Sum(leg).toAggregateExpression(), Literal(0L)))
           case _: Min => Min(leg).toAggregateExpression()
           case _: Max => Max(leg).toAggregateExpression()
+          case _: Sum =>
+            // sum-of-sums; decimal widens AGAIN under Catalyst's Sum, so
+            // cast back to the original result type (the true total fits
+            // it by definition — it is what the unsplit aggregate returns)
+            val s = Sum(leg).toAggregateExpression()
+            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
           case _ => ae // unreachable behind shapeSupported
         }
         ae -> comb
@@ -1291,8 +1311,51 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
         }
       case Min(ar: AttributeReference) => extremum(ar, _.mins, takeMin = true)
       case Max(ar: AttributeReference) => extremum(ar, _.maxs, takeMin = false)
+      case s: Sum =>
+        s.child match {
+          case ar: AttributeReference =>
+            keyOf(ar).flatMap { k =>
+              var unknowable = false
+              val contribs = covered.flatMap { st =>
+                val v = st.sums.getOrElse(k, null)
+                if (v != null) Some(v)
+                else if (st.rows == 0L) None
+                else nullsOf(st, k) match {
+                  // an all-null file's NULL sum is GENUINE (SUM ignores
+                  // NULLs — no non-null value existed); a NULL sum over
+                  // real rows means the file predates the sums column
+                  case Some(n) if n == st.rows => None
+                  case _ => unknowable = true; None
+                }
+              }
+              if (unknowable) None
+              else if (contribs.isEmpty) Some(Literal.create(null, ae.dataType))
+              else addSums(contribs, ae.dataType)
+            }
+          case _ => None
+        }
       case _ => None
     }
+  }
+
+  /** Fold per-file sums in the aggregate's own result type,
+    * OVERFLOW-CHECKED: any overflow declines to the scan, which then
+    * reproduces the session eval mode's own semantics (LEGACY wraps, ANSI
+    * throws, TRY nulls) — below overflow every mode agrees on this exact
+    * total, so the rewrite is mode-independent. */
+  private def addSums(contribs: Seq[Any], dt: DataType): Option[Literal] = dt match {
+    case LongType =>
+      scala.util.Try(Literal(contribs.iterator
+        .map(_.asInstanceOf[Long])
+        .reduce((a, b) => Math.addExact(a, b)))).toOption
+    case DoubleType =>
+      Some(Literal(contribs.iterator.map(_.asInstanceOf[Double]).sum))
+    case d: DecimalType =>
+      val total = contribs.iterator
+        .map(_.asInstanceOf[java.math.BigDecimal]).reduce(_.add(_))
+      scala.util.Try(Literal.create(total, d)).toOption
+        .filter(_.value != null)
+    case _ => None
   }
 }
 

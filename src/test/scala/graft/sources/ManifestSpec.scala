@@ -45,7 +45,8 @@ class ManifestSpec extends SparkSpec {
       .withColumn("mins", struct(col("lo").as("k")))
       .withColumn("maxs", struct(col("hi").as("k")))
       .withColumn("nulls", struct(lit(null).cast("long").as("k")))
-      .select(Manifest.columns.map(col): _*)
+      .withColumn("sums", struct(lit(null).cast("long").as("k")))
+      .select((Manifest.columns :+ Manifest.SumsColumn).map(col): _*)
     val manifestPath = s"$base/manifest"
     Manifest.write(
       realEntries.unionByName(synthetic).repartition(8), manifestPath)
@@ -513,6 +514,75 @@ class ManifestSpec extends SparkSpec {
       assert(Manifest.version(spark, smp) === 1L)
     } finally spark.conf.unset(Manifest.CommitLockTimeoutConf)
     assert(!fs.exists(lock))
+  }
+
+  test("update-path sums match the build scan's sums exactly (round-15 item 3)") {
+    import spark.implicits._
+    // build() folds sums into its bootstrap data scan; update() fills the
+    // same column via the column-pruned novel-file scan — the two
+    // maintenance paths must record IDENTICAL per-file sums, including
+    // NULL for an all-null column and absence for unsummable types
+    val dir = s"$base/sumsdata"
+    Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 1.5, "a"), (2L, 2.5, "b"), (null, null, "c"))
+      .toDF("id", "x", "s").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, java.lang.Double, String)](
+      (null, null, "d"), (null, null, "e"))
+      .toDF("id", "x", "s").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val mp = s"$base/sums_manifest"
+    Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id", "x", "s"), mp)
+    val got = spark.read.parquet(mp)
+    // string key contributes no sums field; numeric keys are typed as
+    // Spark's SUM result (long → long, double → double)
+    assert(got.schema(Manifest.SumsColumn).dataType.simpleString
+      === "struct<id:bigint,x:double>")
+    // the value-bearing file sums its non-null values; the all-null file
+    // records a genuine NULL sum (no non-null value existed)
+    val byFile = got.select("sums.id", "sums.x").collect().map(_.toSeq).toSet
+    assert(byFile === Set(Seq(3L, 4.0), Seq(null, null)))
+    // and the bootstrap build records the same values per PATH
+    val built = Manifest.build(spark, dir, "t", Seq("id", "x", "s"))
+      .select("path", "sums.id", "sums.x").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    val updated = got.select("path", "sums.id", "sums.x").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(built === updated)
+    // recordSums=false restores the strictly footer-only update
+    val mpOff = s"$base/sums_manifest_off"
+    spark.conf.set(Manifest.RecordSumsConf, "false")
+    try {
+      Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mpOff)
+      assert(spark.read.parquet(mpOff).select("sums.id").collect()
+        .forall(_.isNullAt(0)))
+    } finally spark.conf.unset(Manifest.RecordSumsConf)
+  }
+
+  test("append aligns the optional sums column in both directions") {
+    import spark.implicits._
+    val dir = s"$base/sumalign"
+    val mp = s"$base/sumalign_manifest"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    // legacy catalog: entries written WITHOUT sums (pre-rollout shape)
+    val legacy = Manifest.build(spark, dir, "t", Seq("id")).drop("sums")
+    Manifest.write(legacy, mp)
+    // a sums-bearing update appends cleanly (sums dropped to match)
+    (10L until 20L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val (a, r) = Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+    assert(a === 1L && r === 0L)
+    assert(!spark.read.parquet(mp).columns.contains("sums"))
+    assert(Manifest.rowCount(spark, mp, col("table") === "t") === 20L)
+    // an overwrite forces the rewrite path: the catalog upgrades to the
+    // sums-bearing schema, legacy semantics intact
+    (0L until 5L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp)
+    val up = spark.read.parquet(mp)
+    assert(up.columns.contains("sums"))
+    assert(up.select("sums.id").head.get(0) === 10L) // 0+1+2+3+4
   }
 
   test("footer scans run in the pre-pass, outside the commit claim (round-15 item 6)") {

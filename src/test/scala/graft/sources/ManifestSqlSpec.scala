@@ -64,15 +64,26 @@ class ManifestSqlSpec extends SparkSpec {
   }
 
   test("a WHERE range over the key scans only the overlapping files") {
-    val q = spark.sql(
-      "SELECT count(*) AS n, sum(id) AS s FROM mt WHERE id >= 150 AND id <= 340")
-    val files = scannedFiles(q)
-    assert(files.length === 3, s"expected files f1,f2,f3 only: $files")
+    // this pins the PRUNE rule alone — with metadata aggregates on, the
+    // round-16 hybrid SUM answers the covered middle file from stats and
+    // scans only the two straddled boundary files (pinned below)
+    val sql = "SELECT count(*) AS n, sum(id) AS s FROM mt WHERE id >= 150 AND id <= 340"
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    val q = spark.sql(sql)
+    try {
+      val files = scannedFiles(q)
+      assert(files.length === 3, s"expected files f1,f2,f3 only: $files")
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
     // and the answer is exactly the raw recompute — pruning lost no rows
     val raw = spark.read.parquet(s"$dataDir/t.parquet")
       .filter(col("id").between(150L, 340L))
       .agg(count(lit(1)), sum("id")).head
     assert(q.head.toSeq === raw.toSeq)
+    // hybrid metadata aggregate: one better — the fully-covered middle
+    // file answers from its recorded stats, only the boundaries scan
+    val qHybrid = spark.sql(sql)
+    assert(scannedFiles(qHybrid).length === 2)
+    assert(qHybrid.head.toSeq === raw.toSeq)
   }
 
   test("equality pins a single file; the row filter still re-applies") {
@@ -922,10 +933,20 @@ class ManifestSqlSpec extends SparkSpec {
       "SELECT count(*) AS n FROM mt WHERE id BETWEEN 95 AND 105")
     assert(scannedFiles(qMid).length === 2)
     assert(qMid.head.getLong(0) === 11L)
-    // an unsupported aggregate declines the WHOLE rewrite
+    // SUM answers from the recorded per-file sums (round-15 item 3) —
+    // the validator-fingerprint shape at catalog speed
     val qSum = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mt")
-    assert(scannedFiles(qSum).nonEmpty)
+    assert(scannedFiles(qSum).isEmpty,
+      "SUM over a sums-bearing manifest must answer from stats")
     assert(qSum.head.toSeq === Seq(500L, (0L until 500L).sum))
+    // an unsupported aggregate still declines the WHOLE rewrite
+    val qAvg = spark.sql("SELECT count(*) AS n, avg(id) AS a FROM mt")
+    assert(scannedFiles(qAvg).nonEmpty)
+    assert(qAvg.head.toSeq === Seq(500L, (0L until 500L).sum.toDouble / 500))
+    // hybrid SUM: covered files from stats, boundary file scanned
+    val qSumPart = spark.sql("SELECT sum(id) AS s FROM mt WHERE id >= 150")
+    assert(scannedFiles(qSumPart).length === 1)
+    assert(qSumPart.head.getLong(0) === (150L until 500L).sum)
     // the kill switch declines
     spark.conf.set("graft.manifest.metadataAgg", "false")
     try {
@@ -1021,6 +1042,38 @@ class ManifestSqlSpec extends SparkSpec {
     val qDesc = spark.sql("SELECT v FROM tkn ORDER BY id DESC, v LIMIT 2")
     assert(scannedFiles(qDesc).length === 1, "only the high-value file may scan")
     assert(qDesc.collect().map(_.getString(0)).toSeq === Seq("f", "e"))
+  }
+
+  test("SUM metadata answers decline without recorded sums, handle all-null files") {
+    import spark.implicits._
+    val dir = s"$base/sumdecline"
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "c"), (null, "d")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    // sums-less catalog (recordSums off): SUM must decline to the scan,
+    // COUNT/MIN/MAX still answer joblessly
+    val mpOff = s"$base/sumdecline_manifest"
+    spark.conf.set(Manifest.RecordSumsConf, "false")
+    try Manifest.update(spark, dir, "t", Seq("id"), mpOff)
+    finally spark.conf.unset(Manifest.RecordSumsConf)
+    ManifestSql.register(spark, dir, "t", mpOff, "sdt")
+    val qs = spark.sql("SELECT sum(id) AS s FROM sdt")
+    assert(scannedFiles(qs).nonEmpty, "NULL sums over real rows must decline")
+    assert(qs.head.getLong(0) === 3L)
+    val qc = spark.sql("SELECT count(id) AS n, max(id) AS hi FROM sdt")
+    assert(scannedFiles(qc).isEmpty)
+    assert(qc.head.toSeq === Seq(2L, 2L))
+    // sums-bearing catalog: the all-null file's NULL sum is genuine (it
+    // contributes nothing), and a sum over ONLY all-null files is NULL
+    val mpOn = s"$base/sumdecline_manifest_on"
+    Manifest.update(spark, dir, "t", Seq("id"), mpOn)
+    ManifestSql.register(spark, dir, "t", mpOn, "sdt2")
+    val q2 = spark.sql("SELECT sum(id) AS s FROM sdt2")
+    assert(scannedFiles(q2).isEmpty)
+    assert(q2.head.getLong(0) === 3L)
+    val qNullOnly = spark.sql("SELECT sum(id) AS s FROM sdt2 WHERE id IS NULL")
+    assert(qNullOnly.head.isNullAt(0), "SUM over no non-null values is NULL")
   }
 
   test("count of a NULL literal is 0, never the row count (round-15 advice)") {

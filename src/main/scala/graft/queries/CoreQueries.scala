@@ -1022,6 +1022,51 @@ object CoreQueries {
           |  AND o_orderdate <= DATE '1996-11-25'""".stripMargin)
     },
 
+    // GROUP BY metadata aggregates (round 16): per-group COUNT/SUM/MIN/MAX
+    // from stats when every file is single-valued on the group key — the
+    // reference's layer-2 validation shape (per-date partition counts,
+    // validator.py:572-592) at catalog speed. The scratch layout writes
+    // one file per order-year (single-valued by construction) plus one
+    // MIXED file holding the last two years: aligned years answer from
+    // per-file stats, only the mixed file aggregates in the scan leg, and
+    // the final combine merges the legs per group. The oracle recomputes
+    // per-year counts raw in DuckDB, so a group lost, double-counted, or
+    // mis-merged between legs breaks the hash; ManifestSqlSpec pins the
+    // scanned-file counts (0 aligned, mixed-only here).
+    "q202_manifest_groupby_agg" -> { (s, dir) =>
+      val scratch = scratchManifest("q202data", dir)
+      val mp = scratchManifest("q202manifest", dir)
+      val o = t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .select("o_year", "o_custkey", "o_totalprice")
+      // derive the year split from the fixture (its date range has moved
+      // across driver regenerations): every year but the last two gets
+      // its own single-valued file; the last two land MIXED in one file
+      val years = o.select("o_year").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val (aligned, mixed) = years.splitAt(math.max(1, years.length - 2))
+      aligned.zipWithIndex.foreach { case (y, i) =>
+        o.filter(col("o_year") === y).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$scratch/orders.parquet")
+      }
+      if (mixed.nonEmpty)
+        o.filter(col("o_year") >= mixed.min).coalesce(1)
+          .write.mode("append").parquet(s"$scratch/orders.parquet")
+      graft.sources.Manifest.update(s, scratch, "orders",
+        Seq("o_year", "o_custkey"), mp)
+      graft.sources.ManifestSql.register(s, scratch, "orders", mp,
+        "orders_m_grpby")
+      s.sql(
+        """SELECT o_year, count(*) AS n_rows,
+          |  sum(o_custkey) AS sum_cust,
+          |  CAST(min(o_custkey) AS STRING) AS min_cust,
+          |  CAST(max(o_custkey) AS STRING) AS max_cust
+          |FROM orders_m_grpby
+          |GROUP BY o_year
+          |ORDER BY o_year""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1731,6 +1776,18 @@ object CoreQueries {
         |FROM orders
         |WHERE o_orderdate >= DATE '1993-06-10'
         |  AND o_orderdate <= DATE '1996-11-25'""".stripMargin,
+
+    // Group-by-metadata twin: per-year counts recomputed raw — a group
+    // lost to the stats leg, double-counted across legs, or a wrong
+    // per-file sum breaks the hash.
+    "q202_manifest_groupby_agg" ->
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_cust,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_cust
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

@@ -366,7 +366,10 @@ object Manifest {
         case None => (null, null)
       }
     }
-    if (perBlock.exists(p => p._1 == null || p._2 == null)) (null, null)
+    // a ZERO-row-group file (an empty write) has no stats to fold — its
+    // zone map is null and its row count 0, so it never misleads a prune
+    if (perBlock.isEmpty ||
+        perBlock.exists(p => p._1 == null || p._2 == null)) (null, null)
     else (perBlock.map(_._1).reduce(minOf), perBlock.map(_._2).reduce(maxOf))
   }
 

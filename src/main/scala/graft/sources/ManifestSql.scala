@@ -969,8 +969,7 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get(EnabledConf, "true").toBoolean) return plan
     plan.transformDown {
-      case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-        rewrite(agg).getOrElse(agg)
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
   }
 
@@ -979,12 +978,23 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       (rel, conjuncts) <- statsChild(agg.child)
       h = rel.relation.asInstanceOf[HadoopFsRelation]
       if agg.aggregateExpressions.forall(_.deterministic)
+      // GROUP BY rides when every grouping expression is a bare relation
+      // attribute (round-15 verdict item 4 — the reference's layer-2
+      // per-date partition counts, validator.py:572-592); whether it is a
+      // manifest KEY is only knowable once the manifest schema loads
+      groupAttrs <- agg.groupingExpressions.foldLeft(
+        Option(Vector.empty[AttributeReference])) {
+        case (Some(acc), ar: AttributeReference)
+            if rel.outputSet.contains(ar) => Some(acc :+ ar)
+        case _ => None
+      }
       aggCalls = agg.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression => ae })
       if aggCalls.nonEmpty && aggCalls.forall(shapeSupported(_, rel))
       tbl <- h.options.get(ManifestSql.TableOption)
       mp = h.options(ManifestSql.PathOption)
-      replaced <- scala.util.Try(answer(mp, tbl, h, rel, conjuncts, agg)) match {
+      replaced <- scala.util.Try(
+        answer(mp, tbl, h, rel, conjuncts, agg, groupAttrs)) match {
         case scala.util.Failure(e) =>
           logWarning(s"manifest metadata-aggregate skipped for $tbl ($mp): $e")
           None
@@ -1039,7 +1049,8 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
 
   private def answer(manifestPath: String, table: String, h: HadoopFsRelation,
                      rel: LogicalRelation, conjuncts: Seq[Expression],
-                     agg: Aggregate): Option[LogicalPlan] = {
+                     agg: Aggregate,
+                     groupAttrs: Seq[AttributeReference]): Option[LogicalPlan] = {
     // fast-fail a missing manifest without burning the retry backoff
     val p = new HPath(manifestPath)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) return None
@@ -1066,8 +1077,21 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
               else CoverPartial
             (st, cover)
           }
-          val covered = classified.collect { case (st, CoverAll) => st }
-          val partialFiles = classified.collect { case (st, CoverPartial) => st }
+          if (groupAttrs.nonEmpty)
+            answerGrouped(agg, rel, h, groupAttrs, classified, keyFields)
+          else answerGlobal(agg, rel, h, classified, keyFields)
+        }
+      }
+    }
+  }
+
+  private def answerGlobal(agg: Aggregate, rel: LogicalRelation,
+                           h: HadoopFsRelation,
+                           classified: Seq[(FStat, Cover)],
+                           keyFields: Map[String, String]): Option[LogicalPlan] = {
+    val stats = classified.map(_._1)
+    val covered = classified.collect { case (st, CoverAll) => st }
+    val partialFiles = classified.collect { case (st, CoverPartial) => st }
           if (partialFiles.isEmpty) {
             var unanswerable = false
             val replaced = agg.aggregateExpressions.map { ne =>
@@ -1093,9 +1117,157 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
             }
           } else if (partialFiles.size == stats.size) None
           else hybrid(agg, rel, h, covered, partialFiles, keyFields)
+  }
+
+  /** GROUP BY metadata aggregates (round-15 verdict item 4): per-group
+    * COUNT/SUM/MIN/MAX answered from stats whenever every contributing
+    * file is SINGLE-VALUED on all group keys — min = max with zero nulls
+    * (the value names the group), or all-null (the NULL group) — the
+    * shape a date-laid-out table has by construction, and the
+    * reference's single most-run validation query (per-date partition
+    * counts, validator.py:572-592). Files that straddle the filter or
+    * hold multiple group values go to a scan leg; files the filter
+    * excludes are never touched; fully-aligned layouts answer with ZERO
+    * data I/O. Group discovery is bounded by the cataloged file count
+    * (one group needs at least one file), so the driver-side group map
+    * inherits the snapshot cap's envelope. */
+  private def answerGrouped(agg: Aggregate, rel: LogicalRelation,
+                            h: HadoopFsRelation,
+                            groupAttrs: Seq[AttributeReference],
+                            classified: Seq[(FStat, Cover)],
+                            keyFields: Map[String, String]): Option[LogicalPlan] = {
+    val gKeys = groupAttrs.map(a =>
+      keyFields.get(a.name.toLowerCase(java.util.Locale.ROOT)))
+    if (gKeys.exists(_.isEmpty)) return None
+    val keys = gKeys.map(_.get)
+    def nullsOf(st: FStat, k: String): Option[Long] = st.nulls.get(k) match {
+      case Some(l: java.lang.Long) => Some(l.longValue())
+      case _ => None
+    }
+    // Spark grouping normalizes -0.0 to 0.0 and treats NaNs as equal; the
+    // driver-side group map must merge the same way or a file pair
+    // single-valued on (-0.0, 0.0) would split one group into two
+    def norm(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => Double.box(0.0)
+      case f: java.lang.Float if f.floatValue() == 0.0f => Float.box(0.0f)
+      case o => o
+    }
+    /** The file's single group-value tuple, when provable from stats. */
+    def groupValue(st: FStat): Option[Vector[Any]] = {
+      val vals = keys.map { k =>
+        val mn = st.mins.getOrElse(k, null)
+        val mx = st.maxs.getOrElse(k, null)
+        nullsOf(st, k) match {
+          case Some(0L) if mn != null && mx != null &&
+              Manifest.ordCompare(mn, mx) == 0 => Some(norm(mn))
+          case Some(n) if n == st.rows => Some(null) // the NULL group
+          case _ => None
         }
       }
+      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toVector)
     }
+    val nonExcluded = classified.filter(_._2 != CoverNone)
+    val (statsFiles, scanFiles) = nonExcluded.partition { case (st, c) =>
+      c == CoverAll && (st.rows == 0L || groupValue(st).isDefined) }
+    val calls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae }).distinct
+    val statsGroups: Map[Vector[Any], Seq[FStat]] = statsFiles
+      .collect { case (st, _) if st.rows > 0L => (groupValue(st).get, st) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val groupVals: Map[Vector[Any], Seq[Option[Literal]]] =
+      statsGroups.map { case (g, fs) =>
+        g -> calls.map(ae => aggValue(ae, fs, keyFields)) }
+    if (groupVals.valuesIterator.exists(_.exists(_.isEmpty))) None
+    else if (scanFiles.isEmpty) {
+      // pure stats: one LocalRelation row per group, output exprIds kept.
+      // Agg calls replace TOP-DOWN (so the call is still the original
+      // instance `calls` indexes), then remaining group-attr references —
+      // bare outputs or wrappers like CAST(g) — substitute bottom-up.
+      val gIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
+      val rows = statsGroups.keysIterator.map { g =>
+        InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
+          val substituted = ne.transformDown {
+            case ae: AggregateExpression => groupVals(g)(calls.indexOf(ae)).get
+          }.transformUp {
+            case a: AttributeReference if gIdx.contains(a.exprId) =>
+              Literal.create(g(gIdx(a.exprId)), a.dataType)
+          }
+          val e = substituted match { case Alias(c, _) => c; case o => o }
+          e.eval(InternalRow.empty)
+        })
+      }.toSeq
+      Some(LocalRelation(agg.output, rows))
+    } else if (scanFiles.size == classified.size) None // nothing saved
+    else hybridGrouped(agg, rel, h, groupAttrs, calls, statsGroups,
+      groupVals, scanFiles.map(_._1))
+  }
+
+  /** Grouped hybrid: stats-answerable groups ride a LocalRelation leg,
+    * straddling/multi-valued files aggregate in a pruned scan leg, and a
+    * final Aggregate over the union re-combines per group. The union's
+    * output reuses the scan leg's attribute ids, so the original
+    * grouping attributes and output exprIds survive untouched. */
+  private def hybridGrouped(agg: Aggregate, rel: LogicalRelation,
+                            h: HadoopFsRelation,
+                            groupAttrs: Seq[AttributeReference],
+                            calls: Seq[AggregateExpression],
+                            statsGroups: Map[Vector[Any], Seq[FStat]],
+                            groupVals: Map[Vector[Any], Seq[Option[Literal]]],
+                            scanFiles: Seq[FStat]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
+    val keepSet = scanFiles.map(st => ManifestSql.normPath(st.path)).toSet
+    val bytes =
+      if (scanFiles.nonEmpty && scanFiles.forall(_.bytes.isDefined))
+        Some(scanFiles.iterator.flatMap(_.bytes).sum)
+      else None
+    val newRel = h.copy(
+      location = new ManifestPrunedFileIndex(h.location, keepSet, bytes),
+      options = h.options - ManifestSql.PathOption - ManifestSql.TableOption)(spark)
+    val prunedChild = agg.child.transformDown {
+      case l: LogicalRelation if l.eq(rel) => l.copy(relation = newRel)
+    }
+    val legAliases = calls.zipWithIndex.map { case (ae, i) =>
+      Alias(ae, s"__leg$i")() }
+    val scanLeg = Aggregate(groupAttrs,
+      groupAttrs.map(a => a: NamedExpression) ++ legAliases, prunedChild)
+    val statsGroupAttrs = groupAttrs.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    val statsLegAttrs = calls.zipWithIndex.map { case (ae, i) =>
+      AttributeReference(s"__leg$i", ae.dataType, nullable = true)() }
+    val statsRows = statsGroups.iterator.map { case (g, _) =>
+      InternalRow.fromSeq(
+        g.zip(groupAttrs).map { case (v, a) => Literal.create(v, a.dataType).value } ++
+          groupVals(g).map(_.get.value))
+    }.toSeq
+    val statsLeg = LocalRelation(statsGroupAttrs ++ statsLegAttrs, statsRows)
+    val union = Union(Seq(scanLeg, statsLeg))
+    // union output reuses the FIRST child's exprIds: positions 0..nG-1 are
+    // the original group attrs, the rest are the leg aliases
+    val unionOut = union.output
+    val legOut = unionOut.drop(groupAttrs.size)
+    val combineOf: Map[AggregateExpression, Expression] =
+      calls.zip(legOut).map { case (ae, leg) =>
+        val comb: Expression = ae.aggregateFunction match {
+          case Count(_) =>
+            Coalesce(Seq(Sum(leg).toAggregateExpression(), Literal(0L)))
+          case _: Min => Min(leg).toAggregateExpression()
+          case _: Max => Max(leg).toAggregateExpression()
+          case _: Sum =>
+            val s = Sum(leg).toAggregateExpression()
+            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
+          case _ => ae // unreachable behind shapeSupported
+        }
+        ae -> comb
+      }.toMap
+    // transformUp, like the global hybrid: bottom-up replaces the ORIGINAL
+    // call (top-down would recurse into the combiner's own new Sum call
+    // and miss the map)
+    val combined = agg.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae: AggregateExpression => combineOf.getOrElse(ae, ae)
+      }.asInstanceOf[NamedExpression]
+    }
+    Some(Aggregate(unionOut.take(groupAttrs.size), combined, union))
   }
 
   /** PARTIAL-coverage metadata aggregates (round 15): real predicates

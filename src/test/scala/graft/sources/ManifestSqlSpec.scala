@@ -1076,6 +1076,67 @@ class ManifestSqlSpec extends SparkSpec {
     assert(qNullOnly.head.isNullAt(0), "SUM over no non-null values is NULL")
   }
 
+  test("GROUP BY a single-valued-per-file key answers from stats (round-15 item 4)") {
+    import spark.implicits._
+    // date-laid-out shape: one file per day value, plus one MIXED file
+    // holding two days and one file with NULL days — per-group answers
+    // come from stats for aligned files, the mixed file aggregates in a
+    // scan leg, and the NULL group rides like any other
+    val dir = s"$base/grpdata"
+    Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("day", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq((10L, 4L), (10L, 5L)).toDF("day", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq((20L, 6L), (20L, 7L)).toDF("day", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq((30L, 8L), (40L, 9L)).toDF("day", "x").coalesce(1) // mixed: scans
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, java.lang.Long)]((null, 10L), (null, 11L))
+      .toDF("day", "x").coalesce(1) // the NULL group, single-valued
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val gmp = s"$base/grpmanifest"
+    Manifest.update(spark, dir, "t", Seq("day", "x"), gmp)
+    ManifestSql.register(spark, dir, "t", gmp, "grp")
+    val sql =
+      """SELECT day, count(*) AS n, count(day) AS nd, sum(x) AS sx,
+        |  min(x) AS lo, max(x) AS hi
+        |FROM grp GROUP BY day ORDER BY day""".stripMargin
+    val q = spark.sql(sql)
+    assert(scannedFiles(q).length === 1,
+      "only the mixed-day file may scan; aligned files answer from stats")
+    val got = q.collect().map(_.toSeq)
+    assert(got.toSeq === Seq(
+      Seq(null, 2L, 0L, 21L, 10L, 11L), // the NULL group (stats-answered), NULLS FIRST
+      Seq(10L, 5L, 5L, 15L, 1L, 5L),    // two aligned files merge into one group
+      Seq(20L, 2L, 2L, 13L, 6L, 7L),
+      Seq(30L, 1L, 1L, 8L, 8L, 8L),     // from the scan leg
+      Seq(40L, 1L, 1L, 9L, 9L, 9L)      // from the scan leg
+    ), got.mkString("; "))
+    // fully-aligned slice: a filter excluding the mixed file scans NOTHING
+    val qAligned = spark.sql(
+      "SELECT day, count(*) AS n FROM grp WHERE day <= 20 GROUP BY day ORDER BY day")
+    assert(scannedFiles(qAligned).isEmpty, "aligned group-by must be zero-scan")
+    assert(qAligned.collect().map(_.toSeq).toSeq ===
+      Seq(Seq(10L, 5L), Seq(20L, 2L)))
+    // expressions of the group key ride along (pure and hybrid paths)
+    val qExpr = spark.sql(
+      "SELECT CAST(day AS STRING) AS d, count(*) AS n FROM grp WHERE day <= 20 GROUP BY day ORDER BY d")
+    assert(scannedFiles(qExpr).isEmpty)
+    assert(qExpr.collect().map(_.toSeq).toSeq ===
+      Seq(Seq("10", 5L), Seq("20", 2L)))
+    // a non-key grouping column declines to the ordinary scan
+    val qNonKey = spark.sql(
+      "SELECT x, count(*) AS n FROM grp GROUP BY x HAVING x = 1 ORDER BY x")
+    assert(qNonKey.collect().map(_.toSeq).toSeq === Seq(Seq(1L, 1L)))
+    // the kill switch declines the grouped rewrite too
+    spark.conf.set("graft.manifest.metadataAgg", "false")
+    try {
+      val qOff = spark.sql(sql)
+      assert(scannedFiles(qOff).length === 5)
+      assert(qOff.collect().map(_.toSeq).toSeq === got.toSeq)
+    } finally spark.conf.unset("graft.manifest.metadataAgg")
+  }
+
   test("count of a NULL literal is 0, never the row count (round-15 advice)") {
     // `count(NULL)` — or any count whose argument constant-folds to null —
     // used to match the Count(Literal) shape and be rewritten to the

@@ -1067,6 +1067,34 @@ object CoreQueries {
           |ORDER BY o_year""".stripMargin)
     },
 
+    // Filter × top-k composition (round 16): `WHERE … ORDER BY key DESC
+    // LIMIT n` — the "latest N events since X" dashboard shape — over the
+    // range-partitioned layout. The filter's coverage classes drive the
+    // guarantee sweep: files the date bound excludes drop, fully-covered
+    // files keep their row-count guarantees, the straddled boundary file
+    // scans with zero guarantee — so the top-100 reads one or two files
+    // instead of the table. The oracle recomputes raw (unique o_orderkey
+    // tiebreak keeps the row set deterministic), so a file wrongly
+    // skipped under the composed filter breaks the hash; ManifestSqlSpec
+    // pins the per-class scanned-file counts.
+    "q203_manifest_filter_topk" -> { (s, dir) =>
+      val scratch = scratchManifest("q203data", dir)
+      val mp = scratchManifest("q203manifest", dir)
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+      graft.sources.Manifest.update(s, scratch, "orders",
+        Seq("o_orderdate", "o_custkey"), mp)
+      graft.sources.ManifestSql.register(s, scratch, "orders", mp,
+        "orders_m_ftopk")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_orderdate AS STRING) AS od, o_custkey
+          |FROM orders_m_ftopk
+          |WHERE o_orderdate >= DATE '1995-06-01'
+          |ORDER BY o_orderdate DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1788,6 +1816,16 @@ object CoreQueries {
         |FROM orders
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // Filter-top-k twin: the raw table recomputed with the same bound —
+    // a file the composed sweep wrongly skipped drops a late date from
+    // the filtered top-100 and breaks the hash.
+    "q203_manifest_filter_topk" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od, o_custkey
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-06-01'
+        |ORDER BY o_orderdate DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —
     // byte-identical to Spark HEX(BIGINT); fixture keys fit every mask

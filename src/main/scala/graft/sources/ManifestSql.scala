@@ -1065,7 +1065,7 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       val manFiles = stats.iterator.map(s => ManifestSql.normPath(s.path)).toSet
       if (relFiles != manFiles) None
       else {
-        val compiled = conjuncts.map(compileConjunct(_, rel, keyFields))
+        val compiled = conjuncts.map(compileConjunct(_, rel.outputSet, keyFields))
         if (compiled.exists(_.isEmpty)) None
         else {
           val fns = compiled.map(_.get)
@@ -1349,12 +1349,14 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** One filter conjunct → a per-file coverage classifier, or None for
     * any shape whose full-file coverage cannot be decided from zone maps
     * (monotone wrappers, IN-lists, ORs — the PRUNE rules handle those;
-    * coverage needs tighter proofs than overlap). */
-  private def compileConjunct(e: Expression, rel: LogicalRelation,
-                              keyFields: Map[String, String])
+    * coverage needs tighter proofs than overlap). `private[sources]`:
+    * [[ManifestTopKRule]] classifies its walked-through Filter conjuncts
+    * with the exact same semantics (round-15 verdict item 5). */
+  private[sources] def compileConjunct(e: Expression, relOut: AttributeSet,
+                                       keyFields: Map[String, String])
       : Option[FStat => Cover] = {
     def key(a: Expression): Option[String] = a match {
-      case ar: AttributeReference if rel.outputSet.contains(ar) =>
+      case ar: AttributeReference if relOut.contains(ar) =>
         keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
       case _ => None
     }
@@ -1549,6 +1551,16 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
   * and contribute no guarantees. If the guarantees never reach `n`, the
   * plan is returned unchanged.
   *
+  * Filters compose (round-15 verdict item 5 — `WHERE … ORDER BY …
+  * LIMIT n` is the dashboard shape): each walked-through Filter conjunct
+  * classifies every file with the agg rule's coverage semantics. A
+  * FULLY-COVERED file keeps its row-count guarantee (every row passes
+  * the filter); a PARTIAL file stays scanned but guarantees nothing; an
+  * EXCLUDED file drops outright — and the threshold argument still
+  * holds, because the n guaranteed rows themselves pass the filter, so
+  * any file whose whole range sits past T cannot contribute a filtered
+  * top-n row either.
+  *
   * Gates, each declining to the unchanged plan:
   *  - the sort prefix is a bare relation attribute that is a manifest
   *    key, in Spark's DEFAULT null placement (DESC NULLS LAST / ASC
@@ -1557,14 +1569,17 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
   *    bound, except ASC NULLS FIRST which accounts nulls as sorting
   *    before every value);
   *  - the path from sort to relation crosses only DETERMINISTIC
-  *    Projects (1:1 row-local — row counts survive); any Filter breaks
-  *    the row-count guarantee and declines;
+  *    Projects and Filters whose every conjunct the coverage classifier
+  *    understands (an unclassifiable conjunct could hide a partial file
+  *    inside a "guaranteed" count, so it declines whole);
+  *  - the manifest catalogs EXACTLY the relation's current files;
   *  - `graft.manifest.topkPrune=false` turns the rule off.
   *
   * Same maintained-catalog contract as the prune rules: once skipping
   * engages, a file the manifest does not know is not scanned — `update`
   * at write time is what keeps that lossless. */
-case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -1594,7 +1609,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def pruneTopK(n: Int, head: SortOrder,
                         child: LogicalPlan): Option[LogicalPlan] =
     for {
-      rel <- projectedRelation(child)
+      (rel, conjuncts) <- chainToRelation(child)
       h = rel.relation.asInstanceOf[HadoopFsRelation]
       attr <- head.child match {
         case ar: AttributeReference if rel.outputSet.contains(ar) => Some(ar)
@@ -1606,7 +1621,8 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (!desc && head.nullOrdering == NullsFirst)
       tbl <- h.options.get(ManifestSql.TableOption)
       mp = h.options(ManifestSql.PathOption)
-      keep <- scala.util.Try(survivors(mp, tbl, h, attr, desc, n)) match {
+      keep <- scala.util.Try(
+        survivors(mp, tbl, h, rel, conjuncts, attr, desc, n)) match {
         case scala.util.Failure(e) =>
           logWarning(s"manifest top-k pruning skipped for $tbl ($mp): $e")
           None
@@ -1623,16 +1639,23 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** The marked relation under deterministic Projects only — a Project
-    * is 1:1 row-local, so per-file row counts survive it; a Filter (or
-    * anything wider) breaks the guarantee arithmetic and declines. */
-  private def projectedRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+  /** The marked relation under deterministic Projects and Filters, plus
+    * every Filter conjunct crossed. A Project is 1:1 row-local, so
+    * per-file row counts survive it; a Filter's effect on those counts is
+    * reconstructed per file by the coverage classifier (fully-covered
+    * files keep their guarantee, partial files guarantee nothing);
+    * anything wider declines. */
+  private def chainToRelation(p: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
     case l @ LogicalRelation(h: HadoopFsRelation, _, _, _, _)
         if h.options.contains(ManifestSql.PathOption) &&
           h.options.contains(ManifestSql.TableOption) && !l.isStreaming =>
-      Some(l)
+      Some((l, Seq.empty))
     case pj @ Project(_, c) if pj.projectList.forall(_.deterministic) =>
-      projectedRelation(c)
+      chainToRelation(c)
+    case Filter(c, child) if c.deterministic =>
+      chainToRelation(child).map { case (l, fs) =>
+        (l, splitConjunctivePredicates(c) ++ fs) }
     case _ => None
   }
 
@@ -1644,7 +1667,8 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * `ORDER BY … LIMIT` results — the one rule in the family that could
     * lose rows to a stale catalog; the agg rule always had this guard). */
   private def survivors(manifestPath: String, table: String,
-                        h: HadoopFsRelation,
+                        h: HadoopFsRelation, rel: LogicalRelation,
+                        conjuncts: Seq[Expression],
                         attr: AttributeReference, desc: Boolean,
                         n: Int): Option[(Seq[String], Option[Long])] = {
     // fast-fail a missing manifest without burning the retry backoff
@@ -1653,11 +1677,27 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Manifest.withReadRetry() {
       val (keyFields, _, stats) =
         ManifestStats.tableStats(spark, manifestPath, table)
+      // every Filter conjunct must classify, or a partial file could hide
+      // inside a "guaranteed" count (shared compiler with the agg rule)
+      val fns = conjuncts.map(
+        ManifestAggRule(spark).compileConjunct(_, rel.outputSet, keyFields))
       val relFiles = h.location.inputFiles.iterator.map(ManifestSql.normPath).toSet
       val manFiles = stats.iterator.map(s => ManifestSql.normPath(s.path)).toSet
       val complete = relFiles == manFiles
       keyFields.get(attr.name.toLowerCase(java.util.Locale.ROOT))
-        .filter(_ => complete).flatMap { k =>
+        .filter(_ => complete && !fns.exists(_.isEmpty)).flatMap { k =>
+        def cover(st: FStat): Cover = {
+          val cs = fns.map(_.get(st))
+          if (cs.contains(CoverNone)) CoverNone
+          else if (cs.forall(_ == CoverAll)) CoverAll
+          else CoverPartial
+        }
+        val classified = stats.map(st => (st, cover(st)))
+        // excluded files drop outright; guarantees come ONLY from
+        // fully-covered files (their every row passes the filter);
+        // partial files stay candidates but guarantee nothing
+        val alive = classified.collect { case (st, c) if c != CoverNone => st }
+        val full = classified.collect { case (st, CoverAll) => st }
         def mn(st: FStat): Any = st.mins.getOrElse(k, null)
         def mx(st: FStat): Any = st.maxs.getOrElse(k, null)
         def nulls(st: FStat): Option[Long] = st.nulls.get(k) match {
@@ -1673,17 +1713,18 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
             yield (bound, cnt)
         }
         if (!desc) {
-          // ASC NULLS FIRST: every known NULL key sorts before all values
-          val nullRegion = stats.iterator.flatMap(nulls).sum
+          // ASC NULLS FIRST: every known NULL key in a covered file sorts
+          // before all values AND passes the filter
+          val nullRegion = full.iterator.flatMap(nulls).sum
           if (nullRegion >= n) {
-            // the top-n is null-keyed: only files that may HOLD a null
-            // survive (unknown null counts keep the file)
-            val keep = stats.filter(st => !nulls(st).contains(0L) || st.rows == 0L)
+            // the top-n is null-keyed: only candidates that may HOLD a
+            // null survive (unknown null counts keep the file)
+            val keep = alive.filter(st => !nulls(st).contains(0L) || st.rows == 0L)
             keepResult(stats, keep)
           } else {
-            threshold(stats.flatMap(guarantee), n - nullRegion, descending = false)
+            threshold(full.flatMap(guarantee), n - nullRegion, descending = false)
               .flatMap { t =>
-                val keep = stats.filter { st =>
+                val keep = alive.filter { st =>
                   val lo = mn(st)
                   // unknown stats keep; a known min past T with no nulls
                   // cannot reach the top
@@ -1696,8 +1737,8 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         } else {
           // DESC NULLS LAST: nulls sort after everything — an all-null
           // file is skippable once n rows are guaranteed above T
-          threshold(stats.flatMap(guarantee), n, descending = true).flatMap { t =>
-            val keep = stats.filter { st =>
+          threshold(full.flatMap(guarantee), n, descending = true).flatMap { t =>
+            val keep = alive.filter { st =>
               val hi = mx(st)
               !((hi != null && Manifest.ordCompare(hi, t) < 0) || allNull(st))
             }

@@ -1003,7 +1003,9 @@ class ManifestSqlSpec extends SparkSpec {
     val q5 = spark.sql("SELECT id FROM mt ORDER BY id DESC NULLS FIRST LIMIT 5")
     assert(scannedFiles(q5).length === 5)
     assert(q5.count() === 5L)
-    // a Filter between sort and relation breaks the row-count guarantee
+    // an UNCLASSIFIABLE filter conjunct (non-key column, <> shape)
+    // declines whole — a partial file could hide inside a "guaranteed"
+    // count
     val q6 = spark.sql(
       "SELECT id FROM mt WHERE v <> 'v4' ORDER BY id DESC LIMIT 5")
     assert(scannedFiles(q6).length === 5, "filtered counts can't guarantee")
@@ -1151,6 +1153,46 @@ class ManifestSqlSpec extends SparkSpec {
     // the non-null literal forms still answer joblessly
     val q1 = spark.sql("SELECT count(1) AS n FROM mt")
     assert(scannedFiles(q1).isEmpty && q1.head.getLong(0) === 500L)
+  }
+
+  test("WHERE plus ORDER BY LIMIT composes: coverage classes drive the sweep (round-15 item 5)") {
+    // the dashboard shape — WHERE key >= X ORDER BY key DESC LIMIT n.
+    // Files the filter EXCLUDES drop; FULLY-COVERED files keep their
+    // row-count guarantees (every row passes); a PARTIAL boundary file
+    // stays scanned but guarantees nothing. On the mt fixture
+    // (f0..f4 = id ranges [0,99]..[400,499]):
+    //  - id >= 150 excludes f0, straddles f1, covers f2..f4
+    //  - DESC LIMIT 10 is guaranteed inside f4 alone → 1 file scanned
+    val q = spark.sql(
+      "SELECT id FROM mt WHERE id >= 150 ORDER BY id DESC LIMIT 10")
+    assert(scannedFiles(q).length === 1, "top 10 of the filtered set live in f4")
+    assert(q.collect().map(_.getLong(0)).toSeq === (490L to 499L).reverse)
+    // LIMIT spanning two files keeps exactly those two
+    val q2 = spark.sql(
+      "SELECT id FROM mt WHERE id >= 150 ORDER BY id DESC LIMIT 150")
+    assert(scannedFiles(q2).length === 2)
+    assert(q2.count() === 150L)
+    // ascending: the excluded f0 drops, the PARTIAL f1 must still scan
+    // (its surviving rows 150..199 lead the filtered ascending order) —
+    // it contributes no guarantee, so f2 is kept to cover n
+    val q3 = spark.sql(
+      "SELECT id FROM mt WHERE id >= 150 ORDER BY id ASC LIMIT 5")
+    val f3 = scannedFiles(q3)
+    assert(f3.length === 2, s"partial f1 + first covered f2: $f3")
+    assert(q3.collect().map(_.getLong(0)).toSeq === (150L to 154L))
+    // an upper bound composes the same way: f3/f4 EXCLUDE outright, the
+    // straddled f2 scans (it holds the filtered top), and f1 — whose
+    // guarantee bound is its MIN, setting T=100 — stays conservatively
+    val q4 = spark.sql(
+      "SELECT id FROM mt WHERE id <= 250 ORDER BY id DESC LIMIT 5")
+    val f4 = scannedFiles(q4)
+    assert(f4.length === 2, s"straddled f2 + threshold-kept f1: $f4")
+    assert(q4.collect().map(_.getLong(0)).toSeq === (246L to 250L).reverse)
+    // correctness across the board vs the raw recompute
+    val raw = spark.read.parquet(s"$dataDir/t.parquet")
+      .filter(col("id") >= 150).orderBy(col("id").desc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(q.collect().map(_.getLong(0)).toSeq === raw)
   }
 
   test("top-k pruning declines on a stale catalog instead of dropping late files") {

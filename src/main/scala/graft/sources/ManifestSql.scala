@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{Path => HPath}
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -918,38 +918,262 @@ private[sources] final case class FStat(path: String, rows: Long,
     bytes: Option[Long], mins: Map[String, Any], maxs: Map[String, Any],
     nulls: Map[String, Any], sums: Map[String, Any] = Map.empty)
 
-/** Shared driver-side stats reader for the stats-answering rules: one
-  * table's manifest rows as [[FStat]]s plus the key-field map — served
-  * from the [[ManifestSnapshot]] when small (jobless), a distributed
-  * manifest scan beyond it. */
+/** Shared stats access for the stats-answering rules.
+  *
+  * SMALL catalogs ([[ManifestSnapshot]] available) serve one table's rows
+  * as driver-side [[FStat]]s — jobless. PAST the snapshot cap the rules
+  * must NOT materialize per-file stats on the driver (round-15 verdict
+  * item 1: the old fallback collected one FStat per data file at PLANNING
+  * time, unbounded — GBs of driver heap at a 10M-file table): instead the
+  * classification and stat folding run as DISTRIBUTED planning-time jobs
+  * over the manifest, the driver receives ONE folded summary plus a
+  * CAPPED partial-path list, and results are MEMOIZED per (manifest
+  * file-set signature, table, canonicalized predicate, query shape) —
+  * the dim-key memo's discipline — so a dashboard re-issuing the same
+  * metadata query pays the jobs once and `manifest --update` invalidates
+  * by landing new part names. */
 private[sources] object ManifestStats {
-  def tableStats(spark: SparkSession, manifestPath: String, table: String)
-      : (Map[String, String], Boolean, IndexedSeq[FStat]) = {
-    val manifest = ManifestSnapshot.localManifest(spark, manifestPath)
-      .getOrElse(spark.read.parquet(manifestPath))
-    val keyFields = manifest.schema("mins").dataType.asInstanceOf[StructType]
+
+  /** Session conf: largest driver-side list (partial-file paths, top-k
+    * keep lists, guarantee rows) the distributed stats path will
+    * materialize. Past the cap the rewrite declines to the ordinary
+    * scan — cost, never rows. */
+  val MaxDriverPathsConf = "graft.manifest.statsMaxDriverPaths"
+  val MaxDriverPathsDefault = 100000
+
+  /** Distributed-answer memo — access-ordered LRU, keys carry the
+    * manifest signature so maintenance invalidates by construction. */
+  private val memo: java.util.Map[Any, Any] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Any, Any](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Any, Any]): Boolean = size() > 64
+      })
+
+  private[sources] def memoized[T](key: Any)(compute: => T): T = {
+    val hit = memo.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = compute
+      memo.put(key, v)
+      v
+    }
+  }
+
+  private def schemaBits(schema: StructType)
+      : (Map[String, String], Boolean, Boolean, Seq[Column]) = {
+    val keyFields = schema("mins").dataType.asInstanceOf[StructType]
       .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
-    val hasNulls = manifest.schema.fieldNames.contains("nulls")
-    val hasSums = manifest.schema.fieldNames.contains(Manifest.SumsColumn)
+    val hasNulls = schema.fieldNames.contains("nulls")
+    val hasSums = schema.fieldNames.contains(Manifest.SumsColumn)
     val projected =
       Seq(col("path"), col("rows"), col("bytes"), col("mins"), col("maxs")) ++
         (if (hasNulls) Seq(col("nulls")) else Nil) ++
         (if (hasSums) Seq(col(Manifest.SumsColumn)) else Nil)
-    def structMap(r: Row, i: Int): Map[String, Any] = {
+    (keyFields, hasNulls, hasSums, projected)
+  }
+
+  private[sources] def toFStat(r: Row, hasNulls: Boolean, hasSums: Boolean): FStat = {
+    def structMap(i: Int): Map[String, Any] = {
       val sr = if (r.isNullAt(i)) null else r.getStruct(i)
       if (sr == null) Map.empty
       else sr.schema.fieldNames.iterator.zipWithIndex
         .map { case (n, j) => n -> sr.get(j) }.toMap
     }
-    val stats = manifest.filter(col("table") === table)
-      .select(projected: _*).collect()
-      .map(r => FStat(r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)),
-        structMap(r, 3), structMap(r, 4),
-        if (hasNulls) structMap(r, 5) else Map.empty,
-        if (hasSums) structMap(r, if (hasNulls) 6 else 5) else Map.empty))
-      .toIndexedSeq
-    (keyFields, hasNulls, stats)
+    FStat(r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      structMap(3), structMap(4),
+      if (hasNulls) structMap(5) else Map.empty,
+      if (hasSums) structMap(if (hasNulls) 6 else 5) else Map.empty)
+  }
+
+  /** One table's stats as driver [[FStat]]s, ONLY when the snapshot is
+    * available (jobless). None past the cap — callers must then use the
+    * distributed primitives instead of collecting. */
+  def localStats(spark: SparkSession, manifestPath: String, table: String)
+      : Option[(Map[String, String], Boolean, IndexedSeq[FStat])] =
+    ManifestSnapshot.localManifest(spark, manifestPath).map { manifest =>
+      val (keyFields, hasNulls, hasSums, projected) = schemaBits(manifest.schema)
+      val stats = manifest.filter(col("table") === table)
+        .select(projected: _*).collect()
+        .map(toFStat(_, hasNulls, hasSums))
+        .toIndexedSeq
+      (keyFields, hasNulls, stats)
+    }
+
+  /** The manifest's schema, memoized per file-set signature — parquet
+    * schema INFERENCE itself launches a footer-read job over a multi-file
+    * directory, which would otherwise recur on every planned query. */
+  private def manifestSchema(spark: SparkSession, manifestPath: String): StructType = {
+    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
+    memoized(("schema", sigKey, sig)) {
+      spark.read.parquet(manifestPath).schema
+    }
+  }
+
+  /** Lazy distributed [[FStat]] scan for one table — building it runs no
+    * job (the schema comes memoized, skipping inference); each action over
+    * the returned RDD is a planning-time job whose RESULT the caller
+    * memoizes. */
+  def fstats(spark: SparkSession, manifestPath: String, table: String)
+      : (Map[String, String], Boolean, org.apache.spark.rdd.RDD[FStat]) = {
+    val schema = manifestSchema(spark, manifestPath)
+    val df = spark.read.schema(schema).parquet(manifestPath)
+      .filter(col("table") === table)
+    val (keyFields, hasNulls, hasSums, projected) = schemaBits(schema)
+    val rdd = df.select(projected: _*).rdd.map(toFStat(_, hasNulls, hasSums))
+    (keyFields, hasNulls, rdd)
+  }
+
+  /** Order-independent fingerprint of the relation's file listing, for
+    * completeness-memo keys (the relation side can change independently
+    * of the manifest signature). */
+  private def listingFingerprint(relFiles: Array[String]): (Int, Long) =
+    (relFiles.length, relFiles.foldLeft(0L) { (h, p) =>
+      h ^ (scala.util.hashing.MurmurHash3
+        .stringHash(ManifestSql.normPath(p)).toLong & 0xffffffffL)
+    })
+
+  /** Distributed completeness: the manifest catalogs EXACTLY the
+    * relation's current files. Two except-probes (set difference each
+    * way), memoized per (signature, table, listing fingerprint). */
+  def complete(spark: SparkSession, manifestPath: String, table: String,
+               relFiles: Array[String]): Boolean = {
+    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
+    memoized(("complete", sigKey, sig, table, listingFingerprint(relFiles))) {
+      val man = spark.read.schema(manifestSchema(spark, manifestPath))
+        .parquet(manifestPath)
+        .filter(col("table") === table).select(col("path"))
+        .as(Encoders.STRING).map(p => ManifestSql.normPath(p))(Encoders.STRING)
+      val rel = spark.createDataset(
+        relFiles.toIndexedSeq.map(ManifestSql.normPath))(Encoders.STRING)
+      man.except(rel).isEmpty && rel.except(man).isEmpty
+    }
+  }
+}
+
+/** Per-column stat fold over COVERED files — the distributed twin of the
+  * driver path's per-call [[ManifestAggRule]] aggValue semantics, kept
+  * value-identical by AggStatsFoldSpec's small/large differential. */
+private[sources] final case class ColFold(
+    cntKnown: Boolean = true, cnt: Long = 0L,
+    mnUnknowable: Boolean = false, mn: Option[Any] = None,
+    mxUnknowable: Boolean = false, mx: Option[Any] = None,
+    smUnknowable: Boolean = false, sm: Option[Any] = None) {
+
+  def add(st: FStat, k: String): ColFold = {
+    def nullsOf: Option[Long] = st.nulls.get(k) match {
+      case Some(l: java.lang.Long) => Some(l.longValue())
+      case _ => None
+    }
+    val allNull = nullsOf.contains(st.rows)
+    val (ck, c) =
+      if (st.rows == 0L) (cntKnown, cnt)
+      else nullsOf match {
+        case Some(n) => (cntKnown, cnt + (st.rows - n))
+        case None => (false, cnt)
+      }
+    def ext(side: Map[String, Any], cur: Option[Any], unk: Boolean,
+            takeMin: Boolean): (Boolean, Option[Any]) = {
+      val v = side.getOrElse(k, null)
+      if (v != null) (unk, Some(cur.fold(v)(c0 =>
+        if (takeMin == (Manifest.ordCompare(c0, v) <= 0)) c0 else v)))
+      else if (st.rows == 0L || allNull) (unk, cur)
+      else (true, cur)
+    }
+    val (mnU, mn2) = ext(st.mins, mn, mnUnknowable, takeMin = true)
+    val (mxU, mx2) = ext(st.maxs, mx, mxUnknowable, takeMin = false)
+    val (smU, sm2) = {
+      val v = st.sums.getOrElse(k, null)
+      if (v != null)
+        (smUnknowable, ColFold.addContrib(sm, ColFold.toExact(v)))
+      else if (st.rows == 0L || allNull) (smUnknowable, sm)
+      else (true, sm)
+    }
+    ColFold(ck, c, mnU, mn2, mxU, mx2, smU, sm2)
+  }
+
+  def merge(o: ColFold): ColFold = {
+    def mergeExt(a: Option[Any], b: Option[Any], takeMin: Boolean): Option[Any] =
+      (a, b) match {
+        case (Some(x), Some(y)) =>
+          Some(if (takeMin == (Manifest.ordCompare(x, y) <= 0)) x else y)
+        case (x, None) => x
+        case (None, y) => y
+      }
+    ColFold(cntKnown && o.cntKnown, cnt + o.cnt,
+      mnUnknowable || o.mnUnknowable, mergeExt(mn, o.mn, takeMin = true),
+      mxUnknowable || o.mxUnknowable, mergeExt(mx, o.mx, takeMin = false),
+      smUnknowable || o.smUnknowable,
+      (sm, o.sm) match {
+        case (Some(x), Some(y)) => Some(ColFold.addExactVals(x, y))
+        case (x, None) => x
+        case (None, y) => y
+      })
+  }
+}
+
+private[sources] object ColFold {
+  /** Per-file sum contribution in an EXACT accumulator type: integral
+    * sums fold in BigInt (no mid-fold overflow — the driver's bounds
+    * check happens once at answer assembly), decimals in BigDecimal,
+    * doubles stay double (Spark's own partial aggregation has the same
+    * order-dependent rounding). */
+  def toExact(v: Any): Any = v match {
+    case l: java.lang.Long => BigInt(l.longValue())
+    case d: java.math.BigDecimal => d
+    case d: java.lang.Double => d
+    case o => o
+  }
+  def addExactVals(a: Any, b: Any): Any = (a, b) match {
+    case (x: BigInt, y: BigInt) => x + y
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      Double.box(x.doubleValue() + y.doubleValue())
+    case _ => a
+  }
+  def addContrib(cur: Option[Any], v: Any): Option[Any] =
+    Some(cur.fold(v)(c => addExactVals(c, v)))
+}
+
+/** Folded distributed classification: one row back to the driver. */
+private[sources] final case class StatsSummary(
+    total: Long = 0L, coveredRows: Long = 0L, noneCount: Long = 0L,
+    partialCount: Long = 0L,
+    partialFiles: Vector[(String, Option[Long])] = Vector.empty,
+    partialOverflow: Boolean = false,
+    cols: Map[String, ColFold] = Map.empty) {
+
+  def add(st: FStat, cover: Cover, needCols: Seq[String], cap: Int): StatsSummary =
+    cover match {
+      case CoverNone => copy(total = total + 1, noneCount = noneCount + 1)
+      case CoverPartial =>
+        val over = partialOverflow || partialFiles.size >= cap
+        copy(total = total + 1, partialCount = partialCount + 1,
+          partialFiles =
+            if (over) partialFiles else partialFiles :+ (st.path, st.bytes),
+          partialOverflow = over)
+      case CoverAll =>
+        // cols only ever holds the needed key columns
+        copy(total = total + 1, coveredRows = coveredRows + st.rows,
+          cols = needCols.map(k =>
+            k -> cols.getOrElse(k, ColFold()).add(st, k)).toMap)
+    }
+
+  def merge(o: StatsSummary, cap: Int): StatsSummary = {
+    val mergedPartial = partialFiles ++ o.partialFiles
+    StatsSummary(total + o.total, coveredRows + o.coveredRows,
+      noneCount + o.noneCount, partialCount + o.partialCount,
+      mergedPartial.take(cap),
+      partialOverflow || o.partialOverflow || mergedPartial.size > cap,
+      (cols.keySet ++ o.cols.keySet).iterator.map { k =>
+        k -> ((cols.get(k), o.cols.get(k)) match {
+          case (Some(a), Some(b)) => a.merge(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case _ => ColFold()
+        })
+      }.toMap)
   }
 }
 
@@ -1055,33 +1279,145 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     val p = new HPath(manifestPath)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) return None
     Manifest.withReadRetry() {
-      val (keyFields, _, stats) =
-        ManifestStats.tableStats(spark, manifestPath, table)
-      // completeness: the manifest must catalog EXACTLY the relation's
-      // current files — stale in either direction declines, so the
-      // rewrite never answers from vanished files or misses out-of-band
-      // arrivals. Both sides are driver-resident listings (no job).
-      val relFiles = h.location.inputFiles.iterator.map(ManifestSql.normPath).toSet
-      val manFiles = stats.iterator.map(s => ManifestSql.normPath(s.path)).toSet
-      if (relFiles != manFiles) None
-      else {
-        val compiled = conjuncts.map(compileConjunct(_, rel.outputSet, keyFields))
-        if (compiled.exists(_.isEmpty)) None
-        else {
-          val fns = compiled.map(_.get)
-          val classified = stats.map { st =>
-            val cs = fns.map(f => f(st))
-            val cover: Cover =
-              if (cs.contains(CoverNone)) CoverNone
-              else if (cs.forall(_ == CoverAll)) CoverAll
-              else CoverPartial
-            (st, cover)
+      ManifestStats.localStats(spark, manifestPath, table) match {
+        case Some((keyFields, _, stats)) =>
+          // completeness: the manifest must catalog EXACTLY the relation's
+          // current files — stale in either direction declines, so the
+          // rewrite never answers from vanished files or misses out-of-band
+          // arrivals. Both sides are driver-resident listings (no job).
+          val relFiles = h.location.inputFiles.iterator.map(ManifestSql.normPath).toSet
+          val manFiles = stats.iterator.map(s => ManifestSql.normPath(s.path)).toSet
+          if (relFiles != manFiles) None
+          else {
+            val compiled = conjuncts.map(compileConjunct(_, rel.outputSet, keyFields))
+            if (compiled.exists(_.isEmpty)) None
+            else {
+              val fns = compiled.map(_.get)
+              val classified = stats.map { st =>
+                val cs = fns.map(f => f(st))
+                val cover: Cover =
+                  if (cs.contains(CoverNone)) CoverNone
+                  else if (cs.forall(_ == CoverAll)) CoverAll
+                  else CoverPartial
+                (st, cover)
+              }
+              if (groupAttrs.nonEmpty)
+                answerGrouped(agg, rel, h, groupAttrs, classified, keyFields)
+              else answerGlobal(agg, rel, h, classified, keyFields)
+            }
           }
-          if (groupAttrs.nonEmpty)
-            answerGrouped(agg, rel, h, groupAttrs, classified, keyFields)
-          else answerGlobal(agg, rel, h, classified, keyFields)
-        }
+        case None =>
+          // past the snapshot cap: classify and fold DISTRIBUTED, never
+          // one FStat per file on the driver (round-15 verdict item 1).
+          // GROUP BY declines here — its per-group map is unbounded by
+          // anything the cap controls — costing performance, never rows.
+          if (groupAttrs.nonEmpty) None
+          else answerDistributed(manifestPath, table, h, rel, conjuncts, agg)
       }
+    }
+  }
+
+  /** Distributed twin of the small-catalog path: one classify+fold job
+    * returns a [[StatsSummary]] (memoized per signature × predicate ×
+    * needed columns), a distributed except-probe checks completeness,
+    * and the same pure/hybrid plans assemble from the folded values. */
+  private def answerDistributed(manifestPath: String, table: String,
+                                h: HadoopFsRelation, rel: LogicalRelation,
+                                conjuncts: Seq[Expression],
+                                agg: Aggregate): Option[LogicalPlan] = {
+    val (keyFields, _, rdd) = ManifestStats.fstats(spark, manifestPath, table)
+    val compiled = conjuncts.map(compileConjunct(_, rel.outputSet, keyFields))
+    if (compiled.exists(_.isEmpty)) return None
+    val fns = compiled.map(_.get)
+    val calls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae }).distinct
+    // every referenced column must be a manifest key, or the fold cannot
+    // answer its call later — decline before paying any job
+    val needCols = calls.flatMap(_.aggregateFunction.collect {
+      case ar: AttributeReference => ar }).flatMap(ar =>
+      keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT)))
+    val refCount = calls.map(_.aggregateFunction.collect {
+      case ar: AttributeReference => ar }.size).sum
+    if (needCols.size != refCount) return None
+    if (!ManifestStats.complete(spark, manifestPath, table,
+        h.location.inputFiles)) return None
+    val cap = spark.conf.get(ManifestStats.MaxDriverPathsConf,
+      ManifestStats.MaxDriverPathsDefault.toString).toInt
+    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
+    val needKey = needCols.distinct.sorted
+    val summary = ManifestStats.memoized(
+      ("aggsum", sigKey, sig, table, conjuncts.map(_.canonicalized), needKey, cap)) {
+      rdd.aggregate(StatsSummary())(
+        (s, st) => {
+          val cs = fns.map(f => f(st))
+          val cover: Cover =
+            if (cs.contains(CoverNone)) CoverNone
+            else if (cs.forall(_ == CoverAll)) CoverAll
+            else CoverPartial
+          s.add(st, cover, needKey, cap)
+        },
+        (a, b) => a.merge(b, cap))
+    }
+    val statsVals = calls.map(ae => valueFromFold(ae, summary, keyFields))
+    if (statsVals.exists(_.isEmpty)) None
+    else if (summary.partialCount == 0L) {
+      val byCall = calls.zip(statsVals.map(_.get)).toMap
+      val replaced = agg.aggregateExpressions.map { ne =>
+        ne.transformUp {
+          case ae: AggregateExpression => byCall.getOrElse(ae, ae)
+        }.asInstanceOf[NamedExpression]
+      }
+      val row = InternalRow.fromSeq(replaced.map { ne =>
+        val e = ne match { case Alias(c, _) => c; case o => o }
+        e.eval(InternalRow.empty)
+      })
+      Some(LocalRelation(agg.output, Seq(row)))
+    } else if (summary.partialOverflow || summary.partialCount == summary.total) None
+    else hybridFromParts(agg, rel, h, calls, statsVals.map(_.get),
+      summary.partialFiles)
+  }
+
+  /** One aggregate call's exact value over the covered files, from the
+    * distributed fold — the driver aggValue's semantics re-expressed over
+    * [[StatsSummary]]; AggStatsFoldSpec pins the two value-identical. */
+  private def valueFromFold(ae: AggregateExpression, summary: StatsSummary,
+                            keyFields: Map[String, String]): Option[Literal] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    def keyOf(ar: AttributeReference): Option[String] =
+      keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
+    def fold(ar: AttributeReference): Option[ColFold] =
+      keyOf(ar).flatMap(summary.cols.get)
+    ae.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) if v != null =>
+        Some(Literal(summary.coveredRows))
+      case Count(Seq(ar: AttributeReference)) =>
+        fold(ar).filter(_.cntKnown).map(f => Literal(f.cnt))
+      case Min(ar: AttributeReference) =>
+        fold(ar).filterNot(_.mnUnknowable)
+          .map(f => Literal.create(f.mn.orNull, ar.dataType))
+      case Max(ar: AttributeReference) =>
+        fold(ar).filterNot(_.mxUnknowable)
+          .map(f => Literal.create(f.mx.orNull, ar.dataType))
+      case s: Sum =>
+        s.child match {
+          case ar: AttributeReference =>
+            fold(ar).filterNot(_.smUnknowable).flatMap { f =>
+              f.sm match {
+                case None => Some(Literal.create(null, ae.dataType))
+                case Some(b: BigInt) =>
+                  if (b.isValidLong) Some(Literal(b.toLong)) else None
+                case Some(d: java.math.BigDecimal) =>
+                  scala.util.Try(Literal.create(d,
+                    ae.dataType.asInstanceOf[DecimalType])).toOption
+                    .filter(_.value != null)
+                case Some(d: java.lang.Double) =>
+                  Some(Literal(d.doubleValue()))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
+      case _ => None
     }
   }
 
@@ -1290,15 +1626,28 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def hybrid(agg: Aggregate, rel: LogicalRelation, h: HadoopFsRelation,
                      covered: Seq[FStat], partialFiles: Seq[FStat],
                      keyFields: Map[String, String]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
     val calls = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae }).distinct
     val statsVals = calls.map(ae => aggValue(ae, covered, keyFields))
-    if (statsVals.exists(_.isEmpty)) return None
-    val keepSet = partialFiles.map(st => ManifestSql.normPath(st.path)).toSet
+    if (statsVals.exists(_.isEmpty)) None
+    else hybridFromParts(agg, rel, h, calls, statsVals.map(_.get),
+      partialFiles.map(st => (st.path, st.bytes)))
+  }
+
+  /** Plan assembly shared by the driver and distributed hybrids: the
+    * stats leg carries the pre-folded values, the scan leg reads only the
+    * partial files. */
+  private def hybridFromParts(agg: Aggregate, rel: LogicalRelation,
+                              h: HadoopFsRelation,
+                              calls: Seq[AggregateExpression],
+                              statsVals: Seq[Literal],
+                              partialFiles: Seq[(String, Option[Long])])
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
+    val keepSet = partialFiles.map(p => ManifestSql.normPath(p._1)).toSet
     val bytes =
-      if (partialFiles.nonEmpty && partialFiles.forall(_.bytes.isDefined))
-        Some(partialFiles.iterator.flatMap(_.bytes).sum)
+      if (partialFiles.nonEmpty && partialFiles.forall(_._2.isDefined))
+        Some(partialFiles.iterator.flatMap(_._2).sum)
       else None
     val newRel = h.copy(
       location = new ManifestPrunedFileIndex(h.location, keepSet, bytes),
@@ -1314,7 +1663,7 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     val statsAttrs = calls.zipWithIndex.map { case (ae, i) =>
       AttributeReference(s"__leg$i", ae.dataType, nullable = true)() }
     val statsLeg = LocalRelation(statsAttrs,
-      Seq(InternalRow.fromSeq(statsVals.map(_.get.value))))
+      Seq(InternalRow.fromSeq(statsVals.map(_.value))))
     val union = Union(Seq(scanLeg, statsLeg))
     val unionOut = union.output
     val combineOf: Map[AggregateExpression, Expression] =
@@ -1675,8 +2024,25 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
     val p = new HPath(manifestPath)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) return None
     Manifest.withReadRetry() {
-      val (keyFields, _, stats) =
-        ManifestStats.tableStats(spark, manifestPath, table)
+      ManifestStats.localStats(spark, manifestPath, table) match {
+        case Some((keyFields, _, stats)) =>
+          survivorsLocal(manifestPath, table, h, rel, conjuncts, attr, desc,
+            n, keyFields, stats)
+        case None =>
+          survivorsDistributed(manifestPath, table, h, rel, conjuncts,
+            attr, desc, n)
+      }
+    }
+  }
+
+  private def survivorsLocal(manifestPath: String, table: String,
+                             h: HadoopFsRelation, rel: LogicalRelation,
+                             conjuncts: Seq[Expression],
+                             attr: AttributeReference, desc: Boolean, n: Int,
+                             keyFields: Map[String, String],
+                             stats: IndexedSeq[FStat])
+      : Option[(Seq[String], Option[Long])] = {
+    {
       // every Filter conjunct must classify, or a partial file could hide
       // inside a "guaranteed" count (shared compiler with the agg rule)
       val fns = conjuncts.map(
@@ -1745,6 +2111,111 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
             keepResult(stats, keep)
           }
         }
+      }
+    }
+  }
+
+  /** Distributed twin past the snapshot cap (round-15 verdict item 1):
+    * guarantees fold as a per-partition top-n (`rdd.top`, no shuffle) plus
+    * a covered-null-region aggregate; the keep set folds as ONE capped
+    * aggregate. The driver never holds more than n guarantee rows and the
+    * capped keep list; results memoize per (signature, predicate, sort,
+    * n). Declines when n exceeds the driver cap or the keep list would. */
+  private def survivorsDistributed(manifestPath: String, table: String,
+                                   h: HadoopFsRelation, rel: LogicalRelation,
+                                   conjuncts: Seq[Expression],
+                                   attr: AttributeReference, desc: Boolean,
+                                   n: Int): Option[(Seq[String], Option[Long])] = {
+    val cap = spark.conf.get(ManifestStats.MaxDriverPathsConf,
+      ManifestStats.MaxDriverPathsDefault.toString).toInt
+    if (n > cap) return None
+    val (keyFields, _, rdd) = ManifestStats.fstats(spark, manifestPath, table)
+    val compiled = conjuncts.map(
+      ManifestAggRule(spark).compileConjunct(_, rel.outputSet, keyFields))
+    if (compiled.exists(_.isEmpty)) return None
+    val fns = compiled.map(_.get)
+    val kOpt = keyFields.get(attr.name.toLowerCase(java.util.Locale.ROOT))
+    if (kOpt.isEmpty) return None
+    val k = kOpt.get
+    if (!ManifestStats.complete(spark, manifestPath, table,
+        h.location.inputFiles)) return None
+    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
+    ManifestStats.memoized(("topk", sigKey, sig, table,
+      conjuncts.map(_.canonicalized), k, desc, n, cap)) {
+      def coverOf(st: FStat): Cover = {
+        val cs = fns.map(f => f(st))
+        if (cs.contains(CoverNone)) CoverNone
+        else if (cs.forall(_ == CoverAll)) CoverAll
+        else CoverPartial
+      }
+      def nullsOf(st: FStat): Option[Long] = st.nulls.get(k) match {
+        case Some(l: java.lang.Long) => Some(l.longValue())
+        case _ => None
+      }
+      def guarantee(st: FStat): Option[(Any, Long)] = {
+        val bound = if (desc) st.mins.getOrElse(k, null)
+                    else st.maxs.getOrElse(k, null)
+        for (nl <- nullsOf(st); if bound != null;
+             cnt = st.rows - nl; if cnt > 0) yield (bound, cnt)
+      }
+      val boundOrd = new Ordering[(Any, Long)] with Serializable {
+        def compare(a: (Any, Long), b: (Any, Long)): Int =
+          Manifest.ordCompare(a._1, b._1)
+      }
+      // job 1: covered files' guarantees (top-n by bound — per-partition
+      // heaps, driver merge of ≤ n rows) + the covered null region
+      val full = rdd.filter(st => coverOf(st) == CoverAll)
+      val nullRegion =
+        if (desc) 0L
+        else full.map(st => nullsOf(st).getOrElse(0L))
+          .fold(0L)(_ + _)
+      val gs = full.flatMap(st => guarantee(st))
+      val topG =
+        if (desc) gs.top(n)(boundOrd)
+        else gs.top(n)(boundOrd.reverse)
+      // driver sweep over ≤ n guarantees
+      val tOpt =
+        if (!desc && nullRegion >= n) None // null-region mode, no threshold
+        else threshold(topG.toIndexedSeq,
+          if (desc) n else n - nullRegion, descending = desc)
+      val keepPredOpt: Option[FStat => Boolean] =
+        if (!desc && nullRegion >= n)
+          Some(st => coverOf(st) != CoverNone &&
+            (!nullsOf(st).contains(0L) || st.rows == 0L))
+        else tOpt.map { t =>
+          if (desc) { st: FStat =>
+            coverOf(st) != CoverNone && {
+              val hi = st.maxs.getOrElse(k, null)
+              val allNull = st.rows > 0 && nullsOf(st).contains(st.rows)
+              !((hi != null && Manifest.ordCompare(hi, t) < 0) || allNull)
+            }
+          } else { st: FStat =>
+            coverOf(st) != CoverNone && {
+              val lo = st.mins.getOrElse(k, null)
+              !(lo != null && Manifest.ordCompare(lo, t) > 0 &&
+                nullsOf(st).contains(0L))
+            }
+          }
+        }
+      keepPredOpt.flatMap { keepPred =>
+        // job 2: total count + capped keep list in one fold
+        val (total, keepCount, keepList, overflow) = rdd.aggregate(
+          (0L, 0L, Vector.empty[(String, Option[Long])], false))(
+          { case ((tot, kc, lst, ovf), st) =>
+            if (!keepPred(st)) (tot + 1, kc, lst, ovf)
+            else if (lst.size >= cap) (tot + 1, kc + 1, lst, true)
+            else (tot + 1, kc + 1, lst :+ (st.path, st.bytes), ovf)
+          },
+          { case ((t1, k1, l1, o1), (t2, k2, l2, o2)) =>
+            val merged = l1 ++ l2
+            (t1 + t2, k1 + k2, merged.take(cap),
+              o1 || o2 || merged.size > cap)
+          })
+        if (overflow || keepCount >= total) None
+        else Some((keepList.map(_._1): Seq[String],
+          if (keepList.nonEmpty && keepList.forall(_._2.isDefined))
+            Some(keepList.iterator.flatMap(_._2).sum)
+          else None))
       }
     }
   }

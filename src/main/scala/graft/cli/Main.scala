@@ -1031,15 +1031,20 @@ object Main {
       |              or stats mode: [--min-key V] [--max-key V]  (row/file
       |               counts for a key range answered from the manifest
       |               alone — no data files opened)
-      |              (update/compact serialize on an atomic __commitlock
-      |               claim, so concurrent jobs maintaining DISJOINT
-      |               tables of one catalog are safe; stale claims
-      |               reclaim after graft.manifest.commitLockTimeoutMs,
-      |               default 120000; each commit bumps __version.
-      |               registered views also answer COUNT/MIN/MAX from
-      |               stats and prune ORDER BY key LIMIT n — session
-      |               confs graft.manifest.metadataAgg / topkPrune /
-      |               joinPrune, all default true)
+      |              (update/compact serialize on a fenced __commitlock
+      |               claim — UUID tokens, heartbeat, rename-based stale
+      |               reclamation after graft.manifest.commitLockTimeoutMs
+      |               (default 120000), and a pre-mutation ownership +
+      |               __version re-check that retries a displaced writer's
+      |               section — so concurrent jobs maintaining DISJOINT
+      |               tables of one catalog are safe; each commit bumps
+      |               __version once. update also records per-file SUMs of
+      |               numeric keys (graft.manifest.recordSums).
+      |               registered views also answer COUNT/MIN/MAX/SUM and
+      |               single-valued-key GROUP BY from stats and prune
+      |               [WHERE ...] ORDER BY key LIMIT n — session confs
+      |               graft.manifest.metadataAgg / topkPrune / joinPrune,
+      |               all default true)
       |  dedup       --source DIR --target DIR [--table T]
       |              [--method exact|minhash|lines|substring|incremental|
       |               containment|capped-containment|rare-containment]

@@ -1136,6 +1136,100 @@ private[sources] object ColFold {
     Some(cur.fold(v)(c => addExactVals(c, v)))
 }
 
+/** Single-valued group-key proof shared by the driver and distributed
+  * GROUP-BY paths: a file whose min = max with zero nulls names its one
+  * group value; an all-null file names the NULL group. Doubles normalize
+  * -0.0 to 0.0 like Spark's own grouping, or a file pair single-valued on
+  * (-0.0, 0.0) would split one group into two. */
+private[sources] object GroupKey {
+  def norm(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => Double.box(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f => Float.box(0.0f)
+    case o => o
+  }
+  def valueOf(st: FStat, keys: Seq[String]): Option[Vector[Any]] = {
+    val vals = keys.map { k =>
+      val mn = st.mins.getOrElse(k, null)
+      val mx = st.maxs.getOrElse(k, null)
+      st.nulls.get(k) match {
+        case Some(l: java.lang.Long) if l.longValue() == 0L &&
+            mn != null && mx != null && Manifest.ordCompare(mn, mx) == 0 =>
+          Some(norm(mn))
+        case Some(l: java.lang.Long) if l.longValue() == st.rows =>
+          Some(null) // the NULL group
+        case _ => None
+      }
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toVector)
+  }
+}
+
+/** Per-group fold for the distributed GROUP-BY path. */
+private[sources] final case class GroupFold(rows: Long = 0L,
+    cols: Map[String, ColFold] = Map.empty) {
+  def add(st: FStat, needCols: Seq[String]): GroupFold =
+    GroupFold(rows + st.rows,
+      needCols.map(k => k -> cols.getOrElse(k, ColFold()).add(st, k)).toMap)
+  def merge(o: GroupFold): GroupFold =
+    GroupFold(rows + o.rows,
+      (cols.keySet ++ o.cols.keySet).iterator.map { k =>
+        k -> ((cols.get(k), o.cols.get(k)) match {
+          case (Some(a), Some(b)) => a.merge(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case _ => ColFold()
+        })
+      }.toMap)
+}
+
+/** Folded distributed GROUP-BY classification: per-group stat folds for
+  * single-valued covered files, a capped scan list for everything else
+  * that survives the filter. */
+private[sources] final case class GroupedSummary(
+    total: Long = 0L, noneCount: Long = 0L,
+    scanFiles: Vector[(String, Option[Long])] = Vector.empty,
+    scanOverflow: Boolean = false,
+    groups: Map[Vector[Any], GroupFold] = Map.empty,
+    groupOverflow: Boolean = false) {
+
+  def add(st: FStat, cover: Cover, gKeys: Seq[String],
+          needCols: Seq[String], cap: Int): GroupedSummary =
+    cover match {
+      case CoverNone => copy(total = total + 1, noneCount = noneCount + 1)
+      case CoverAll if st.rows == 0L => copy(total = total + 1)
+      case CoverAll =>
+        GroupKey.valueOf(st, gKeys) match {
+          case Some(g) if groups.contains(g) || groups.size < cap =>
+            copy(total = total + 1,
+              groups = groups.updated(g,
+                groups.getOrElse(g, GroupFold()).add(st, needCols)))
+          case Some(_) =>
+            copy(total = total + 1, groupOverflow = true)
+          case None => addScan(st, cap)
+        }
+      case CoverPartial => addScan(st, cap)
+    }
+
+  private def addScan(st: FStat, cap: Int): GroupedSummary = {
+    val over = scanOverflow || scanFiles.size >= cap
+    copy(total = total + 1,
+      scanFiles = if (over) scanFiles else scanFiles :+ (st.path, st.bytes),
+      scanOverflow = over)
+  }
+
+  def merge(o: GroupedSummary, cap: Int): GroupedSummary = {
+    val mergedScan = scanFiles ++ o.scanFiles
+    val mergedGroups = o.groups.foldLeft(groups) { case (acc, (g, f)) =>
+      acc.updated(g, acc.getOrElse(g, GroupFold()).merge(f))
+    }
+    GroupedSummary(total + o.total, noneCount + o.noneCount,
+      mergedScan.take(cap),
+      scanOverflow || o.scanOverflow || mergedScan.size > cap,
+      if (mergedGroups.size > cap) mergedGroups.take(cap) else mergedGroups,
+      groupOverflow || o.groupOverflow || mergedGroups.size > cap)
+  }
+}
+
 /** Folded distributed classification: one row back to the driver. */
 private[sources] final case class StatsSummary(
     total: Long = 0L, coveredRows: Long = 0L, noneCount: Long = 0L,
@@ -1308,11 +1402,13 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
           }
         case None =>
           // past the snapshot cap: classify and fold DISTRIBUTED, never
-          // one FStat per file on the driver (round-15 verdict item 1).
-          // GROUP BY declines here — its per-group map is unbounded by
-          // anything the cap controls — costing performance, never rows.
-          if (groupAttrs.nonEmpty) None
-          else answerDistributed(manifestPath, table, h, rel, conjuncts, agg)
+          // one FStat per file on the driver (round-15 verdict item 1);
+          // GROUP BY folds per-group with the group map capped at
+          // statsMaxDriverPaths (a group needs at least one file, so the
+          // map is file-bounded; past the cap it declines — cost, never
+          // rows)
+          answerDistributed(manifestPath, table, h, rel, conjuncts, agg,
+            groupAttrs)
       }
     }
   }
@@ -1323,8 +1419,9 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     * and the same pure/hybrid plans assemble from the folded values. */
   private def answerDistributed(manifestPath: String, table: String,
                                 h: HadoopFsRelation, rel: LogicalRelation,
-                                conjuncts: Seq[Expression],
-                                agg: Aggregate): Option[LogicalPlan] = {
+                                conjuncts: Seq[Expression], agg: Aggregate,
+                                groupAttrs: Seq[AttributeReference])
+      : Option[LogicalPlan] = {
     val (keyFields, _, rdd) = ManifestStats.fstats(spark, manifestPath, table)
     val compiled = conjuncts.map(compileConjunct(_, rel.outputSet, keyFields))
     if (compiled.exists(_.isEmpty)) return None
@@ -1339,57 +1436,95 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     val refCount = calls.map(_.aggregateFunction.collect {
       case ar: AttributeReference => ar }.size).sum
     if (needCols.size != refCount) return None
+    val gKeysOpt = groupAttrs.map(a =>
+      keyFields.get(a.name.toLowerCase(java.util.Locale.ROOT)))
+    if (gKeysOpt.exists(_.isEmpty)) return None
+    val gKeys = gKeysOpt.map(_.get)
     if (!ManifestStats.complete(spark, manifestPath, table,
         h.location.inputFiles)) return None
     val cap = spark.conf.get(ManifestStats.MaxDriverPathsConf,
       ManifestStats.MaxDriverPathsDefault.toString).toInt
     val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
     val needKey = needCols.distinct.sorted
-    val summary = ManifestStats.memoized(
-      ("aggsum", sigKey, sig, table, conjuncts.map(_.canonicalized), needKey, cap)) {
-      rdd.aggregate(StatsSummary())(
-        (s, st) => {
-          val cs = fns.map(f => f(st))
-          val cover: Cover =
-            if (cs.contains(CoverNone)) CoverNone
-            else if (cs.forall(_ == CoverAll)) CoverAll
-            else CoverPartial
-          s.add(st, cover, needKey, cap)
-        },
-        (a, b) => a.merge(b, cap))
+    def coverOf(st: FStat): Cover = {
+      val cs = fns.map(f => f(st))
+      if (cs.contains(CoverNone)) CoverNone
+      else if (cs.forall(_ == CoverAll)) CoverAll
+      else CoverPartial
     }
-    val statsVals = calls.map(ae => valueFromFold(ae, summary, keyFields))
-    if (statsVals.exists(_.isEmpty)) None
-    else if (summary.partialCount == 0L) {
-      val byCall = calls.zip(statsVals.map(_.get)).toMap
-      val replaced = agg.aggregateExpressions.map { ne =>
-        ne.transformUp {
-          case ae: AggregateExpression => byCall.getOrElse(ae, ae)
-        }.asInstanceOf[NamedExpression]
+    if (groupAttrs.isEmpty) {
+      val summary = ManifestStats.memoized(
+        ("aggsum", sigKey, sig, table, conjuncts.map(_.canonicalized), needKey, cap)) {
+        rdd.aggregate(StatsSummary())(
+          (s, st) => s.add(st, coverOf(st), needKey, cap),
+          (a, b) => a.merge(b, cap))
       }
-      val row = InternalRow.fromSeq(replaced.map { ne =>
-        val e = ne match { case Alias(c, _) => c; case o => o }
-        e.eval(InternalRow.empty)
-      })
-      Some(LocalRelation(agg.output, Seq(row)))
-    } else if (summary.partialOverflow || summary.partialCount == summary.total) None
-    else hybridFromParts(agg, rel, h, calls, statsVals.map(_.get),
-      summary.partialFiles)
+      val statsVals = calls.map(ae => valueFromFold(ae, summary, keyFields))
+      if (statsVals.exists(_.isEmpty)) None
+      else if (summary.partialCount == 0L) {
+        val byCall = calls.zip(statsVals.map(_.get)).toMap
+        val replaced = agg.aggregateExpressions.map { ne =>
+          ne.transformUp {
+            case ae: AggregateExpression => byCall.getOrElse(ae, ae)
+          }.asInstanceOf[NamedExpression]
+        }
+        val row = InternalRow.fromSeq(replaced.map { ne =>
+          val e = ne match { case Alias(c, _) => c; case o => o }
+          e.eval(InternalRow.empty)
+        })
+        Some(LocalRelation(agg.output, Seq(row)))
+      } else if (summary.partialOverflow || summary.partialCount == summary.total) None
+      else hybridFromParts(agg, rel, h, calls, statsVals.map(_.get),
+        summary.partialFiles)
+    } else {
+      // GROUP BY: per-group folds, group map capped (one group needs at
+      // least one single-valued file, so it is file-bounded; overflow of
+      // either cap declines whole)
+      val summary = ManifestStats.memoized(
+        ("aggsumg", sigKey, sig, table, conjuncts.map(_.canonicalized),
+          gKeys, needKey, cap)) {
+        rdd.aggregate(GroupedSummary())(
+          (s, st) => s.add(st, coverOf(st), gKeys, needKey, cap),
+          (a, b) => a.merge(b, cap))
+      }
+      if (summary.groupOverflow || summary.scanOverflow) None
+      else {
+        val groupValsOpt = summary.groups.map { case (g, gf) =>
+          g -> calls.map(ae =>
+            valueFromColFolds(ae, gf.rows, gf.cols, keyFields))
+        }
+        if (groupValsOpt.valuesIterator.exists(_.exists(_.isEmpty))) None
+        else {
+          val groupVals = groupValsOpt.view.mapValues(_.map(_.get)).toMap
+          if (summary.scanFiles.isEmpty)
+            Some(groupedPure(agg, groupAttrs, calls, groupVals))
+          else if (summary.scanFiles.size.toLong == summary.total) None
+          else hybridGrouped(agg, rel, h, groupAttrs, calls, groupVals,
+            summary.scanFiles)
+        }
+      }
+    }
   }
 
   /** One aggregate call's exact value over the covered files, from the
     * distributed fold — the driver aggValue's semantics re-expressed over
-    * [[StatsSummary]]; AggStatsFoldSpec pins the two value-identical. */
+    * [[StatsSummary]]; the small/large differential spec pins the two
+    * value-identical. */
   private def valueFromFold(ae: AggregateExpression, summary: StatsSummary,
-                            keyFields: Map[String, String]): Option[Literal] = {
+                            keyFields: Map[String, String]): Option[Literal] =
+    valueFromColFolds(ae, summary.coveredRows, summary.cols, keyFields)
+
+  private def valueFromColFolds(ae: AggregateExpression, coveredRows: Long,
+                                colFolds: Map[String, ColFold],
+                                keyFields: Map[String, String]): Option[Literal] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     def keyOf(ar: AttributeReference): Option[String] =
       keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
     def fold(ar: AttributeReference): Option[ColFold] =
-      keyOf(ar).flatMap(summary.cols.get)
+      keyOf(ar).flatMap(colFolds.get)
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null =>
-        Some(Literal(summary.coveredRows))
+        Some(Literal(coveredRows))
       case Count(Seq(ar: AttributeReference)) =>
         fold(ar).filter(_.cntKnown).map(f => Literal(f.cnt))
       case Min(ar: AttributeReference) =>
@@ -1476,66 +1611,51 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       keyFields.get(a.name.toLowerCase(java.util.Locale.ROOT)))
     if (gKeys.exists(_.isEmpty)) return None
     val keys = gKeys.map(_.get)
-    def nullsOf(st: FStat, k: String): Option[Long] = st.nulls.get(k) match {
-      case Some(l: java.lang.Long) => Some(l.longValue())
-      case _ => None
-    }
-    // Spark grouping normalizes -0.0 to 0.0 and treats NaNs as equal; the
-    // driver-side group map must merge the same way or a file pair
-    // single-valued on (-0.0, 0.0) would split one group into two
-    def norm(v: Any): Any = v match {
-      case d: java.lang.Double if d.doubleValue() == 0.0 => Double.box(0.0)
-      case f: java.lang.Float if f.floatValue() == 0.0f => Float.box(0.0f)
-      case o => o
-    }
-    /** The file's single group-value tuple, when provable from stats. */
-    def groupValue(st: FStat): Option[Vector[Any]] = {
-      val vals = keys.map { k =>
-        val mn = st.mins.getOrElse(k, null)
-        val mx = st.maxs.getOrElse(k, null)
-        nullsOf(st, k) match {
-          case Some(0L) if mn != null && mx != null &&
-              Manifest.ordCompare(mn, mx) == 0 => Some(norm(mn))
-          case Some(n) if n == st.rows => Some(null) // the NULL group
-          case _ => None
-        }
-      }
-      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toVector)
-    }
     val nonExcluded = classified.filter(_._2 != CoverNone)
     val (statsFiles, scanFiles) = nonExcluded.partition { case (st, c) =>
-      c == CoverAll && (st.rows == 0L || groupValue(st).isDefined) }
+      c == CoverAll && (st.rows == 0L || GroupKey.valueOf(st, keys).isDefined) }
     val calls = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae }).distinct
     val statsGroups: Map[Vector[Any], Seq[FStat]] = statsFiles
-      .collect { case (st, _) if st.rows > 0L => (groupValue(st).get, st) }
+      .collect { case (st, _) if st.rows > 0L =>
+        (GroupKey.valueOf(st, keys).get, st) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val groupVals: Map[Vector[Any], Seq[Option[Literal]]] =
+    val groupValsOpt: Map[Vector[Any], Seq[Option[Literal]]] =
       statsGroups.map { case (g, fs) =>
         g -> calls.map(ae => aggValue(ae, fs, keyFields)) }
-    if (groupVals.valuesIterator.exists(_.exists(_.isEmpty))) None
-    else if (scanFiles.isEmpty) {
-      // pure stats: one LocalRelation row per group, output exprIds kept.
-      // Agg calls replace TOP-DOWN (so the call is still the original
-      // instance `calls` indexes), then remaining group-attr references —
-      // bare outputs or wrappers like CAST(g) — substitute bottom-up.
-      val gIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
-      val rows = statsGroups.keysIterator.map { g =>
-        InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
-          val substituted = ne.transformDown {
-            case ae: AggregateExpression => groupVals(g)(calls.indexOf(ae)).get
-          }.transformUp {
-            case a: AttributeReference if gIdx.contains(a.exprId) =>
-              Literal.create(g(gIdx(a.exprId)), a.dataType)
-          }
-          val e = substituted match { case Alias(c, _) => c; case o => o }
-          e.eval(InternalRow.empty)
-        })
-      }.toSeq
-      Some(LocalRelation(agg.output, rows))
-    } else if (scanFiles.size == classified.size) None // nothing saved
-    else hybridGrouped(agg, rel, h, groupAttrs, calls, statsGroups,
-      groupVals, scanFiles.map(_._1))
+    if (groupValsOpt.valuesIterator.exists(_.exists(_.isEmpty))) None
+    else {
+      val groupVals = groupValsOpt.view.mapValues(_.map(_.get)).toMap
+      if (scanFiles.isEmpty)
+        Some(groupedPure(agg, groupAttrs, calls, groupVals))
+      else if (scanFiles.size == classified.size) None // nothing saved
+      else hybridGrouped(agg, rel, h, groupAttrs, calls, groupVals,
+        scanFiles.map { case (st, _) => (st.path, st.bytes) })
+    }
+  }
+
+  /** Pure per-group stats answer: one LocalRelation row per group, output
+    * exprIds kept. Agg calls replace TOP-DOWN (so the call is still the
+    * original instance `calls` indexes), then remaining group-attr
+    * references — bare outputs or wrappers like CAST(g) — substitute
+    * bottom-up. */
+  private def groupedPure(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+                          calls: Seq[AggregateExpression],
+                          groupVals: Map[Vector[Any], Seq[Literal]]): LogicalPlan = {
+    val gIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
+    val rows = groupVals.keysIterator.map { g =>
+      InternalRow.fromSeq(agg.aggregateExpressions.map { ne =>
+        val substituted = ne.transformDown {
+          case ae: AggregateExpression => groupVals(g)(calls.indexOf(ae))
+        }.transformUp {
+          case a: AttributeReference if gIdx.contains(a.exprId) =>
+            Literal.create(g(gIdx(a.exprId)), a.dataType)
+        }
+        val e = substituted match { case Alias(c, _) => c; case o => o }
+        e.eval(InternalRow.empty)
+      })
+    }.toSeq
+    LocalRelation(agg.output, rows)
   }
 
   /** Grouped hybrid: stats-answerable groups ride a LocalRelation leg,
@@ -1547,14 +1667,13 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
                             h: HadoopFsRelation,
                             groupAttrs: Seq[AttributeReference],
                             calls: Seq[AggregateExpression],
-                            statsGroups: Map[Vector[Any], Seq[FStat]],
-                            groupVals: Map[Vector[Any], Seq[Option[Literal]]],
-                            scanFiles: Seq[FStat]): Option[LogicalPlan] = {
+                            groupVals: Map[Vector[Any], Seq[Literal]],
+                            scanFiles: Seq[(String, Option[Long])]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
-    val keepSet = scanFiles.map(st => ManifestSql.normPath(st.path)).toSet
+    val keepSet = scanFiles.map(p => ManifestSql.normPath(p._1)).toSet
     val bytes =
-      if (scanFiles.nonEmpty && scanFiles.forall(_.bytes.isDefined))
-        Some(scanFiles.iterator.flatMap(_.bytes).sum)
+      if (scanFiles.nonEmpty && scanFiles.forall(_._2.isDefined))
+        Some(scanFiles.iterator.flatMap(_._2).sum)
       else None
     val newRel = h.copy(
       location = new ManifestPrunedFileIndex(h.location, keepSet, bytes),
@@ -1570,10 +1689,10 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       AttributeReference(a.name, a.dataType, nullable = true)())
     val statsLegAttrs = calls.zipWithIndex.map { case (ae, i) =>
       AttributeReference(s"__leg$i", ae.dataType, nullable = true)() }
-    val statsRows = statsGroups.iterator.map { case (g, _) =>
+    val statsRows = groupVals.iterator.map { case (g, vals) =>
       InternalRow.fromSeq(
         g.zip(groupAttrs).map { case (v, a) => Literal.create(v, a.dataType).value } ++
-          groupVals(g).map(_.get.value))
+          vals.map(_.value))
     }.toSeq
     val statsLeg = LocalRelation(statsGroupAttrs ++ statsLegAttrs, statsRows)
     val union = Union(Seq(scanLeg, statsLeg))

@@ -1137,6 +1137,22 @@ class ManifestSqlSpec extends SparkSpec {
       assert(scannedFiles(qOff).length === 5)
       assert(qOff.collect().map(_.toSeq).toSeq === got.toSeq)
     } finally spark.conf.unset("graft.manifest.metadataAgg")
+    // past the snapshot cap the grouped path folds DISTRIBUTED with the
+    // group map capped — same answers, still mixed-file-only scan
+    spark.conf.set(ManifestSnapshot.MaxBytesConf, "1")
+    try {
+      val qDist = spark.sql(sql)
+      assert(scannedFiles(qDist).length === 1,
+        "distributed grouped path must still scan only the mixed file")
+      assert(qDist.collect().map(_.toSeq).toSeq === got.toSeq)
+      // a group-map cap of 0 declines rather than growing the driver map
+      spark.conf.set(ManifestStats.MaxDriverPathsConf, "0")
+      try {
+        val qCap = spark.sql(sql)
+        assert(scannedFiles(qCap).length === 5, "past the cap: decline whole")
+        assert(qCap.collect().map(_.toSeq).toSeq === got.toSeq)
+      } finally spark.conf.unset(ManifestStats.MaxDriverPathsConf)
+    } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
   }
 
   test("count of a NULL literal is 0, never the row count (round-15 advice)") {
@@ -1273,8 +1289,7 @@ class ManifestSqlSpec extends SparkSpec {
         assert(scannedFiles(qCap).length === 5, "past the cap: decline, never grow")
         assert(qCap.collect().map(_.getLong(0)).toSeq === (490L to 499L).reverse)
       } finally spark.conf.unset(ManifestStats.MaxDriverPathsConf)
-      // GROUP BY declines past the cap (its group map is unbounded by the
-      // driver-path caps) but stays correct through the ordinary scan
+      // a NON-key grouping column declines in both paths but stays correct
       val qG = spark.sql(
         "SELECT v, count(*) AS n FROM mt GROUP BY v ORDER BY v LIMIT 2")
       assert(qG.collect().map(_.toSeq).toSeq ===

@@ -569,6 +569,13 @@ object Main {
               spark, src, table, keyCols, manifestPath)
             out(s"manifest for $table updated at $manifestPath " +
               s"(+$added files, -$removed stale)")
+          } else if (opts.contains("backfill-sums")) {
+            // catalogs maintained before the sums column (or updates past
+            // the sum-scan cap) hold NULL sums over real rows, so SUM
+            // stays scan-speed there — one bounded pass per invocation
+            // fills them and upgrades a pre-sums schema (round 16)
+            val n = graft.sources.Manifest.backfillSums(spark, manifestPath)
+            out(s"manifest at $manifestPath: backfilled sums for $n files")
           } else if (opts.contains("compact")) {
             // incremental appends (one tiny file per micro-batch/update)
             // fragment the catalog and break its own range layout —
@@ -1028,6 +1035,9 @@ object Main {
       |              --compact  (rewrite a fragmented catalog back into the
       |               sorted range-partitioned layout so manifest scans
       |               prune again)
+      |              --backfill-sums  (fill NULL per-file sums for rows
+      |               that predate the sums column or were skipped by the
+      |               sum-scan cap; bounded per pass, upgrades the schema)
       |              or stats mode: [--min-key V] [--max-key V]  (row/file
       |               counts for a key range answered from the manifest
       |               alone — no data files opened)

@@ -1006,6 +1006,83 @@ object Manifest {
     }
   }
 
+  /** Backfill per-file sums for catalog rows that predate the sums column
+    * (or were skipped by the sum-scan cap): rows holding REAL values under
+    * a NULL (or absent) sum get a column-pruned data scan, and the catalog
+    * rewrites with the filled column — upgrading a pre-sums schema in the
+    * same pass. An all-null column's NULL sum is genuine (SUM over no
+    * non-null values) and is never rescanned. Bounded per invocation by
+    * [[SumScanMaxFilesConf]]; re-run to make further progress (each pass
+    * clears what it filled). Returns the number of files backfilled.
+    * Single commit under the ring, one version bump. */
+  def backfillSums(spark: SparkSession, manifestPath: String): Long =
+    withCommitLock(spark, manifestPath) {
+      val df = spark.read.parquet(manifestPath)
+      val keyStruct = df.schema("mins").dataType.asInstanceOf[StructType]
+      val numeric = keyStruct.fields.toSeq
+        .flatMap(f => sumType(f.dataType).map(st => (f.name, st)))
+      val hasSums = df.columns.contains(SumsColumn)
+      if (numeric.isEmpty) 0L
+      else {
+        // a key needs a scan only when its sum is NULL/absent AND the file
+        // may hold non-null values under it (an all-null column's NULL sum
+        // is genuine — SUM over no non-null values — and never rescans)
+        val hasNulls = df.columns.contains("nulls")
+        def mayHoldValues(k: String): Column =
+          if (!hasNulls) lit(true)
+          else col(s"nulls.`$k`").isNull || col(s"nulls.`$k`") < col("rows")
+        val missingSum: Column = numeric.map { case (k, _) =>
+          (if (hasSums) col(s"$SumsColumn.`$k`").isNull else lit(true)) &&
+            mayHoldValues(k)
+        }.reduce(_ || _)
+        val cap = spark.conf
+          .get(SumScanMaxFilesConf, SumScanMaxFilesDefault.toString).toInt
+        val candidates = df.filter(col("rows") > 0L && missingSum)
+          .select(col("table"), col("path"))
+          .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+          .take(cap)
+          .groupBy(_._1).view.mapValues(_.map(_._2).toIndexedSeq).toMap
+        if (candidates.isEmpty) 0L
+        else {
+          // per-table sums (schemas differ per table): the same
+          // column-pruned try_sum scan the update path runs
+          val perTable = candidates.map { case (_, paths) =>
+            val probes = paths.take(8)
+            val dataSchema =
+              spark.read.option("mergeSchema", "true").parquet(probes: _*).schema
+            val present = numeric.filter(c => dataSchema.fieldNames.contains(c._1))
+            val aggs = numeric.map { case (k, st) =>
+              if (present.exists(_._1 == k))
+                try_sum(col(k)).cast(st).as(k)
+              // a key column absent from these files stays NULL (max of a
+              // null literal — agg-shaped so groupBy accepts it)
+              else max(lit(null).cast(st)).as(k)
+            }
+            spark.read.schema(
+              StructType(dataSchema.filter(f => present.exists(_._1 == f.name))))
+              .parquet(paths: _*)
+              .select(input_file_name().as("path") +:
+                present.map(c => col(c._1)): _*)
+              .groupBy(col("path"))
+              .agg(aggs.head, aggs.tail: _*)
+              .select(col("path"),
+                struct(numeric.map(c => col(c._1)): _*).as("__newsums"))
+          }.reduce(_ unionByName _)
+          fenceClaim(spark, manifestPath)
+          val base = if (hasSums) df else df.withColumn(SumsColumn,
+            lit(null).cast(StructType(
+              numeric.map { case (k, st) => StructField(k, st) })))
+          val updated = base.join(perTable, Seq("path"), "left")
+            .withColumn(SumsColumn,
+              coalesce(col("__newsums"), col(SumsColumn)))
+            .drop("__newsums")
+          rewrite(spark, updated, manifestPath)
+          bumpVersion(spark, manifestPath)
+          candidates.valuesIterator.map(_.size.toLong).sum
+        }
+      }
+    }
+
   /** Zone-map overlap predicate for `keyCol ∈ [lo, hi]` against the typed
     * mins/maxs structs. NULL stats mean "range unknown" and must KEEP the
     * file — missing footer stats may only cost performance, never rows. */

@@ -585,6 +585,46 @@ class ManifestSpec extends SparkSpec {
     assert(up.select("sums.id").head.get(0) === 10L) // 0+1+2+3+4
   }
 
+  test("backfillSums fills missing sums and upgrades a pre-sums catalog") {
+    import spark.implicits._
+    val dir = s"$base/backfill"
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "c"), (null, "d")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    // case 1: sums RECORDED as NULL (recordSums off at update time)
+    val mp1 = s"$base/backfill_m1"
+    spark.conf.set(Manifest.RecordSumsConf, "false")
+    try Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id"), mp1)
+    finally spark.conf.unset(Manifest.RecordSumsConf)
+    assert(spark.read.parquet(mp1).select("sums.id").collect().forall(_.isNullAt(0)))
+    val v1 = Manifest.version(spark, mp1)
+    // only the value-bearing file needs a scan; the all-null file's NULL
+    // sum is genuine and is never rescanned
+    assert(Manifest.backfillSums(spark, mp1) === 1L)
+    val got1 = spark.read.parquet(mp1)
+      .select("sums.id", "nulls.id", "rows").collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got1 === Set((3L, 0L, 2L), (null, 2L, 2L)))
+    assert(Manifest.version(spark, mp1) === v1 + 1, "one commit, one bump")
+    // idempotent: nothing left to fill
+    assert(Manifest.backfillSums(spark, mp1) === 0L)
+    // stats answers now work (the SQL rule consumes the filled column)
+    ManifestSql.register(spark, dir, "t", mp1, "bf1")
+    val q = spark.sql("SELECT sum(id) AS s FROM bf1")
+    assert(q.head.getLong(0) === 3L)
+    assert(q.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    // case 2: a catalog written BEFORE the sums column existed upgrades
+    val mp2 = s"$base/backfill_m2"
+    Manifest.write(Manifest.build(spark, dir, "t", Seq("id")).drop("sums"), mp2)
+    assert(!spark.read.parquet(mp2).columns.contains("sums"))
+    assert(Manifest.backfillSums(spark, mp2) === 1L)
+    val up = spark.read.parquet(mp2)
+    assert(up.columns.contains("sums"))
+    assert(up.select("sums.id").collect().map(_.get(0)).toSet === Set(3L, null))
+  }
+
   test("footer scans run in the pre-pass, outside the commit claim (round-15 item 6)") {
     import spark.implicits._
     val dir = s"$base/hoistdata"

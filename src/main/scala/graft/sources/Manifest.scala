@@ -708,6 +708,7 @@ object Manifest {
         hbStop.set(true)
         hb.foreach(_.interrupt())
         release(fs, lock, manifestPath, token)
+        ringProbe.foreach(_("release"))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -631,21 +631,49 @@ class ManifestSpec extends SparkSpec {
     val mp = s"$base/hoist_manifest"
     (0L until 40L).toDF("id").repartition(2)
       .write.mode("overwrite").parquet(s"$dir/t.parquet")
-    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    Manifest.ringProbe = Some(e => events.add(e))
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val jobStarts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.add(System.nanoTime())
+    }
+    Manifest.ringProbe = Some(e => events.add((e, System.nanoTime())))
+    spark.sparkContext.addSparkListener(listener)
     try {
       Manifest.update(spark, dir, "t", Seq("id"), mp)
-      val seq = events.toArray(Array.empty[String]).toSeq
+      val seq = events.toArray(Array.empty[(String, Long)]).toSeq
+      val names = seq.map(_._1)
       // the expensive step (footer scans) fires BEFORE the claim; inside
       // the claim only the re-diff + manifest write remain
-      assert(seq.indexOf("footers") >= 0 && seq.indexOf("claim") >= 0, seq)
-      assert(seq.indexOf("footers") < seq.indexOf("claim"),
-        s"footer scans must be hoisted out of the commit claim: $seq")
+      assert(names.indexOf("footers") >= 0 && names.indexOf("claim") >= 0, names)
+      assert(names.indexOf("footers") < names.indexOf("claim"),
+        s"footer scans must be hoisted out of the commit claim: $names")
       // uncontended steady state: exactly one footer pass (the pre-pass) —
       // the inside-claim residual scan only fires under real contention
-      assert(seq.count(_ == "footers") === 1, seq)
+      assert(names.count(_ == "footers") === 1, names)
+      // the inside-claim job-count bound (round-15 verdict item 6's done
+      // criterion): the claim window holds the re-diff counts and the
+      // manifest write — a single-digit job budget — while the update as
+      // a whole runs the listing, footer, and sums jobs outside it
+      val claimT = seq.find(_._1 == "claim").get._2
+      val releaseT = seq.find(_._1 == "release").get._2
+      Thread.sleep(500) // let the listener bus drain
+      val starts = jobStarts.toArray(Array.empty[java.lang.Long]).map(_.longValue())
+      val inClaim = starts.count(t => t >= claimT && t <= releaseT)
+      val total = starts.length
+      // ≤14: the two re-diff counts, the empty-residual probe, and the
+      // manifest write, each AQE-split into up to ~3 jobs — the listing,
+      // footer, and sums scans (the work that scales with ingest size)
+      // stay outside
+      assert(inClaim <= 14,
+        s"claim window ran $inClaim jobs (of $total) — expensive work leaked inside")
+      assert(total > inClaim, "the pre-pass work must run outside the claim")
       assert(Manifest.rowCount(spark, mp, col("table") === "t") === 40L)
-    } finally Manifest.ringProbe = None
+    } finally {
+      Manifest.ringProbe = None
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("a paused writer fences out after reclamation and retries instead of clobbering") {

@@ -730,6 +730,50 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("same-table writers converge: the loser's re-diff no-ops on the winner's commit") {
+    import spark.implicits._
+    // both writers maintain the SAME table dir; A's pre-pass footer-scans
+    // the novel files, then B claims first and commits them all — A's
+    // inside-claim re-diff must find nothing novel and apply nothing
+    // (no duplicate manifest rows, one version bump total)
+    val dir = s"$base/sametable"
+    (0L until 60L).toDF("id").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val mp = s"$base/sametable_manifest"
+    val aScanned = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Manifest.ringProbe = Some { e =>
+      // pause writer A between its pre-pass and its claim, letting B win
+      if (e == "footers" && first.compareAndSet(true, false)) {
+        aScanned.countDown()
+        bDone.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    }
+    try {
+      var aResult: (Long, Long) = null
+      val a = new Thread(() => {
+        aResult = Manifest.update(spark, dir, "t", Seq("id"), mp)
+      })
+      a.start()
+      assert(aScanned.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      Manifest.ringProbe = Some(_ => ()) // B runs unpaused
+      val (bNovel, _) = Manifest.update(spark, dir, "t", Seq("id"), mp)
+      assert(bNovel === 3L)
+      bDone.countDown()
+      a.join(120000)
+      assert(!a.isAlive)
+      assert(aResult === ((0L, 0L)),
+        "A's re-diff against B's committed state must find nothing novel")
+      val m = spark.read.parquet(mp)
+      assert(m.count() === 3L, "no duplicate rows from the losing writer")
+      assert(m.select("path").distinct().count() === 3L)
+      assert(Manifest.version(spark, mp) === 1L, "only B's commit mutated")
+      assert(Manifest.rowCount(spark, mp, col("table") === "t") === 60L)
+    } finally Manifest.ringProbe = None
+  }
+
   test("two concurrent reclaimers: rename lets exactly one win (no double holder)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -1297,6 +1297,58 @@ class ManifestSqlSpec extends SparkSpec {
     } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
   }
 
+  test("distributed fold matches the driver path on null-rich and stats-less files") {
+    import spark.implicits._
+    // the fold's unknowable semantics must be value-identical to the
+    // driver aggValue on the awkward inputs: a mixed null/value file, an
+    // all-null file (genuine NULL sum, contributes nothing to MIN/MAX),
+    // and a key column ABSENT from one file (NULL zone maps — COUNT and
+    // MIN/MAX must decline, never guess)
+    val dir = s"$base/foldnull"
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (7L, "c"))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq[(java.lang.Long, String)]((null, "d"), (null, "e")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val fmp = s"$base/foldnull_manifest"
+    Manifest.update(spark, dir, "t", Seq("id"), fmp)
+    ManifestSql.register(spark, dir, "t", fmp, "fnl")
+    val sql = "SELECT count(*) AS n, count(id) AS ni, min(id) AS lo, " +
+      "max(id) AS hi, sum(id) AS s FROM fnl"
+    val small = spark.sql(sql).head.toSeq
+    assert(small === Seq(5L, 2L, 1L, 7L, 8L))
+    spark.conf.set(ManifestSnapshot.MaxBytesConf, "1")
+    try {
+      val large = spark.sql(sql)
+      assert(scannedFiles(large).isEmpty, "null-rich pure answer stays jobless-scan")
+      assert(large.head.toSeq === small)
+    } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
+
+    // evolution fixture: the key column absent from one file → NULL zone
+    // maps → both paths must DECLINE to the scan with identical answers
+    val edir = s"$base/foldevolve"
+    Seq("x").toDF("v").coalesce(1)
+      .write.mode("append").parquet(s"$edir/t.parquet")
+    Seq((5L, "y")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$edir/t.parquet")
+    val emp = s"$base/foldevolve_manifest"
+    Manifest.updateDir(spark, s"$edir/t.parquet", "t", Seq("id"), emp)
+    // evolved tables need merged inference or the view may resolve from
+    // the keyless file's footer alone
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try ManifestSql.register(spark, edir, "t", emp, "fev")
+    finally spark.conf.unset("spark.sql.parquet.mergeSchema")
+    val esql = "SELECT count(id) AS ni, max(id) AS hi FROM fev"
+    val eSmall = spark.sql(esql)
+    assert(scannedFiles(eSmall).nonEmpty, "unknown stats must decline")
+    assert(eSmall.head.toSeq === Seq(1L, 5L))
+    spark.conf.set(ManifestSnapshot.MaxBytesConf, "1")
+    try {
+      val eLarge = spark.sql(esql)
+      assert(scannedFiles(eLarge).nonEmpty, "distributed path must decline too")
+      assert(eLarge.head.toSeq === Seq(1L, 5L))
+    } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
+  }
+
   test("q198-q203 stay green over a manifest larger than snapshotMaxBytes") {
     // the round-15 verdict's done-criterion verbatim: the roster's
     // metadata-rule queries must answer identically when every manifest

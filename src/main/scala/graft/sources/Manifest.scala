@@ -481,6 +481,11 @@ object Manifest {
     // writer rewrote the catalog under us) are footer-scanned inside —
     // the rare case, bounded by actual contention.
     var preEntries: Option[DataFrame] = None
+    // set once a physical append/rewrite may have landed without its
+    // version stamp (a fence failure between write and bump): the retry
+    // section must stamp even when its own re-diff finds nothing to do,
+    // or a version-poller could miss the landed mutation
+    var appliedUnstamped = false
     try {
       preEntries = footerEntries(spark,
         novelFiles(spark, current, table, manifestPath), table, keyCols)
@@ -496,25 +501,49 @@ object Manifest {
             case Some(pre) =>
               val matched = pre.join(novel.select("path"), Seq("path"), "left_semi")
               val residual = novel.join(pre.select("path"), Seq("path"), "left_anti")
-              footerEntries(spark, residual, table, keyCols) match {
+              // residual files (same-table contention only) footer-scan
+              // inside the claim but SKIP the sums data scan — claim hold
+              // time stays metadata-bounded; `--backfill-sums` fills them
+              // later (round-16 review)
+              footerEntries(spark, residual, table, keyCols, enrich = false) match {
                 case Some(extra) => Some(matched.unionByName(extra))
                 case None => Some(matched)
               }
             case None =>
               // the pre-pass saw nothing novel but the claim-time diff
               // does: a concurrent rewrite dropped rows — scan inside
-              footerEntries(spark, novel, table, keyCols)
+              footerEntries(spark, novel, table, keyCols, enrich = false)
           }
         fenceClaim(spark, manifestPath)
+        if (novelN > 0 || staleN > 0) appliedUnstamped = true
         if (staleN > 0) {
           val kept = spark.read.parquet(manifestPath)
             .join(stale.withColumnRenamed("path", "__stale"),
               col("path") === col("__stale"), "left_anti")
-          // allowMissingColumns: a manifest that predates the sums column
-          // upgrades on its first rewrite (old rows keep NULL sums)
-          rewrite(spark,
-            entries.fold(kept)(kept.unionByName(_, allowMissingColumns = true)),
-            manifestPath)
+          // align ONLY the optional sums column (a manifest that predates
+          // it upgrades on its first rewrite, old rows keeping NULL sums)
+          // and union STRICTLY otherwise — a blanket allowMissingColumns
+          // would null-fill divergent KEY struct fields too, silently
+          // committing the half-typed catalog that append()'s schema gate
+          // exists to reject (round-16 review)
+          val merged = entries.fold(kept) { e =>
+            val keptHas = kept.columns.contains(SumsColumn)
+            val eHas = e.columns.contains(SumsColumn)
+            val (k2, e2) =
+              if (eHas && !keptHas)
+                (kept.withColumn(SumsColumn,
+                  lit(null).cast(e.schema(SumsColumn).dataType)), e)
+              else if (!eHas && keptHas)
+                (kept, e.withColumn(SumsColumn,
+                  lit(null).cast(kept.schema(SumsColumn).dataType)))
+              else (kept, e)
+            require(k2.schema.simpleString == e2.schema.simpleString,
+              s"manifest at $manifestPath has schema ${k2.schema.simpleString}; " +
+                s"rewriting with ${e2.schema.simpleString} would corrupt it — " +
+                "key columns must match the existing manifest")
+            k2.unionByName(e2)
+          }
+          rewrite(spark, merged, manifestPath)
         } else {
           entries.foreach(append(spark, _, manifestPath))
           // batch-path auto-compaction (round-13 verdict item 5): streaming
@@ -531,7 +560,16 @@ object Manifest {
               manifestFileCount(spark, manifestPath) > threshold)
             compact(spark, manifestPath)
         }
-        if (novelN > 0 || staleN > 0) bumpVersion(spark, manifestPath)
+        // re-fence after the slow step (the append write / rewrite): a
+        // writer reclaimed mid-write must retry, not stamp the reclaimer's
+        // state (round-16 review — the one fence at section entry left the
+        // write-to-bump window unguarded). `appliedUnstamped` covers the
+        // retry whose prior attempt's append landed but never stamped.
+        if (novelN > 0 || staleN > 0 || appliedUnstamped) {
+          fenceClaim(spark, manifestPath)
+          bumpVersion(spark, manifestPath)
+          appliedUnstamped = false
+        }
         (novelN, staleN)
       }
     } finally {
@@ -554,7 +592,8 @@ object Manifest {
     * can corrupt the manifest. Manifest-maintained tables must therefore
     * be TYPE-stable on key columns (round-13 advice). */
   private def footerEntries(spark: SparkSession, novel: DataFrame,
-                            table: String, keyCols: Seq[String]): Option[DataFrame] = {
+                            table: String, keyCols: Seq[String],
+                            enrich: Boolean = true): Option[DataFrame] = {
     val probes = novel.select(col("path")).as[String](Encoders.STRING)
       .take(8).toIndexedSeq
     if (probes.isEmpty) None
@@ -566,7 +605,8 @@ object Manifest {
         spark.read.option("mergeSchema", "true").parquet(probes: _*).schema
       val entries = fromFootersRdd(spark, novel.as[String](Encoders.STRING).rdd,
         table, keyCols, dataSchema)
-      Some(enrichSums(spark, entries, novel, keyCols, dataSchema))
+      Some(if (enrich) enrichSums(spark, entries, novel, keyCols, dataSchema)
+           else entries)
     }
   }
 
@@ -784,14 +824,25 @@ object Manifest {
                         stop: java.util.concurrent.atomic.AtomicBoolean): Thread = {
     val t = new Thread(() => {
       val interval = math.max(25L, timeoutMs / 4)
-      var mine = true
+      var live = true
+      var misses = 0
       try
-        while (!stop.get() && mine) {
+        while (!stop.get() && live) {
           Thread.sleep(interval)
-          if (!stop.get()) {
-            mine = readToken(fs, lock).contains(token)
-            if (mine)
+          if (!stop.get()) readToken(fs, lock) match {
+            case Some(t0) if t0 == token =>
+              misses = 0
               scala.util.Try(fs.setTimes(lock, System.currentTimeMillis(), -1))
+            case Some(_) =>
+              live = false // genuinely reclaimed by another holder: stop
+            case None =>
+              // an unreadable/missing lock can be TRANSIENT (an FS hiccup,
+              // or another writer's fenced release momentarily renaming a
+              // displaced lock away and back) — a single miss must not
+              // permanently kill reclaim protection for a long section
+              // (round-16 review); three consecutive misses = really gone
+              misses += 1
+              if (misses >= 3) live = false
           }
         }
       catch { case _: InterruptedException => () }
@@ -1013,9 +1064,12 @@ object Manifest {
     * rewrites with the filled column — upgrading a pre-sums schema in the
     * same pass. An all-null column's NULL sum is genuine (SUM over no
     * non-null values) and is never rescanned. Bounded per invocation by
-    * [[SumScanMaxFilesConf]]; re-run to make further progress (each pass
-    * clears what it filled). Returns the number of files backfilled.
-    * Single commit under the ring, one version bump. */
+    * [[SumScanMaxFilesConf]]; re-run until it returns 0 — the return
+    * counts files whose sums the pass actually FILLED, so a file the scan
+    * cannot fill (unknown footer null counts over an all-null column, a
+    * per-file overflow, a key absent from its files) contributes nothing
+    * and a loop-until-zero caller terminates. Single commit under the
+    * ring, one version bump. */
   def backfillSums(spark: SparkSession, manifestPath: String): Long =
     withCommitLock(spark, manifestPath) {
       val df = spark.read.parquet(manifestPath)
@@ -1077,9 +1131,22 @@ object Manifest {
             .withColumn(SumsColumn,
               coalesce(col("__newsums"), col(SumsColumn)))
             .drop("__newsums")
+          // report TRUE progress: a candidate whose scan still left a
+          // needed sum NULL (unknown footer null counts over an all-null
+          // column, a per-file try_sum overflow, a key absent from its
+          // files) is NOT filled — counting it would make a
+          // loop-until-zero caller spin forever (round-16 review)
+          val stillMissing: Column = numeric.map { case (k, _) =>
+            col(s"$SumsColumn.`$k`").isNull && mayHoldValues(k)
+          }.reduce(_ || _)
+          val candidatePaths = candidates.valuesIterator.flatten.toSet
+          val unfilled = updated
+            .filter(col("path").isInCollection(candidatePaths) &&
+              col("rows") > 0L && stillMissing)
+            .count()
           rewrite(spark, updated, manifestPath)
           bumpVersion(spark, manifestPath)
-          candidates.valuesIterator.map(_.size.toLong).sum
+          candidatePaths.size.toLong - unfilled
         }
       }
     }

@@ -916,7 +916,26 @@ object ManifestJoinPruneRule {
   * strings, matching parquet's own stat order). */
 private[sources] final case class FStat(path: String, rows: Long,
     bytes: Option[Long], mins: Map[String, Any], maxs: Map[String, Any],
-    nulls: Map[String, Any], sums: Map[String, Any] = Map.empty)
+    nulls: Map[String, Any], sums: Map[String, Any] = Map.empty) {
+  /** Known per-file NULL count for key `k`; None = footer didn't set it. */
+  def nullCount(k: String): Option[Long] = nulls.get(k) match {
+    case Some(l: java.lang.Long) => Some(l.longValue())
+    case _ => None
+  }
+}
+
+/** One file's coverage under a set of compiled conjunct classifiers —
+  * THE single definition both rules' driver and distributed paths share
+  * (any drift between classification sites would silently diverge the
+  * "exact same semantics" contract the shared compiler exists for). */
+private[sources] object ManifestCover {
+  def of(fns: Seq[FStat => Cover])(st: FStat): Cover = {
+    val cs = fns.map(f => f(st))
+    if (cs.contains(CoverNone)) CoverNone
+    else if (cs.forall(_ == CoverAll)) CoverAll
+    else CoverPartial
+  }
+}
 
 /** Shared stats access for the stats-answering rules.
   *
@@ -957,6 +976,28 @@ private[sources] object ManifestStats {
       val v = compute
       memo.put(key, v)
       v
+    }
+  }
+
+  /** Signature-SANDWICHED memoization for distributed planning results: a
+    * maintenance commit racing the planning jobs could otherwise cache a
+    * pre-commit answer under the post-commit key — the caller reads `sig`
+    * BEFORE creating any manifest reader, the result is stored only if
+    * the signature still matches AFTERWARDS, and None (catalog moved
+    * mid-computation) tells the caller to decline the rewrite — the
+    * ordinary scan then reads whatever state actually holds. */
+  private[sources] def memoizedStable[T](spark: SparkSession,
+                                         manifestPath: String, sig: Any,
+                                         key: Any)(compute: => T): Option[T] = {
+    val hit = memo.get(key)
+    if (hit != null) Some(hit.asInstanceOf[T])
+    else {
+      val v = compute
+      val (_, sig2, _) = ManifestSnapshot.signature(spark, manifestPath)
+      if (sig2 == sig) {
+        memo.put(key, v)
+        Some(v)
+      } else None
     }
   }
 
@@ -1027,12 +1068,23 @@ private[sources] object ManifestStats {
 
   /** Order-independent fingerprint of the relation's file listing, for
     * completeness-memo keys (the relation side can change independently
-    * of the manifest signature). */
-  private def listingFingerprint(relFiles: Array[String]): (Int, Long) =
-    (relFiles.length, relFiles.foldLeft(0L) { (h, p) =>
-      h ^ (scala.util.hashing.MurmurHash3
-        .stringHash(ManifestSql.normPath(p)).toLong & 0xffffffffL)
-    })
+    * of the manifest signature). 129 bits — length plus the XOR and the
+    * wrapping SUM of per-path 64-bit hashes — because this keys a
+    * CORRECTNESS verdict: a 32-bit XOR alone gives ~2^-32 collisions per
+    * out-of-band file swap, and a collision here silently serves a stale
+    * completeness answer (round-16 review). */
+  private def listingFingerprint(relFiles: Array[String]): (Int, Long, Long) = {
+    var x = 0L
+    var s = 0L
+    relFiles.foreach { p =>
+      val n = ManifestSql.normPath(p)
+      val h = (scala.util.hashing.MurmurHash3.stringHash(n, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(n, 0x85ebca6b).toLong & 0xffffffffL)
+      x ^= h
+      s += h
+    }
+    (relFiles.length, x, s)
+  }
 
   /** Distributed completeness: the manifest catalogs EXACTLY the
     * relation's current files. Two except-probes (set difference each
@@ -1040,7 +1092,8 @@ private[sources] object ManifestStats {
   def complete(spark: SparkSession, manifestPath: String, table: String,
                relFiles: Array[String]): Boolean = {
     val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
-    memoized(("complete", sigKey, sig, table, listingFingerprint(relFiles))) {
+    memoizedStable(spark, manifestPath, sig,
+      ("complete", sigKey, sig, table, listingFingerprint(relFiles))) {
       val man = spark.read.schema(manifestSchema(spark, manifestPath))
         .parquet(manifestPath)
         .filter(col("table") === table).select(col("path"))
@@ -1048,7 +1101,9 @@ private[sources] object ManifestStats {
       val rel = spark.createDataset(
         relFiles.toIndexedSeq.map(ManifestSql.normPath))(Encoders.STRING)
       man.except(rel).isEmpty && rel.except(man).isEmpty
-    }
+    // a commit raced the probe: treat as incomplete — the rewrite
+    // declines and the scan reads the actual state
+    }.getOrElse(false)
   }
 }
 
@@ -1062,10 +1117,7 @@ private[sources] final case class ColFold(
     smUnknowable: Boolean = false, sm: Option[Any] = None) {
 
   def add(st: FStat, k: String): ColFold = {
-    def nullsOf: Option[Long] = st.nulls.get(k) match {
-      case Some(l: java.lang.Long) => Some(l.longValue())
-      case _ => None
-    }
+    def nullsOf: Option[Long] = st.nullCount(k)
     val allNull = nullsOf.contains(st.rows)
     val (ck, c) =
       if (st.rows == 0L) (cntKnown, cnt)
@@ -1387,14 +1439,7 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
             if (compiled.exists(_.isEmpty)) None
             else {
               val fns = compiled.map(_.get)
-              val classified = stats.map { st =>
-                val cs = fns.map(f => f(st))
-                val cover: Cover =
-                  if (cs.contains(CoverNone)) CoverNone
-                  else if (cs.forall(_ == CoverAll)) CoverAll
-                  else CoverPartial
-                (st, cover)
-              }
+              val classified = stats.map(st => (st, ManifestCover.of(fns)(st)))
               if (groupAttrs.nonEmpty)
                 answerGrouped(agg, rel, h, groupAttrs, classified, keyFields)
               else answerGlobal(agg, rel, h, classified, keyFields)
@@ -1422,6 +1467,10 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
                                 conjuncts: Seq[Expression], agg: Aggregate,
                                 groupAttrs: Seq[AttributeReference])
       : Option[LogicalPlan] = {
+    // signature FIRST, before any manifest reader pins a file listing: the
+    // sandwich (sig → jobs → sig unchanged) is what makes the memo safe
+    // against a maintenance commit racing the planning jobs
+    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
     val (keyFields, _, rdd) = ManifestStats.fstats(spark, manifestPath, table)
     val compiled = conjuncts.map(compileConjunct(_, rel.outputSet, keyFields))
     if (compiled.exists(_.isEmpty)) return None
@@ -1444,21 +1493,17 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
         h.location.inputFiles)) return None
     val cap = spark.conf.get(ManifestStats.MaxDriverPathsConf,
       ManifestStats.MaxDriverPathsDefault.toString).toInt
-    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
     val needKey = needCols.distinct.sorted
-    def coverOf(st: FStat): Cover = {
-      val cs = fns.map(f => f(st))
-      if (cs.contains(CoverNone)) CoverNone
-      else if (cs.forall(_ == CoverAll)) CoverAll
-      else CoverPartial
-    }
+    val coverOf = ManifestCover.of(fns) _
     if (groupAttrs.isEmpty) {
-      val summary = ManifestStats.memoized(
+      val summaryOpt = ManifestStats.memoizedStable(spark, manifestPath, sig,
         ("aggsum", sigKey, sig, table, conjuncts.map(_.canonicalized), needKey, cap)) {
         rdd.aggregate(StatsSummary())(
           (s, st) => s.add(st, coverOf(st), needKey, cap),
           (a, b) => a.merge(b, cap))
       }
+      if (summaryOpt.isEmpty) return None // commit raced planning: decline
+      val summary = summaryOpt.get
       val statsVals = calls.map(ae => valueFromFold(ae, summary, keyFields))
       if (statsVals.exists(_.isEmpty)) None
       else if (summary.partialCount == 0L) {
@@ -1480,13 +1525,15 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       // GROUP BY: per-group folds, group map capped (one group needs at
       // least one single-valued file, so it is file-bounded; overflow of
       // either cap declines whole)
-      val summary = ManifestStats.memoized(
+      val summaryOpt = ManifestStats.memoizedStable(spark, manifestPath, sig,
         ("aggsumg", sigKey, sig, table, conjuncts.map(_.canonicalized),
           gKeys, needKey, cap)) {
         rdd.aggregate(GroupedSummary())(
           (s, st) => s.add(st, coverOf(st), gKeys, needKey, cap),
           (a, b) => a.merge(b, cap))
       }
+      if (summaryOpt.isEmpty) return None // commit raced planning: decline
+      val summary = summaryOpt.get
       if (summary.groupOverflow || summary.scanOverflow) None
       else {
         val groupValsOpt = summary.groups.map { case (g, gf) =>
@@ -1830,10 +1877,7 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     def ext(l: Literal): Option[Any] =
       Option(l.value).map(CatalystTypeConverters.convertToScala(_, l.dataType))
-    def nullsOf(st: FStat, k: String): Option[Long] = st.nulls.get(k) match {
-      case Some(l: java.lang.Long) => Some(l.longValue())
-      case _ => None
-    }
+    def nullsOf(st: FStat, k: String): Option[Long] = st.nullCount(k)
     def allNull(st: FStat, k: String): Boolean = nullsOf(st, k).contains(st.rows)
     def noNulls(st: FStat, k: String): Boolean = nullsOf(st, k).contains(0L)
     def classify(none: FStat => Boolean, all: FStat => Boolean): FStat => Cover =
@@ -1912,10 +1956,7 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
                        keyFields: Map[String, String]): Option[Literal] = {
     def keyOf(ar: AttributeReference): Option[String] =
       keyFields.get(ar.name.toLowerCase(java.util.Locale.ROOT))
-    def nullsOf(st: FStat, k: String): Option[Long] = st.nulls.get(k) match {
-      case Some(l: java.lang.Long) => Some(l.longValue())
-      case _ => None
-    }
+    def nullsOf(st: FStat, k: String): Option[Long] = st.nullCount(k)
     def extremum(ar: AttributeReference, side: FStat => Map[String, Any],
                  takeMin: Boolean): Option[Literal] =
       keyOf(ar).flatMap { k =>
@@ -2171,13 +2212,8 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
       val complete = relFiles == manFiles
       keyFields.get(attr.name.toLowerCase(java.util.Locale.ROOT))
         .filter(_ => complete && !fns.exists(_.isEmpty)).flatMap { k =>
-        def cover(st: FStat): Cover = {
-          val cs = fns.map(_.get(st))
-          if (cs.contains(CoverNone)) CoverNone
-          else if (cs.forall(_ == CoverAll)) CoverAll
-          else CoverPartial
-        }
-        val classified = stats.map(st => (st, cover(st)))
+        val classified =
+          stats.map(st => (st, ManifestCover.of(fns.map(_.get))(st)))
         // excluded files drop outright; guarantees come ONLY from
         // fully-covered files (their every row passes the filter);
         // partial files stay candidates but guarantee nothing
@@ -2185,10 +2221,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
         val full = classified.collect { case (st, CoverAll) => st }
         def mn(st: FStat): Any = st.mins.getOrElse(k, null)
         def mx(st: FStat): Any = st.maxs.getOrElse(k, null)
-        def nulls(st: FStat): Option[Long] = st.nulls.get(k) match {
-          case Some(l: java.lang.Long) => Some(l.longValue())
-          case _ => None
-        }
+        def nulls(st: FStat): Option[Long] = st.nullCount(k)
         def allNull(st: FStat): Boolean = st.rows > 0 && nulls(st).contains(st.rows)
         // a file's guaranteed contribution to the top region, paired
         // with the bound those rows certainly clear
@@ -2248,6 +2281,9 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
     val cap = spark.conf.get(ManifestStats.MaxDriverPathsConf,
       ManifestStats.MaxDriverPathsDefault.toString).toInt
     if (n > cap) return None
+    // signature FIRST, before any manifest reader pins a listing (the
+    // memo's commit-race sandwich — see answerDistributed)
+    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
     val (keyFields, _, rdd) = ManifestStats.fstats(spark, manifestPath, table)
     val compiled = conjuncts.map(
       ManifestAggRule(spark).compileConjunct(_, rel.outputSet, keyFields))
@@ -2258,19 +2294,10 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
     val k = kOpt.get
     if (!ManifestStats.complete(spark, manifestPath, table,
         h.location.inputFiles)) return None
-    val (sigKey, sig, _) = ManifestSnapshot.signature(spark, manifestPath)
-    ManifestStats.memoized(("topk", sigKey, sig, table,
-      conjuncts.map(_.canonicalized), k, desc, n, cap)) {
-      def coverOf(st: FStat): Cover = {
-        val cs = fns.map(f => f(st))
-        if (cs.contains(CoverNone)) CoverNone
-        else if (cs.forall(_ == CoverAll)) CoverAll
-        else CoverPartial
-      }
-      def nullsOf(st: FStat): Option[Long] = st.nulls.get(k) match {
-        case Some(l: java.lang.Long) => Some(l.longValue())
-        case _ => None
-      }
+    ManifestStats.memoizedStable(spark, manifestPath, sig, ("topk", sigKey,
+      sig, table, conjuncts.map(_.canonicalized), k, desc, n, cap)) {
+      val coverOf = ManifestCover.of(fns) _
+      def nullsOf(st: FStat): Option[Long] = st.nullCount(k)
       def guarantee(st: FStat): Option[(Any, Long)] = {
         val bound = if (desc) st.mins.getOrElse(k, null)
                     else st.maxs.getOrElse(k, null)
@@ -2336,7 +2363,9 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
             Some(keepList.iterator.flatMap(_._2).sum)
           else None))
       }
-    }
+    // memoizedStable None = a commit raced planning: decline this query;
+    // the inner Option is the sweep's own answer
+    }.flatten
   }
 
   /** The tightest bound at which cumulative guarantees reach n, sweeping

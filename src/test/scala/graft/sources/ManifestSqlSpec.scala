@@ -1349,6 +1349,55 @@ class ManifestSqlSpec extends SparkSpec {
     } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
   }
 
+  test("distributed stats memo declines when a commit races the planning jobs") {
+    import spark.implicits._
+    // the sandwich: a result computed while the catalog moved must be
+    // neither served nor cached — otherwise a pre-commit answer lands
+    // under the post-commit signature and persists until the NEXT commit
+    val dir = s"$base/memorace"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val rmp = s"$base/memorace_manifest"
+    Manifest.update(spark, dir, "t", Seq("id"), rmp)
+    val (_, sig, _) = ManifestSnapshot.signature(spark, rmp)
+    val raced = ManifestStats.memoizedStable(spark, rmp, sig, ("race", sig)) {
+      // a maintenance commit lands mid-computation (new part names)
+      (10L until 20L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(s"$dir/t.parquet")
+      Manifest.update(spark, dir, "t", Seq("id"), rmp)
+      42
+    }
+    assert(raced.isEmpty, "a raced computation must decline, not cache")
+    // the stale key was never populated; the fresh signature computes anew
+    val (_, sig2, _) = ManifestSnapshot.signature(spark, rmp)
+    assert(sig2 !== sig)
+    assert(ManifestStats.memoizedStable(spark, rmp, sig2,
+      ("race", sig2)) { 43 } === Some(43))
+    // and the memo serves the cached value on the stable key
+    assert(ManifestStats.memoizedStable(spark, rmp, sig2,
+      ("race", sig2)) { 44 } === Some(43))
+
+    // end-to-end: a maintained catalog's distributed answers track commits
+    val vmp = s"$base/memorace_m2"
+    val vdir = s"$base/memorace_d2"
+    (0L until 5L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$vdir/t.parquet")
+    Manifest.updateDir(spark, s"$vdir/t.parquet", "t", Seq("id"), vmp)
+    spark.conf.set(ManifestSnapshot.MaxBytesConf, "1")
+    try {
+      ManifestSql.register(spark, vdir, "t", vmp, "mrc")
+      assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mrc")
+        .head.toSeq === Seq(5L, 10L))
+      (5L until 8L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(s"$vdir/t.parquet")
+      Manifest.updateDir(spark, s"$vdir/t.parquet", "t", Seq("id"), vmp)
+      ManifestSql.register(spark, vdir, "t", vmp, "mrc") // fresh listing
+      assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM mrc")
+        .head.toSeq === Seq(8L, 28L),
+        "the post-commit signature must never serve the pre-commit answer")
+    } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
+  }
+
   test("q198-q203 stay green over a manifest larger than snapshotMaxBytes") {
     // the round-15 verdict's done-criterion verbatim: the roster's
     // metadata-rule queries must answer identically when every manifest

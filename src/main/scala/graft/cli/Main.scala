@@ -569,6 +569,17 @@ object Main {
               spark, src, table, keyCols, manifestPath)
             out(s"manifest for $table updated at $manifestPath " +
               s"(+$added files, -$removed stale)")
+          } else if (opts.contains("backfill-sums-all")) {
+            // run-to-completion form (round 17): pages the bounded pass on
+            // a path cursor until no candidate remains, logging each pass —
+            // saves the operator the rerun loop, and the cursor guarantees
+            // progress even when a whole cap-sized batch is unfillable
+            val (filled, unfillable) = graft.sources.Manifest
+              .backfillSumsAll(spark, manifestPath, out)
+            out(s"manifest at $manifestPath: backfilled sums for $filled files" +
+              (if (unfillable > 0)
+                 s"; $unfillable unfillable (unknown null counts, absent keys, or overflow)"
+               else ""))
           } else if (opts.contains("backfill-sums")) {
             // catalogs maintained before the sums column (or updates past
             // the sum-scan cap) hold NULL sums over real rows, so SUM
@@ -1038,18 +1049,28 @@ object Main {
       |              --backfill-sums  (fill NULL per-file sums for rows
       |               that predate the sums column or were skipped by the
       |               sum-scan cap; bounded per pass, upgrades the schema)
+      |              --backfill-sums-all  (page --backfill-sums on a path
+      |               cursor until no candidate remains, logging each pass
+      |               and any unfillable files)
       |              or stats mode: [--min-key V] [--max-key V]  (row/file
       |               counts for a key range answered from the manifest
       |               alone — no data files opened)
       |              (update/compact serialize on a fenced __commitlock
-      |               claim — UUID tokens, heartbeat, rename-based stale
-      |               reclamation after graft.manifest.commitLockTimeoutMs
-      |               (default 120000), and a pre-mutation ownership +
-      |               __version re-check that retries a displaced writer's
-      |               section — so concurrent jobs maintaining DISJOINT
-      |               tables of one catalog are safe; each commit bumps
-      |               __version once. update also records per-file SUMs of
-      |               numeric keys (graft.manifest.recordSums).
+      |               claim — UUID tokens, a content-rewrite heartbeat that
+      |               refreshes the lock on every store incl. S3A-class
+      |               ones, rename-based stale reclamation after
+      |               graft.manifest.commitLockTimeoutMs (default 120000),
+      |               and a pre-mutation ownership + __version re-check
+      |               that retries a displaced writer's section — so
+      |               concurrent jobs maintaining DISJOINT tables of one
+      |               catalog are safe; each commit bumps __version once.
+      |               NOTE: single-winner stale-claim reclamation relies on
+      |               ATOMIC rename — an HDFS-semantics property; on
+      |               S3A-class stores (copy+delete rename) two reclaimers
+      |               can both proceed — the fences keep answers correct,
+      |               at the cost of a spurious section retry. update also
+      |               records per-file SUMs of numeric keys
+      |               (graft.manifest.recordSums).
       |               registered views also answer COUNT/MIN/MAX/SUM and
       |               single-valued-key GROUP BY from stats and prune
       |               [WHERE ...] ORDER BY key LIMIT n — session confs

@@ -52,6 +52,34 @@ class MainSpec extends SparkSpec {
     assert(s2out.exists(_.contains(s"orders: $expected rows")), s2out.mkString("\n"))
   }
 
+  test("manifest --backfill-sums-all pages to completion and logs per-pass fills") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_bfall").toString
+    // two single-row files with a sum-scan cap of 1 → the loop needs two
+    // filling passes plus the terminating empty pass
+    Seq((1L, 10L)).toDF("id", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    Seq((2L, 20L)).toDF("id", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/t.parquet")
+    val mp = s"$dir/_manifest/t"
+    spark.conf.set(graft.sources.Manifest.RecordSumsConf, "false")
+    try graft.sources.Manifest.updateDir(spark, s"$dir/t.parquet", "t",
+      Seq("id", "x"), mp)
+    finally spark.conf.unset(graft.sources.Manifest.RecordSumsConf)
+    spark.conf.set(graft.sources.Manifest.SumScanMaxFilesConf, "1")
+    try {
+      val (code, out) = runCli("manifest", "--source", dir, "--table", "t",
+        "--manifest", mp, "--backfill-sums-all")
+      assert(code === 0, out.mkString("\n"))
+      assert(out.exists(_.contains("backfill pass 1: filled 1, unfillable 0")),
+        out.mkString("\n"))
+      assert(out.exists(_.contains("backfill pass 2: filled 1, unfillable 0")),
+        out.mkString("\n"))
+      assert(out.exists(_.contains("backfilled sums for 2 files")), out.mkString("\n"))
+      assert(!out.exists(_.contains("unfillable (")), out.mkString("\n"))
+    } finally spark.conf.unset(graft.sources.Manifest.SumScanMaxFilesConf)
+  }
+
   test("build writes topo-ordered DDL to a file") {
     val f = Files.createTempDirectory("ddl").resolve("schema.sql").toString
     val (code, _) = runCli("build", "--source", sfDir, "--schema", "tpch", "--output", f)

@@ -842,6 +842,101 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("heartbeat stays live on a setTimes-refusing object store (round-16 item 2)") {
+    // S3A-class stores silently no-op fs.setTimes, so an mtime-refresh
+    // heartbeat was dead code there: a healthy long commit section aged
+    // out and was reclaimed mid-commit, paying spurious full-section
+    // retries exactly under contention. The heartbeat now REWRITES the
+    // lock's content — a content write updates mtime on every store —
+    // pinned against a RawLocalFileSystem whose setTimes is a silent no-op.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.stubfs.impl", classOf[NoSetTimesFileSystem].getName)
+    val mp = s"stubfs:$base/hb_objstore/m"
+    val lock = new org.apache.hadoop.fs.Path(mp + "__commitlock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.isInstanceOf[NoSetTimesFileSystem], s"stub scheme must resolve: $fs")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"stubfs:$base/hb_objstore"))
+    spark.conf.set(Manifest.CommitLockTimeoutConf, "500")
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Manifest.ringProbe = Some(e => events.add(e))
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      val a = new Thread(() =>
+        try Manifest.withCommitLock(spark, mp) {
+          order.add("a-enter")
+          val t0 = fs.getFileStatus(lock).getModificationTime
+          Thread.sleep(800) // > timeout: only the heartbeat keeps the claim fresh
+          Manifest.fenceClaim(spark, mp) // must still own the claim
+          assert(fs.getFileStatus(lock).getModificationTime > t0,
+            "heartbeat must refresh the lock despite the setTimes no-op")
+          order.add("a-exit")
+        } catch { case t: Throwable => failure.compareAndSet(null, t) })
+      a.start()
+      Thread.sleep(200) // let A claim before B contends
+      val b = new Thread(() =>
+        try Manifest.withCommitLock(spark, mp) { order.add("b-enter"); () }
+        catch { case t: Throwable => failure.compareAndSet(null, t) })
+      b.start()
+      a.join(30000); b.join(30000)
+      assert(failure.get() == null, s"ring section failed: ${failure.get()}")
+      assert(order.toArray(Array.empty[String]).toSeq ===
+        Seq("a-enter", "a-exit", "b-enter"))
+      val seq = events.toArray(Array.empty[String]).toSeq
+      assert(!seq.contains("reclaim"),
+        s"a heartbeating holder must not be reclaimed: $seq")
+      assert(!seq.contains("fence-lost"), seq)
+    } finally {
+      Manifest.ringProbe = None
+      spark.conf.unset(Manifest.CommitLockTimeoutConf)
+    }
+  }
+
+  /** One data file under an exact name, so path-order fixtures are
+    * deterministic (Spark's own part-file names are not). */
+  private def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+                              destDir: String, name: String): Unit = {
+    val tmp = s"$destDir/__tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$destDir/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("backfillSumsAll pages past an unfillable cap-sized batch (round-16 advice)") {
+    import spark.implicits._
+    val dir = s"$base/backfill_cursor"
+    // a.parquet LACKS the x column (schema evolution): its x-sum can never
+    // be filled from its own pages; b.parquet carries both columns and
+    // sits BEYOND a cap of 1 in path order
+    writeSingleFile(Seq((1L, "a")).toDF("id", "v"), s"$dir/t.parquet", "a.parquet")
+    writeSingleFile(Seq((2L, 5L, "b")).toDF("id", "x", "v"),
+      s"$dir/t.parquet", "b.parquet")
+    val mp = s"$base/backfill_cursor_m"
+    spark.conf.set(Manifest.RecordSumsConf, "false")
+    try Manifest.updateDir(spark, s"$dir/t.parquet", "t", Seq("id", "x"), mp)
+    finally spark.conf.unset(Manifest.RecordSumsConf)
+    spark.conf.set(Manifest.SumScanMaxFilesConf, "1")
+    try {
+      // a single bounded pass takes only {a}: fills its id sum but can
+      // never produce its x sum — 0 TRUE fills, while fillable b waits
+      // beyond the cap (the round-16 starvation shape)
+      assert(Manifest.backfillSums(spark, mp) === 0L)
+      // the cursor form pages strictly past the unfillable batch
+      val (filled, unfillable) = Manifest.backfillSumsAll(spark, mp)
+      assert(filled === 1L, "b.parquet must be reached past the unfillable batch")
+      assert(unfillable === 1L)
+      val got = spark.read.parquet(mp)
+        .select(col("path"), col("sums.id"), col("sums.x")).collect()
+        .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+          r.get(1), r.get(2))).toSet
+      assert(got === Set(("a.parquet", 1L, null), ("b.parquet", 2L, 5L)))
+    } finally spark.conf.unset(Manifest.SumScanMaxFilesConf)
+  }
+
   test("inline auto-compaction bumps the version once per committed mutation") {
     import spark.implicits._
     // round-15 advice: compact() under the re-entrant claim bumped, then
@@ -901,4 +996,14 @@ class ManifestSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     super.afterAll()
   }
+}
+
+/** RawLocalFileSystem under its own scheme whose `setTimes` is an
+  * S3A-style silent no-op — lets the heartbeat spec simulate an object
+  * store where only a content write refreshes a file's mtime. */
+class NoSetTimesFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "stubfs"
+  override def getUri: java.net.URI = java.net.URI.create("stubfs:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path,
+                        mtime: Long, atime: Long): Unit = ()
 }

@@ -1123,6 +1123,72 @@ object CoreQueries {
           |LIMIT 100""".stripMargin)
     },
 
+    // AVG metadata aggregates (round 17, verdict item 3): AVG is SUM/COUNT
+    // over stats the manifest already carries — the rule lowers it to
+    // Catalyst's own Average buffer algebra and answers both legs from
+    // per-file sums and null counts. The range straddles two file
+    // boundaries, so the HYBRID path runs: covered files contribute
+    // recorded sums/counts, only the boundary files scan, and the divide
+    // combines the re-aggregated legs. avg_price rides the davg
+    // discipline (an exact decimal-widened SUM over COUNT — the
+    // lossless-cast shape validator layer 4 emits); the oracle recomputes
+    // both raw in DuckDB, so a wrong per-file sum, count, or leg combine
+    // breaks the hash. ManifestSqlSpec pins the zero-file aligned case.
+    "q204_manifest_avg_agg" -> { (s, dir) =>
+      val scratch = scratchManifest("q204data", dir)
+      val mp = scratchManifest("q204manifest", dir)
+      buildOnce(scratch) {
+        t(s, dir, "orders")
+          .repartitionByRange(8, col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+        graft.sources.Manifest.update(s, scratch, "orders",
+          Seq("o_orderdate", "o_custkey", "o_totalprice"), mp)
+      }
+      graft.sources.ManifestSql.register(s, scratch, "orders", mp,
+        "orders_m_avg")
+      s.sql(
+        s"""SELECT count(*) AS n_rows,
+           |  avg(o_custkey) AS avg_cust,
+           |  ${Q.davgSql("o_totalprice")} AS avg_price
+           |FROM orders_m_avg
+           |WHERE o_orderdate >= DATE '1993-06-10'
+           |  AND o_orderdate <= DATE '1996-11-25'""".stripMargin)
+    },
+
+    // Explicit NULLS placements in top-k file pruning (round 17, verdict
+    // item 4): `ORDER BY key ASC NULLS LAST LIMIT n` under a filter used
+    // to decline outright — the guarantee sweep now swaps the null-region
+    // and threshold roles per placement. The scratch layout nulls the
+    // sort key on a deterministic keyslice before range-partitioning, so
+    // null handling is real, and the filter excludes them (a comparison
+    // is null-rejecting) while the sweep composes coverage classes with
+    // the ASC threshold. The oracle recomputes raw with the same
+    // placement spelled, so a file wrongly skipped under the composed
+    // sweep breaks the hash; ManifestSqlSpec pins all four placements'
+    // scanned-file counts including null-region mode.
+    "q205_manifest_nulls_topk" -> { (s, dir) =>
+      val scratch = scratchManifest("q205data", dir)
+      val mp = scratchManifest("q205manifest", dir)
+      buildOnce(scratch) {
+        t(s, dir, "orders")
+          .withColumn("o_orderdate",
+            when(col("o_orderkey") % 97 === 0, lit(null)
+              .cast("date")).otherwise(col("o_orderdate")))
+          .repartitionByRange(8, col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+        graft.sources.Manifest.update(s, scratch, "orders",
+          Seq("o_orderdate", "o_custkey"), mp)
+      }
+      graft.sources.ManifestSql.register(s, scratch, "orders", mp,
+        "orders_m_nulltopk")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_orderdate AS STRING) AS od, o_custkey
+          |FROM orders_m_nulltopk
+          |WHERE o_orderdate <= DATE '1997-06-01'
+          |ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
+          |LIMIT 100""".stripMargin)
+    },
+
     // DECODE / REGEXP_SUBSTR / OBJECT_CONSTRUCT — the remaining high-
     // frequency Snowflake-isms, end-to-end through the translate path.
     "q84_dialect_decode" -> { (s, dir) =>
@@ -1853,6 +1919,35 @@ object CoreQueries {
         |FROM orders
         |WHERE o_orderdate >= DATE '1995-06-01'
         |ORDER BY o_orderdate DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // AVG-metadata twin: the raw table recomputed with the same
+    // straddling range. avg_cust replicates Spark's AVG-over-bigint
+    // algebra explicitly (exact sum cast to double over the count —
+    // DuckDB's own AVG may use a different accumulation); both operands
+    // stay inside double's exact-integer range at this SF, so the
+    // division is bit-identical. avg_price is the davg discipline.
+    "q204_manifest_avg_agg" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS DOUBLE) / count(o_custkey) AS avg_cust,
+         |  ${graft.queries.Q.davgSql("o_totalprice")} AS avg_price
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1993-06-10'
+         |  AND o_orderdate <= DATE '1996-11-25'""".stripMargin,
+
+    // NULLS-placement top-k twin: the raw table recomputed with the same
+    // nulled keyslice, filter, and spelled placement — a file the
+    // generalized sweep wrongly skipped drops an early date from the
+    // filtered top-100 and breaks the hash.
+    "q205_manifest_nulls_topk" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od, o_custkey
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |             ELSE o_orderdate END AS o_orderdate,
+        |        o_custkey
+        |      FROM orders)
+        |WHERE o_orderdate <= DATE '1997-06-01'
+        |ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
         |LIMIT 100""".stripMargin,
 
     // DuckDB to_hex already prints uppercase without leading zeros —

@@ -961,20 +961,56 @@ private[sources] object ManifestStats {
   val MaxDriverPathsDefault = 100000
 
   /** Distributed-answer memo — access-ordered LRU, keys carry the
-    * manifest signature so maintenance invalidates by construction. */
-  private val memo: java.util.Map[Any, Any] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[Any, Any](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[Any, Any]): Boolean = size() > 64
-      })
+    * manifest signature so maintenance invalidates by construction.
+    * Evicts by BOTH entry count and total held PATH TUPLES (round-16
+    * advice: 64 entries × a statsMaxDriverPaths-sized partial/keep list
+    * each could pin GBs of driver heap — the very pressure round-15
+    * item 1 removed, re-introduced behind a cache). The newest entry is
+    * never evicted by its own insertion, so a single oversized result
+    * still serves its query; it just shares the cache with nothing. */
+  private[sources] val MemoMaxEntries = 64
+  private[sources] val MemoMaxWeight = 200000L
+
+  private val memo = new java.util.LinkedHashMap[Any, Any](16, 0.75f, true)
+  private var memoWeight = 0L
+
+  /** Path tuples an entry pins on the driver (1 floor keeps counts sane). */
+  private[sources] def memoWeightOf(v: Any): Long = v match {
+    case s: StatsSummary => 1L + s.partialFiles.size
+    case g: GroupedSummary => 1L + g.scanFiles.size + g.groups.size
+    case Some(x) => memoWeightOf(x)
+    case (paths: Seq[_], _) => 1L + paths.size
+    case _ => 1L
+  }
+
+  private def memoGet(key: Any): Any = memo.synchronized(memo.get(key))
+
+  private def memoPut(key: Any, v: Any): Unit = memo.synchronized {
+    val prev = memo.put(key, v)
+    if (prev != null) memoWeight -= memoWeightOf(prev)
+    memoWeight += memoWeightOf(v)
+    val it = memo.entrySet().iterator()
+    while ((memo.size() > MemoMaxEntries || memoWeight > MemoMaxWeight) &&
+        memo.size() > 1 && it.hasNext) {
+      val e = it.next() // access-ordered: eldest first, newest last
+      memoWeight -= memoWeightOf(e.getValue)
+      it.remove()
+    }
+  }
+
+  /** Total held path-tuple weight — exposed for the eviction spec. */
+  private[sources] def memoHeldWeight: Long = memo.synchronized(memoWeight)
+  private[sources] def memoSize: Int = memo.synchronized(memo.size())
+  private[sources] def memoClear(): Unit = memo.synchronized {
+    memo.clear(); memoWeight = 0L
+  }
 
   private[sources] def memoized[T](key: Any)(compute: => T): T = {
-    val hit = memo.get(key)
+    val hit = memoGet(key)
     if (hit != null) hit.asInstanceOf[T]
     else {
       val v = compute
-      memo.put(key, v)
+      memoPut(key, v)
       v
     }
   }
@@ -989,13 +1025,13 @@ private[sources] object ManifestStats {
   private[sources] def memoizedStable[T](spark: SparkSession,
                                          manifestPath: String, sig: Any,
                                          key: Any)(compute: => T): Option[T] = {
-    val hit = memo.get(key)
+    val hit = memoGet(key)
     if (hit != null) Some(hit.asInstanceOf[T])
     else {
       val v = compute
       val (_, sig2, _) = ManifestSnapshot.signature(spark, manifestPath)
       if (sig2 == sig) {
-        memo.put(key, v)
+        memoPut(key, v)
         Some(v)
       } else None
     }
@@ -1328,6 +1364,15 @@ private[sources] case object CoverAll extends Cover
 private[sources] case object CoverNone extends Cover
 private[sources] case object CoverPartial extends Cover
 
+/** How an additive aggregate's child maps onto the recorded native sums
+  * (see [[ManifestAggRule.additiveTarget]]). */
+private[sources] sealed trait SumShape
+private[sources] case object NativeSum extends SumShape
+private[sources] final case class LosslessCastSum(to: DecimalType) extends SumShape
+private[sources] case object DoubleCastSum extends SumShape
+private[sources] case object UnscaledSum extends SumShape
+private[sources] case object UnscaledDoubleSum extends SumShape
+
 case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
@@ -1358,19 +1403,69 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
             if rel.outputSet.contains(ar) => Some(acc :+ ar)
         case _ => None
       }
-      aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      // AVG lowers to its own buffer algebra (SUM + COUNT) before the
+      // shape gate, so every answer path — pure, hybrid, grouped,
+      // distributed — needs only the SUM/COUNT machinery (round-16
+      // verdict item 3); a decline keeps the ORIGINAL agg untouched
+      agg2 = decomposeAverages(agg)
+      aggCalls = agg2.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression => ae })
       if aggCalls.nonEmpty && aggCalls.forall(shapeSupported(_, rel))
       tbl <- h.options.get(ManifestSql.TableOption)
       mp = h.options(ManifestSql.PathOption)
       replaced <- scala.util.Try(
-        answer(mp, tbl, h, rel, conjuncts, agg, groupAttrs)) match {
+        answer(mp, tbl, h, rel, conjuncts, agg2, groupAttrs)) match {
         case scala.util.Failure(e) =>
           logWarning(s"manifest metadata-aggregate skipped for $tbl ($mp): $e")
           None
         case scala.util.Success(v) => v
       }
     } yield replaced
+
+  /** Rewrite every plain AVG call into Catalyst's own Average buffer
+    * algebra — SUM and COUNT over the same child, divided with Average's
+    * exact typing (round-16 verdict item 3: AVG is SUM/COUNT over stats
+    * the manifest already carries, so declining it forfeited the jobless
+    * answer for no structural reason). The decomposition IS Average's
+    * `evaluateExpression`: for DECIMAL input the sum accumulates in
+    * decimal(p+10, s) (what `Sum(child)` already returns, mode preserved)
+    * and divides by the count cast to decimal(20, 0), then casts to
+    * Average's bounded(p+4, s+4) result; every other numeric input sums
+    * in DOUBLE (Average.sumDataType) and divides as doubles. Division is
+    * LEGACY-mode like Average's own `failOnError = false` — a zero count
+    * yields NULL, never an error. Value-identical to the undecomposed
+    * plan in every eval mode, whether the rewrite then answers from
+    * stats or declines back to the scan (the decomposed plan is only
+    * kept on success). Distinct/filtered/interval AVG stays undecomposed
+    * and declines at the shape gate. */
+  private def decomposeAverages(agg: Aggregate): Aggregate = {
+    var changed = false
+    val rewritten = agg.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae @ AggregateExpression(a: Average, _, false, None, _)
+            if a.child.dataType.isInstanceOf[NumericType] =>
+          changed = true
+          val cnt = Count(Seq(a.child)).toAggregateExpression()
+          a.child.dataType match {
+            case _: DecimalType =>
+              // Average's own decimal buffer: Sum in (p+10, s) under the
+              // AVG call's eval mode, divided by the count in DECIMAL(20,0)
+              val ctx = NumericEvalContext
+                .fromSQLConf(org.apache.spark.sql.internal.SQLConf.get)
+                .copy(evalMode = a.evalMode)
+              val sum = Sum(a.child, ctx).toAggregateExpression()
+              Cast(
+                Divide(sum, Cast(cnt, DecimalType(20, 0)),
+                  EvalMode.LEGACY),
+                ae.dataType, None, EvalMode.LEGACY)
+            case _ =>
+              val sum = Sum(Cast(a.child, DoubleType)).toAggregateExpression()
+              Divide(sum, Cast(cnt, DoubleType), EvalMode.LEGACY)
+          }
+      }.asInstanceOf[NamedExpression]
+    }
+    if (changed) agg.copy(aggregateExpressions = rewritten) else agg
+  }
 
   /** The marked relation under attribute-passthrough Projects and
     * deterministic Filters only, plus every Filter conjunct crossed. */
@@ -1398,9 +1493,11 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       // a NULL literal counts ZERO rows, not the table: `count(NULL)` — or
       // any count whose argument constant-folds to null, e.g.
       // `count(CASE WHEN false THEN x END)` — must decline to the scan
-      // (round-15 advice)
+      // (round-15 advice). A lossless cast is NULL-PRESERVING, so
+      // count(cast(k)) = count(k) — the decomposed AVG-of-cast shape.
       case Count(Seq(Literal(v, _))) => v != null
-      case Count(Seq(ar: AttributeReference)) => rel.outputSet.contains(ar)
+      case Count(Seq(e)) =>
+        additiveTarget(e).exists { case (ar, _) => rel.outputSet.contains(ar) }
       case Min(ar: AttributeReference) => rel.outputSet.contains(ar)
       case Max(ar: AttributeReference) => rel.outputSet.contains(ar)
       // SUM answers from the manifest's per-file sums (round-15 verdict
@@ -1410,12 +1507,51 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       // throws and TRY nulls, each mode's scan reproduces its own
       // semantics; below overflow all three agree on the exact total.
       case s: Sum =>
-        s.child match {
-          case ar: AttributeReference => rel.outputSet.contains(ar)
-          case _ => false
-        }
+        additiveTarget(s.child).exists { case (ar, _) => rel.outputSet.contains(ar) }
       case _ => false
     })
+
+  /** The relation attribute under an additive aggregate's child, when the
+    * per-file stats answer it, and HOW the exact native total converts
+    * into the call's space ([[SumShape]]):
+    *  - the attribute itself;
+    *  - a provably LOSSLESS decimal widening of it — enough integer
+    *    digits for every possible source value plus a non-narrowing
+    *    scale, which makes sum-of-casts = cast-of-the-exact-sum (the
+    *    shape validator layer 4 emits, `SUM(CAST(x AS DECIMAL(38,6)))`,
+    *    validator.py:326-405); a lossless cast also can't error in any
+    *    eval mode, keeping the rewrite mode-independent (float/double →
+    *    decimal rounds per value and never qualifies);
+    *  - a cast to DOUBLE (the decomposed-AVG buffer shape — double
+    *    addition is order-dependent in Spark's own scan too, so
+    *    converting the exact total sits inside the same tolerance class
+    *    as the native double-SUM answer);
+    *  - `UnscaledValue(dec)` with or without the double cast — what
+    *    Spark's own DecimalAggregates optimization lowers small-precision
+    *    decimal SUM/AVG into before this rule runs: the unscaled total is
+    *    the exact decimal total × 10^scale, recovered exactly from the
+    *    recorded sums. */
+  private[sources] def additiveTarget(e: Expression)
+      : Option[(AttributeReference, SumShape)] = e match {
+    case ar: AttributeReference => Some((ar, NativeSum))
+    case UnscaledValue(ar: AttributeReference) => Some((ar, UnscaledSum))
+    case Cast(UnscaledValue(ar: AttributeReference), DoubleType, _, _) =>
+      Some((ar, UnscaledDoubleSum))
+    case Cast(ar: AttributeReference, DoubleType, _, _)
+        if ar.dataType.isInstanceOf[NumericType] => Some((ar, DoubleCastSum))
+    case Cast(ar: AttributeReference, d: DecimalType, _, _) =>
+      val lossless = ar.dataType match {
+        case ByteType => d.precision - d.scale >= 3
+        case ShortType => d.precision - d.scale >= 5
+        case IntegerType => d.precision - d.scale >= 10
+        case LongType => d.precision - d.scale >= 19
+        case s: DecimalType =>
+          d.scale >= s.scale && d.precision - d.scale >= s.precision - s.scale
+        case _ => false
+      }
+      if (lossless) Some((ar, LosslessCastSum(d))) else None
+    case _ => None
+  }
 
   private def answer(manifestPath: String, table: String, h: HadoopFsRelation,
                      rel: LogicalRelation, conjuncts: Seq[Expression],
@@ -1572,8 +1708,11 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null =>
         Some(Literal(coveredRows))
-      case Count(Seq(ar: AttributeReference)) =>
-        fold(ar).filter(_.cntKnown).map(f => Literal(f.cnt))
+      case Count(Seq(e)) =>
+        // lossless casts are null-preserving: count(cast(k)) = count(k)
+        additiveTarget(e).flatMap { case (ar, _) =>
+          fold(ar).filter(_.cntKnown).map(f => Literal(f.cnt))
+        }
       case Min(ar: AttributeReference) =>
         fold(ar).filterNot(_.mnUnknowable)
           .map(f => Literal.create(f.mn.orNull, ar.dataType))
@@ -1581,26 +1720,53 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
         fold(ar).filterNot(_.mxUnknowable)
           .map(f => Literal.create(f.mx.orNull, ar.dataType))
       case s: Sum =>
-        s.child match {
-          case ar: AttributeReference =>
-            fold(ar).filterNot(_.smUnknowable).flatMap { f =>
-              f.sm match {
-                case None => Some(Literal.create(null, ae.dataType))
-                case Some(b: BigInt) =>
-                  if (b.isValidLong) Some(Literal(b.toLong)) else None
-                case Some(d: java.math.BigDecimal) =>
-                  scala.util.Try(Literal.create(d,
-                    ae.dataType.asInstanceOf[DecimalType])).toOption
-                    .filter(_.value != null)
-                case Some(d: java.lang.Double) =>
-                  Some(Literal(d.doubleValue()))
-                case _ => None
-              }
-            }
-          case _ => None
+        additiveTarget(s.child).flatMap { case (ar, castTo) =>
+          fold(ar).filterNot(_.smUnknowable)
+            .flatMap(f => sumResultLiteral(f.sm, ae, castTo))
         }
       case _ => None
     }
+  }
+
+  /** Exact accumulated sum (BigInt/BigDecimal/Double; None = no non-null
+    * value existed) → the SUM call's literal in its own result type,
+    * OVERFLOW-CHECKED — any overflow declines to the scan, which then
+    * reproduces the session eval mode's own semantics (LEGACY wraps, ANSI
+    * throws, TRY nulls); below overflow every mode agrees on this exact
+    * total. `shape` says how the native total converts into the call's
+    * space ([[additiveTarget]]). */
+  private def sumResultLiteral(sm: Option[Any], ae: AggregateExpression,
+                               shape: SumShape): Option[Literal] = sm match {
+    case None => Some(Literal.create(null, ae.dataType))
+    case Some(v) =>
+      def dec(d: java.math.BigDecimal): Option[Literal] =
+        scala.util.Try(Literal.create(d, ae.dataType.asInstanceOf[DecimalType]))
+          .toOption.filter(_.value != null)
+      // the exact unscaled total: decimal total × 10^scale, an integer by
+      // construction (every contributing value has the column's scale)
+      def unscaled(d: java.math.BigDecimal): Option[BigInt] =
+        scala.util.Try(BigInt(d.movePointRight(d.scale).toBigIntegerExact)).toOption
+      (v, shape) match {
+        case (b: BigInt, NativeSum) =>
+          if (b.isValidLong) Some(Literal(b.toLong)) else None
+        case (d: java.math.BigDecimal, NativeSum) => dec(d)
+        case (x: java.lang.Double, NativeSum) => Some(Literal(x.doubleValue()))
+        case (b: BigInt, DoubleCastSum) => Some(Literal(b.toDouble))
+        case (d: java.math.BigDecimal, DoubleCastSum) =>
+          Some(Literal(d.doubleValue()))
+        case (x: java.lang.Double, DoubleCastSum) =>
+          Some(Literal(x.doubleValue()))
+        case (b: BigInt, LosslessCastSum(c)) =>
+          dec(new java.math.BigDecimal(b.bigInteger).setScale(c.scale))
+        case (d: java.math.BigDecimal, LosslessCastSum(c)) =>
+          dec(d.setScale(c.scale)) // widening: setScale is exact
+        case (d: java.math.BigDecimal, UnscaledSum) =>
+          unscaled(d).flatMap(u =>
+            if (u.isValidLong) Some(Literal(u.toLong)) else None)
+        case (d: java.math.BigDecimal, UnscaledDoubleSum) =>
+          unscaled(d).map(u => Literal(u.toDouble))
+        case _ => None
+      }
   }
 
   private def answerGlobal(agg: Aggregate, rel: LogicalRelation,
@@ -1984,61 +2150,50 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
       // the two gates can never drift apart)
       case Count(Seq(Literal(v, _))) if v != null =>
         Some(Literal(covered.iterator.map(_.rows).sum))
-      case Count(Seq(ar: AttributeReference)) =>
-        keyOf(ar).flatMap { k =>
-          val parts = covered.map { st =>
-            if (st.rows == 0L) Some(0L) else nullsOf(st, k).map(st.rows - _)
+      case Count(Seq(e)) =>
+        // lossless casts are null-preserving: count(cast(k)) = count(k)
+        additiveTarget(e).flatMap { case (ar, _) =>
+          keyOf(ar).flatMap { k =>
+            val parts = covered.map { st =>
+              if (st.rows == 0L) Some(0L) else nullsOf(st, k).map(st.rows - _)
+            }
+            if (parts.exists(_.isEmpty)) None
+            else Some(Literal(parts.iterator.flatten.sum))
           }
-          if (parts.exists(_.isEmpty)) None
-          else Some(Literal(parts.iterator.flatten.sum))
         }
       case Min(ar: AttributeReference) => extremum(ar, _.mins, takeMin = true)
       case Max(ar: AttributeReference) => extremum(ar, _.maxs, takeMin = false)
       case s: Sum =>
-        s.child match {
-          case ar: AttributeReference =>
-            keyOf(ar).flatMap { k =>
-              var unknowable = false
-              val contribs = covered.flatMap { st =>
-                val v = st.sums.getOrElse(k, null)
-                if (v != null) Some(v)
-                else if (st.rows == 0L) None
-                else nullsOf(st, k) match {
-                  // an all-null file's NULL sum is GENUINE (SUM ignores
-                  // NULLs — no non-null value existed); a NULL sum over
-                  // real rows means the file predates the sums column
-                  case Some(n) if n == st.rows => None
-                  case _ => unknowable = true; None
-                }
-              }
-              if (unknowable) None
-              else if (contribs.isEmpty) Some(Literal.create(null, ae.dataType))
-              else addSums(contribs, ae.dataType)
-            }
-          case _ => None
+        additiveTarget(s.child).flatMap { case (ar, castTo) =>
+          keyOf(ar).flatMap(k =>
+            exactSum(covered, k).flatMap(sm => sumResultLiteral(sm, ae, castTo)))
         }
       case _ => None
     }
   }
 
-  /** Fold per-file sums in the aggregate's own result type,
-    * OVERFLOW-CHECKED: any overflow declines to the scan, which then
-    * reproduces the session eval mode's own semantics (LEGACY wraps, ANSI
-    * throws, TRY nulls) — below overflow every mode agrees on this exact
-    * total, so the rewrite is mode-independent. */
-  private def addSums(contribs: Seq[Any], dt: DataType): Option[Literal] = dt match {
-    case LongType =>
-      scala.util.Try(Literal(contribs.iterator
-        .map(_.asInstanceOf[Long])
-        .reduce((a, b) => Math.addExact(a, b)))).toOption
-    case DoubleType =>
-      Some(Literal(contribs.iterator.map(_.asInstanceOf[Double]).sum))
-    case d: DecimalType =>
-      val total = contribs.iterator
-        .map(_.asInstanceOf[java.math.BigDecimal]).reduce(_.add(_))
-      scala.util.Try(Literal.create(total, d)).toOption
-        .filter(_.value != null)
-    case _ => None
+  /** The EXACT sum of `k`'s per-file sums over the covered files, in
+    * [[ColFold]]'s exact accumulator space (BigInt / BigDecimal / Double):
+    * outer None = unknowable (a NULL sum over real rows — the file
+    * predates the sums column, or a per-file overflow); Some(None) = no
+    * non-null value existed (an all-null column's NULL sum is GENUINE —
+    * SUM ignores NULLs). The distributed twin is ColFold's sm fold, kept
+    * value-identical by AggStatsFoldSpec's differential. */
+  private def exactSum(covered: Seq[FStat], k: String): Option[Option[Any]] = {
+    var unknowable = false
+    val contribs = covered.flatMap { st =>
+      val v = st.sums.getOrElse(k, null)
+      if (v != null) Some(v)
+      else if (st.rows == 0L) None
+      else st.nullCount(k) match {
+        case Some(n) if n == st.rows => None
+        case _ => unknowable = true; None
+      }
+    }
+    if (unknowable) None
+    else if (contribs.isEmpty) Some(None)
+    else Some(Some(
+      contribs.iterator.map(ColFold.toExact).reduce(ColFold.addExactVals)))
   }
 }
 
@@ -2070,13 +2225,19 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
   * any file whose whole range sits past T cannot contribute a filtered
   * top-n row either.
   *
+  * All four null placements engage (round-16 verdict item 4): under
+  * NULLS FIRST (either direction) the covered files' known null counts
+  * form a null REGION that sorts before every value — when it alone
+  * covers n, only possible null-holders survive; otherwise the value
+  * threshold needs only n − region guaranteed rows, and a file skips
+  * when its range is provably past T AND it provably holds no nulls.
+  * Under NULLS LAST a file skips when its range is past T or it is
+  * all-null — nulls can only appear in the top-n if the guarantees
+  * never reach n, and then the rule declines whole.
+  *
   * Gates, each declining to the unchanged plan:
   *  - the sort prefix is a bare relation attribute that is a manifest
-  *    key, in Spark's DEFAULT null placement (DESC NULLS LAST / ASC
-  *    NULLS FIRST — explicit opposite placements make NULL rows
-  *    eligible for the top in ways per-file null counts cannot always
-  *    bound, except ASC NULLS FIRST which accounts nulls as sorting
-  *    before every value);
+  *    key;
   *  - the path from sort to relation crosses only DETERMINISTIC
   *    Projects and Filters whose every conjunct the coverage classifier
   *    understands (an unclassifiable conjunct could hide a partial file
@@ -2125,13 +2286,14 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => None
       }
       desc = head.direction == Descending
-      // Spark defaults only: DESC NULLS LAST, ASC NULLS FIRST
-      if (desc && head.nullOrdering == NullsLast) ||
-        (!desc && head.nullOrdering == NullsFirst)
+      // all four placements engage (round-16 verdict item 4): NULLS FIRST
+      // sweeps a null region before the value threshold, NULLS LAST makes
+      // all-null files skippable once the values cover n
+      nullsFirst = head.nullOrdering == NullsFirst
       tbl <- h.options.get(ManifestSql.TableOption)
       mp = h.options(ManifestSql.PathOption)
       keep <- scala.util.Try(
-        survivors(mp, tbl, h, rel, conjuncts, attr, desc, n)) match {
+        survivors(mp, tbl, h, rel, conjuncts, attr, desc, nullsFirst, n)) match {
         case scala.util.Failure(e) =>
           logWarning(s"manifest top-k pruning skipped for $tbl ($mp): $e")
           None
@@ -2179,6 +2341,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
                         h: HadoopFsRelation, rel: LogicalRelation,
                         conjuncts: Seq[Expression],
                         attr: AttributeReference, desc: Boolean,
+                        nullsFirst: Boolean,
                         n: Int): Option[(Seq[String], Option[Long])] = {
     // fast-fail a missing manifest without burning the retry backoff
     val p = new HPath(manifestPath)
@@ -2187,10 +2350,10 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
       ManifestStats.localStats(spark, manifestPath, table) match {
         case Some((keyFields, _, stats)) =>
           survivorsLocal(manifestPath, table, h, rel, conjuncts, attr, desc,
-            n, keyFields, stats)
+            nullsFirst, n, keyFields, stats)
         case None =>
           survivorsDistributed(manifestPath, table, h, rel, conjuncts,
-            attr, desc, n)
+            attr, desc, nullsFirst, n)
       }
     }
   }
@@ -2198,7 +2361,8 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def survivorsLocal(manifestPath: String, table: String,
                              h: HadoopFsRelation, rel: LogicalRelation,
                              conjuncts: Seq[Expression],
-                             attr: AttributeReference, desc: Boolean, n: Int,
+                             attr: AttributeReference, desc: Boolean,
+                             nullsFirst: Boolean, n: Int,
                              keyFields: Map[String, String],
                              stats: IndexedSeq[FStat])
       : Option[(Seq[String], Option[Long])] = {
@@ -2230,9 +2394,17 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
           for (nl <- nulls(st); if bound != null; cnt = st.rows - nl; if cnt > 0)
             yield (bound, cnt)
         }
-        if (!desc) {
-          // ASC NULLS FIRST: every known NULL key in a covered file sorts
-          // before all values AND passes the filter
+        // a file's values provably all sort PAST the threshold: for DESC
+        // the whole range sits below T, for ASC above it
+        def valuesPast(st: FStat, t: Any): Boolean = {
+          val bound = if (desc) mx(st) else mn(st)
+          bound != null &&
+            (if (desc) Manifest.ordCompare(bound, t) < 0
+             else Manifest.ordCompare(bound, t) > 0)
+        }
+        if (nullsFirst) {
+          // NULLS FIRST (either direction): every known NULL key in a
+          // covered file sorts before all values AND passes the filter
           val nullRegion = full.iterator.flatMap(nulls).sum
           if (nullRegion >= n) {
             // the top-n is null-keyed: only candidates that may HOLD a
@@ -2240,26 +2412,21 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
             val keep = alive.filter(st => !nulls(st).contains(0L) || st.rows == 0L)
             keepResult(stats, keep)
           } else {
-            threshold(full.flatMap(guarantee), n - nullRegion, descending = false)
+            threshold(full.flatMap(guarantee), n - nullRegion, descending = desc)
               .flatMap { t =>
-                val keep = alive.filter { st =>
-                  val lo = mn(st)
-                  // unknown stats keep; a known min past T with no nulls
-                  // cannot reach the top
-                  !(lo != null && Manifest.ordCompare(lo, t) > 0 &&
-                    nulls(st).contains(0L))
-                }
+                // unknown stats keep; a range past T with provably no
+                // nulls cannot reach the top
+                val keep = alive.filter(st =>
+                  !(valuesPast(st, t) && nulls(st).contains(0L)))
                 keepResult(stats, keep)
               }
           }
         } else {
-          // DESC NULLS LAST: nulls sort after everything — an all-null
-          // file is skippable once n rows are guaranteed above T
-          threshold(full.flatMap(guarantee), n, descending = true).flatMap { t =>
-            val keep = alive.filter { st =>
-              val hi = mx(st)
-              !((hi != null && Manifest.ordCompare(hi, t) < 0) || allNull(st))
-            }
+          // NULLS LAST (either direction): nulls sort after everything —
+          // an all-null file is skippable once n rows are guaranteed
+          // inside T
+          threshold(full.flatMap(guarantee), n, descending = desc).flatMap { t =>
+            val keep = alive.filter(st => !(valuesPast(st, t) || allNull(st)))
             keepResult(stats, keep)
           }
         }
@@ -2277,6 +2444,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
                                    h: HadoopFsRelation, rel: LogicalRelation,
                                    conjuncts: Seq[Expression],
                                    attr: AttributeReference, desc: Boolean,
+                                   nullsFirst: Boolean,
                                    n: Int): Option[(Seq[String], Option[Long])] = {
     val cap = spark.conf.get(ManifestStats.MaxDriverPathsConf,
       ManifestStats.MaxDriverPathsDefault.toString).toInt
@@ -2295,7 +2463,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (!ManifestStats.complete(spark, manifestPath, table,
         h.location.inputFiles)) return None
     ManifestStats.memoizedStable(spark, manifestPath, sig, ("topk", sigKey,
-      sig, table, conjuncts.map(_.canonicalized), k, desc, n, cap)) {
+      sig, table, conjuncts.map(_.canonicalized), k, desc, nullsFirst, n, cap)) {
       val coverOf = ManifestCover.of(fns) _
       def nullsOf(st: FStat): Option[Long] = st.nullCount(k)
       def guarantee(st: FStat): Option[(Any, Long)] = {
@@ -2303,6 +2471,15 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
                     else st.maxs.getOrElse(k, null)
         for (nl <- nullsOf(st); if bound != null;
              cnt = st.rows - nl; if cnt > 0) yield (bound, cnt)
+      }
+      // a file's values provably all sort PAST the threshold (the local
+      // sweep's valuesPast, serializable for the fold closure)
+      def valuesPast(st: FStat, t: Any): Boolean = {
+        val bound = if (desc) st.maxs.getOrElse(k, null)
+                    else st.mins.getOrElse(k, null)
+        bound != null &&
+          (if (desc) Manifest.ordCompare(bound, t) < 0
+           else Manifest.ordCompare(bound, t) > 0)
       }
       val boundOrd = new Ordering[(Any, Long)] with Serializable {
         def compare(a: (Any, Long), b: (Any, Long)): Int =
@@ -2312,7 +2489,7 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
       // heaps, driver merge of ≤ n rows) + the covered null region
       val full = rdd.filter(st => coverOf(st) == CoverAll)
       val nullRegion =
-        if (desc) 0L
+        if (!nullsFirst) 0L
         else full.map(st => nullsOf(st).getOrElse(0L))
           .fold(0L)(_ + _)
       val gs = full.flatMap(st => guarantee(st))
@@ -2321,25 +2498,21 @@ case class ManifestTopKRule(spark: SparkSession) extends Rule[LogicalPlan]
         else gs.top(n)(boundOrd.reverse)
       // driver sweep over ≤ n guarantees
       val tOpt =
-        if (!desc && nullRegion >= n) None // null-region mode, no threshold
+        if (nullsFirst && nullRegion >= n) None // null-region mode, no threshold
         else threshold(topG.toIndexedSeq,
-          if (desc) n else n - nullRegion, descending = desc)
+          if (nullsFirst) n - nullRegion else n, descending = desc)
       val keepPredOpt: Option[FStat => Boolean] =
-        if (!desc && nullRegion >= n)
+        if (nullsFirst && nullRegion >= n)
           Some(st => coverOf(st) != CoverNone &&
             (!nullsOf(st).contains(0L) || st.rows == 0L))
         else tOpt.map { t =>
-          if (desc) { st: FStat =>
-            coverOf(st) != CoverNone && {
-              val hi = st.maxs.getOrElse(k, null)
-              val allNull = st.rows > 0 && nullsOf(st).contains(st.rows)
-              !((hi != null && Manifest.ordCompare(hi, t) < 0) || allNull)
-            }
+          if (nullsFirst) { st: FStat =>
+            coverOf(st) != CoverNone &&
+              !(valuesPast(st, t) && nullsOf(st).contains(0L))
           } else { st: FStat =>
             coverOf(st) != CoverNone && {
-              val lo = st.mins.getOrElse(k, null)
-              !(lo != null && Manifest.ordCompare(lo, t) > 0 &&
-                nullsOf(st).contains(0L))
+              val allNull = st.rows > 0 && nullsOf(st).contains(st.rows)
+              !(valuesPast(st, t) || allNull)
             }
           }
         }

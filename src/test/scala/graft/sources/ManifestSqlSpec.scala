@@ -939,10 +939,16 @@ class ManifestSqlSpec extends SparkSpec {
     assert(scannedFiles(qSum).isEmpty,
       "SUM over a sums-bearing manifest must answer from stats")
     assert(qSum.head.toSeq === Seq(500L, (0L until 500L).sum))
-    // an unsupported aggregate still declines the WHOLE rewrite
+    // AVG decomposes to SUM/COUNT over the same stats (round-16 item 3)
+    // and answers with zero data files
     val qAvg = spark.sql("SELECT count(*) AS n, avg(id) AS a FROM mt")
-    assert(scannedFiles(qAvg).nonEmpty)
+    assert(scannedFiles(qAvg).isEmpty,
+      "AVG must answer from the recorded sums and counts")
     assert(qAvg.head.toSeq === Seq(500L, (0L until 500L).sum.toDouble / 500))
+    // an unsupported aggregate still declines the WHOLE rewrite
+    val qStd = spark.sql("SELECT count(*) AS n, stddev_pop(id) AS sd FROM mt")
+    assert(scannedFiles(qStd).nonEmpty)
+    assert(qStd.head.getLong(0) === 500L)
     // hybrid SUM: covered files from stats, boundary file scanned
     val qSumPart = spark.sql("SELECT sum(id) AS s FROM mt WHERE id >= 150")
     assert(scannedFiles(qSumPart).length === 1)
@@ -999,10 +1005,15 @@ class ManifestSqlSpec extends SparkSpec {
     // the top-n — the threshold argument is primary-key-only
     val q4 = spark.sql("SELECT id, v FROM mt ORDER BY id DESC, v LIMIT 10")
     assert(scannedFiles(q4).length === 1)
-    // explicit non-default null placement declines (nulls could lead)
+    // explicit opposite placements engage too (round-16 item 4): with
+    // zero recorded nulls the DESC NULLS FIRST null region is empty and
+    // the value threshold alone prunes
     val q5 = spark.sql("SELECT id FROM mt ORDER BY id DESC NULLS FIRST LIMIT 5")
-    assert(scannedFiles(q5).length === 5)
-    assert(q5.count() === 5L)
+    assert(scannedFiles(q5).length === 1)
+    assert(q5.collect().map(_.getLong(0)).toSeq === (495L to 499L).reverse)
+    val q5b = spark.sql("SELECT id FROM mt ORDER BY id ASC NULLS LAST LIMIT 5")
+    assert(scannedFiles(q5b).length === 1)
+    assert(q5b.collect().map(_.getLong(0)).toSeq === (0L to 4L))
     // an UNCLASSIFIABLE filter conjunct (non-key column, <> shape)
     // declines whole — a partial file could hide inside a "guaranteed"
     // count
@@ -1044,6 +1055,128 @@ class ManifestSqlSpec extends SparkSpec {
     val qDesc = spark.sql("SELECT v FROM tkn ORDER BY id DESC, v LIMIT 2")
     assert(scannedFiles(qDesc).length === 1, "only the high-value file may scan")
     assert(qDesc.collect().map(_.getString(0)).toSeq === Seq("f", "e"))
+    // DESC NULLS FIRST (round-16 item 4): the 3 known nulls cover n=3 —
+    // only possible null-holders survive, the all-value file skips
+    val qDescNf = spark.sql(
+      "SELECT v FROM tkn ORDER BY id DESC NULLS FIRST, v LIMIT 3")
+    assert(scannedFiles(qDescNf).length === 2, "the all-value file cannot lead")
+    assert(qDescNf.collect().map(_.getString(0)).toSeq === Seq("b", "c", "d"))
+    // ASC NULLS LAST: values lead — the all-null file skips, both
+    // value-bearing files stay (T=11 needs f2's second row)
+    val qAscNl = spark.sql(
+      "SELECT v FROM tkn ORDER BY id ASC NULLS LAST, v LIMIT 2")
+    assert(scannedFiles(qAscNl).length === 2, "the all-null file must skip")
+    assert(qAscNl.collect().map(_.getString(0)).toSeq === Seq("a", "e"))
+    // NULLS FIRST with the region short of n: nulls + threshold compose —
+    // n=4 needs the 3 nulls plus the best value (11), so every file that
+    // may hold a null OR a value >= 11 stays; f0 (max 1, has a null) stays
+    // for its null, and nothing skips here except nothing — all 3 files
+    // hold either a null or the top value; n=5 over 6 rows keeps all too,
+    // so pin the complement: DESC NULLS FIRST LIMIT 4 scans f0,f1,f2 minus
+    // none — use the value side instead: the region (3) + f2's two values
+    // cover n=5, and f0's value 1 < T=10 with ONE null still keeps f0
+    val qDescNf5 = spark.sql(
+      "SELECT v FROM tkn ORDER BY id DESC NULLS FIRST, v LIMIT 5")
+    assert(scannedFiles(qDescNf5).length === 3,
+      "f0 may hold a null — it must stay")
+    assert(qDescNf5.collect().map(_.getString(0)).toSeq ===
+      Seq("b", "c", "d", "f", "e"))
+  }
+
+  test("AVG answers from SUM/COUNT stats: pure, hybrid, decimal, cast shapes (round-16 item 3)") {
+    import spark.implicits._
+    val dir = s"$base/avgstats"
+    // two files of decimal(9,2) values plus an all-null file; longs ride
+    // the same manifest via a second key
+    Seq(("1.25", 1L), ("2.50", 2L), ("3.75", 3L)).toDF("ds", "id")
+      .select(col("ds").cast("decimal(9,2)").as("d"), col("id"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq(("10.10", 10L), ("20.20", 11L)).toDF("ds", "id")
+      .select(col("ds").cast("decimal(9,2)").as("d"), col("id"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    Seq((null: String, 20L), (null: String, 21L)).toDF("ds", "id")
+      .select(col("ds").cast("decimal(9,2)").as("d"), col("id"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    val amp = s"$base/avgstats_manifest"
+    Manifest.update(spark, dir, "t", Seq("d", "id"), amp)
+    ManifestSql.register(spark, dir, "t", amp, "avt")
+    def offOn(sql: String): (org.apache.spark.sql.Row, org.apache.spark.sql.Row, Int) = {
+      spark.conf.set("graft.manifest.metadataAgg", "false")
+      val off = try spark.sql(sql).head finally
+        spark.conf.unset("graft.manifest.metadataAgg")
+      val q = spark.sql(sql)
+      val files = scannedFiles(q).length
+      (off, q.head, files)
+    }
+    // decimal AVG: Average's own buffer algebra replayed over exact sums —
+    // rule-on must equal the scan EXACTLY (decimal arithmetic is exact)
+    val (dOff, dOn, dFiles) = offOn(
+      "SELECT avg(d) AS a, count(*) AS n FROM avt")
+    assert(dFiles === 0, "decimal AVG must answer with zero data files")
+    assert(dOn.toSeq === dOff.toSeq)
+    assert(dOn.getDecimal(0) === new java.math.BigDecimal("7.560000"))
+    // long AVG (double result): sums stay within 2^53, so the exact-total
+    // division equals the scan's double bit-for-bit
+    val (lOff, lOn, lFiles) = offOn("SELECT avg(id) AS a FROM avt")
+    assert(lFiles === 0)
+    assert(lOn.toSeq === lOff.toSeq)
+    // hybrid AVG: a bound straddling the second file scans ONLY it, the
+    // covered file answers from stats, and the divide combines the legs
+    val (hOff, hOn, hFiles) = offOn(
+      "SELECT avg(id) AS a, avg(d) AS ad FROM avt WHERE id <= 10")
+    assert(hFiles === 1, "only the straddled file may scan")
+    assert(hOn.toSeq === hOff.toSeq)
+    // AVG over an all-null slice is NULL, not an error
+    val (nOff, nOn, _) = offOn("SELECT avg(d) AS a FROM avt WHERE id >= 20")
+    assert(nOn.isNullAt(0) && nOff.isNullAt(0))
+    // the validator layer-4 shape: SUM over a lossless decimal widening
+    // answers from the native sums (validator.py:326-405)
+    val (sOff, sOn, sFiles) = offOn(
+      "SELECT sum(CAST(id AS DECIMAL(38,6))) AS s, " +
+        "sum(CAST(d AS DECIMAL(38,6))) AS sd FROM avt")
+    assert(sFiles === 0, "lossless-cast SUM must answer from stats")
+    assert(sOn.toSeq === sOff.toSeq)
+    assert(sOn.getDecimal(0) === new java.math.BigDecimal("68.000000"))
+    // AVG over a lossless cast rides the same machinery
+    val (cOff, cOn, cFiles) = offOn(
+      "SELECT avg(CAST(d AS DECIMAL(20,4))) AS a FROM avt")
+    assert(cFiles === 0)
+    assert(cOn.toSeq === cOff.toSeq)
+    // a lossy cast declines: DECIMAL(5,2) cannot hold every bigint
+    val (xOff, xOn, xFiles) = offOn(
+      "SELECT sum(CAST(id AS DECIMAL(5,2))) AS s FROM avt")
+    assert(xFiles > 0, "a lossy cast must decline to the scan")
+    assert(xOn.toSeq === xOff.toSeq)
+    // DISTINCT avg stays undecomposed and declines
+    val (yOff, yOn, yFiles) = offOn("SELECT avg(DISTINCT id) AS a FROM avt")
+    assert(yFiles > 0)
+    assert(yOn.toSeq === yOff.toSeq)
+  }
+
+  test("the distributed-answer memo evicts by held path weight (round-16 advice)") {
+    ManifestStats.memoClear()
+    try {
+      def big(tag: Int) = StatsSummary(
+        partialFiles = Vector.tabulate(80000)(i => (s"p$tag-$i", None)))
+      ManifestStats.memoized(("w", 1))(big(1))
+      ManifestStats.memoized(("w", 2))(big(2))
+      ManifestStats.memoized(("w", 3))(big(3))
+      // 3 × 80k paths would hold 240k tuples — the weight bound evicts
+      // the eldest even though the entry COUNT (3) is far below 64
+      assert(ManifestStats.memoSize === 2)
+      assert(ManifestStats.memoHeldWeight <= ManifestStats.MemoMaxWeight)
+      var recomputed = false
+      ManifestStats.memoized(("w", 1)) { recomputed = true; big(1) }
+      assert(recomputed, "the eldest oversized entry must have been evicted")
+      // the newest entry always survives its own insertion
+      var recomputed1 = false
+      ManifestStats.memoized(("w", 1)) { recomputed1 = true; big(1) }
+      assert(!recomputed1)
+      // the entry-count bound still applies to small entries
+      ManifestStats.memoClear()
+      (0 until 80).foreach(i => ManifestStats.memoized(("s", i))(i))
+      assert(ManifestStats.memoSize <= ManifestStats.MemoMaxEntries)
+    } finally ManifestStats.memoClear()
   }
 
   test("SUM metadata answers decline without recorded sums, handle all-null files") {
@@ -1398,13 +1531,15 @@ class ManifestSqlSpec extends SparkSpec {
     } finally spark.conf.unset(ManifestSnapshot.MaxBytesConf)
   }
 
-  test("q198-q203 stay green over a manifest larger than snapshotMaxBytes") {
+  test("q198-q205 stay green over a manifest larger than snapshotMaxBytes") {
     // the round-15 verdict's done-criterion verbatim: the roster's
     // metadata-rule queries must answer identically when every manifest
     // exceeds the snapshot cap and the rules run their distributed path
+    // (round 17 adds the AVG hybrid and the NULLS-placement top-k)
     val names = Seq("q198_manifest_meta_agg", "q199_manifest_topk_read",
       "q200_manifest_hybrid_agg", "q201_manifest_sum_fingerprint",
-      "q202_manifest_groupby_agg", "q203_manifest_filter_topk")
+      "q202_manifest_groupby_agg", "q203_manifest_filter_topk",
+      "q204_manifest_avg_agg", "q205_manifest_nulls_topk")
     def run(): Map[String, Seq[Seq[Any]]] = names.map { n =>
       n -> graft.queries.CoreQueries.defs(n)(spark, sfDir)
         .collect().map(_.toSeq).toSeq

@@ -1388,7 +1388,12 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def rewrite(agg: Aggregate): Option[LogicalPlan] =
+  private def rewrite(agg0: Aggregate): Option[LogicalPlan] = {
+    // normalize FIRST: Spark's grouping-expression extraction rewrites
+    // `GROUP BY f(key)` into Aggregate[_g](Project[key AS _g](rel)) even
+    // when f simplifies away (to_date over a DATE column — the
+    // reference's layer-2 shape), hiding the bare key behind an alias
+    val agg = inlineAliasProjects(agg0)
     for {
       (rel, conjuncts) <- statsChild(agg.child)
       h = rel.relation.asInstanceOf[HadoopFsRelation]
@@ -1421,6 +1426,41 @@ case class ManifestAggRule(spark: SparkSession) extends Rule[LogicalPlan]
         case scala.util.Success(v) => v
       }
     } yield replaced
+  }
+
+  /** Inline attribute-aliasing Projects directly under the aggregate,
+    * substituting each alias with its underlying relation attribute —
+    * output names and exprIds are untouched (the aliases live ON the
+    * aggregate expressions), only the plumbing Project disappears. */
+  private def inlineAliasProjects(agg0: Aggregate): Aggregate = {
+    var current = agg0
+    var changed = true
+    while (changed) {
+      changed = false
+      current.child match {
+        case p @ Project(ps, child) if ps.exists(_.isInstanceOf[Alias]) &&
+            ps.forall {
+              case _: AttributeReference => true
+              case Alias(_: AttributeReference, _) => true
+              case _ => false
+            } =>
+          val sub: Map[ExprId, AttributeReference] = ps.collect {
+            case a @ Alias(ar: AttributeReference, _) => a.exprId -> ar
+          }.toMap
+          val g2 = current.groupingExpressions.map(_.transformUp {
+            case ar: AttributeReference if sub.contains(ar.exprId) => sub(ar.exprId)
+          })
+          val a2 = current.aggregateExpressions.map(_.transformUp {
+            case ar: AttributeReference if sub.contains(ar.exprId) => sub(ar.exprId)
+          }.asInstanceOf[NamedExpression])
+          current = current.copy(groupingExpressions = g2,
+            aggregateExpressions = a2, child = child)
+          changed = true
+        case _ => ()
+      }
+    }
+    current
+  }
 
   /** Rewrite every plain AVG call into Catalyst's own Average buffer
     * algebra — SUM and COUNT over the same child, divided with Average's

@@ -792,11 +792,21 @@ object Manifest {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Claim the lock, reclaiming an age-stale claim by atomic rename. */
+  /** Claim the lock, reclaiming an age-stale claim by rename (atomic on
+    * HDFS — see the ring notes above). The give-up deadline is ADAPTIVE:
+    * a LIVE holder's heartbeat advances the lock's mtime, and each
+    * observed advance pushes the waiter's deadline out — a commit
+    * section longer than the reclamation timeout (a big rewrite) keeps
+    * its waiters waiting instead of erroring at a fixed 2× bound, while
+    * a dead holder stops heartbeating, ages out within one timeout, and
+    * is reclaimed. The deadline therefore only fires when a lock is
+    * neither refreshed nor reclaimable for 2× the timeout — a
+    * filesystem that refuses both reads and renames. */
   private def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
                       manifestPath: String, token: String,
                       timeoutMs: Long): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
+    var deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
+    var lastSeenMtime = Long.MinValue
     var claimed = false
     while (!claimed) {
       claimed =
@@ -808,10 +818,15 @@ object Manifest {
           true
         } catch {
           case _: IOException =>
-            val stale = scala.util.Try(
-              System.currentTimeMillis() -
-                fs.getFileStatus(lock).getModificationTime > timeoutMs)
-              .getOrElse(false)
+            val mtime = scala.util.Try(
+              fs.getFileStatus(lock).getModificationTime).getOrElse(-1L)
+            if (mtime > lastSeenMtime) {
+              // the holder is alive (heartbeat/fresh claim): keep waiting
+              lastSeenMtime = mtime
+              deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
+            }
+            val stale = mtime >= 0 &&
+              System.currentTimeMillis() - mtime > timeoutMs
             if (stale) {
               // rename wins for exactly ONE concurrent reclaimer; losers
               // loop and contend on the fresh create
@@ -822,7 +837,8 @@ object Manifest {
               }
             } else if (System.nanoTime() > deadline)
               throw new IOException(
-                s"manifest commit lock at $lock held past ${2 * timeoutMs} ms")
+                s"manifest commit lock at $lock held past ${2 * timeoutMs} ms " +
+                  "without a heartbeat refresh or successful reclamation")
             else Thread.sleep(50)
             false
         }

@@ -892,6 +892,44 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("a waiter outlasts a heartbeating section longer than twice the timeout") {
+    // the fixed 2x-timeout acquire deadline made waiters ERROR out under
+    // any commit section longer than 2x the reclamation timeout even
+    // though the holder was alive and heartbeating; the deadline now
+    // resets whenever the lock's mtime advances (a live holder), and
+    // only fires on a lock that is neither refreshed nor reclaimable
+    val mp = s"$base/longwait/m"
+    new java.io.File(s"$base/longwait").mkdirs()
+    spark.conf.set(Manifest.CommitLockTimeoutConf, "300")
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Manifest.ringProbe = Some(e => events.add(e))
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      val a = new Thread(() =>
+        try Manifest.withCommitLock(spark, mp) {
+          order.add("a-enter")
+          Thread.sleep(1000) // > 2x timeout: only heartbeat keeps B waiting
+          Manifest.fenceClaim(spark, mp)
+          order.add("a-exit")
+        } catch { case t: Throwable => failure.compareAndSet(null, t) })
+      a.start()
+      Thread.sleep(100)
+      val b = new Thread(() =>
+        try Manifest.withCommitLock(spark, mp) { order.add("b-enter"); () }
+        catch { case t: Throwable => failure.compareAndSet(null, t) })
+      b.start()
+      a.join(30000); b.join(30000)
+      assert(failure.get() == null, s"ring section failed: ${failure.get()}")
+      assert(order.toArray(Array.empty[String]).toSeq ===
+        Seq("a-enter", "a-exit", "b-enter"))
+      assert(!events.toArray(Array.empty[String]).contains("reclaim"))
+    } finally {
+      Manifest.ringProbe = None
+      spark.conf.unset(Manifest.CommitLockTimeoutConf)
+    }
+  }
+
   /** One data file under an exact name, so path-order fixtures are
     * deterministic (Spark's own part-file names are not). */
   private def writeSingleFile(df: org.apache.spark.sql.DataFrame,

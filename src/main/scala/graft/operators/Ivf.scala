@@ -109,8 +109,12 @@ object Ivf {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val seeds = pickCentroids(corpus, idCol, vecCol, k)
     var cents: Array[Array[Float]] = seeds.map(_._2.toArray)
+    // fan a narrow scan out once: every Lloyd iteration and the final
+    // rollup re-read the corpus with per-row assignment work (no-op on a
+    // real multi-split corpus)
+    val c = Par.fanOutIfNarrow(corpus.select(col(idCol), col(vecCol)))
     for (_ <- 0 until iters) {
-      val means = corpus
+      val means = c
         .withColumn("cluster", graft.functions.GraftFunctions.ivfNearestEuclid(
           col(vecCol), cents, Similarity.ScaledShift))
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -131,9 +135,9 @@ object Ivf {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centDf = cents.toSeq.zipWithIndex
-      .map { case (c, i) => (i, seeds(i)._1, c.toSeq) }
+      .map { case (cent, i) => (i, seeds(i)._1, cent.toSeq) }
       .toDF("cluster", "seed_id", "centroid")
-    corpus
+    c
       .withColumn("cluster", graft.functions.GraftFunctions.ivfNearestEuclid(
         col(vecCol), cents, Similarity.ScaledShift))
       .join(broadcast(centDf), Seq("cluster"))

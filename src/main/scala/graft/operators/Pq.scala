@@ -92,7 +92,8 @@ object Pq {
     val cents = centroids.map(_._2.toArray)
     val cbs = codebooksFrom(picked.take(kCodes), m)
     val index = encode(
-      Ivf.assign(corpus, "vec_id", "embedding", centroids), "embedding", cbs)
+      Ivf.assign(Par.fanOutIfNarrow(corpus.select(col("vec_id"), col("embedding"))),
+        "vec_id", "embedding", centroids), "embedding", cbs)
       .select(col("vec_id").as("cid"), col("cluster"), col("codes"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .withColumn("cluster", explode(graft.functions.GraftFunctions.ivfProbes(
@@ -113,7 +114,10 @@ object Pq {
            m: Int = 8, kCodes: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cbs = codebooks(corpus, "vec_id", "embedding", m, kCodes)
-    val enc = encode(corpus, "embedding", cbs)
+    // fan a narrow corpus scan out before the per-row PQ encode + ADC
+    // scoring (CPU-heavy); no-op on a real multi-split corpus
+    val enc = encode(Par.fanOutIfNarrow(
+        corpus.select(col("vec_id"), col("embedding"))), "embedding", cbs)
       .select(col("vec_id").as("cid"), col("codes"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val scored = enc.join(broadcast(q), col("cid") =!= col("qid"))

@@ -46,13 +46,17 @@ object SubstringDedup {
   private def spanFrames(df: DataFrame, idCol: String, textCol: String,
                          k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"window of $k tokens is not a substring test")
-    val toks = df.select(col(idCol), split(col(textCol), " ").as("ts"))
+    // fan a narrow scan out before the per-row window enumeration (no-op
+    // on a real multi-split corpus): the n-gram explode feeds the widest
+    // shuffle of the pipeline and would otherwise run on one task
+    val d = Par.fanOutIfNarrow(df.select(col(idCol), col(textCol)))
+    val toks = d.select(col(idCol), split(col(textCol), " ").as("ts"))
     // native codegen'd window enumeration (WordNgrams) — the interpreted
     // transform/struct HOF chain this replaced cost ~10× per scan;
     // posexplode's 0-based index becomes the 1-based window position.
     // Short docs are guarded out (WordNgrams would emit their one
     // truncated window).
-    val wins = df.filter(size(split(col(textCol), " ")) >= k)
+    val wins = d.filter(size(split(col(textCol), " ")) >= k)
       .select(col(idCol), posexplode(
         graft.functions.GraftFunctions.wordNgrams(col(textCol), k))
         .as(Seq("pos0", "gram")))

@@ -203,7 +203,9 @@ object TextAnalysis {
   def crossSourceNgramOverlap(docs: DataFrame, sourceCol: String, textCol: String,
                               k: Int = 5): DataFrame = {
     val toks = s"split($textCol, ' ')"
-    val grams = docs
+    // fan a narrow scan out before the per-row n-gram explode (no-op on a
+    // real multi-split corpus)
+    val grams = Par.fanOutIfNarrow(docs.select(col(sourceCol), col(textCol)))
       .filter(expr(s"size($toks) >= $k"))
       .select(col(sourceCol).as("source"),
         explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("ngram"))
@@ -466,7 +468,9 @@ object TextAnalysis {
     * re-scan the corpus. (Shared by the q106 oracle query and the
     * `corpus-report` verb.) */
   def qualityFunnel(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val flags = docs
+    // fan a narrow scan out before the per-row gate metrics (no-op on a
+    // real multi-split corpus)
+    val flags = Par.fanOutIfNarrow(docs.select(col(textCol)))
       .withColumn("padded", concat(lit(" "), col(textCol), lit(" ")))
       .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("avg_len", length(col(textCol)).cast("double") / col("n_tokens"))
@@ -537,7 +541,10 @@ object TextAnalysis {
                   targetPred: Column, buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val b = lit(buckets.toLong)
-    val toks = docs.select(col(idCol), targetPred.as("is_target"),
+    // fan a narrow scan out first: the token explode + md5 bucketing is
+    // re-read by three consumers (raw, target, totals) and a one-row-group
+    // source would run each pass on a single task
+    val toks = Par.fanOutIfNarrow(docs).select(col(idCol), targetPred.as("is_target"),
         explode(split(col(textCol), " ")).as("w"))
       .select(col(idCol), col("is_target"),
         (conv(substring(md5(concat(lit("ds:"), col("w"))), 1, 8), 16, 10)
@@ -859,7 +866,9 @@ object TextAnalysis {
     * single-partition stage, no WindowExec warning in the bench tail). */
   def noveltySaturation(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
-    val g = docs.select(
+    // fan a narrow scan out before the per-row shingle explode (no-op on a
+    // real multi-split corpus)
+    val g = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol))).select(
         substring(md5(col(idCol).cast("string")), 1, 1).as("batch"),
         explode(graft.operators.Dedup.shingles(textCol, k)).as("gram"))
       .groupBy(col("batch"), col("gram")).agg(count(lit(1)).as("n_carriers"))

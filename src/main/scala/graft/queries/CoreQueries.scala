@@ -68,8 +68,13 @@ object CoreQueries {
 
   val defs: Map[String, QueryFn] = Map(
     "q01_pricing_summary" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < to_timestamp(lit("1998-09-03")))
+      // fanOut after the projection (guide §2.3/§2.5): the single-row-group
+      // fixture scan otherwise runs the whole filter+aggregate on one task
+      fanOut(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < to_timestamp(lit("1998-09-03")))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -107,7 +112,10 @@ object CoreQueries {
     },
 
     "q05_agg_fingerprint" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      // fanOut after projection: single-row-group scan, compute-heavy aggs
+      fanOut(t(s, dir, "lineitem")
+          .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")))
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("d"))
         .agg(
           dsum(col("l_quantity")).as("sum_quantity"),
@@ -127,7 +135,10 @@ object CoreQueries {
     },
 
     "q07_join_nation_revenue" -> { (s, dir) =>
-      val rev = t(s, dir, "lineitem")
+      // fanOut the projected big side so the join+aggregate stage runs at
+      // session width instead of inside the one-row-group scan task
+      val rev = fanOut(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -143,7 +154,10 @@ object CoreQueries {
     // extraction + two aggregation levels in one plan).
     "q67_market_share" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val rev = t(s, dir, "lineitem")
+      // fanOut the projected big side (guide §2.3/§2.5): the one-row-group
+      // lineitem scan otherwise serializes the whole join+aggregate chain
+      val rev = fanOut(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -308,7 +322,11 @@ object CoreQueries {
     // per-order sums go through the exact-decimal dsum; the mismatch gate
     // is a 1-cent tolerance.
     "q149_order_consistency" -> { (s, dir) =>
-      val computed = t(s, dir, "lineitem")
+      // fanOut after projection: the per-line product + exact-decimal sum
+      // otherwise runs inside the one-row-group scan task
+      val computed = fanOut(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")))
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           (lit(1.0) + col("l_tax"))).as("computed"))
@@ -425,25 +443,41 @@ object CoreQueries {
       def sumHash(expr: String) =
         s"""CAST(SUM(CAST(CONV(SUBSTRING(MD5($expr), 1, 15), 16, 10)
            |  AS DECIMAL(38,0))) AS STRING)""".stripMargin
+      // fanOut, SQL form: per-row MD5+CONV+decimal work dominates the scan,
+      // and the one-row-group fixture scan would otherwise run each table's
+      // whole checksum on a single task. The hint engages only when the
+      // biggest scan is narrower than the session's parallelism — on a real
+      // multi-file corpus (the 100 TB case) it is absent and the plan is
+      // unchanged. The checksum SUM is an exact decimal, so the added
+      // round-robin exchange cannot perturb the result.
+      val fan =
+        if (t(s, dir, "lineitem").rdd.getNumPartitions <
+            s.sparkContext.defaultParallelism)
+          s"/*+ REPARTITION(${s.sparkContext.defaultParallelism}) */ "
+        else ""
       s.sql(
         s"""SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
            |  ${sumHash("CONCAT_WS('|', c_custkey, c_name, c_nationkey, " +
             "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING), c_mktsegment)")}
            |  AS checksum
-           |FROM customer
+           |FROM (SELECT ${fan}c_custkey, c_name, c_nationkey, c_acctbal,
+           |        c_mktsegment FROM customer)
            |UNION ALL
            |SELECT 'orders', COUNT(*),
            |  ${sumHash("CONCAT_WS('|', o_orderkey, o_custkey, o_orderstatus, " +
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), " +
             "CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)")}
-           |FROM orders
+           |FROM (SELECT ${fan}o_orderkey, o_custkey, o_orderstatus,
+           |        o_totalprice, o_orderdate, o_orderpriority FROM orders)
            |UNION ALL
            |SELECT 'lineitem', COUNT(*),
            |  ${sumHash("CONCAT_WS('|', l_orderkey, l_linenumber, l_partkey, " +
             "l_suppkey, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING), " +
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING), " +
             "l_returnflag, l_linestatus)")}
-           |FROM lineitem
+           |FROM (SELECT ${fan}l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |        l_quantity, l_extendedprice, l_returnflag, l_linestatus
+           |      FROM lineitem)
            |ORDER BY tbl""".stripMargin)
     },
 

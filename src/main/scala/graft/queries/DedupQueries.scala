@@ -574,7 +574,16 @@ object DedupQueries {
     // Cost is |pairs|·O(len²), never corpus²: candidates are LSH-bounded.
     "q171_editdist_verify" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // Spread the LSH-bounded pair set before attaching texts: the exact
+      // levenshtein verify is O(len²) per pair — CPU-bound, so stage width
+      // should track cores, not shuffle bytes (AQE's byte-targeted
+      // coalescing otherwise hands the whole candidate set to ONE task —
+      // round-17 profile: two serial ~700 ms stages, the second being the
+      // global sort's range-sampling re-execution of the same projection).
+      // The explicit keyed exchange also gives the sampler a materialized
+      // boundary, so the re-execution is a parallel ~50 ms, not serial.
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+        .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       val ta = docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
       val tb = docs.select(col("doc_id").as("b_id"), col("text").as("tb"))
       pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))

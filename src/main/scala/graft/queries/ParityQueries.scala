@@ -112,7 +112,10 @@ object ParityQueries {
     // Exact percentiles (sort-based; Spark `percentile` and DuckDB
     // `quantile_cont` share linear interpolation — bit-identical results).
     "q43_percentiles" -> { (s, dir) =>
-      t(s, dir, "orders")
+      // fanOut after projection: exact percentiles sort every group's
+      // values — too heavy for the one-row-group scan's single task
+      fanOut(t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_totalprice")))
         .groupBy(col("o_orderstatus"))
         .agg(
           expr("percentile(o_totalprice, 0.5)").as("p50"),
@@ -123,7 +126,11 @@ object ParityQueries {
     },
 
     "q40_cube" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      // fanOut after projection: CUBE expands every row 4 ways before the
+      // partial aggregate — far too much per-row work for the one-row-group
+      // fixture scan's single task
+      fanOut(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
         .select(col("l_returnflag"), col("l_linestatus"), col("cnt"), col("sum_qty"),
@@ -142,8 +149,11 @@ object ParityQueries {
     // broadcast of supplier for the name. numwait ties break on unique
     // s_name, so the LIMIT 10 cut is a total order.
     "q153_late_suppliers" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      // fanOut after projection: li feeds three consumers (probe side plus
+      // two join builds) — all three reuse the one fanned exchange instead
+      // of three serial one-row-group scans
+      val li = fanOut(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")))
       val fOrders = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       val l1 = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
@@ -172,7 +182,10 @@ object ParityQueries {
     // revenue trees are exact decimal sums (q01 discipline) and the
     // threshold is one double product — identical on both engines.
     "q161_important_parts" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
+      // fanOut after projection: both aggregates (per-part and global) re-
+      // read the projected scan; one row group would serialize each pass
+      val li = fanOut(t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount")))
       val rev = dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
       val perPart = li.groupBy(col("l_partkey")).agg(rev.as("part_value"))
       val total = li.agg(

@@ -29,7 +29,27 @@ import graft.sources.Tables
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
+  /** Fixture-table load for the declared queries — plan-memoized
+    * ([[Tables.loadCached]]): the bench repeats every query 3+ times and a
+    * fresh `spark.read.parquet` pays a listing + footer-read job each
+    * time; the fixtures are immutable for the life of a session, so the
+    * resolved plan is reused. No row data is cached — every action still
+    * scans parquet. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.loadCached(s, dir, name)
+
+  /** Spread a narrow scan across the session's cores before CPU-heavy
+    * per-row work (guide §2.5 input skew / §1.2 "choose a partitioning
+    * that avoids idle capacity"): the local fixtures are single-file,
+    * single-row-group parquet, so Spark's split math hands the WHOLE scan
+    * to one task and 31 cores idle behind it. When the scan's planned
+    * parallelism is already at or above `defaultParallelism` — every real
+    * multi-file table, and exactly the 100 TB case — this is a no-op, so
+    * the exchange is never a tax at scale; below it, one small round-robin
+    * exchange of the projected rows buys full-width execution of
+    * everything downstream. Call it AFTER projecting/filtering to what the
+    * query needs (project before the exchange, guide §2.3) and ONLY for
+    * queries whose per-row work dominates the scan decode. */
+  def fanOut(df: DataFrame): DataFrame = graft.operators.Par.fanOutIfNarrow(df)
 
   /** Epoch milliseconds of a timestamp column regardless of its parquet
     * encoding. The fixture's `events.ts` has arrived as TIMESTAMP(NANOS),

@@ -586,8 +586,9 @@ object TextQueries {
     "q68_winnow_pairs" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
-      val fps = t(s, dir, "documents").select(col("doc_id"),
-        explode(expr("winnow_fingerprints(text, 12, 8)")).as("fp"))
+      val fps = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(expr("winnow_fingerprints(text, 12, 8)")).as("fp"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .filter(col("df") <= 50)
         .drop("df")
@@ -727,7 +728,10 @@ object TextQueries {
     // against it. cm_est >= exact_cnt always (sketch error is one-sided);
     // both ride in the output for audit.
     "q92_cm_heavy_hitters" -> { (s, dir) =>
-      val tokens = t(s, dir, "documents")
+      // fanOut the projected text before tokenizing: both consumers (sketch
+      // + exact top-k) replay the explode, and the one-row-group scan would
+      // otherwise run each on a single task
+      val tokens = fanOut(t(s, dir, "documents").select(col("text")))
         .select(explode(split(col("text"), " ")).as("tok"))
       val sketch = graft.operators.Sketch.countMin(tokens, "tok", d = 3, w = 512)
       val top = tokens.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))

@@ -87,6 +87,31 @@ object Tables {
     }
   }
 
+  // Resolved-plan memo for the declared-query surface (round 17, guide
+  // §1/§5 "the driver should do almost no data work"): every `spark.read
+  // .parquet` call pays a file-listing plus a footer-read JOB (~20-40 ms
+  // driver latency), and the bench repeats each query 3+ times — per-query
+  // profiles showed up to four such jobs per repetition. The memo returns
+  // the SAME resolved DataFrame (an immutable logical plan) for repeated
+  // loads of one (session, dir, table), so repetitions re-execute the scan
+  // without re-planning it. Data is still read from parquet on every
+  // action — this caches no rows, only the plan. Manifest-backed loads are
+  // NEVER memoized (their relation re-reads catalog state at planning
+  // time, and a manifest can gain entries mid-session), and the CLI /
+  // validate surfaces don't come through here ([[load]] stays un-memoized
+  // for them: a user table can be overwritten between two loads in one
+  // session, and a memoized listing would silently serve the old files).
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** [[load]] with plan memoization for immutable fixture tables — the
+    * declared-query surface ([[graft.queries.Q.t]]). Falls through to an
+    * un-memoized [[load]] whenever a manifest catalog is present. */
+  def loadCached(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (hasManifest(spark, dir, name)) load(spark, dir, name)
+    else planCache.computeIfAbsent((spark, dir, name),
+      _ => loadWith(spark, dir, name, None))
+
   // last directory registered per session — registering re-reads all ten
   // parquet footers, which costs ~1s per dialect query when repeated. The
   // cache key folds in which tables currently have a manifest, so a

@@ -283,7 +283,9 @@ object Dedup {
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    docs.repartition(spark.sparkContext.defaultParallelism)
+    // conditional since round 17: a real multi-split corpus no longer pays
+    // an unconditional full-text exchange before the per-row hash
+    Par.fanOutIfNarrow(docs)
       .select(col(idCol), expr(s"simhash_text($textCol)").as("simhash"))
   }
 

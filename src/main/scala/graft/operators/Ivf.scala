@@ -109,10 +109,11 @@ object Ivf {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val seeds = pickCentroids(corpus, idCol, vecCol, k)
     var cents: Array[Array[Float]] = seeds.map(_._2.toArray)
-    // fan a narrow scan out once: every Lloyd iteration and the final
-    // rollup re-read the corpus with per-row assignment work (no-op on a
-    // real multi-split corpus)
-    val c = Par.fanOutIfNarrow(corpus.select(col(idCol), col(vecCol)))
+    // NOT fanned out (round-17 measurement): each Lloyd iteration is its
+    // own action, so a fan-out exchange would be re-paid per iteration —
+    // measured 0.90 → 1.14 s. The per-iteration work is k×dims-bounded
+    // anyway once the posexplode collapses map-side.
+    val c = corpus.select(col(idCol), col(vecCol))
     for (_ <- 0 until iters) {
       val means = c
         .withColumn("cluster", graft.functions.GraftFunctions.ivfNearestEuclid(

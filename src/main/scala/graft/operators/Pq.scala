@@ -91,9 +91,12 @@ object Pq {
     val centroids = picked.take(nCentroids)
     val cents = centroids.map(_._2.toArray)
     val cbs = codebooksFrom(picked.take(kCodes), m)
+    // NOT fanned out (round-17 measurement): the assign+encode work here is
+    // ~150 ms serial and the fan-out's tiny 32-way tasks cost more than
+    // they save (0.44 → 0.82 s measured) — unlike topK below, whose
+    // single-task ADC scoring pass is 4× heavier
     val index = encode(
-      Ivf.assign(Par.fanOutIfNarrow(corpus.select(col("vec_id"), col("embedding"))),
-        "vec_id", "embedding", centroids), "embedding", cbs)
+      Ivf.assign(corpus, "vec_id", "embedding", centroids), "embedding", cbs)
       .select(col("vec_id").as("cid"), col("cluster"), col("codes"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .withColumn("cluster", explode(graft.functions.GraftFunctions.ivfProbes(

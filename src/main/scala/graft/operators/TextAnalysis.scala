@@ -772,6 +772,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
+    // The corpus-sized part — token explode → word-frequency table →
+    // character segmentation — runs ONCE, under AQE, and is materialized
+    // eagerly; everything after works on the vocabulary-bounded segment
+    // table. For the loop itself AQE is a pure tax: every exchange
+    // materializes as its OWN job, putting ~5 driver round-trips behind
+    // each of the 8 merges (round-17 profile: 46 jobs, wall ≈ pure job
+    // latency at 0.3 CPU/wall). So the loop runs with AQE off and a fixed
+    // shuffle width taken from what AQE itself chose for the materialized
+    // segment table — data-proportional at any scale (1 at the fixture
+    // sizes, wider when the vocabulary actually is wide). Checkpoints in
+    // the loop are LAZY: the next merge's argmax materializes them inside
+    // its own job (the components-loop discipline) instead of paying a
+    // separate eager-checkpoint job per iteration.
     val wc = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -782,38 +795,48 @@ object TextAnalysis {
         .as(Seq("pos", "tok")))
       .select(col("word"), col("cnt"), col("pos").cast("long").as("pos"), col("tok"))
       .localCheckpoint(true)
-    val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
-    val merges = (0 until nMerges).flatMap { rank =>
-      val withNext = seg.withColumn("nxt", lead(col("tok"), 1).over(byPos))
-      val best = withNext.filter(col("nxt").isNotNull)
-        .groupBy(concat(col("tok"), lit("~"), col("nxt")).as("pair"))
-        .agg(sum(col("cnt")).as("pc"))
-        .orderBy(col("pc").desc, col("pair"))
-        .limit(1).collect()
-      if (best.isEmpty) None
-      else {
-        val pair = best.head.getString(0)
-        val pc = best.head.getLong(1)
-        val Array(a, b) = pair.split('~')
-        val runGrp = col("pos") -
-          row_number().over(Window.partitionBy(col("word"), col("tok")).orderBy(col("pos")))
-        val runStart = min(col("pos")).over(
-          Window.partitionBy(col("word"), col("tok"), col("grp")))
-        seg = withNext
-          .withColumn("grp", runGrp)
-          .withColumn("matched", col("tok") === lit(a) && col("nxt") <=> lit(b) &&
-            (lit(a != b) || (col("pos") - runStart) % 2 === 0))
-          .withColumn("consumed", coalesce(lag(col("matched"), 1).over(byPos), lit(false)))
-          .filter(!col("consumed"))
-          .select(col("word"), col("cnt"),
-            (row_number().over(byPos) - 1).cast("long").as("pos"),
-            when(col("matched"), lit(a + b)).otherwise(col("tok")).as("tok"))
-          .localCheckpoint(true)
-        Some((rank.toLong, pair, a + b, pc))
+    val loopWidth = math.max(1, seg.rdd.getNumPartitions)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    try {
+      val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val merges = (0 until nMerges).flatMap { rank =>
+        val withNext = seg.withColumn("nxt", lead(col("tok"), 1).over(byPos))
+        val best = withNext.filter(col("nxt").isNotNull)
+          .groupBy(concat(col("tok"), lit("~"), col("nxt")).as("pair"))
+          .agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("pair"))
+          .limit(1).collect()
+        if (best.isEmpty) None
+        else {
+          val pair = best.head.getString(0)
+          val pc = best.head.getLong(1)
+          val Array(a, b) = pair.split('~')
+          val runGrp = col("pos") -
+            row_number().over(Window.partitionBy(col("word"), col("tok")).orderBy(col("pos")))
+          val runStart = min(col("pos")).over(
+            Window.partitionBy(col("word"), col("tok"), col("grp")))
+          seg = withNext
+            .withColumn("grp", runGrp)
+            .withColumn("matched", col("tok") === lit(a) && col("nxt") <=> lit(b) &&
+              (lit(a != b) || (col("pos") - runStart) % 2 === 0))
+            .withColumn("consumed", coalesce(lag(col("matched"), 1).over(byPos), lit(false)))
+            .filter(!col("consumed"))
+            .select(col("word"), col("cnt"),
+              (row_number().over(byPos) - 1).cast("long").as("pos"),
+              when(col("matched"), lit(a + b)).otherwise(col("tok")).as("tok"))
+            .localCheckpoint(false)
+          Some((rank.toLong, pair, a + b, pc))
+        }
       }
+      merges.toDF("merge_rank", "pair", "new_token", "pair_count")
+        .orderBy(col("merge_rank"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    merges.toDF("merge_rank", "pair", "new_token", "pair_count")
-      .orderBy(col("merge_rank"))
   }
 
   /** Token-budget mixture plan — the epoch table a pretraining run

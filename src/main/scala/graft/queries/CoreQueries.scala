@@ -322,11 +322,11 @@ object CoreQueries {
     // per-order sums go through the exact-decimal dsum; the mismatch gate
     // is a 1-cent tolerance.
     "q149_order_consistency" -> { (s, dir) =>
-      // fanOut after projection: the per-line product + exact-decimal sum
-      // otherwise runs inside the one-row-group scan task
-      val computed = fanOut(t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-            col("l_tax")))
+      // fanOut measured a LOSS here (1.54 → 1.89 s): the single-task scan
+      // partial-aggregates 600k rows to 150k before its shuffle, and the
+      // round-robin exchange both carries the raw rows and destroys that
+      // combining — left as the fused scan+partial-agg
+      val computed = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           (lit(1.0) + col("l_tax"))).as("computed"))

@@ -149,11 +149,12 @@ object ParityQueries {
     // broadcast of supplier for the name. numwait ties break on unique
     // s_name, so the LIMIT 10 cut is a total order.
     "q153_late_suppliers" -> { (s, dir) =>
-      // fanOut after projection: li feeds three consumers (probe side plus
-      // two join builds) — all three reuse the one fanned exchange instead
-      // of three serial one-row-group scans
-      val li = fanOut(t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")))
+      // fanOut measured a LOSS here (1.09 → 1.78 s): the query is already
+      // shuffle-bound (three join exchanges) and the scans fuse straight
+      // into those shuffle writes; a prepended round-robin exchange only
+      // adds a fourth pass over the rows
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val fOrders = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       val l1 = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
@@ -182,10 +183,11 @@ object ParityQueries {
     // revenue trees are exact decimal sums (q01 discipline) and the
     // threshold is one double product — identical on both engines.
     "q161_important_parts" -> { (s, dir) =>
-      // fanOut after projection: both aggregates (per-part and global) re-
-      // read the projected scan; one row group would serialize each pass
-      val li = fanOut(t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount")))
+      // fanOut measured a LOSS here (1.01 → 1.33 s): both consumers
+      // partial-aggregate straight out of the scan (150k-group combine),
+      // which the round-robin exchange would forfeit
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
       val rev = dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
       val perPart = li.groupBy(col("l_partkey")).agg(rev.as("part_value"))
       val total = li.agg(

@@ -240,6 +240,23 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint(true)
+    // The loop's per-round state is one row per node/edge, materialized
+    // above; from here every round is a fixed join+aggregate shape whose
+    // EXCHANGES each surface as their own AQE job — measured ~35 sub-50ms
+    // stages of pure job latency behind the two real minhash stages in the
+    // q70/q114/q145 profiles. AQE has nothing left to adapt (the
+    // checkpoints already carry its data-proportional width), so the
+    // rounds run with AQE off at exactly that width — scale-honest at any
+    // corpus size — and the session conf is restored after (the BPE-loop
+    // discipline).
+    val spark = edges.sparkSession
+    val loopWidth = math.max(1,
+      math.max(edges.rdd.getNumPartitions, labels.rdd.getNumPartitions))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    try {
     var iter = 0
     var converged = false
     // convergence probe: labels only ever DECREASE, so the label sum is
@@ -273,7 +290,14 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    // the last round's lazy checkpoint was materialized by its convergence
+    // aggregate, so the caller's downstream action reads checkpointed
+    // blocks — never a plan that depends on the restored conf
     (labels, iter)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** 64-bit SimHash of a space-tokenized text column, computed per-row by

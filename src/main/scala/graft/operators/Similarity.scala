@@ -240,9 +240,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
-    val sig = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"))
+    // conditional since round 17: a real multi-split corpus no longer pays
+    // an unconditional exchange before the per-row signature work
+    val sig = Par.fanOutIfNarrow(corpus.select(col("vec_id"), col("embedding")))
       .withColumn("sig", lshSignature("embedding", bands * bandBits))
       .withColumn("nrm", scaledNorm("embedding"))
     val withBucket = sig.select(col("vec_id"), col("embedding"), col("nrm"),
@@ -281,6 +281,16 @@ object Similarity {
           .withColumn("cosine",
             scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
           .select(col("a_id"), col("b_id"), col("cosine"))
+          // ONE anchor-keyed exchange serves both downstream operators
+          // (round 17): HashPartitioning(a_id) satisfies the distinct's
+          // (a_id, b_id, cosine) clustering AND the rank window's a_id
+          // clustering, so neither inserts its own exchange — where the
+          // byte-sized AQE coalescing of the distinct's exchange used to
+          // run the dedup and the window serially on one partition. Width
+          // = defaultParallelism, the banded-candidate convention; per-key
+          // fanout is cap-bounded so a_id cannot hot-spot a partition.
+          .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+            col("a_id"))
           .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -310,9 +320,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
-    val sig = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"), col(labelCol).as("label"))
+    val sig = Par.fanOutIfNarrow(corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+          col(labelCol).as("label")))
       .withColumn("sig", lshSignature("embedding", bands * bandBits))
       .withColumn("nrm", scaledNorm("embedding"))
     val withBucket = sig.select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
@@ -340,6 +350,10 @@ object Similarity {
       .withColumn("cosine",
         scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"), col("cosine"))
+      // one anchor-keyed exchange for both the distinct and the rank
+      // window — see the knnGraphImpl note (round 17)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"))
       .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("neg_id"))
     pairs.withColumn("rank", row_number().over(w))

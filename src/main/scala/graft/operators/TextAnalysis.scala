@@ -174,7 +174,9 @@ object TextAnalysis {
   def repeatedNgramCensus(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, topN: Int = 50): DataFrame = {
     val toks = s"split($textCol, ' ')"
-    docs
+    // fan a narrow scan out before the per-row n-gram explode (no-op on a
+    // real multi-split corpus)
+    Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
       .filter(expr(s"size($toks) >= $k"))
       .select(col(idCol),
         explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("ngram"))
@@ -374,7 +376,10 @@ object TextAnalysis {
     // never re-splits the corpus
     def bigrams(df: DataFrame, keep: Column*): DataFrame = {
       val t = split(col(textCol), " ")
-      df.filter(size(t) >= 2)
+      // fan a narrow scan out before the per-row bigram explode (no-op on
+      // a real multi-split corpus); both the LM build and the scoring pass
+      // come through here
+      Par.fanOutIfNarrow(df).filter(size(t) >= 2)
         .select(keep :+ explode(
           graft.functions.GraftFunctions.wordNgrams(col(textCol), 2)).as("bg"): _*)
     }

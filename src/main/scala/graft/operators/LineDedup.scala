@@ -35,7 +35,7 @@ object LineDedup {
     // native codegen'd line cutting (WordLines) — posexplode's index IS the
     // line number; the interpreted transform/struct HOF chain this replaced
     // evaluated ~10× slower per corpus scan
-    val exploded = df
+    val exploded = Par.fanOutIfNarrow(df.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(
         graft.functions.GraftFunctions.wordLines(col(textCol), lineTokens))
         .as(Seq("ln0", "line")))

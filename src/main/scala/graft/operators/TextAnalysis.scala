@@ -140,8 +140,11 @@ object TextAnalysis {
     */
   def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, k: Int, broadcastEval: Boolean = true): DataFrame = {
-    val trainG = train.select(col(idCol),
-      explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+    // fan a narrow train-side scan out before the shingle explode (no-op
+    // on a real multi-split corpus)
+    val trainG = Par.fanOutIfNarrow(train.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
     val evalG = eval.select(explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
       .distinct()
     val evalSide = if (broadcastEval) broadcast(evalG) else evalG
@@ -245,7 +248,7 @@ object TextAnalysis {
     * frames). No driver-side math.
     */
   def unigramKlBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
-    unigramKlFromTokens(docs
+    unigramKlFromTokens(Par.fanOutIfNarrow(docs.select(col(sourceCol), col(textCol)))
       .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("w")))
 
   /** [[unigramKlBySource]] over a pre-exploded `(source, w)` token stream —
@@ -333,7 +336,8 @@ object TextAnalysis {
     val bits = buildBloom(evalG, "ngram", sizedBits, numHashes)
     val probe = ColumnBridge.column(graft.functions.BloomMightContain(
       ColumnBridge.expression(col("ngram")), bits, numHashes, sizedBits))
-    train.select(col(idCol), explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+    Par.fanOutIfNarrow(train.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
       .filter(probe)
       .join(evalG, Seq("ngram"))
       .groupBy(col(idCol))
@@ -590,7 +594,9 @@ object TextAnalysis {
     * design family of SURVEY §7 step 8). */
   def bpePairCensus(docs: DataFrame, textCol: String = "text",
                     topN: Int = 30): DataFrame = {
-    val words = docs
+    // fan a narrow scan out before the per-character pair explode (no-op
+    // on a real multi-split corpus)
+    val words = Par.fanOutIfNarrow(docs.select(col(textCol)))
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) >= 2)
     words
@@ -676,8 +682,9 @@ object TextAnalysis {
     * in both engines. */
   def noveltyCensus(docs: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, k: Int = 8): DataFrame = {
-    val g = docs.select(col(idCol), col(sourceCol).as("source"),
-      explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
+    val g = Par.fanOutIfNarrow(docs.select(col(idCol), col(sourceCol), col(textCol)))
+      .select(col(idCol), col(sourceCol).as("source"),
+        explode(graft.operators.Dedup.shingles(textCol, k)).as("ngram"))
     // shingles are never empty (short docs carry one truncated window), so
     // every doc surfaces in g — n_docs can count the un-exploded corpus,
     // sparing the token stream a second (source, id)-keyed distinct pass
@@ -939,7 +946,8 @@ object TextAnalysis {
     // (line, doc, source)-level pre-agg: the map-side combine collapses
     // within-doc repeats before anything shuffles; WordLines is the native
     // codegen'd cutting shared with LineDedup
-    val lineDoc = docs
+    val lineDoc = Par.fanOutIfNarrow(
+        docs.select(col(idCol), col(sourceCol), col(textCol)))
       .select(col(idCol).as("id"), col(sourceCol).as("source"),
         explode(graft.functions.GraftFunctions.wordLines(col(textCol), lineTokens))
           .as("line"))
@@ -977,15 +985,17 @@ object TextAnalysis {
                       minCount: Long = 5, topN: Int = 30): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = split(col(textCol), " ")
+    // one fanned narrow scan feeds both the bigram and the unigram explode
+    val d = Par.fanOutIfNarrow(docs.select(col(textCol)))
     // native codegen'd bigram stream (WordNgrams); the pair decodes around
     // the single separator space since tokens are space-free
-    val bg = docs.filter(size(t) >= 2)
+    val bg = d.filter(size(t) >= 2)
       .select(explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), 2))
         .as("bg"))
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    val uni = docs.select(explode(t).as("w")).groupBy(col("w"))
+    val uni = d.select(explode(t).as("w")).groupBy(col("w"))
       .agg(count(lit(1)).as("c_w"))
     val totals = c2.agg(sum(col("c_ab")).as("n2"))
       .crossJoin(uni.agg(sum(col("c_w")).as("n1")))
@@ -1057,7 +1067,8 @@ object TextAnalysis {
   def ngramDiversity(docs: DataFrame, sourceCol: String = "source",
                      idCol: String = "doc_id", textCol: String = "text",
                      k: Int = 3): DataFrame =
-    docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+    Par.fanOutIfNarrow(docs.select(col(sourceCol), col(idCol), col(textCol)))
+      .select(col(sourceCol).as("source"), col(idCol).as("id"),
         explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("g"))
       .groupBy(col("source"))
       .agg(countDistinct(col("id")).as("n_docs"),

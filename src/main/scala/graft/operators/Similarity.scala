@@ -409,7 +409,10 @@ object Similarity {
   def labelCentroidQuality(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     GraftFunctions.register(emb.sparkSession)
-    val dims = emb
+    // fan a narrow scan out before the per-dimension explode (no-op on a
+    // real multi-split corpus); the centroid join below re-reads it
+    val e = Par.fanOutIfNarrow(emb.select(col(labelCol), col(vecCol)))
+    val dims = e
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast("double").cast(DecimalType(38, 18))).cast("double") /
@@ -417,7 +420,7 @@ object Similarity {
     val centroids = dims.groupBy(col("label"))
       .agg(expr("cast(transform(array_sort(collect_list(struct(pos, c))), s -> s.c) " +
         "as array<float>)").as("centroid"))
-    emb.select(col(labelCol).as("label"), col(vecCol).as("vec"))
+    e.select(col(labelCol).as("label"), col(vecCol).as("vec"))
       .join(broadcast(centroids), Seq("label"))
       .select(col("label"),
         (scaledDot("vec", "centroid").cast("double") /

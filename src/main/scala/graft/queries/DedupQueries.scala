@@ -299,8 +299,9 @@ object DedupQueries {
     // explode: the exploded token self-join formulation shuffled one row
     // per token across five joins for the same numbers.
     "q25_ngram_jaccard" -> { (s, dir) =>
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val toks = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("toks"))
       val a = toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
       val b = toks.select((col("doc_id") - 1).as("a_id"), col("toks").as("b_toks"))
       a.join(b, Seq("a_id"))
@@ -316,8 +317,8 @@ object DedupQueries {
     // Exact 3-gram (shingle-set) Jaccard between consecutive docs — the
     // ground truth that q23's MinHash signature agreement estimates.
     "q66_trigram_jaccard" -> { (s, dir) =>
-      val sh = t(s, dir, "documents").select(col("doc_id"),
-        Dedup.shingles("text", 3).as("sh"))
+      val sh = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), Dedup.shingles("text", 3).as("sh"))
       val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = sh.select((col("doc_id") - 1).as("a_id"), col("sh").as("b_sh"))
       a.join(b, Seq("a_id"))

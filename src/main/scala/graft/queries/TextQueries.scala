@@ -156,7 +156,9 @@ object TextQueries {
     // anything. If it ever fires twice, drop these casts to DECIMAL(30,6).
     "q121_quality_classifier" -> { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
-      val scored = t(s, dir, "documents")
+      // fanOut: per-row gate metrics (dup-trigram fraction, stopword
+      // occurrences) dominate the narrow scan
+      val scored = fanOut(t(s, dir, "documents").select(col("source"), col("text")))
         .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
         .withColumn("n_tokens", tokenCount(col("text")))
         .withColumn("stop_ratio",
@@ -222,7 +224,8 @@ object TextQueries {
     // the resulting keep flag — the boilerplate/spam filter of a
     // pretraining pipeline, pure per-row array arithmetic.
     "q73_repetition_filter" -> { (s, dir) =>
-      t(s, dir, "documents")
+      // fanOut: the per-row trigram-fraction array arithmetic dominates
+      fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), dupTrigramFraction("text").as("dup_frac"))
         .withColumn("keep", col("dup_frac") < 0.2)
         .orderBy(col("doc_id"))

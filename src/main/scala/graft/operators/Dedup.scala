@@ -580,8 +580,11 @@ object Dedup {
     // seconds at the 100x probe — one extra digest per occurrence).
     // P = 4294967291 (largest 32-bit prime) keeps every intermediate
     // below 2^52, so the arithmetic never overflows in either engine.
-    val sh = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).cast("long").as("id"),
+    // NOT fanned out (round-17 measurement: 1.71 -> 2.91 s wall, CPU
+    // 14 -> 42): the capped path's cached lists/nret frames are re-read by
+    // several consumers, and a fanned head multiplies the fixed per-task
+    // cost through every 32-wide downstream stage
+    val sh = docs.select(col(idCol).cast("long").as("id"),
         explode(shingles(textCol, k)).as("s"))
       .select(col("id"),
         expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))

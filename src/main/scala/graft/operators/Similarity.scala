@@ -281,16 +281,11 @@ object Similarity {
           .withColumn("cosine",
             scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
           .select(col("a_id"), col("b_id"), col("cosine"))
-          // ONE anchor-keyed exchange serves both downstream operators
-          // (round 17): HashPartitioning(a_id) satisfies the distinct's
-          // (a_id, b_id, cosine) clustering AND the rank window's a_id
-          // clustering, so neither inserts its own exchange — where the
-          // byte-sized AQE coalescing of the distinct's exchange used to
-          // run the dedup and the window serially on one partition. Width
-          // = defaultParallelism, the banded-candidate convention; per-key
-          // fanout is cap-bounded so a_id cannot hot-spot a partition.
-          .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-            col("a_id"))
+          // an anchor-keyed repartition here (serving both the distinct
+          // and the rank window) measured as a NET LOSS round 17: q95
+          // gained ~0.17 s but q113's pageRank loop then iterated over a
+          // 32-partition cached edge frame and lost ~0.95 s - left to
+          // AQE's byte-sized coalescing
           .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -350,10 +345,6 @@ object Similarity {
       .withColumn("cosine",
         scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"), col("cosine"))
-      // one anchor-keyed exchange for both the distinct and the rank
-      // window — see the knnGraphImpl note (round 17)
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-        col("a_id"))
       .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("neg_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -409,9 +400,9 @@ object Similarity {
   def labelCentroidQuality(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     GraftFunctions.register(emb.sparkSession)
-    // fan a narrow scan out before the per-dimension explode (no-op on a
-    // real multi-split corpus); the centroid join below re-reads it
-    val e = Par.fanOutIfNarrow(emb.select(col(labelCol), col(vecCol)))
+    // NOT fanned out (round-17 measurement: 0.49 -> 0.71 s wall): the
+    // per-dim decimal mean combines map-side into label-bounded state
+    val e = emb.select(col(labelCol), col(vecCol))
     val dims = e
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))

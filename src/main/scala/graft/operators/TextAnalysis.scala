@@ -208,9 +208,9 @@ object TextAnalysis {
   def crossSourceNgramOverlap(docs: DataFrame, sourceCol: String, textCol: String,
                               k: Int = 5): DataFrame = {
     val toks = s"split($textCol, ' ')"
-    // fan a narrow scan out before the per-row n-gram explode (no-op on a
-    // real multi-split corpus)
-    val grams = Par.fanOutIfNarrow(docs.select(col(sourceCol), col(textCol)))
+    // NOT fanned out (round-17 measurement: flat wall, +5.8 CPU s): the
+    // distinct collapses map-side and the self-join reuses its exchange
+    val grams = docs
       .filter(expr(s"size($toks) >= $k"))
       .select(col(sourceCol).as("source"),
         explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), k)).as("ngram"))
@@ -248,7 +248,12 @@ object TextAnalysis {
     * frames). No driver-side math.
     */
   def unigramKlBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
-    unigramKlFromTokens(Par.fanOutIfNarrow(docs.select(col(sourceCol), col(textCol)))
+    // fan-out measured a LOSS here (0.43 -> 0.83 s wall, CPU 0.3 -> 8.5):
+    // the token stream feeds a three-consumer aggregate whose exchange
+    // reuse breaks across the inserted repartition, so each consumer
+    // re-pays a fanned pass - the fused 1-task explode + map-side combine
+    // is cheaper at any narrow-source size
+    unigramKlFromTokens(docs
       .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("w")))
 
   /** [[unigramKlBySource]] over a pre-exploded `(source, w)` token stream —
@@ -946,8 +951,9 @@ object TextAnalysis {
     // (line, doc, source)-level pre-agg: the map-side combine collapses
     // within-doc repeats before anything shuffles; WordLines is the native
     // codegen'd cutting shared with LineDedup
-    val lineDoc = Par.fanOutIfNarrow(
-        docs.select(col(idCol), col(sourceCol), col(textCol)))
+    // NOT fanned out (round-17 measurement: 0.64 -> 0.82 s wall): the
+    // (line, doc, source) pre-aggregate combines map-side out of the scan
+    val lineDoc = docs
       .select(col(idCol).as("id"), col(sourceCol).as("source"),
         explode(graft.functions.GraftFunctions.wordLines(col(textCol), lineTokens))
           .as("line"))
@@ -985,17 +991,16 @@ object TextAnalysis {
                       minCount: Long = 5, topN: Int = 30): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = split(col(textCol), " ")
-    // one fanned narrow scan feeds both the bigram and the unigram explode
-    val d = Par.fanOutIfNarrow(docs.select(col(textCol)))
-    // native codegen'd bigram stream (WordNgrams); the pair decodes around
-    // the single separator space since tokens are space-free
-    val bg = d.filter(size(t) >= 2)
+    // NOT fanned out (round-17 measurement: 0.35 -> 0.67 s wall) - both
+    // count aggregates combine map-side into vocabulary-bounded state, the
+    // exact shape where a prepended exchange only adds passes
+    val bg = docs.filter(size(t) >= 2)
       .select(explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), 2))
         .as("bg"))
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    val uni = d.select(explode(t).as("w")).groupBy(col("w"))
+    val uni = docs.select(explode(t).as("w")).groupBy(col("w"))
       .agg(count(lit(1)).as("c_w"))
     val totals = c2.agg(sum(col("c_ab")).as("n2"))
       .crossJoin(uni.agg(sum(col("c_w")).as("n1")))

@@ -299,9 +299,8 @@ object DedupQueries {
     // explode: the exploded token self-join formulation shuffled one row
     // per token across five joins for the same numbers.
     "q25_ngram_jaccard" -> { (s, dir) =>
-      val toks = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("toks"))
       val a = toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
       val b = toks.select((col("doc_id") - 1).as("a_id"), col("toks").as("b_toks"))
       a.join(b, Seq("a_id"))

@@ -18,6 +18,7 @@ final class CacheScope private (track: Boolean) extends AutoCloseable {
   def this() = this(true)
 
   private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val rdds = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
 
   /** Cache `df` and register it for release. */
   private[graft] def cached(df: DataFrame): DataFrame = {
@@ -26,10 +27,28 @@ final class CacheScope private (track: Boolean) extends AutoCloseable {
     df
   }
 
+  /** Eagerly `localCheckpoint` `df` and register the materialized blocks
+    * for release — the checkpoint twin of [[cached]] for loop results that
+    * must be DRAINED inside an operator (a checkpointed Dataset's own
+    * `unpersist` goes through the SQL cache manager and never reaches the
+    * checkpoint RDD's blocks; the RDD handle does). */
+  private[graft] def checkpointed(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    if (track) synchronized {
+      cp.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => rdds += lr.rdd
+        case _ => ()
+      }
+    }
+    cp
+  }
+
   /** Unpersist every frame cached through this scope (non-blocking). */
   def release(): Unit = synchronized {
     frames.foreach(f => scala.util.Try(f.unpersist(false)))
     frames.clear()
+    rdds.foreach(r => scala.util.Try(r.unpersist(false)))
+    rdds.clear()
   }
 
   override def close(): Unit = release()

@@ -38,36 +38,70 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame,
                iters: Int = 3, damping: Double = 0.85,
                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // the edge frame is consumed once per iteration plus the final
-    // degree join — when it is an LSH/KNN pipeline output (q113), the
-    // uncached plan re-runs that whole pipeline iters+2 times
-    val e = scope.cached(edges)
+    val spark = nodes.sparkSession
+    // Materialize the loop inputs under the SESSION conf (the candidate
+    // pipeline behind `edges` is often an LSH/KNN pipeline — q113 — and
+    // wants AQE), then run the fixed iterations with AQE off at the
+    // materialized width and drain them INSIDE the conf scope — the
+    // componentsWithRounds/BPE-loop discipline. Left lazy, the caller's
+    // single drain plans every per-iteration exchange as its own AQE
+    // stage-job (~4 sub-50 ms driver round-trips per iteration in the
+    // round-17 q113 profile) even though the inputs already carry AQE's
+    // data-proportional width, so there is nothing left to adapt.
+    // CHECKPOINT the inputs rather than cache them: a cached input carries
+    // accurate size stats, and under the static (AQE-off) planner a
+    // small-looking round output then plans as a BroadcastExchange — whose
+    // child subtree RE-EXECUTES per round (measured: the first cut of this
+    // loop cached the inputs and q178 DOUBLED). LogicalRDD inputs plan the
+    // whole fixed-depth loop as one linear sort-merge chain, executed as
+    // ONE job; the final checkpoint hands the caller materialized rows —
+    // never a plan that depends on the restored conf.
+    val e = scope.checkpointed(edges.select(col("src"), col("dst")))
     val n1 = nodes.agg(count(lit(1)).as("n_total"))
-    val outdeg = scope.cached(
+    val outdeg = scope.checkpointed(
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val base = nodes.crossJoin(broadcast(n1))
-    var ranks = base.select(col("id"), col("n_total"),
-      (lit(1.0) / col("n_total")).as("pr"))
-    var i = 0
-    while (i < iters) {
-      val contrib = e
-        .join(outdeg, Seq("src"))
-        .join(ranks.select(col("id").as("src"), col("pr")), Seq("src"))
-        .select(col("dst").as("id"),
-          (col("pr") / col("outdeg")).cast(DecimalType(38, 18)).as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("s"))
-      ranks = base
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"), col("n_total"),
-          (lit(1.0 - damping) / col("n_total") +
-            lit(damping) * coalesce(col("s"), lit(0)).cast("double")).as("pr"))
-      i += 1
+    val base = scope.checkpointed(nodes.crossJoin(broadcast(n1)))
+    // loop width from the AQE-sized AGGREGATE outputs (outdeg's shuffle was
+    // byte-coalesced by AQE, so the width is data-proportional at any
+    // scale), NOT from `e`: the edge frame inherits the candidate
+    // pipeline's explicit anchor-keyed fan width, which is a CPU-widening
+    // choice for the scoring stage, not a measure of rank-state volume —
+    // iterating one-row-per-node state at that width was the round-17
+    // q113 loss mode
+    val loopWidth = math.max(1,
+      math.max(outdeg.rdd.getNumPartitions, base.rdd.getNumPartitions))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    try {
+      var ranks = base.select(col("id"), col("n_total"),
+        (lit(1.0) / col("n_total")).as("pr"))
+      var i = 0
+      while (i < iters) {
+        val contrib = e
+          .join(outdeg, Seq("src"))
+          .join(ranks.select(col("id").as("src"), col("pr")), Seq("src"))
+          .select(col("dst").as("id"),
+            (col("pr") / col("outdeg")).cast(DecimalType(38, 18)).as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("s"))
+        ranks = base
+          .join(contrib, Seq("id"), "left_outer")
+          .select(col("id"), col("n_total"),
+            (lit(1.0 - damping) / col("n_total") +
+              lit(damping) * coalesce(col("s"), lit(0)).cast("double")).as("pr"))
+        i += 1
+      }
+      val settled = scope.checkpointed(ranks)
+      settled
+        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
+        .select(col("id"), col("pr").as("pagerank"),
+          coalesce(col("outdeg"), lit(0L)).as("n_out"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    ranks
-      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
-      .select(col("id"), col("pr").as("pagerank"),
-        coalesce(col("outdeg"), lit(0L)).as("n_out"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
@@ -92,28 +126,47 @@ object Graph {
                        iters: Int = 3,
                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: the undirected edge list is re-joined every round, and the
-    // incoming edges frame is often an LSH/KNN pipeline (q178)
-    val und = scope.cached(edges.select(col("src"), col("dst"))
+    val spark = nodes.sparkSession
+    // same loop discipline as [[pageRank]]: CHECKPOINT the loop inputs
+    // under the session conf (the edges frame is often an LSH/KNN
+    // pipeline — q178 — and wants AQE; LogicalRDD inputs keep the static
+    // planner off per-round BroadcastExchanges, whose children re-execute
+    // per round), run the fixed rounds with AQE off at the materialized
+    // width, drain inside the conf scope (each round's three exchanges
+    // otherwise surface as their own AQE stage-jobs at the caller's
+    // drain), hand back checkpointed rows
+    val und = scope.checkpointed(edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    var i = 0
-    while (i < iters) {
-      val gathered = und
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
-      val newLabels = gathered.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("id"), col("label"))
-      labels = nodes.select(col("id"))
-        .join(newLabels, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-      i += 1
+    val nn = scope.checkpointed(nodes.select(col("id")))
+    val loopWidth = math.max(1,
+      math.max(und.rdd.getNumPartitions, nn.rdd.getNumPartitions))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    try {
+      var labels = nn.select(col("id"), col("id").as("label"))
+      var i = 0
+      while (i < iters) {
+        val gathered = und
+          .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+        val newLabels = gathered.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("id"), col("label"))
+        labels = nn
+          .join(newLabels, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        i += 1
+      }
+      scope.checkpointed(labels)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    labels
   }
 
   /** Per-node triangle count + local clustering coefficient over an

@@ -281,11 +281,20 @@ object Similarity {
           .withColumn("cosine",
             scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
           .select(col("a_id"), col("b_id"), col("cosine"))
-          // an anchor-keyed repartition here (serving both the distinct
-          // and the rank window) measured as a NET LOSS round 17: q95
-          // gained ~0.17 s but q113's pageRank loop then iterated over a
-          // 32-partition cached edge frame and lost ~0.95 s - left to
-          // AQE's byte-sized coalescing
+          // ONE anchor-keyed exchange serves both downstream operators:
+          // HashPartitioning(a_id) satisfies the distinct's (a_id, b_id,
+          // cosine) clustering AND the rank window's a_id clustering, so
+          // neither inserts its own exchange — strictly one exchange where
+          // the un-keyed plan pays two (distinct's, then the window's),
+          // and the byte-sized AQE coalescing of the distinct's exchange
+          // used to run the dedup and the window serially on one
+          // partition. Per-key fanout is cap-bounded (≤ bands·cap rows
+          // per anchor), so a_id cannot hot-spot a partition. This
+          // re-lands the round-17 tail exchange that was reverted when
+          // [[Graph.pageRank]]'s loop still inherited the fan width; the
+          // loop now takes its width from AQE-sized aggregates instead.
+          .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+            col("a_id"))
           .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -345,6 +354,10 @@ object Similarity {
       .withColumn("cosine",
         scaledDot("a_vec", "b_vec").cast("double") / (col("a_nrm") * col("b_nrm")))
       .select(col("a_id"), col("a_label"), col("neg_id"), col("neg_label"), col("cosine"))
+      // one anchor-keyed exchange for both the distinct and the rank
+      // window — see the knnGraphImpl note
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"))
       .distinct()
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("neg_id"))
     pairs.withColumn("rank", row_number().over(w))

@@ -268,6 +268,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"word_ngrams(text, k) — got ${other.length} args")
       }),
+    (FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => ShingleHash60(text)
+        case Seq(text, Literal(k: Int, _)) => ShingleHash60(text, k)
+        case other => throw new IllegalArgumentException(
+          s"shingle_hash60(text[, k]) — got ${other.length} args")
+      }),
     (FunctionIdentifier("nfc_normalize_key"),
       new ExpressionInfo(classOf[NfcNormalizeKey].getName, "nfc_normalize_key"),
       (children: Seq[Expression]) => NfcNormalizeKey(children.head)),
@@ -305,6 +313,11 @@ object GraftFunctions {
   /** Non-overlapping k-token line array Column ([[WordLines]]). */
   def wordLines(text: Column, k: Int): Column =
     ColumnBridge.column(WordLines(ColumnBridge.expression(text), k))
+
+  /** Distinct-shingle 60-bit hash array Column ([[ShingleHash60]]) —
+    * registry-free builder for the containment operators. */
+  def shingleHash60(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHash60(ColumnBridge.expression(text), k))
 
   /** Full-Unicode dedup-key normalization ([[NfcNormalizeKey]]: NFC +
     * Root-locale casefold + whitespace collapse) — registry-free builder. */

@@ -20,17 +20,29 @@ object HashUtils {
 
   private val md = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
+  // Scratch digest buffer, one per thread: `MessageDigest.digest()` allocates
+  // a fresh 16-byte array per call, and the signature loops call it once per
+  // shingle/token — at corpus scale that is the dominant small-allocation
+  // source in the dedup stages (round-17 profile: run−CPU ≈ 0.4 s of GC in
+  // the heavy minhash stages). `digest(buf, 0, 16)` writes in place and
+  // resets; values are bit-identical.
+  private val digBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+
   /** First 4 digest bytes as an unsigned value in [0, 2^32). */
   def md5Prefix32(s: UTF8String): Long = {
     val d = md.get(); d.reset()
-    val b = d.digest(s.getBytes)
+    val b = digBuf.get()
+    d.update(s.getBytes)
+    d.digest(b, 0, 16)
     ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) | ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
   }
 
   /** First 8 digest bytes as a signed long (the 64-bit pattern). */
   def md5Prefix64(s: UTF8String): Long = {
     val d = md.get(); d.reset()
-    val b = d.digest(s.getBytes)
+    val b = digBuf.get()
+    d.update(s.getBytes)
+    d.digest(b, 0, 16)
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (b(i) & 0xFFL); i += 1 }
@@ -44,6 +56,14 @@ object HashUtils {
 
   def minhashA(i: Int): Long = (2654435761L * (i + 1)) % P
   def minhashB(i: Int): Long = (40503L * (i + 1) + 1) % P
+
+  /** Memoized (A, B) coefficient arrays per signature width — the per-row
+    * loops used to re-tabulate 2·numHashes longs per document. */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def minhashCoefs(numHashes: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(numHashes,
+      n => (Array.tabulate(n)(minhashA), Array.tabulate(n)(minhashB)))
 
   // ---- whole-document signature loops (called from codegen'd expressions) --
   //
@@ -86,18 +106,17 @@ object HashUtils {
     val d = md.get()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) { as(i) = minhashA(i); bs(i) = minhashB(i); i += 1 }
+    val (as, bs) = minhashCoefs(numHashes)
+    val dig = digBuf.get()
     val nShingles = math.max(nTok - k, 0) + 1
     var sh = 0
+    var i = 0
     while (sh < nShingles) {
       val from = starts(sh)
       val to = ends(math.min(sh + k - 1, nTok - 1))
       d.reset()
       d.update(b, from, to - from)
-      val dig = d.digest()
+      d.digest(dig, 0, 16)
       val base = (((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
         ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)) % P
       i = 0
@@ -111,6 +130,46 @@ object HashUtils {
     mins
   }
 
+  /** 60-bit MD5-prefix hashes of the DISTINCT k-shingles of `s` — equal to
+    * `transform(array_distinct(word_ngrams(s, k)), t ->
+    *   CAST(CONV(SUBSTRING(MD5(t), 1, 15), 16, 10) AS BIGINT))`
+    * (the first 15 hex digits of the digest are its top 60 bits, always
+    * non-negative), in one allocation-light pass over the document bytes:
+    * shingles are hashed as byte RANGES (see the tokenization note above),
+    * so neither the ngram strings nor the hex digest strings are ever
+    * materialized. Dedup is by the 60-bit value itself — the
+    * [[simhashText]] digest-prefix discipline (two distinct shingles
+    * colliding needs 2^-60; the differential oracle hash-checks every
+    * consumer) — in first-occurrence order, matching `array_distinct`. */
+  def shingleHash60(s: UTF8String, k: Int): Array[Long] = {
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val nTok = starts.length
+    val d = md.get()
+    val nShingles = math.max(nTok - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dig = digBuf.get()
+    var sh = 0
+    while (sh < nShingles) {
+      val from = starts(sh)
+      val to = ends(math.min(sh + k - 1, nTok - 1))
+      d.reset()
+      d.update(b, from, to - from)
+      d.digest(dig, 0, 16)
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+      h = (h << 4) | ((dig(7) & 0xF0L) >>> 4)
+      seen.add(h)
+      sh += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * character k-gram (md5 32-bit prefix — the cross-engine family), slide
     * a w-window over the hash sequence, keep each window's MINIMUM, return
@@ -121,33 +180,39 @@ object HashUtils {
   def winnowFingerprints(s: UTF8String, k: Int, w: Int): Array[Long] = {
     val b = s.getBytes
     val d = md.get()
+    val dig = digBuf.get()
     val nGrams = math.max(b.length - k + 1, 1)
     val h = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
       d.reset()
       d.update(b, i, math.min(k, b.length - i))
-      val dig = d.digest()
+      d.digest(dig, 0, 16)
       h(i) = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
         ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
       i += 1
     }
-    val kept = new java.util.TreeSet[java.lang.Long]()
+    // distinct sorted kept minima WITHOUT a boxing TreeSet: collect the
+    // window minima into a primitive array, sort, dedup in place
     val lastStart = math.max(nGrams - w, 0)
+    val kept = new Array[Long](lastStart + 1)
     var p = 0
     while (p <= lastStart) {
       var m = Long.MaxValue
       var j = p
       val end = math.min(p + w, nGrams)
       while (j < end) { if (h(j) < m) m = h(j); j += 1 }
-      kept.add(m)
+      kept(p) = m
       p += 1
     }
-    val out = new Array[Long](kept.size)
-    val it = kept.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    out
+    java.util.Arrays.sort(kept)
+    var n = 0
+    var r = 0
+    while (r < kept.length) {
+      if (r == 0 || kept(r) != kept(r - 1)) { kept(n) = kept(r); n += 1 }
+      r += 1
+    }
+    if (n == kept.length) kept else java.util.Arrays.copyOf(kept, n)
   }
 
   /** SimHash64 over the DISTINCT tokens of `s` — equal to [[SimHash64]] on
@@ -157,13 +222,14 @@ object HashUtils {
     val b = s.getBytes
     val (starts, ends) = tokenBounds(b)
     val d = md.get()
+    val dig = digBuf.get()
     val seen = new java.util.HashSet[Long]()
     val votes = new Array[Int](64)
     var t = 0
     while (t < starts.length) {
       d.reset()
       d.update(b, starts(t), ends(t) - starts(t))
-      val dig = d.digest()
+      d.digest(dig, 0, 16)
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }

@@ -62,6 +62,34 @@ case class MinHashTextSignature(child: Expression, k: Int = 3, numHashes: Int = 
     copy(child = newChild)
 }
 
+/** 60-bit MD5-prefix hashes of the distinct k-shingles of a text column
+  * ([[HashUtils.shingleHash60]]) — the containment family's shingle stream
+  * head in one generated-code call. Bit-identical to the composed
+  * `array_distinct(word_ngrams(text, k))` → explode →
+  * `CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)` chain the
+  * DuckDB oracle replays, minus the per-shingle ngram/hex string
+  * allocations, and the explode downstream carries 8-byte longs instead of
+  * shingle strings. */
+case class ShingleHash60(child: Expression, k: Int = 3)
+  extends TextExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashUtils.shingleHash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad(graft.functions.HashUtils.shingleHash60($s, $k));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint set of a text column ([[HashUtils
   * .winnowFingerprints]]): ascending array of the document's kept k-gram
   * hash minima — the rolling-hash document fingerprint used for

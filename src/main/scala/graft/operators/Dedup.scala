@@ -452,9 +452,12 @@ object Dedup {
     // per-row heavy step and a single-row-group source otherwise runs it
     // on one task; no-op on any real multi-split corpus
     val d = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
-    val sh = d.select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
-      .select(col("id"),
-        expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+    // shingle_hash60 fuses shingling + MD5-prefix + distinct into one
+    // generated call — the explode then carries 8-byte longs, never the
+    // shingle strings or their hex digests (values bit-identical to the
+    // composed chain the oracle replays)
+    val sh = d.select(col(idCol).as("id"),
+      explode(graft.functions.GraftFunctions.shingleHash60(col(textCol), k)).as("sh"))
     // per-doc set size is an in-row expression — no shuffle, no explode —
     // but CACHED (round 11): sz feeds the two size joins AND the global-min
     // prefilter, and uncached each consumer re-shingles the whole corpus
@@ -585,9 +588,7 @@ object Dedup {
     // several consumers, and a fanned head multiplies the fixed per-task
     // cost through every 32-wide downstream stage
     val sh = docs.select(col(idCol).cast("long").as("id"),
-        explode(shingles(textCol, k)).as("s"))
-      .select(col("id"),
-        expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+        explode(graft.functions.GraftFunctions.shingleHash60(col(textCol), k)).as("sh"))
       .withColumn("rk", expr(
         "((sh % 4294967291L) * 1000003L + (id % 4294967291L) * 999983L) " +
           "% 4294967291L"))
@@ -699,9 +700,8 @@ object Dedup {
                            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = Par.fanOutIfNarrow(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"), explode(shingles(textCol, k)).as("s"))
-      .select(col("id"),
-        expr("CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.shingleHash60(col(textCol), k)).as("sh"))
     // kept feeds both the per-doc rare-set sizes and the pair lists —
     // cached so the corpus is shingled and exchanged once
     val kept = scope.cached(sh

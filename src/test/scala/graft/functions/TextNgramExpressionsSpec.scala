@@ -40,6 +40,29 @@ class TextNgramExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hash60 is bit-identical to the composed md5-prefix chain") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // includes the whitespace edge cases AND multibyte UTF-8 (byte-range
+    // hashing must see exactly the bytes the string formulation hashes)
+    val cases = Seq("", " ", "a", "a b", "a b c d e", "a  b", " a b ",
+      "héllo wörld £5", "汉字 分词 测试 汉字", "a b c a b c a b c") ++
+      (1 to 60).map(i => Gen.listOfN(1 + i % 9, Gen.oneOf("w1", "wö", "", "汉"))
+        .map(_.mkString(" ")).sample.getOrElse("a b c"))
+    for (k <- Seq(2, 3, 5)) {
+      val df = cases.toDF("text")
+      val got = df.select(expr(s"shingle_hash60(text, $k)"))
+        .collect().map(_.getSeq[Long](0))
+      val want = df.select(expr(
+        s"transform(array_distinct(word_ngrams(text, $k)), " +
+          "s -> CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT))"))
+        .collect().map(_.getSeq[Long](0))
+      got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+        assert(g === w, s"k=$k text=${c.inspect}")
+      }
+    }
+  }
+
   test("word_lines is bit-identical to the composed line cutting (property)") {
     import spark.implicits._
     GraftFunctions.register(spark)
